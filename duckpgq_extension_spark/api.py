@@ -1,0 +1,291 @@
+"""Public engine facade: DDL execution, MATCH compilation, algorithm table
+functions, introspection — the Spark equivalent of everything duckpgq
+registers on a DuckDB connection.
+
+Reference surface covered here (SURVEY.md §2A):
+- CREATE / DROP PROPERTY GRAPH (create_property_graph.cpp, drop_property_graph.cpp)
+- DESCRIBE / SUMMARIZE PROPERTY GRAPH (describe_property_graph.cpp:13-160,
+  summarize_property_graph.cpp:54-92)
+- PRAGMA show_property_graphs / create_vertex_table (src/core/pragma/*)
+- GRAPH_TABLE(...) pattern matching (match.cpp:969-1093) including inside
+  arbitrary SQL via a light preprocessor (`PGQSession.sql`)
+- pagerank / weakly_connected_component / local_clustering_coefficient
+  table functions (src/core/functions/table/{pagerank,weakly_connected_component,
+  local_clustering_coefficient}.cpp)
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from . import algorithms
+from .catalog import GraphCatalog, PropertyGraph
+from .errors import PGQBinderError, PGQParseError
+from .operators import paths as pathops
+from .parser.ast import CreatePropertyGraph, DropPropertyGraph
+from .parser.pgq_parser import Parser, parse_graph_table_body, parse_match
+from .plans.compiler import compile_match
+
+_GRAPH_TABLE_RE = re.compile(r"\bGRAPH_TABLE\s*\(", re.IGNORECASE)
+
+
+class PGQSession:
+    """Wraps a SparkSession with property-graph state, like the reference's
+    connection-local DuckPGQState (src/duckpgq_state.cpp:133-186)."""
+
+    def __init__(self, spark: SparkSession, catalog_path: str | None = None):
+        self.spark = spark
+        self.catalog = GraphCatalog(spark, catalog_path)
+        self._view_counter = 0
+
+    # -- DDL ------------------------------------------------------------
+    def execute(self, statement: str) -> DataFrame:
+        stmt = Parser(statement).parse_statement()
+        if isinstance(stmt, CreatePropertyGraph):
+            pg = PropertyGraph(stmt.name, self.spark)
+            for t in stmt.vertex_tables + stmt.edge_tables:
+                pg.add_table(t)
+            self.catalog.create(
+                pg, or_replace=stmt.or_replace, if_not_exists=stmt.if_not_exists
+            )
+        elif isinstance(stmt, DropPropertyGraph):
+            self.catalog.drop(stmt.name, if_exists=stmt.if_exists)
+        else:  # pragma: no cover
+            raise PGQParseError("Unsupported statement")
+        # reference DDL returns a single-row Success column
+        # (create_property_graph.cpp:197-198)
+        return self.spark.createDataFrame([Row(Success=True)])
+
+    def graph(self, name: str) -> PropertyGraph:
+        return self.catalog.get(name)
+
+    def show_property_graphs(self) -> DataFrame:
+        names = self.catalog.names()
+        return self.spark.createDataFrame(
+            [Row(property_graph=n) for n in names] or [],
+            schema="property_graph string",
+        )
+
+    # -- MATCH ----------------------------------------------------------
+    def match(
+        self,
+        graph: str,
+        pattern: str,
+        where: str | None = None,
+        columns: str = "*",
+    ) -> DataFrame:
+        expr = parse_match(graph, pattern, where=where, columns=columns)
+        return compile_match(self.catalog.get(graph), expr)
+
+    def graph_table(self, body: str) -> DataFrame:
+        """Compile a `pg MATCH ... COLUMNS (...)` body to a DataFrame."""
+        expr = parse_graph_table_body(body)
+        return compile_match(self.catalog.get(expr.graph_name), expr)
+
+    def sql(self, query: str) -> DataFrame:
+        """Run SQL that may contain GRAPH_TABLE(...) references.
+
+        Each GRAPH_TABLE(...) is compiled to a DataFrame, registered as a
+        temp view, and substituted — then the rewritten query goes to
+        spark.sql.  This is the same source-to-source strategy as the
+        reference's parser override + bind-replace (duckpgq_parser.cpp:40-75,
+        match.cpp:969-1093), done as a preprocessor because Spark's parser
+        is not extensible from Python.
+        """
+        out = []
+        pos = 0
+        while True:
+            m = _GRAPH_TABLE_RE.search(query, pos)
+            if not m:
+                out.append(query[pos:])
+                break
+            out.append(query[pos : m.start()])
+            # find the matching close paren, respecting quotes
+            depth = 1
+            i = m.end()
+            n = len(query)
+            while i < n and depth > 0:
+                c = query[i]
+                if c == "'":
+                    i += 1
+                    while i < n and query[i] != "'":
+                        i += 1
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                i += 1
+            if depth != 0:
+                raise PGQParseError("Unbalanced parentheses in GRAPH_TABLE(...)")
+            body = query[m.end() : i - 1]
+            df = self.graph_table(body)
+            self._view_counter += 1
+            view = f"__pgq_graph_table_{self._view_counter}"
+            df.createOrReplaceTempView(view)
+            out.append(view)
+            pos = i
+        return self.spark.sql("".join(out))
+
+    # -- algorithm table functions --------------------------------------
+    def _graph_frames(
+        self, graph: str, vertex_label: str, edge_label: str, undirected: bool
+    ):
+        pg = self.catalog.get(graph)
+        vt = pg.table_for_label(vertex_label)
+        et = pg.table_for_label(edge_label)
+        if vt is et or not et.source_fk:
+            raise PGQBinderError(f"'{edge_label}' is not an edge label")
+        pk = et.source_pk[0]
+        vdf = pg.element_df(vertex_label)
+        edges = pathops.edge_frame(
+            pg.element_df(edge_label),
+            et.source_fk[0],
+            et.destination_fk[0],
+            undirected=undirected,
+        )
+        vertices = vdf.select(F.col(pk).cast("long"))
+        return pg, vt, et, pk, vdf, vertices, edges
+
+    def pagerank(self, graph: str, vertex_label: str, edge_label: str, **kw) -> DataFrame:
+        """(pk, pagerank) — directed graph, like the reference table function
+        (src/core/functions/table/pagerank.cpp:10-23)."""
+        _, _, _, pk, vdf, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        ranks = algorithms.pagerank(edges, vertices, **kw)
+        return vdf.join(ranks, vdf[pk].cast("long") == ranks["vid"]).select(
+            vdf[pk], F.col("pagerank")
+        )
+
+    def weakly_connected_component(
+        self, graph: str, vertex_label: str, edge_label: str
+    ) -> DataFrame:
+        """(pk, componentId) — undirected, min-member representative
+        (reference: src/core/functions/table/weakly_connected_component.cpp:10-25;
+        representative convention differs, see algorithms.py)."""
+        _, _, _, pk, vdf, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        comp = algorithms.weakly_connected_component(edges, vertices)
+        return vdf.join(comp, vdf[pk].cast("long") == comp["vid"]).select(
+            vdf[pk], F.col("component_id").alias("componentId")
+        )
+
+    def local_clustering_coefficient(
+        self, graph: str, vertex_label: str, edge_label: str
+    ) -> DataFrame:
+        """(pk, local_clustering_coefficient) — undirected doubled-edge
+        convention (src/core/functions/table/local_clustering_coefficient.cpp:17-32)."""
+        _, _, _, pk, vdf, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        lcc = algorithms.local_clustering_coefficient(edges, vertices)
+        return vdf.join(lcc, vdf[pk].cast("long") == lcc["vid"]).select(
+            vdf[pk], F.col("local_clustering_coefficient")
+        )
+
+    # -- introspection ---------------------------------------------------
+    def describe_property_graph(self, graph: str) -> DataFrame:
+        """One row per registered table, like DESCRIBE PROPERTY GRAPH
+        (describe_property_graph.cpp:13-160)."""
+        pg = self.catalog.get(graph)
+        rows = []
+        for t in pg.vertex_tables + pg.edge_tables:
+            rows.append(
+                Row(
+                    table_name=t.table_name,
+                    label=t.main_label,
+                    is_vertex_table=t.is_vertex,
+                    source_table=t.source_reference,
+                    source_pk=t.source_pk or None,
+                    source_fk=t.source_fk or None,
+                    destination_table=t.destination_reference,
+                    destination_pk=t.destination_pk or None,
+                    destination_fk=t.destination_fk or None,
+                    discriminator=t.discriminator,
+                    sub_labels=t.sub_labels or None,
+                )
+            )
+        schema = (
+            "table_name string, label string, is_vertex_table boolean, "
+            "source_table string, source_pk array<string>, source_fk array<string>, "
+            "destination_table string, destination_pk array<string>, "
+            "destination_fk array<string>, discriminator string, sub_labels array<string>"
+        )
+        return self.spark.createDataFrame(rows, schema=schema)
+
+    def summarize_property_graph(self, graph: str) -> DataFrame:
+        """Graph statistics per edge table: vertex/edge counts, distinct
+        endpoints, isolated vertices, out/in-degree stats — the DataFrame
+        re-expression of the generated SQL in
+        summarize_property_graph.cpp:54-92."""
+        pg = self.catalog.get(graph)
+        out = None
+        for et in pg.edge_tables:
+            edf = pg.spark.table(et.table_name)
+            src_fk, dst_fk = et.source_fk[0], et.destination_fk[0]
+            src_vt = et.source_reference
+            vdf = pg.spark.table(src_vt)
+            pk = et.source_pk[0]
+
+            def degree_stats(fk_col: str, name: str):
+                deg = (
+                    vdf.join(edf, vdf[pk] == edf[fk_col], "left")
+                    .groupBy(vdf[pk])
+                    .agg(F.count(edf[fk_col]).alias("deg"))
+                )
+                return deg.agg(
+                    F.avg("deg").alias(f"{name}_degree_avg"),
+                    F.min("deg").alias(f"{name}_degree_min"),
+                    F.max("deg").alias(f"{name}_degree_max"),
+                    F.expr("percentile(deg, 0.25)").alias(f"{name}_degree_q25"),
+                    F.expr("percentile(deg, 0.50)").alias(f"{name}_degree_q50"),
+                    F.expr("percentile(deg, 0.75)").alias(f"{name}_degree_q75"),
+                )
+
+            base = self.spark.createDataFrame(
+                [Row(edge_table=et.table_name, label=et.main_label)]
+            )
+            counts = edf.agg(
+                F.count("*").alias("edge_count"),
+                F.countDistinct(src_fk).alias("distinct_src"),
+                F.countDistinct(dst_fk).alias("distinct_dst"),
+            )
+            vcount = vdf.agg(F.count("*").alias("vertex_count"))
+            isolated = (
+                vdf.join(edf, vdf[pk] == edf[src_fk], "left_anti")
+                .join(edf, vdf[pk] == edf[dst_fk], "left_anti")
+                .agg(F.count("*").alias("isolated_vertices"))
+            )
+            row = (
+                base.crossJoin(vcount)
+                .crossJoin(counts)
+                .crossJoin(isolated)
+                .crossJoin(degree_stats(src_fk, "out"))
+                .crossJoin(degree_stats(dst_fk, "in"))
+            )
+            out = row if out is None else out.unionByName(row)
+        if out is None:
+            raise PGQBinderError(f"Property graph '{graph}' has no edge tables")
+        return out
+
+    def create_vertex_table(
+        self,
+        edges_df: DataFrame,
+        src_col: str,
+        dst_col: str,
+        view_name: str,
+        id_col: str = "id",
+    ) -> DataFrame:
+        """PRAGMA create_vertex_table equivalent
+        (src/core/pragma/create_vertex_table.cpp:6-22)."""
+        v = (
+            edges_df.select(F.col(src_col).alias(id_col))
+            .unionByName(edges_df.select(F.col(dst_col).alias(id_col)))
+            .distinct()
+        )
+        v.createOrReplaceTempView(view_name)
+        return v

@@ -1,0 +1,289 @@
+"""Property-graph catalog: metadata objects, validation, persistence.
+
+Reference parity (cited into /root/reference):
+- PropertyGraphTable fields mirror
+  src/include/duckpgq/parser/property_graph_table.hpp:21-105.
+- Validation semantics mirror
+  src/core/functions/table/create_property_graph.cpp:57-303 (table/column/
+  key existence checked eagerly at DDL time; label inheritance via a
+  discriminator column).
+- Persistence mirrors the __duckpgq_internal catalog table
+  (src/duckpgq_state.cpp:5-32): here a JSON document per graph under a
+  catalog directory, reloaded on session start.  JSON instead of a Spark
+  table because graph metadata is tiny driver-side state; at cluster scale
+  this lives on shared storage (e.g. an object-store path) and is read once
+  per driver.
+
+Spark-first notes: vertex/edge data always stays in Spark tables/views or
+parquet paths; the catalog holds only names + key mappings. Label lookups
+are case-insensitive (the reference lowercases labels).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .errors import PGQBinderError
+
+
+@dataclass
+class PropertyGraphTable:
+    """Metadata for one vertex or edge table registered in a property graph."""
+
+    table_name: str
+    is_vertex: bool = True
+    # property columns exposed on this element: {source_column: exposed_name}
+    properties: dict[str, str] = field(default_factory=dict)
+    all_properties: bool = True
+    except_columns: list[str] = field(default_factory=list)
+    no_properties: bool = False
+    main_label: str = ""
+    sub_labels: list[str] = field(default_factory=list)
+    discriminator: str | None = None
+    # edge-only key mappings
+    source_reference: str | None = None  # vertex table name
+    source_pk: list[str] = field(default_factory=list)
+    source_fk: list[str] = field(default_factory=list)
+    destination_reference: str | None = None
+    destination_pk: list[str] = field(default_factory=list)
+    destination_fk: list[str] = field(default_factory=list)
+
+    def to_dict(self) -> dict:
+        return {
+            "table_name": self.table_name,
+            "is_vertex": self.is_vertex,
+            "properties": self.properties,
+            "all_properties": self.all_properties,
+            "except_columns": self.except_columns,
+            "no_properties": self.no_properties,
+            "main_label": self.main_label,
+            "sub_labels": self.sub_labels,
+            "discriminator": self.discriminator,
+            "source_reference": self.source_reference,
+            "source_pk": self.source_pk,
+            "source_fk": self.source_fk,
+            "destination_reference": self.destination_reference,
+            "destination_pk": self.destination_pk,
+            "destination_fk": self.destination_fk,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "PropertyGraphTable":
+        return cls(**d)
+
+    def labels(self) -> list[str]:
+        return [self.main_label] + list(self.sub_labels)
+
+
+class PropertyGraph:
+    """A named property graph: vertex + edge table metadata over Spark tables.
+
+    Reference analog: CreatePropertyGraphInfo registered in DuckPGQState
+    (src/duckpgq_state.cpp:133-160).
+    """
+
+    def __init__(self, name: str, spark: SparkSession):
+        self.name = name
+        self.spark = spark
+        self.vertex_tables: list[PropertyGraphTable] = []
+        self.edge_tables: list[PropertyGraphTable] = []
+        # label (lowercased) -> (table, sublabel_index or None)
+        self._label_map: dict[str, tuple[PropertyGraphTable, int | None]] = {}
+
+    # -- registration ------------------------------------------------------
+    def add_table(self, t: PropertyGraphTable) -> None:
+        (self.vertex_tables if t.is_vertex else self.edge_tables).append(t)
+        main = t.main_label.lower()
+        if main in self._label_map:
+            raise PGQBinderError(f"Label '{t.main_label}' is registered more than once")
+        self._label_map[main] = (t, None)
+        for i, sub in enumerate(t.sub_labels):
+            key = sub.lower()
+            if key in self._label_map:
+                raise PGQBinderError(f"Label '{sub}' is registered more than once")
+            self._label_map[key] = (t, i)
+
+    # -- lookup ------------------------------------------------------------
+    def resolve_label(self, label: str) -> tuple[PropertyGraphTable, int | None]:
+        got = self._label_map.get(label.lower())
+        if got is None:
+            raise PGQBinderError(
+                f"Label '{label}' is not registered in property graph '{self.name}'"
+            )
+        return got
+
+    def table_for_label(self, label: str) -> PropertyGraphTable:
+        return self.resolve_label(label)[0]
+
+    def element_df(self, label: str) -> DataFrame:
+        """DataFrame for a label, with sublabel discriminator filter applied.
+
+        Sublabel semantics mirror CheckInheritance
+        (src/core/functions/table/match.cpp:278-296): sublabel i compiles to
+        the predicate (discriminator & 2^i) = 2^i.
+        """
+        t, sub_idx = self.resolve_label(label)
+        df = self.spark.table(t.table_name)
+        if sub_idx is not None:
+            mask = 1 << sub_idx
+            df = df.where(F.col(t.discriminator).bitwiseAND(F.lit(mask)) == F.lit(mask))
+        return df
+
+    def property_columns(self, t: PropertyGraphTable) -> list[tuple[str, str]]:
+        """[(source_column, exposed_name)] for an element table."""
+        if t.no_properties:
+            return []
+        if t.properties:
+            return list(t.properties.items())
+        cols = self.spark.table(t.table_name).columns
+        exc = {c.lower() for c in t.except_columns}
+        return [(c, c) for c in cols if c.lower() not in exc]
+
+    # -- validation --------------------------------------------------------
+    def validate(self) -> None:
+        """Eager DDL-time validation, mirroring
+        create_property_graph.cpp:57-303: every table exists, every declared
+        property/discriminator/key column exists, edge references point at
+        registered vertex tables, pk/fk arity matches.
+        """
+        vertex_names = {t.table_name for t in self.vertex_tables}
+        for t in self.vertex_tables + self.edge_tables:
+            try:
+                df = self.spark.table(t.table_name)
+            except Exception as exc:  # AnalysisException
+                raise PGQBinderError(
+                    f"Table '{t.table_name}' not found in the Spark catalog"
+                ) from exc
+            cols = {c.lower() for c in df.columns}
+            for c in t.properties:
+                if c.lower() not in cols:
+                    raise PGQBinderError(
+                        f"Property '{c}' not found in table '{t.table_name}'"
+                    )
+            for c in t.except_columns:
+                if c.lower() not in cols:
+                    raise PGQBinderError(
+                        f"EXCEPT column '{c}' not found in table '{t.table_name}'"
+                    )
+            if t.discriminator and t.discriminator.lower() not in cols:
+                raise PGQBinderError(
+                    f"Discriminator column '{t.discriminator}' not found in "
+                    f"table '{t.table_name}'"
+                )
+            if not t.is_vertex:
+                for ref, pk, fk, kind in (
+                    (t.source_reference, t.source_pk, t.source_fk, "SOURCE"),
+                    (
+                        t.destination_reference,
+                        t.destination_pk,
+                        t.destination_fk,
+                        "DESTINATION",
+                    ),
+                ):
+                    if ref is None or not pk or not fk:
+                        raise PGQBinderError(
+                            f"Edge table '{t.table_name}' must declare explicit "
+                            f"{kind} KEY ... REFERENCES ... (Spark has no FOREIGN "
+                            "KEY constraints to auto-discover keys from)"
+                        )
+                    if ref not in vertex_names:
+                        raise PGQBinderError(
+                            f"Referenced vertex table '{ref}' of edge table "
+                            f"'{t.table_name}' is not registered in the property graph"
+                        )
+                    if len(pk) != len(fk):
+                        raise PGQBinderError(
+                            f"{kind} KEY arity mismatch on edge table '{t.table_name}'"
+                        )
+                    for c in fk:
+                        if c.lower() not in cols:
+                            raise PGQBinderError(
+                                f"{kind} KEY column '{c}' not found in edge table "
+                                f"'{t.table_name}'"
+                            )
+                    ref_cols = {c.lower() for c in self.spark.table(ref).columns}
+                    for c in pk:
+                        if c.lower() not in ref_cols:
+                            raise PGQBinderError(
+                                f"{kind} REFERENCES column '{c}' not found in "
+                                f"vertex table '{ref}'"
+                            )
+
+    # -- serialization -----------------------------------------------------
+    def to_dict(self) -> dict:
+        return {
+            "name": self.name,
+            "vertex_tables": [t.to_dict() for t in self.vertex_tables],
+            "edge_tables": [t.to_dict() for t in self.edge_tables],
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict, spark: SparkSession) -> "PropertyGraph":
+        pg = cls(d["name"], spark)
+        for td in d["vertex_tables"]:
+            pg.add_table(PropertyGraphTable.from_dict(td))
+        for td in d["edge_tables"]:
+            pg.add_table(PropertyGraphTable.from_dict(td))
+        return pg
+
+
+class GraphCatalog:
+    """Session-level registry of property graphs with optional persistence.
+
+    Reference analog: __duckpgq_internal table + per-connection registry
+    (src/duckpgq_state.cpp:5-32,34-160).
+    """
+
+    def __init__(self, spark: SparkSession, path: str | None = None):
+        self.spark = spark
+        self.path = path  # directory for JSON persistence; None = in-memory only
+        self.graphs: dict[str, PropertyGraph] = {}
+        if path and os.path.isdir(path):
+            for fn in sorted(os.listdir(path)):
+                if fn.endswith(".json"):
+                    with open(os.path.join(path, fn)) as f:
+                        pg = PropertyGraph.from_dict(json.load(f), spark)
+                    self.graphs[pg.name.lower()] = pg
+
+    def create(self, pg: PropertyGraph, or_replace: bool = False, if_not_exists: bool = False) -> None:
+        key = pg.name.lower()
+        if key in self.graphs:
+            if if_not_exists:
+                return
+            if not or_replace:
+                raise PGQBinderError(
+                    f"Property graph '{pg.name}' already exists (use CREATE OR "
+                    "REPLACE or IF NOT EXISTS)"
+                )
+        pg.validate()
+        self.graphs[key] = pg
+        if self.path:
+            os.makedirs(self.path, exist_ok=True)
+            with open(os.path.join(self.path, f"{key}.json"), "w") as f:
+                json.dump(pg.to_dict(), f, indent=1)
+
+    def drop(self, name: str, if_exists: bool = False) -> None:
+        key = name.lower()
+        if key not in self.graphs:
+            if if_exists:
+                return
+            raise PGQBinderError(f"Property graph '{name}' does not exist")
+        del self.graphs[key]
+        if self.path:
+            p = os.path.join(self.path, f"{key}.json")
+            if os.path.exists(p):
+                os.remove(p)
+
+    def get(self, name: str) -> PropertyGraph:
+        pg = self.graphs.get(name.lower())
+        if pg is None:
+            raise PGQBinderError(f"Property graph '{name}' does not exist")
+        return pg
+
+    def names(self) -> list[str]:
+        return sorted(pg.name for pg in self.graphs.values())

@@ -1,0 +1,237 @@
+"""Batched multi-source BFS / shortest-path / weighted-SSSP operators.
+
+Spark re-expression of the reference's CSR scalar kernels:
+- iterativelength (multi-source BFS, 512 searches per pass via bitset
+  lanes — /root/reference/src/core/functions/scalar/iterativelength.cpp:34-143,
+  LANE_LIMIT at src/include/duckpgq/core/utils/duckpgq_utils.hpp:10)
+- shortestpath (parent tracking + interleaved [v,e,v,...,v] output —
+  src/core/functions/scalar/shortest_path.cpp:148-216)
+- reachability (src/core/functions/scalar/reachability.cpp:165-254)
+- cheapest_path_length (multi-lane Bellman-Ford —
+  src/core/functions/scalar/cheapest_path_length.cpp:52-163)
+
+The batching trick transfers directly: instead of per-(src,dst) traversals,
+ALL searches advance together in ONE join per BFS level — the frontier is a
+DataFrame keyed by (search origin, current vertex), so a single
+frontier-to-edges hash join per level serves every search at once.  That is
+the 512-lane idea with the lane count unbounded.
+
+Scale notes (100 TB / 1000 executors):
+- The adjacency DataFrame is hash-partitioned by `src` and cached once, so
+  every per-level join co-partitions with the frontier and only the frontier
+  side shuffles.
+- `localCheckpoint` every level truncates lineage (iterative unions
+  otherwise build an O(levels)-deep plan and re-execute from scratch);
+  on a real cluster with unreliable executors prefer
+  `spark.sparkContext.setCheckpointDir(...)` + `.checkpoint()`.
+- Vertex ids are natural long keys — no dense 0..N-1 renumbering (a CSR
+  artifact) and therefore no global sort at build time.
+- Path tracking needs an `edge_id`; we derive a deterministic one with a
+  global row_number only when paths are requested AND the edge table has no
+  id column.  At scale callers should supply their own stable edge id
+  column instead (monotonic ids from the source system).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def edge_frame(
+    edf: DataFrame,
+    src_col: str,
+    dst_col: str,
+    undirected: bool = False,
+    weight_col: str | None = None,
+    edge_id_col: str | None = None,
+    with_edge_ids: bool = False,
+) -> DataFrame:
+    """Normalize an edge table to (src, dst[, edge_id][, weight]).
+
+    Undirected graphs get both orientations with the same edge_id (the
+    reference builds its undirected CSR the same way:
+    compressed_sparse_row.cpp:208-223).
+    """
+    cols = [F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")]
+    if with_edge_ids:
+        if edge_id_col is not None:
+            cols.append(F.col(edge_id_col).cast("long").alias("edge_id"))
+        else:
+            # deterministic fallback id; fine at test scale, see module notes
+            w = Window.orderBy(src_col, dst_col)
+            edf = edf.withColumn("__pgq_eid", F.row_number().over(w).cast("long"))
+            cols.append(F.col("__pgq_eid").alias("edge_id"))
+    if weight_col is not None:
+        cols.append(F.col(weight_col).alias("weight"))
+    edges = edf.select(*cols)
+    if undirected:
+        swapped = edges.withColumn("__t", F.col("src")).withColumn(
+            "src", F.col("dst")
+        ).withColumn("dst", F.col("__t")).drop("__t")
+        edges = edges.unionByName(swapped)
+    return edges
+
+
+def _prep_edges(edges: DataFrame, num_partitions: int | None) -> DataFrame:
+    n = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
+    return edges.repartition(n, "src").persist()
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    max_hops: int | None = None,
+    track_paths: bool = False,
+    num_partitions: int | None = None,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """All-pairs-from-sources BFS: returns (src, dst, dist [, path]).
+
+    src   = search origin vertex id
+    dst   = reached vertex id
+    dist  = hop count of the shortest path (0 for src itself)
+    path  = interleaved [v0, e0, v1, e1, ..., vk] matching the reference's
+            shortestpath output convention (shortest_path.cpp:213-216);
+            [src] alone for the zero-hop path (shortest_path.cpp:158-166).
+
+    Unreachable pairs are simply absent (the caller's join produces no row,
+    which is the DataFrame analog of the reference's NULL result,
+    iterativelength.cpp:132-140).
+
+    When several shortest paths tie, an arbitrary one is kept — same
+    nondeterminism as the reference's ANY SHORTEST (shortest_path.cpp:28-29).
+    """
+    if track_paths and "edge_id" not in edges.columns:
+        raise ValueError("track_paths requires an edge_id column (use edge_frame)")
+    edges = _prep_edges(edges, num_partitions)
+    try:
+        if sources is None:
+            srcs = edges.select("src").union(edges.select(F.col("dst").alias("src"))).distinct()
+        else:
+            srcs = sources.toDF("src").distinct()
+
+        frontier = srcs.select(
+            F.col("src"), F.col("src").alias("dst"), F.lit(0).alias("dist")
+        )
+        if track_paths:
+            frontier = frontier.withColumn("path", F.array(F.col("src")))
+        visited = frontier.localCheckpoint(eager=True)
+        frontier = visited
+        level = 0
+        while True:
+            if max_hops is not None and level >= max_hops:
+                break
+            level += 1
+            nxt = (
+                frontier.join(edges, frontier["dst"] == edges["src"])
+                .select(
+                    frontier["src"],
+                    edges["dst"].alias("dst"),
+                    (frontier["dist"] + 1).alias("dist"),
+                    *(
+                        [
+                            F.concat(
+                                frontier["path"],
+                                F.array(edges["edge_id"], edges["dst"]),
+                            ).alias("path")
+                        ]
+                        if track_paths
+                        else []
+                    ),
+                )
+                .dropDuplicates(["src", "dst"])
+                .join(visited.select("src", "dst"), ["src", "dst"], "left_anti")
+            )
+            nxt = nxt.localCheckpoint(eager=True)
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+        return visited
+    finally:
+        edges.unpersist()
+
+
+def iterative_length(
+    edges: DataFrame,
+    pairs: DataFrame,
+    max_hops: int | None = None,
+) -> DataFrame:
+    """Reference `iterativelength` (hop count per (src,dst) pair, NULL when
+    unreachable).  `pairs` has columns (src, dst)."""
+    dist = bfs_distances(edges, sources=pairs.select("src"), max_hops=max_hops)
+    return pairs.join(dist, ["src", "dst"], "left").select(
+        pairs["src"], pairs["dst"], dist["dist"].alias("dist")
+    )
+
+
+def reachability(edges: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Reference `reachability`: boolean per (src,dst) pair."""
+    dist = bfs_distances(edges, sources=pairs.select("src"))
+    return pairs.join(dist, ["src", "dst"], "left").select(
+        pairs["src"], pairs["dst"], dist["dist"].isNotNull().alias("reachable")
+    )
+
+
+def cheapest_path_distances(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    max_iters: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Weighted SSSP from every source: (src, dst, cost).
+
+    Batched Bellman-Ford relaxation — all sources relax together in one
+    join per round, converging in at most |V|-1 rounds (the reference's
+    multi-lane Bellman-Ford, cheapest_path_length.cpp:52-136).  Weights are
+    assumed non-negative (the reference makes the same assumption).
+    """
+    if "weight" not in edges.columns:
+        raise ValueError("cheapest_path_distances requires a weight column")
+    edges = _prep_edges(edges, num_partitions)
+    try:
+        if sources is None:
+            srcs = edges.select("src").union(edges.select(F.col("dst").alias("src"))).distinct()
+        else:
+            srcs = sources.toDF("src").distinct()
+        dist = srcs.select(
+            F.col("src"), F.col("src").alias("dst"), F.lit(0.0).cast("double").alias("cost")
+        ).localCheckpoint(eager=True)
+        frontier = dist
+        rounds = 0
+        while True:
+            rounds += 1
+            if max_iters is not None and rounds > max_iters:
+                break
+            cand = (
+                frontier.join(edges, frontier["dst"] == edges["src"])
+                .select(
+                    frontier["src"],
+                    edges["dst"].alias("dst"),
+                    (frontier["cost"] + edges["weight"].cast("double")).alias("cost"),
+                )
+                .groupBy("src", "dst")
+                .agg(F.min("cost").alias("cost"))
+            )
+            improved = (
+                cand.join(
+                    dist.select("src", "dst", F.col("cost").alias("old_cost")),
+                    ["src", "dst"],
+                    "left",
+                )
+                .where(F.col("old_cost").isNull() | (F.col("cost") < F.col("old_cost")))
+                .select("src", "dst", "cost")
+                .localCheckpoint(eager=True)
+            )
+            if improved.isEmpty():
+                break
+            dist = (
+                dist.join(improved.select("src", "dst"), ["src", "dst"], "left_anti")
+                .unionByName(improved)
+                .localCheckpoint(eager=True)
+            )
+            frontier = improved
+        return dist
+    finally:
+        edges.unpersist()

@@ -1,0 +1,508 @@
+"""Tokenizer + recursive-descent parser for the PGQ sublanguage.
+
+Covers the grammar surface of the reference PEG grammar
+(/root/reference/third_party/duckdb_peg_parser/upstream/src/parser/peg/grammar/statements/pgq.gram:1-63):
+
+  CREATE [OR REPLACE] PROPERTY GRAPH [IF NOT EXISTS] name
+      VERTEX TABLES ( ... ) [EDGE TABLES ( ... )]
+  DROP PROPERTY GRAPH [IF EXISTS] name
+  <graph_table body>:  pg MATCH <patterns> [WHERE expr] COLUMNS ( items )
+
+Quantifier sugar matches the reference transformer
+(third_party/.../transformer/transform_pgq.cpp:500-523):
+  *  -> {0, inf}    +  -> {1, inf}    ?  -> {0, 1}
+  {n} -> {n, n}     {l,u} with empty bounds defaulted to 0 / inf.
+
+SQL expressions embedded in WHERE / COLUMNS are captured as source-text
+spans and compiled later against DataFrame aliases (the reference similarly
+round-trips expression strings through a mini parser,
+src/core/utils/duckpgq_sql.cpp:57-101).
+"""
+
+from __future__ import annotations
+
+import re
+
+from ..catalog import PropertyGraphTable
+from ..errors import PGQNotImplementedError, PGQParseError
+from .ast import (
+    EDGE_ANY,
+    EDGE_BOTH,
+    EDGE_LEFT,
+    EDGE_RIGHT,
+    ColumnItem,
+    CreatePropertyGraph,
+    DropPropertyGraph,
+    EdgeElement,
+    MatchExpression,
+    PathPattern,
+    VertexElement,
+)
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+)
+  | (?P<comment>--[^\n]*)
+  | (?P<string>'(?:[^']|'')*')
+  | (?P<qident>"(?:[^"]|"")*")
+  | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+  | (?P<ident>[A-Za-z_][A-Za-z_0-9$]*)
+  | (?P<op><=|>=|<>|!=|\|\||::|[-<>\[\](){},.:*+?=/%&|^;])
+    """,
+    re.VERBOSE,
+)
+
+PATH_FNS = {"element_id", "path_length", "vertices", "edges"}
+
+
+class Token:
+    __slots__ = ("kind", "value", "start", "end")
+
+    def __init__(self, kind: str, value: str, start: int, end: int):
+        self.kind = kind
+        self.value = value
+        self.start = start
+        self.end = end
+
+    def __repr__(self):  # pragma: no cover
+        return f"Token({self.kind},{self.value!r})"
+
+
+def tokenize(text: str) -> list[Token]:
+    out: list[Token] = []
+    pos = 0
+    n = len(text)
+    while pos < n:
+        m = _TOKEN_RE.match(text, pos)
+        if not m:
+            raise PGQParseError(f"Unexpected character {text[pos]!r} at offset {pos}")
+        kind = m.lastgroup
+        if kind not in ("ws", "comment"):
+            out.append(Token(kind, m.group(), m.start(), m.end()))
+        pos = m.end()
+    return out
+
+
+class Parser:
+    def __init__(self, text: str):
+        self.text = text
+        self.toks = tokenize(text)
+        self.pos = 0
+
+    # -- primitives --------------------------------------------------------
+    def peek(self, offset: int = 0) -> Token | None:
+        i = self.pos + offset
+        return self.toks[i] if i < len(self.toks) else None
+
+    def at_end(self) -> bool:
+        return self.pos >= len(self.toks)
+
+    def advance(self) -> Token:
+        t = self.peek()
+        if t is None:
+            raise PGQParseError("Unexpected end of input")
+        self.pos += 1
+        return t
+
+    def is_kw(self, *words: str, offset: int = 0) -> bool:
+        t = self.peek(offset)
+        return t is not None and t.kind == "ident" and t.value.upper() in words
+
+    def match_kw(self, *words: str) -> bool:
+        if self.is_kw(*words):
+            self.pos += 1
+            return True
+        return False
+
+    def expect_kw(self, word: str) -> None:
+        if not self.match_kw(word):
+            t = self.peek()
+            raise PGQParseError(
+                f"Expected keyword {word}, got {t.value if t else '<eof>'!r}"
+            )
+
+    def is_op(self, op: str, offset: int = 0) -> bool:
+        t = self.peek(offset)
+        return t is not None and t.kind == "op" and t.value == op
+
+    def match_op(self, op: str) -> bool:
+        if self.is_op(op):
+            self.pos += 1
+            return True
+        return False
+
+    def expect_op(self, op: str) -> None:
+        if not self.match_op(op):
+            t = self.peek()
+            raise PGQParseError(f"Expected '{op}', got {t.value if t else '<eof>'!r}")
+
+    def ident(self) -> str:
+        t = self.advance()
+        if t.kind == "ident":
+            return t.value
+        if t.kind == "qident":
+            return t.value[1:-1].replace('""', '"')
+        raise PGQParseError(f"Expected identifier, got {t.value!r}")
+
+    def _span_text(self, start_tok: int, end_tok: int) -> str:
+        """Original source text covering tokens [start_tok, end_tok)."""
+        if end_tok <= start_tok:
+            return ""
+        return self.text[self.toks[start_tok].start : self.toks[end_tok - 1].end]
+
+    def capture_expr(self, stop) -> str:
+        """Consume tokens until stop(parser) is true at paren/bracket depth 0;
+        return the covered source text."""
+        depth = 0
+        start = self.pos
+        while not self.at_end():
+            if depth == 0 and stop(self):
+                break
+            t = self.peek()
+            if t.value in ("(", "["):
+                depth += 1
+            elif t.value in (")", "]"):
+                if depth == 0:
+                    break
+                depth -= 1
+            self.pos += 1
+        return self._span_text(start, self.pos).strip()
+
+    # -- statements --------------------------------------------------------
+    def parse_statement(self):
+        if self.is_kw("CREATE"):
+            return self.parse_create()
+        if self.is_kw("DROP"):
+            return self.parse_drop()
+        raise PGQParseError("Expected CREATE or DROP PROPERTY GRAPH statement")
+
+    def parse_create(self) -> CreatePropertyGraph:
+        self.expect_kw("CREATE")
+        or_replace = False
+        if self.match_kw("OR"):
+            self.expect_kw("REPLACE")
+            or_replace = True
+        self.expect_kw("PROPERTY")
+        self.expect_kw("GRAPH")
+        if_not_exists = False
+        if self.match_kw("IF"):
+            self.expect_kw("NOT")
+            self.expect_kw("EXISTS")
+            if_not_exists = True
+        name = self.ident()
+        stmt = CreatePropertyGraph(
+            name=name, or_replace=or_replace, if_not_exists=if_not_exists
+        )
+        self.expect_kw("VERTEX")
+        self.expect_kw("TABLES")
+        self.expect_op("(")
+        while True:
+            stmt.vertex_tables.append(self.parse_pg_table(is_vertex=True))
+            if not self.match_op(","):
+                break
+        self.expect_op(")")
+        if self.match_kw("EDGE"):
+            self.expect_kw("TABLES")
+            self.expect_op("(")
+            while True:
+                stmt.edge_tables.append(self.parse_pg_table(is_vertex=False))
+                if not self.match_op(","):
+                    break
+            self.expect_op(")")
+        self.match_op(";")
+        return stmt
+
+    def parse_pg_table(self, is_vertex: bool) -> PropertyGraphTable:
+        table_name = self.ident()
+        t = PropertyGraphTable(table_name=table_name, is_vertex=is_vertex)
+        alias = None
+        if self.match_kw("AS"):
+            alias = self.ident()
+        if not is_vertex:
+            self.expect_kw("SOURCE")
+            self.expect_kw("KEY")
+            t.source_fk = self._paren_name_list()
+            self.expect_kw("REFERENCES")
+            t.source_reference = self.ident()
+            t.source_pk = self._paren_name_list()
+            self.expect_kw("DESTINATION")
+            self.expect_kw("KEY")
+            t.destination_fk = self._paren_name_list()
+            self.expect_kw("REFERENCES")
+            t.destination_reference = self.ident()
+            t.destination_pk = self._paren_name_list()
+        # properties clause
+        if self.match_kw("NO"):
+            self.expect_kw("PROPERTIES")
+            t.no_properties = True
+            t.all_properties = False
+        elif self.match_kw("PROPERTIES"):
+            if self.match_kw("ARE"):
+                self.expect_kw("ALL")
+                self.expect_kw("COLUMNS")
+                t.all_properties = True
+                if self.match_kw("EXCEPT"):
+                    t.except_columns = self._paren_name_list()
+            elif self.match_kw("ALL"):
+                self.expect_kw("COLUMNS")
+                t.all_properties = True
+                if self.match_kw("EXCEPT"):
+                    t.except_columns = self._paren_name_list()
+            else:
+                t.all_properties = False
+                self.expect_op("(")
+                while True:
+                    col = self.ident()
+                    out = col
+                    if self.match_kw("AS"):
+                        out = self.ident()
+                    t.properties[col] = out
+                    if not self.match_op(","):
+                        break
+                self.expect_op(")")
+        # label clause
+        if self.match_kw("LABEL"):
+            t.main_label = self.ident()
+            if self.match_kw("IN"):
+                t.discriminator = self.ident()
+                t.sub_labels = self._paren_name_list()
+        else:
+            t.main_label = alias or table_name
+        return t
+
+    def _paren_name_list(self) -> list[str]:
+        self.expect_op("(")
+        names = [self.ident()]
+        while self.match_op(","):
+            names.append(self.ident())
+        self.expect_op(")")
+        return names
+
+    def parse_drop(self) -> DropPropertyGraph:
+        self.expect_kw("DROP")
+        self.expect_kw("PROPERTY")
+        self.expect_kw("GRAPH")
+        if_exists = False
+        if self.match_kw("IF"):
+            self.expect_kw("EXISTS")
+            if_exists = True
+        name = self.ident()
+        self.match_op(";")
+        return DropPropertyGraph(name=name, if_exists=if_exists)
+
+    # -- GRAPH_TABLE body --------------------------------------------------
+    def parse_graph_table_body(self) -> MatchExpression:
+        """Parse `pg MATCH <patterns> [WHERE expr] COLUMNS (items)`."""
+        graph_name = self.ident()
+        self.expect_kw("MATCH")
+        expr = MatchExpression(graph_name=graph_name)
+        while True:
+            expr.patterns.append(self.parse_path_pattern())
+            if not self.match_op(","):
+                break
+        if self.match_kw("WHERE"):
+            expr.where = self.capture_expr(lambda p: p.is_kw("COLUMNS"))
+        self.expect_kw("COLUMNS")
+        self.expect_op("(")
+        while True:
+            expr.columns.append(self.parse_column_item())
+            if not self.match_op(","):
+                break
+        self.expect_op(")")
+        return expr
+
+    _anon_counter = 0
+
+    def _fresh_binding(self, prefix: str) -> str:
+        Parser._anon_counter += 1
+        return f"__{prefix}{Parser._anon_counter}"
+
+    def parse_path_pattern(self) -> PathPattern:
+        pat = PathPattern()
+        # optional "p = " path variable
+        t0, t1 = self.peek(), self.peek(1)
+        if t0 is not None and t0.kind == "ident" and t1 is not None and t1.value == "=":
+            if t0.value.upper() not in ("ANY", "ALL", "SHORTEST"):
+                pat.path_variable = self.ident().lower()
+                self.advance()  # '='
+        # modifiers, possibly followed by "p = " again (ANY SHORTEST p = ...)
+        if self.match_kw("ANY"):
+            if self.match_kw("SHORTEST"):
+                pat.shortest = True
+            # plain ANY = any walk
+        elif self.match_kw("ALL"):
+            if self.match_kw("SHORTEST"):
+                raise PGQNotImplementedError("ALL SHORTEST is not supported")
+            pat.all_paths = True
+        elif self.match_kw("SHORTEST"):
+            t = self.peek()
+            if t is not None and t.kind == "number":
+                raise PGQNotImplementedError("SHORTEST k (top-k paths) is not supported")
+            pat.shortest = True
+        if pat.path_variable is None:
+            t0, t1 = self.peek(), self.peek(1)
+            if (
+                t0 is not None
+                and t0.kind == "ident"
+                and t1 is not None
+                and t1.value == "="
+            ):
+                pat.path_variable = self.ident().lower()
+                self.advance()
+        pat.elements.append(self.parse_vertex())
+        while not self.at_end() and (self.is_op("-") or self.is_op("<")):
+            edge = self.parse_edge()
+            vertex = self.parse_vertex()
+            pat.elements.append(edge)
+            pat.elements.append(vertex)
+        return pat
+
+    def parse_vertex(self) -> VertexElement:
+        self.expect_op("(")
+        binding = None
+        label = None
+        where = None
+        if self.peek() is not None and self.peek().kind in ("ident", "qident"):
+            if not self.is_kw("WHERE"):
+                binding = self.ident()
+        if self.match_op(":"):
+            label = self.ident()
+        if self.match_kw("WHERE"):
+            where = self.capture_expr(lambda p: False)  # runs to the closing paren
+        self.expect_op(")")
+        anonymous = binding is None
+        if binding is None:
+            binding = self._fresh_binding("v")
+        return VertexElement(
+            binding=binding.lower(), label=label, where=where, anonymous=anonymous
+        )
+
+    def parse_edge(self) -> EdgeElement:
+        """Arrow forms:
+          -[e]->   right      <-[e]-   left
+          -[e]-    any        <-[e]->  both
+        plus bracketless -> , <- , - , <-> with anonymous edge.
+        """
+        left_head = False
+        if self.match_op("<"):
+            left_head = True
+        self.expect_op("-")
+        binding = None
+        label = None
+        where = None
+        if self.match_op("["):
+            if self.peek() is not None and self.peek().kind in ("ident", "qident"):
+                if not self.is_kw("WHERE"):
+                    binding = self.ident()
+            if self.match_op(":"):
+                label = self.ident()
+            if self.match_kw("WHERE"):
+                where = self.capture_expr(lambda p: False)
+            self.expect_op("]")
+            self.expect_op("-")
+        right_head = self.match_op(">")
+        if left_head and right_head:
+            direction = EDGE_BOTH
+        elif left_head:
+            direction = EDGE_LEFT
+        elif right_head:
+            direction = EDGE_RIGHT
+        else:
+            direction = EDGE_ANY
+        anonymous = binding is None
+        if binding is None:
+            binding = self._fresh_binding("e")
+        edge = EdgeElement(
+            binding=binding.lower(),
+            label=label,
+            where=where,
+            direction=direction,
+            anonymous=anonymous,
+        )
+        self._parse_quantifier(edge)
+        return edge
+
+    def _parse_quantifier(self, edge: EdgeElement) -> None:
+        if self.match_op("*"):
+            edge.quantified, edge.lower, edge.upper = True, 0, None
+        elif self.match_op("+"):
+            edge.quantified, edge.lower, edge.upper = True, 1, None
+        elif self.match_op("?"):
+            edge.quantified, edge.lower, edge.upper = True, 0, 1
+        elif self.is_op("{"):
+            self.advance()
+            edge.quantified = True
+            lower = None
+            upper = None
+            t = self.peek()
+            if t is not None and t.kind == "number":
+                lower = int(self.advance().value)
+            if self.match_op(","):
+                t = self.peek()
+                if t is not None and t.kind == "number":
+                    upper = int(self.advance().value)
+            else:
+                upper = lower  # {n}
+            self.expect_op("}")
+            edge.lower = lower if lower is not None else 0
+            edge.upper = upper  # None = unbounded
+
+    def parse_column_item(self) -> ColumnItem:
+        # binding.*
+        t0, t1, t2 = self.peek(), self.peek(1), self.peek(2)
+        if (
+            t0 is not None
+            and t0.kind in ("ident", "qident")
+            and t1 is not None
+            and t1.value == "."
+            and t2 is not None
+            and t2.value == "*"
+        ):
+            binding = self.ident().lower()
+            self.advance()
+            self.advance()
+            return ColumnItem(kind="star", text=f"{binding}.*", binding=binding)
+        expr = self.capture_expr(lambda p: p.is_kw("AS") or p.is_op(","))
+        alias = None
+        if self.match_kw("AS"):
+            alias = self.ident()
+        # classify
+        m = re.fullmatch(r"([A-Za-z_][\w$]*)\s*\(\s*([A-Za-z_][\w$]*)\s*\)", expr)
+        if m and m.group(1).lower() in PATH_FNS:
+            return ColumnItem(
+                kind="path_fn",
+                text=expr,
+                alias=alias or m.group(1).lower(),
+                fn=m.group(1).lower(),
+                path_var=m.group(2).lower(),
+            )
+        if re.fullmatch(r"[A-Za-z_][\w$]*", expr):
+            return ColumnItem(kind="binding", text=expr, alias=alias, binding=expr.lower())
+        if alias is None:
+            m2 = re.fullmatch(r"([A-Za-z_][\w$]*)\.([A-Za-z_][\w$]*)", expr)
+            alias = m2.group(2) if m2 else None
+        return ColumnItem(kind="expr", text=expr, alias=alias)
+
+
+def parse_statement(text: str):
+    return Parser(text).parse_statement()
+
+
+def parse_graph_table_body(text: str) -> MatchExpression:
+    p = Parser(text)
+    expr = p.parse_graph_table_body()
+    if not p.at_end():
+        t = p.peek()
+        raise PGQParseError(f"Trailing input at {t.value!r}")
+    return expr
+
+
+def parse_match(
+    graph_name: str, pattern: str, where: str | None = None, columns: str | None = None
+) -> MatchExpression:
+    """Programmatic entry: pg.match('(a:L)-[e:K]->(b:L)', columns='a.x AS x')."""
+    body = f"{graph_name} MATCH {pattern}"
+    if where:
+        body += f" WHERE {where}"
+    body += f" COLUMNS ({columns or '*'})"
+    return parse_graph_table_body(body)

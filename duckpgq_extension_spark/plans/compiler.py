@@ -1,0 +1,415 @@
+"""MATCH-pattern -> DataFrame compiler.
+
+This is the Spark equivalent of the reference's bind-replace step
+(PGQMatchFunction::MatchBindReplace,
+/root/reference/src/core/functions/table/match.cpp:969-1093): a MATCH
+pattern is compiled into a plain relational plan — equi-joins + filters +
+projection — and handed to Catalyst.  Unlike the reference (which emits
+cross joins + WHERE and relies on the host optimizer to recover hash
+joins, match.cpp:64-73), we emit explicit equi-join conditions directly so
+Catalyst immediately plans broadcast/sort-merge hash joins and can reorder
+them; this matters at cluster scale where an accidental cartesian product
+is fatal.
+
+Edge-direction semantics (match.cpp:365-444):
+  (a)-[e]->(b)  e.src=a, e.dst=b
+  (a)<-[e]-(b)  e.src=b, e.dst=a
+  (a)-[e]-(b)   undirected: edge table unioned with its swapped self
+  (a)<-[e]->(b) edge required in both directions (second aliased copy)
+
+Variable-length quantifiers and ANY SHORTEST compile to a batched
+multi-source BFS (operators/paths.py) producing a (src, dst, dist, path)
+"virtual edge table" that joins into the plan like any other edge —
+the Spark analog of the reference's CSR + iterativelength/shortestpath
+scalar kernels (match.cpp:497-707).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..catalog import PropertyGraph, PropertyGraphTable
+from ..errors import PGQBinderError, PGQNotImplementedError
+from ..operators import paths as pathops
+from ..parser.ast import (
+    EDGE_ANY,
+    EDGE_BOTH,
+    EDGE_LEFT,
+    EDGE_RIGHT,
+    ColumnItem,
+    EdgeElement,
+    MatchExpression,
+    PathPattern,
+    VertexElement,
+)
+
+_AGG_RE = re.compile(
+    r"^\s*(count|sum|avg|min|max|stddev|variance|first|last|collect_list|collect_set"
+    r"|approx_count_distinct|percentile_approx)\s*\(",
+    re.IGNORECASE,
+)
+_PROP_REF_RE = re.compile(r"\b([A-Za-z_][\w$]*)\s*\.\s*([A-Za-z_][\w$]*)")
+
+
+def _q(name: str) -> str:
+    return f"`{name}`"
+
+
+class MatchCompiler:
+    def __init__(self, pg: PropertyGraph, expr: MatchExpression):
+        self.pg = pg
+        self.expr = expr
+        self.plan: DataFrame | None = None
+        # binding -> {"kind": "vertex"|"edge"|"path", "pgt": PropertyGraphTable|None}
+        self.bound: dict[str, dict] = {}
+        self.filters: list[str] = []
+        # path variable -> binding of the virtual path-edge DataFrame
+        self.path_vars: dict[str, str] = {}
+
+    # ------------------------------------------------------------------
+    def compile(self) -> DataFrame:
+        for pattern in self.expr.patterns:
+            self._compile_pattern(pattern)
+        if self.expr.where:
+            self.filters.append(self.expr.where)
+        plan = self.plan
+        if plan is None:
+            raise PGQBinderError("MATCH requires at least one pattern element")
+        for f in self.filters:
+            if not f.startswith("`__pgq"):
+                self._validate_expr_refs(f)
+            plan = plan.where(F.expr(f))
+        return self._project(plan)
+
+    # -- pattern walking ----------------------------------------------
+    def _compile_pattern(self, pattern: PathPattern) -> None:
+        elems = pattern.elements
+        if not elems:
+            return
+        if len(elems) % 2 == 0:
+            raise PGQBinderError("Path pattern must alternate vertex-edge-vertex")
+        self._bind_vertex(elems[0])
+        for i in range(1, len(elems), 2):
+            edge, nxt = elems[i], elems[i + 1]
+            if not isinstance(edge, EdgeElement) or not isinstance(nxt, VertexElement):
+                raise PGQBinderError("Path pattern must alternate vertex-edge-vertex")
+            if edge.quantified or pattern.shortest:
+                self._bind_path_edge(pattern, elems[i - 1], edge, nxt)
+            else:
+                self._bind_plain_edge(elems[i - 1], edge, nxt)
+
+    def _vertex_pgt(self, v: VertexElement) -> PropertyGraphTable:
+        if v.label is None:
+            raise PGQBinderError(
+                f"Vertex binding '{v.binding}' needs a label (unlabeled vertices "
+                "are not supported)"
+            )
+        return self.pg.table_for_label(v.label)
+
+    def _bind_vertex(self, v: VertexElement) -> None:
+        if v.binding in self.bound:
+            if self.bound[v.binding]["kind"] != "vertex":
+                raise PGQBinderError(f"Binding '{v.binding}' is not a vertex")
+            if v.where:
+                self.filters.append(v.where)
+            return
+        pgt = self._vertex_pgt(v)
+        df = self.pg.element_df(v.label).alias(v.binding)
+        self.plan = df if self.plan is None else self.plan.crossJoin(df)
+        self.bound[v.binding] = {"kind": "vertex", "pgt": pgt, "label": v.label}
+        if v.where:
+            self.filters.append(v.where)
+
+    def _single_key(self, cols: list[str], what: str) -> str:
+        if len(cols) != 1:
+            raise PGQNotImplementedError(
+                f"Composite {what} keys are not supported yet"
+            )
+        return cols[0]
+
+    def _endpoint_pk(self, pgt: PropertyGraphTable, vertex_pgt: PropertyGraphTable, prefer_source: bool) -> str:
+        """pk column of the vertex table as referenced by this edge table."""
+        if prefer_source and pgt.source_reference == vertex_pgt.table_name:
+            return self._single_key(pgt.source_pk, "SOURCE")
+        if pgt.destination_reference == vertex_pgt.table_name:
+            return self._single_key(pgt.destination_pk, "DESTINATION")
+        if pgt.source_reference == vertex_pgt.table_name:
+            return self._single_key(pgt.source_pk, "SOURCE")
+        raise PGQBinderError(
+            f"Edge table '{pgt.table_name}' does not reference vertex table "
+            f"'{vertex_pgt.table_name}'"
+        )
+
+    def _bind_plain_edge(
+        self, prev: VertexElement, edge: EdgeElement, nxt: VertexElement
+    ) -> None:
+        if edge.binding in self.bound:
+            raise PGQBinderError(
+                f"Edge binding '{edge.binding}' is used more than once"
+            )
+        if edge.label is None:
+            raise PGQBinderError(
+                f"Edge binding '{edge.binding}' needs a label"
+            )
+        pgt = self.pg.table_for_label(edge.label)
+        if pgt.is_vertex:
+            raise PGQBinderError(f"Label '{edge.label}' is a vertex label, not an edge")
+        src_fk = self._single_key(pgt.source_fk, "SOURCE")
+        dst_fk = self._single_key(pgt.destination_fk, "DESTINATION")
+        e = edge.binding
+        edf = self.pg.element_df(edge.label)
+
+        nxt_new = nxt.binding not in self.bound
+        prev_pgt = self.bound[prev.binding]["pgt"]
+
+        if edge.direction == EDGE_ANY:
+            # undirected: union of both orientations (match.cpp:365-392)
+            cols = [c for c in edf.columns]
+            fwd = edf.select(
+                F.col(src_fk).alias("__pgq_from"), F.col(dst_fk).alias("__pgq_to"), *cols
+            )
+            rev = edf.select(
+                F.col(dst_fk).alias("__pgq_from"), F.col(src_fk).alias("__pgq_to"), *cols
+            )
+            edf = fwd.unionByName(rev)
+            from_col, to_col = "__pgq_from", "__pgq_to"
+            prev_endpoint, nxt_endpoint = prev, nxt
+        elif edge.direction == EDGE_LEFT:
+            from_col, to_col = src_fk, dst_fk
+            prev_endpoint, nxt_endpoint = nxt, prev  # e.src = b, e.dst = a
+        else:  # RIGHT and BOTH share the forward orientation
+            from_col, to_col = src_fk, dst_fk
+            prev_endpoint, nxt_endpoint = prev, nxt
+
+        def endpoint_cond(binding_v: str, vpgt, col: str, is_source: bool) -> str:
+            pk = self._endpoint_pk(pgt, vpgt, prefer_source=is_source)
+            return f"{_q(e)}.{_q(col)} = {_q(binding_v)}.{_q(pk)}"
+
+        # figure out which side condition mentions prev (already in plan) vs nxt
+        swapped = edge.direction == EDGE_LEFT
+        if nxt_new:
+            nxt_pgt = self._vertex_pgt(nxt)
+        else:
+            nxt_pgt = self.bound[nxt.binding]["pgt"]
+
+        if swapped:
+            cond_prev = endpoint_cond(prev.binding, prev_pgt, to_col, is_source=False)
+            cond_nxt = endpoint_cond(nxt.binding, nxt_pgt, from_col, is_source=True)
+        else:
+            cond_prev = endpoint_cond(prev.binding, prev_pgt, from_col, is_source=True)
+            cond_nxt = endpoint_cond(nxt.binding, nxt_pgt, to_col, is_source=False)
+
+        if nxt_new:
+            self.plan = self.plan.join(edf.alias(e), F.expr(cond_prev))
+            vdf = self.pg.element_df(nxt.label).alias(nxt.binding)
+            self.plan = self.plan.join(vdf, F.expr(cond_nxt))
+            self.bound[nxt.binding] = {"kind": "vertex", "pgt": nxt_pgt, "label": nxt.label}
+        else:
+            self.plan = self.plan.join(
+                edf.alias(e), F.expr(f"({cond_prev}) AND ({cond_nxt})")
+            )
+        self.bound[e] = {"kind": "edge", "pgt": pgt, "label": edge.label}
+
+        if edge.direction == EDGE_BOTH:
+            # require the reverse edge too (match.cpp:416-444): second aliased copy
+            e2 = f"__rev_{e}"
+            rev_cond = (
+                f"{_q(e2)}.{_q(src_fk)} = {_q(nxt.binding)}."
+                f"{_q(self._endpoint_pk(pgt, nxt_pgt, prefer_source=True))} AND "
+                f"{_q(e2)}.{_q(dst_fk)} = {_q(prev.binding)}."
+                f"{_q(self._endpoint_pk(pgt, prev_pgt, prefer_source=False))}"
+            )
+            self.plan = self.plan.join(
+                self.pg.element_df(edge.label).alias(e2), F.expr(rev_cond)
+            )
+        if edge.where:
+            self.filters.append(edge.where)
+        if nxt.where:
+            self.filters.append(nxt.where)
+
+    # -- variable-length / shortest-path edges -------------------------
+    def _bind_path_edge(
+        self,
+        pattern: PathPattern,
+        prev: VertexElement,
+        edge: EdgeElement,
+        nxt: VertexElement,
+    ) -> None:
+        if edge.direction in (EDGE_LEFT, EDGE_BOTH):
+            # parity with the reference, which rejects these for path finding
+            # (match.cpp:550-555,686-690)
+            raise PGQNotImplementedError(
+                "Shortest path/quantified edges over <-[e]- or <-[e]-> are not supported"
+            )
+        if edge.label is None:
+            raise PGQBinderError(f"Edge binding '{edge.binding}' needs a label")
+        pgt = self.pg.table_for_label(edge.label)
+        src_fk = self._single_key(pgt.source_fk, "SOURCE")
+        dst_fk = self._single_key(pgt.destination_fk, "DESTINATION")
+        e = edge.binding
+
+        edf = self.pg.element_df(edge.label)
+        need_path = pattern.shortest or pattern.path_variable is not None
+        edges = pathops.edge_frame(
+            edf,
+            src_fk,
+            dst_fk,
+            undirected=edge.direction == EDGE_ANY,
+            with_edge_ids=need_path,
+        )
+        # restrict the BFS to sources actually joinable from the left vertex
+        prev_info = self.bound[prev.binding]
+        src_pk = self._endpoint_pk(pgt, prev_info["pgt"], prefer_source=True)
+        sources = self.pg.element_df(prev.label or prev_info["label"]).select(
+            F.col(src_pk).cast("long")
+        )
+        upper = edge.upper
+        dist = pathops.bfs_distances(
+            edges,
+            sources=sources,
+            max_hops=upper,
+            track_paths=need_path,
+        )
+        # virtual edge table (src, dst, dist [, path])
+        self.plan = self.plan if self.plan is not None else None
+        if self.plan is None:
+            raise PGQBinderError("Path pattern must start with a vertex")
+
+        prev_pgt = self.bound[prev.binding]["pgt"]
+        nxt_new = nxt.binding not in self.bound
+        nxt_pgt = self._vertex_pgt(nxt) if nxt_new else self.bound[nxt.binding]["pgt"]
+
+        cond_prev = (
+            f"{_q(e)}.`src` = {_q(prev.binding)}."
+            f"{_q(self._endpoint_pk(pgt, prev_pgt, prefer_source=True))}"
+        )
+        cond_nxt = (
+            f"{_q(e)}.`dst` = {_q(nxt.binding)}."
+            f"{_q(self._endpoint_pk(pgt, nxt_pgt, prefer_source=False))}"
+        )
+        self.plan = self.plan.join(dist.alias(e), F.expr(cond_prev))
+        if nxt_new:
+            vdf = self.pg.element_df(nxt.label).alias(nxt.binding)
+            self.plan = self.plan.join(vdf, F.expr(cond_nxt))
+            self.bound[nxt.binding] = {"kind": "vertex", "pgt": nxt_pgt, "label": nxt.label}
+        else:
+            self.plan = self.plan.where(F.expr(cond_nxt))
+        self.bound[e] = {"kind": "path", "pgt": pgt, "label": edge.label}
+
+        # quantifier bounds filter (BETWEEN semantics of match.cpp:657-671)
+        lower = edge.lower if edge.quantified else 0
+        if upper is not None:
+            self.filters.append(f"{_q(e)}.`dist` BETWEEN {lower} AND {upper}")
+        elif lower > 0:
+            self.filters.append(f"{_q(e)}.`dist` >= {lower}")
+        if pattern.path_variable:
+            self.path_vars[pattern.path_variable] = e
+        if nxt.where:
+            self.filters.append(nxt.where)
+
+    # -- projection ----------------------------------------------------
+    def _prop_cols(self, binding: str) -> list:
+        info = self.bound[binding]
+        cols = []
+        for src, exposed in self.pg.property_columns(info["pgt"]):
+            cols.append(F.col(f"{binding}.{src}").alias(exposed))
+        return cols
+
+    def _validate_expr_refs(self, text: str) -> None:
+        # strip string literals so 'a.b' inside quotes is not mistaken for a ref
+        stripped = re.sub(r"'(?:[^']|'')*'", "''", text)
+        for m in _PROP_REF_RE.finditer(stripped):
+            binding, prop = m.group(1).lower(), m.group(2)
+            info = self.bound.get(binding)
+            if info is None:
+                raise PGQBinderError(
+                    f"Binding '{m.group(1)}' in '{text}' is not defined in the "
+                    "MATCH pattern"
+                )
+            if info["kind"] == "path":
+                continue
+            pgt = info["pgt"]
+            registered = {c.lower() for c, _ in self.pg.property_columns(pgt)}
+            keys = {
+                c.lower()
+                for c in (
+                    pgt.source_fk + pgt.destination_fk + pgt.source_pk + pgt.destination_pk
+                )
+            }
+            if prop.lower() not in registered | keys:
+                raise PGQBinderError(
+                    f"Property '{prop}' is never registered on binding '{binding}'"
+                )
+
+    def _path_fn_col(self, item: ColumnItem):
+        e = self.path_vars.get(item.path_var)
+        if e is None:
+            raise PGQBinderError(f"Path variable '{item.path_var}' is not defined")
+        p = f"{_q(e)}.`path`"
+        if item.fn == "element_id":
+            col = F.expr(p)
+        elif item.fn == "path_length":
+            # interleaved [v,e,v,...,v]: length = size // 2 (match.cpp:745-760)
+            col = F.expr(f"size({p}) div 2")
+        elif item.fn == "vertices":
+            col = F.expr(
+                f"transform(sequence(0, size({p}) - 1, 2), i -> element_at({p}, i + 1))"
+            )
+        elif item.fn == "edges":
+            col = F.expr(
+                f"IF(size({p}) < 3, cast(array() as array<bigint>), "
+                f"transform(sequence(1, size({p}) - 2, 2), i -> element_at({p}, i + 1)))"
+            )
+        else:  # pragma: no cover
+            raise PGQBinderError(f"Unknown path function '{item.fn}'")
+        return col.alias(item.alias or item.fn)
+
+    def _project(self, plan: DataFrame) -> DataFrame:
+        select_cols = []
+        agg_flags = []
+        for item in self.expr.columns:
+            if item.kind == "star" or (item.kind == "expr" and item.text == "*"):
+                if item.kind == "star":
+                    if item.binding not in self.bound:
+                        raise PGQBinderError(f"Unknown binding '{item.binding}'")
+                    select_cols.extend(self._prop_cols(item.binding))
+                    agg_flags.append(False)
+                else:
+                    for b, info in self.bound.items():
+                        if not b.startswith("__") and info["kind"] != "path":
+                            select_cols.extend(self._prop_cols(b))
+                    agg_flags.append(False)
+            elif item.kind == "binding":
+                if item.binding in self.bound and self.bound[item.binding]["kind"] != "path":
+                    cols = self._prop_cols(item.binding)
+                    select_cols.append(F.struct(*cols).alias(item.alias or item.binding))
+                    agg_flags.append(False)
+                elif item.binding in self.path_vars:
+                    e = self.path_vars[item.binding]
+                    select_cols.append(F.expr(f"{_q(e)}.`path`").alias(item.alias or item.binding))
+                    agg_flags.append(False)
+                else:
+                    raise PGQBinderError(f"Unknown binding '{item.binding}'")
+            elif item.kind == "path_fn":
+                select_cols.append(self._path_fn_col(item))
+                agg_flags.append(False)
+            else:
+                self._validate_expr_refs(item.text)
+                alias = item.alias or item.text
+                select_cols.append(F.expr(item.text).alias(alias))
+                agg_flags.append(bool(_AGG_RE.match(item.text)))
+        if agg_flags and all(agg_flags):
+            return plan.agg(*select_cols)
+        if any(agg_flags):
+            raise PGQBinderError(
+                "COLUMNS mixing aggregates and plain columns requires GROUP BY in "
+                "the outer query; aggregate-only COLUMNS are supported"
+            )
+        return plan.select(*select_cols)
+
+
+def compile_match(pg: PropertyGraph, expr: MatchExpression) -> DataFrame:
+    return MatchCompiler(pg, expr).compile()
