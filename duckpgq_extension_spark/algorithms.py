@@ -36,13 +36,28 @@ def pagerank(
     damping: float = DAMPING,
     tol: float = TOLERANCE,
     max_iter: int = 100,
+    phantom_vertices: int = 0,
 ) -> DataFrame:
     """PageRank over (src, dst) edges for vertex ids in `vertices(vid)`.
 
     Returns (vid, pagerank).  Ranks are probabilities (sum to 1), matching
     the reference's formulation (pagerank.cpp:45-82).
+
+    `phantom_vertices`: the reference iterates over its CSR offset array,
+    whose size is |V|+2 — two phantom dangling vertices participate in every
+    iteration and soak up rank mass (pagerank.cpp:27-28 uses csr->vsize).
+    Pass 2 to reproduce the reference's numbers bit-for-bit; the default 0
+    computes the textbook-correct ranks.
     """
     vertices = vertices.toDF("vid").distinct().localCheckpoint(eager=True)
+    real_vertices = vertices
+    if phantom_vertices:
+        max_vid = vertices.agg(F.max("vid")).first()[0] or 0
+        spark = vertices.sparkSession
+        phantoms = spark.range(max_vid + 1, max_vid + 1 + phantom_vertices).select(
+            F.col("id").alias("vid")
+        )
+        vertices = vertices.unionByName(phantoms).localCheckpoint(eager=True)
     n = vertices.count()
     if n == 0:
         return vertices.withColumn("pagerank", F.lit(0.0))
@@ -97,6 +112,8 @@ def pagerank(
             ranks = new_ranks
             if delta is not None and delta < tol:
                 break
+        if phantom_vertices:
+            ranks = ranks.join(real_vertices.toDF("vid"), "vid", "left_semi")
         return ranks.select("vid", F.col("rank").alias("pagerank"))
     finally:
         edges.unpersist()

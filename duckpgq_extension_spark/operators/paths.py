@@ -124,16 +124,17 @@ def bfs_distances(
                 break
             level += 1
             nxt = (
-                frontier.join(edges, frontier["dst"] == edges["src"])
+                frontier.alias("f")
+                .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
                 .select(
-                    frontier["src"],
-                    edges["dst"].alias("dst"),
-                    (frontier["dist"] + 1).alias("dist"),
+                    F.col("f.src").alias("src"),
+                    F.col("e.dst").alias("dst"),
+                    (F.col("f.dist") + 1).alias("dist"),
                     *(
                         [
                             F.concat(
-                                frontier["path"],
-                                F.array(edges["edge_id"], edges["dst"]),
+                                F.col("f.path"),
+                                F.array(F.col("e.edge_id"), F.col("e.dst")),
                             ).alias("path")
                         ]
                         if track_paths
@@ -205,23 +206,27 @@ def cheapest_path_distances(
             if max_iters is not None and rounds > max_iters:
                 break
             cand = (
-                frontier.join(edges, frontier["dst"] == edges["src"])
+                frontier.alias("f")
+                .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
                 .select(
-                    frontier["src"],
-                    edges["dst"].alias("dst"),
-                    (frontier["cost"] + edges["weight"].cast("double")).alias("cost"),
+                    F.col("f.src").alias("src"),
+                    F.col("e.dst").alias("dst"),
+                    (F.col("f.cost") + F.col("e.weight").cast("double")).alias("cost"),
                 )
                 .groupBy("src", "dst")
                 .agg(F.min("cost").alias("cost"))
             )
             improved = (
-                cand.join(
-                    dist.select("src", "dst", F.col("cost").alias("old_cost")),
-                    ["src", "dst"],
+                cand.alias("c")
+                .join(
+                    dist.select(
+                        F.col("src"), F.col("dst"), F.col("cost").alias("old_cost")
+                    ).alias("o"),
+                    (F.col("c.src") == F.col("o.src")) & (F.col("c.dst") == F.col("o.dst")),
                     "left",
                 )
-                .where(F.col("old_cost").isNull() | (F.col("cost") < F.col("old_cost")))
-                .select("src", "dst", "cost")
+                .where(F.col("o.old_cost").isNull() | (F.col("c.cost") < F.col("o.old_cost")))
+                .select(F.col("c.src").alias("src"), F.col("c.dst").alias("dst"), F.col("c.cost").alias("cost"))
                 .localCheckpoint(eager=True)
             )
             if improved.isEmpty():

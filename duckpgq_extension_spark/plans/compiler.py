@@ -96,7 +96,13 @@ class MatchCompiler:
             edge, nxt = elems[i], elems[i + 1]
             if not isinstance(edge, EdgeElement) or not isinstance(nxt, VertexElement):
                 raise PGQBinderError("Path pattern must alternate vertex-edge-vertex")
-            if edge.quantified or pattern.shortest:
+            # ANY SHORTEST over a plain edge unwraps to an ordinary join,
+            # like the reference's {1,1} unwrap (match.cpp:590-597); BFS is
+            # only needed for true quantifiers or a tracked path variable
+            use_paths = edge.quantified or (
+                pattern.shortest and pattern.path_variable is not None
+            )
+            if use_paths:
                 self._bind_path_edge(pattern, elems[i - 1], edge, nxt)
             else:
                 self._bind_plain_edge(elems[i - 1], edge, nxt)
@@ -247,6 +253,13 @@ class MatchCompiler:
         if edge.label is None:
             raise PGQBinderError(f"Edge binding '{edge.binding}' needs a label")
         pgt = self.pg.table_for_label(edge.label)
+        if pgt.source_reference != pgt.destination_reference:
+            # BFS on natural keys requires one vertex domain; heterogeneous
+            # multi-hop is ill-defined anyway (dst type != src type)
+            raise PGQNotImplementedError(
+                "Variable-length paths over edges between different vertex "
+                "tables are not supported"
+            )
         src_fk = self._single_key(pgt.source_fk, "SOURCE")
         dst_fk = self._single_key(pgt.destination_fk, "DESTINATION")
         e = edge.binding
@@ -266,7 +279,15 @@ class MatchCompiler:
         sources = self.pg.element_df(prev.label or prev_info["label"]).select(
             F.col(src_pk).cast("long")
         )
-        upper = edge.upper
+        # effective quantifier bounds: ANY SHORTEST over a plain edge = one hop
+        if not edge.quantified:
+            lower, upper = 1, 1
+        else:
+            lower, upper = edge.lower, edge.upper
+        if upper is not None and lower > upper:
+            from ..errors import PGQConstraintError
+
+            raise PGQConstraintError("Lower bound greater than upper bound")
         dist = pathops.bfs_distances(
             edges,
             sources=sources,
@@ -300,7 +321,6 @@ class MatchCompiler:
         self.bound[e] = {"kind": "path", "pgt": pgt, "label": edge.label}
 
         # quantifier bounds filter (BETWEEN semantics of match.cpp:657-671)
-        lower = edge.lower if edge.quantified else 0
         if upper is not None:
             self.filters.append(f"{_q(e)}.`dist` BETWEEN {lower} AND {upper}")
         elif lower > 0:
@@ -388,9 +408,12 @@ class MatchCompiler:
                     select_cols.append(F.struct(*cols).alias(item.alias or item.binding))
                     agg_flags.append(False)
                 elif item.binding in self.path_vars:
-                    e = self.path_vars[item.binding]
-                    select_cols.append(F.expr(f"{_q(e)}.`path`").alias(item.alias or item.binding))
-                    agg_flags.append(False)
+                    # parity with the reference, which rejects a bare path
+                    # variable in COLUMNS (shortest_path.test:88-95)
+                    raise PGQBinderError(
+                        f"Property {item.binding} is never registered! "
+                        "(use element_id/path_length/vertices/edges)"
+                    )
                 else:
                     raise PGQBinderError(f"Unknown binding '{item.binding}'")
             elif item.kind == "path_fn":

@@ -1,0 +1,152 @@
+"""Path-finding golden tests, ported from the reference
+test/sql/path_finding/{kleene_star,shortest_path}.test.
+
+Path-content convention: the reference emits DuckDB rowids in
+element_id/vertices/edges lists; this engine emits natural vertex keys and
+deterministic edge ids instead (documented in SURVEY.md §7 "rowid
+semantics").  Tests therefore assert lengths + vertex keys, not edge ids.
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from duckpgq_extension_spark import PGQSession
+from duckpgq_extension_spark.errors import PGQBinderError, PGQConstraintError
+
+from .conftest import rows
+
+
+@pytest.fixture(scope="session")
+def kleene(spark):
+    """F2 fixture: 3 nodes, EMPTY edge table (kleene_star.test:6-24)."""
+    spark.createDataFrame([Row(id=1), Row(id=2), Row(id=3)], "id int").createOrReplaceTempView(
+        "nodes"
+    )
+    spark.createDataFrame([], "src int, dst int").createOrReplaceTempView("edges")
+    s = PGQSession(spark)
+    s.execute(
+        """CREATE PROPERTY GRAPH testgraph
+           VERTEX TABLES ( nodes LABEL N )
+           EDGE TABLES ( edges SOURCE KEY (src) REFERENCES nodes (id)
+                         DESTINATION KEY (dst) REFERENCES nodes (id) LABEL E )"""
+    )
+    return s
+
+
+def test_kleene_star_zero_length_paths(kleene):
+    df = kleene.graph_table(
+        """testgraph MATCH p = ANY SHORTEST (n1:N)-[e:E]->*(n2:N)
+           COLUMNS (n1.id AS a, n2.id AS b, element_id(p) AS eid,
+                    edges(p) AS path_edges, path_length(p) AS plen)"""
+    )
+    got = rows(df)
+    # zero-length paths [v] with length 0 (kleene_star.test:26-34)
+    assert got == [(1, 1, [1], [], 0), (2, 2, [2], [], 0), (3, 3, [3], [], 0)]
+
+
+def test_kleene_plus_empty(kleene):
+    df = kleene.graph_table(
+        """testgraph MATCH p = ANY SHORTEST (n1:N)-[e:E]->+(n2:N)
+           COLUMNS (n1.id AS a, path_length(p) AS plen)"""
+    )
+    assert rows(df) == []
+
+
+def test_kleene_bounds(kleene):
+    for quant, expect_diag in [("{1,3}", 0), ("{0,3}", 3), ("{,3}", 3), ("{,}", 3)]:
+        df = kleene.graph_table(
+            f"""testgraph MATCH p = ANY SHORTEST (n1:N)-[e:E]->{quant}(n2:N)
+               COLUMNS (n1.id AS a, n2.id AS b)"""
+        )
+        assert len(rows(df)) == expect_diag, quant
+
+
+def test_lower_greater_than_upper(kleene):
+    with pytest.raises(PGQConstraintError):
+        kleene.graph_table(
+            """testgraph MATCH p = ANY SHORTEST (n1:N)-[e:E]->{3,1}(n2:N)
+               COLUMNS (n1.id AS a)"""
+        )
+
+
+def test_bare_path_variable_rejected(pgq):
+    with pytest.raises(PGQBinderError):
+        pgq.graph_table(
+            """pg MATCH p = ANY SHORTEST (a:Person)-[k:knows]->{1,3}(b:Person)
+               COLUMNS (p, a.name as name)"""
+        )
+
+
+def test_any_shortest_plain_edge(pgq):
+    df = pgq.graph_table(
+        """pg MATCH ANY SHORTEST (a:Person)-[s:StudyAt]->(b:School)
+           WHERE a.name = 'Daniel'
+           COLUMNS (a.name as name, b.name as school)"""
+    )
+    assert rows(df) == [("Daniel", "VU")]
+
+
+def test_shortest_quantified_single_source(pgq):
+    df = pgq.graph_table(
+        """pg MATCH p = ANY SHORTEST (a:Person WHERE a.name = 'Daniel')-[k:knows]->{1,3}(b:Person)
+           COLUMNS (a.name as name, b.name as b_name, path_length(p) AS plen)"""
+    )
+    assert rows(df) == [
+        ("Daniel", "Gabor", 1),
+        ("Daniel", "Peter", 1),
+        ("Daniel", "Tavneet", 1),
+    ]
+
+
+def test_shortest_all_pairs_lengths(pgq):
+    """All-pairs {1,3} lengths from shortest_path.test:63-86 (lengths only;
+    vertex contents checked via vertices(p))."""
+    df = pgq.graph_table(
+        """pg MATCH p = ANY SHORTEST (a:Person)-[k:knows]->{1,3}(b:Person)
+           COLUMNS (a.name as name, b.name as b_name, path_length(p) AS plen,
+                    vertices(p) AS vs)"""
+    )
+    got = {(r[0], r[1]): (r[2], r[3]) for r in rows(df)}
+    expected_len = {
+        ("Daniel", "Gabor"): 1,
+        ("Daniel", "Peter"): 1,
+        ("Daniel", "Tavneet"): 1,
+        ("David", "Daniel"): 2,
+        ("David", "Gabor"): 3,
+        ("David", "Peter"): 1,
+        ("David", "Tavneet"): 3,
+        ("Gabor", "Daniel"): 2,
+        ("Gabor", "Peter"): 1,
+        ("Gabor", "Tavneet"): 3,
+        ("Peter", "Daniel"): 1,
+        ("Peter", "Gabor"): 2,
+        ("Peter", "Tavneet"): 2,
+        ("Tavneet", "Daniel"): 2,
+        ("Tavneet", "Gabor"): 1,
+        ("Tavneet", "Peter"): 1,
+    }
+    assert {k: v[0] for k, v in got.items()} == expected_len
+    for (a, b), (plen, vs) in got.items():
+        assert len(vs) == plen + 1
+    # spot-check a unique path: David -> Peter -> Daniel
+    assert got[("David", "Daniel")][1] == [4, 3, 0]
+
+
+def test_var_length_without_shortest(pgq):
+    # plain {1,2} quantifier: pairs whose shortest distance is in [1,2]
+    df = pgq.graph_table(
+        """pg MATCH (a:Person)-[k:knows]->{1,2}(b:Person)
+           WHERE a.name = 'David'
+           COLUMNS (a.name AS a_name, b.name AS b_name, k.dist AS dist)"""
+    )
+    assert rows(df) == [("David", "Daniel", 2), ("David", "Peter", 1)]
+
+
+def test_undirected_var_length(pgq):
+    # undirected 1-hop reach from David: only Peter; 2 hops reaches rest
+    df = pgq.graph_table(
+        """pg MATCH (a:Person)-[k:knows]-{1,2}(b:Person)
+           WHERE a.name = 'David'
+           COLUMNS (b.name AS b_name)"""
+    )
+    assert rows(df) == [("Daniel",), ("Gabor",), ("Peter",), ("Tavneet",)]
