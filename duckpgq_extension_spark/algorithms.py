@@ -213,7 +213,6 @@ def local_clustering_coefficient(edges: DataFrame, vertices: DataFrame) -> DataF
                     F.coalesce(F.col("links"), F.lit(0)).cast("double")
                     / (F.col("deg").cast("double") * (F.col("deg") - 1))
                 )
-                .cast("float")
                 .alias("local_clustering_coefficient"),
             )
         )

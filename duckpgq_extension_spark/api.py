@@ -183,8 +183,12 @@ class PGQSession:
             graph, vertex_label, edge_label, undirected=False
         )
         lcc = algorithms.local_clustering_coefficient(edges, vertices)
+        # FLOAT output for reference type parity (local_clustering_coefficient.cpp:78-80)
         return vdf.join(lcc, vdf[pk].cast("long") == lcc["vid"]).select(
-            vdf[pk], F.col("local_clustering_coefficient")
+            vdf[pk],
+            F.col("local_clustering_coefficient").cast("float").alias(
+                "local_clustering_coefficient"
+            ),
         )
 
     # -- introspection ---------------------------------------------------

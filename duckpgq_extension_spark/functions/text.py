@@ -1,0 +1,138 @@
+"""Text-analysis column functions for large-scale corpus pipelines.
+
+These are beyond-reference additions (the reference has no text operators;
+SURVEY.md §2C) designed for LLM training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Every function is built from JVM-side pyspark.sql.functions only (no
+Python UDFs) so the expressions stay inside whole-stage codegen, and every
+formula is deliberately *portable*: the same computation is expressible in
+ANSI/DuckDB SQL for oracle verification.  The shared hash primitive is a
+60-bit integer from the md5 hex prefix:
+
+    Spark :  conv(substr(md5(s), 1, 15), 16, 10)::long
+    DuckDB:  ('0x' || substr(md5(s), 1, 15))::BIGINT
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Marker stopwords per language, used by lang_id (n-gram/stopword heuristic).
+# Kept tiny and hard-coded so the oracle SQL can embed the same literals.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "for", "with"],
+    "de": ["der", "die", "das", "und", "nicht", "ist", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans"],
+    "es": ["el", "los", "las", "que", "y", "es", "una", "para"],
+    "zh": ["de", "shi", "bu", "le", "zai", "you", "wo", "ta"],
+}
+
+PUNCT_CLASS = r"[.,!?;:]"
+DIGIT_CLASS = r"[0-9]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (lowercased)."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """A BPE-flavored token estimate: word-piece count where every run of 4
+    characters beyond the first counts as an extra token (≈ GPT-style
+    chars/4 heuristic blended with word count)."""
+    n_words = token_count(col)
+    n_chars = F.length(col)
+    return (n_words + F.greatest(F.lit(0), (n_chars - 4 * n_words)) / 4).cast("long")
+
+
+def _contains_count(toks: Column, words: list[str]) -> Column:
+    """How many of `words` occur in the token array (0..len(words))."""
+    out = F.lit(0)
+    for w in words:
+        out = out + F.array_contains(toks, w).cast("int")
+    return out
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    toks = tokens(col)
+    return {lang: _contains_count(toks, ws) for lang, ws in LANG_MARKERS.items()}
+
+
+def lang_id(col: Column) -> Column:
+    """Deterministic marker-stopword language ID.
+
+    Picks the language with the most distinct marker hits; ties and
+    zero-hit texts resolve in the fixed iteration order of LANG_MARKERS
+    with 'und' (undetermined) when no marker matches at all.
+    """
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, s in scores.items():  # later entries win only on strictly greater
+        cond = s > best_score
+        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(cond, s).otherwise(best_score)
+    return best_lang
+
+
+def punct_ratio(col: Column) -> Column:
+    removed = F.regexp_replace(col, PUNCT_CLASS, "")
+    return (F.length(col) - F.length(removed)) / F.greatest(F.length(col), F.lit(1))
+
+
+def digit_ratio(col: Column) -> Column:
+    removed = F.regexp_replace(col, DIGIT_CLASS, "")
+    return (F.length(col) - F.length(removed)) / F.greatest(F.length(col), F.lit(1))
+
+
+def stopword_ratio(col: Column) -> Column:
+    """Fraction of English marker stopwords present (0..1)."""
+    toks = tokens(col)
+    words = LANG_MARKERS["en"]
+    return _contains_count(toks, words) / F.lit(len(words))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] document-quality heuristic: rewards reasonable
+    length, low punctuation/digit noise, and natural-language stopword
+    presence.  Weights are fixed so the oracle SQL can reproduce exactly.
+    """
+    n_tok = token_count(col).cast("double")
+    length_term = F.least(n_tok / 50.0, F.lit(1.0))
+    noise_term = F.greatest(
+        F.lit(0.0), 1.0 - 5.0 * (punct_ratio(col) + digit_ratio(col))
+    )
+    stop_term = F.least(F.lit(1.0), stopword_ratio(col) * 2.0)
+    return F.round(0.4 * length_term + 0.3 * noise_term + 0.3 * stop_term, 6)
+
+
+def md5_long(col: Column) -> Column:
+    """Portable 60-bit hash (md5 hex prefix as integer)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Word n-gram shingles as strings; empty array when fewer than n tokens."""
+    toks = tokens(col)
+    return F.when(F.size(toks) < n, F.array().cast("array<string>")).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+
+
+def doc_fingerprint(col: Column, n: int = 5) -> Column:
+    """Winnowing-flavored fingerprint: the minimum shingle hash over word
+    n-grams (falls back to the hash of the whole text for short docs).
+    Equal fingerprints => near-identical leading content."""
+    grams = word_ngrams(col, n)
+    min_hash = F.array_min(F.transform(grams, md5_long))
+    return F.coalesce(min_hash, md5_long(col))

@@ -1,0 +1,284 @@
+"""Deduplication operators for 100 TB-scale corpora.
+
+Beyond-reference additions (SURVEY.md §2C / BASELINE.json north star):
+exact dedup, MinHash + LSH banding, SimHash, n-gram Jaccard, and
+embedding-cosine near-duplicate detection.
+
+Scale design:
+- Everything is shuffle-on-key DataFrame composition — no Python UDFs in
+  the hot path; hashes are md5-prefix integers computed JVM-side.
+- Candidate generation is always *blocked* (shared shingle / LSH band /
+  sign-bucket), never an n² cross join; verification runs only on
+  candidate pairs.
+- `max_doc_freq` drops ultra-common shingles (stopword shingles otherwise
+  create quadratic blowup on skewed blocks — the classic MinHash-at-scale
+  trap).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_long, tokens, word_ngrams
+
+# Deterministic permutation constants for MinHash: (a * h + b) mod P over the
+# 31-bit reduction of the shingle hash.  Fixed literals so the DuckDB oracle
+# can embed the same numbers.
+MINHASH_PRIME = 2147483647  # 2^31 - 1
+_A0, _A_STEP = 1103515245, 12345
+_B0, _B_STEP = 1013904223, 2654435761
+
+
+def minhash_params(num_perm: int) -> list[tuple[int, int]]:
+    return [
+        ((_A0 + i * _A_STEP) % MINHASH_PRIME or 1, (_B0 + i * _B_STEP) % MINHASH_PRIME)
+        for i in range(num_perm)
+    ]
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content hash: one row per duplicated text with the
+    kept (minimum) id, the duplicate count, and the content hash."""
+    h = md5_long(F.col(text_col)).alias("content_hash")
+    return (
+        df.select(F.col(id_col).alias("id"), h)
+        .groupBy("content_hash")
+        .agg(F.min("id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def deduplicate_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Keep the minimum-id row per distinct text (hash-groupBy dedup)."""
+    w = Window.partitionBy(md5_long(F.col(text_col))).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def _shingles(df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int | None):
+    sh = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("shingle"),
+        )
+        .withColumn("sh", md5_long(F.col("shingle")))
+        .select("id", "sh")
+    )
+    if max_doc_freq is not None:
+        freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+        sh = sh.join(freq.where(F.col("df") <= max_doc_freq).select("sh"), "sh", "left_semi")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact Jaccard similarity over word-n-gram shingle sets, for every
+    candidate pair sharing at least one shingle.  Returns
+    (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    """
+    sh = _shingles(df, id_col, text_col, n, max_doc_freq).persist()
+    try:
+        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+        shared = (
+            sh.alias("l")
+            .join(sh.alias("r"), F.col("l.sh") == F.col("r.sh"))
+            .where(F.col("l.id") < F.col("r.id"))
+            .groupBy(
+                F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+            )
+            .agg(F.count("*").alias("shared"))
+        )
+        out = (
+            shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6
+                ).alias("jaccard"),
+            )
+            .where(F.col("jaccard") >= threshold)
+        )
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        sh.unpersist()
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 32,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """(id, sig array<long>) MinHash signatures over word-n-gram shingles.
+
+    sig[i] = min over shingles of (a_i * (h % P) + b_i) % P, P = 2^31-1.
+    Documents with no shingles are dropped (no signature defined).
+    """
+    sh = _shingles(df, id_col, text_col, n, max_doc_freq)
+    h31 = (F.col("sh") % MINHASH_PRIME).alias("h31")
+    aggs = [
+        F.min((F.lit(a) * F.col("h31") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_params(num_perm))
+    ]
+    sig = sh.select("id", h31).groupBy("id").agg(*aggs)
+    return sig.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """MinHash + LSH near-duplicate pairs.
+
+    Signatures are banded (bands * rows = num_perm); documents sharing any
+    band hash become candidates; candidates are scored by estimated
+    Jaccard = fraction of matching signature positions.  Returns
+    (id_a, id_b, est_jaccard >= threshold).
+    """
+    assert num_perm % bands == 0, "bands must divide num_perm"
+    rows = num_perm // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm, max_doc_freq).persist()
+    try:
+        banded = sig.select(
+            "id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            md5_long(
+                                F.concat_ws(
+                                    "-",
+                                    F.transform(
+                                        F.slice(F.col("sig"), b * rows + 1, rows),
+                                        lambda x: x.cast("string"),
+                                    ),
+                                )
+                            ).alias("bh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        cands = (
+            banded.alias("l")
+            .join(
+                banded.alias("r"),
+                (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")),
+            )
+            .where(F.col("l.id") < F.col("r.id"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
+        )
+        scored = (
+            cands.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
+            .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.size(
+                        F.filter(
+                            F.zip_with(
+                                "sig_a", "sig_b", lambda x, y: (x == y).cast("int")
+                            ),
+                            lambda v: v == 1,
+                        )
+                    )
+                    / F.lit(num_perm),
+                    6,
+                ).alias("est_jaccard"),
+            )
+            .where(F.col("est_jaccard") >= threshold)
+        )
+        scored = scored.localCheckpoint(eager=True)
+        return scored
+    finally:
+        sig.unpersist()
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
+    """(id, simhash) 32-bit SimHash over whitespace tokens.
+
+    bit b of the result is 1 iff sum over tokens of (2*((h>>b)&1)-1) > 0,
+    h being the 60-bit md5 token hash.  Pure groupBy-sum — one shuffle.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", md5_long(F.col("tok")))
+    bit_sums = tok.groupBy("id").agg(
+        *[
+            F.sum(2 * F.shiftright(F.col("h"), b).bitwiseAND(1) - 1).alias(f"b{b}")
+            for b in range(bits)
+        ]
+    )
+    val = F.lit(0).cast("long")
+    for b in range(bits):
+        val = val + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
+    return bit_sums.select("id", val.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance <= max_hamming.
+
+    Candidate blocking: split the 32-bit hash into 4 bytes; by pigeonhole,
+    any pair within hamming distance 3 shares at least one exact byte, so
+    candidates = pairs sharing any (byte_index, byte_value) block.
+    """
+    sh = simhash(df, id_col, text_col).persist()
+    try:
+        blocks = sh.select(
+            "id",
+            "simhash",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(i).alias("bi"),
+                            F.shiftright(F.col("simhash"), i * 8)
+                            .bitwiseAND(255)
+                            .alias("bv"),
+                        )
+                        for i in range(4)
+                    ]
+                )
+            ).alias("blk"),
+        ).select("id", "simhash", "blk.bi", "blk.bv")
+        ham = F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash")))
+        return (
+            blocks.alias("l")
+            .join(
+                blocks.alias("r"),
+                (F.col("l.bi") == F.col("r.bi")) & (F.col("l.bv") == F.col("r.bv")),
+            )
+            .where(F.col("l.id") < F.col("r.id"))
+            .select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                ham.alias("hamming"),
+            )
+            .distinct()
+            .where(F.col("hamming") <= max_hamming)
+        )
+    finally:
+        sh.unpersist()

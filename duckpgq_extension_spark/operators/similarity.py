@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (array<float>).
+
+Beyond-reference addition (SURVEY.md §2C): brute-force cosine top-k as the
+exact baseline, plus a random-hyperplane LSH bucketed variant as the scale
+path (candidates only meet inside a bucket — no n² cross join).
+
+All math is JVM-side (`aggregate`/`zip_with` over arrays); hyperplanes are
+deterministic LCG-generated literals so the same computation can be
+reproduced in oracle SQL or on another engine bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact cosine top-k: for every query vector, the k nearest corpus
+    vectors (excluding itself when ids collide).
+
+    Returns (query_id, vec_id, cosine_sim, rank).  The query side is
+    broadcast — the corpus scan is a single pass, embarrassingly parallel;
+    this is the right plan whenever |queries| is driver-small.
+    """
+    query_id_col = query_id_col or id_col
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    c = embeddings.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("__cvec"))
+    sim = (
+        q.crossJoin(c)
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+# -- LSH (random hyperplane signs) ------------------------------------------
+
+
+def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes via an LCG on (plane, dim)
+    index — reproducible anywhere, including in generated SQL."""
+    out = []
+    for p in range(num_planes):
+        row = []
+        for d in range(dim):
+            x = (1103515245 * (p * dim + d) + 12345) % 2147483647
+            row.append(((x % 2000001) - 1000000) / 1000000.0)
+        out.append(row)
+    return out
+
+
+def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit p = 1 iff dot(vec, plane_p) > 0."""
+    bucket = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        d = dot(vec, F.array(*[F.lit(v).cast("double") for v in plane]))
+        bucket = bucket + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(0)
+    return bucket
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates must share the query's
+    hyperplane-sign bucket (1/2^planes of the corpus in expectation), then
+    exact cosine ranks within the bucket.
+
+    At 100 TB the bucket column is precomputed and the corpus bucketed/
+    partitioned by it, turning each query into a single-bucket lookup
+    instead of a full scan.
+    """
+    query_id_col = query_id_col or id_col
+    if dim is None:
+        first = embeddings.select(F.size(F.col(vec_col))).first()
+        if first is None:
+            raise ValueError("embeddings DataFrame is empty; pass dim explicitly")
+        dim = first[0]
+    planes = hyperplanes(num_planes, dim)
+    c = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__cvec"),
+        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+        )
+    )
+    sim = (
+        q.join(c, "__bucket")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return sim.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float = 0.99,
+    num_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine >= threshold), LSH-blocked:
+    only pairs sharing a sign bucket are compared (near-identical vectors
+    share buckets with high probability).  Returns (id_a, id_b, cosine_sim).
+    """
+    if dim is None:
+        first = embeddings.select(F.size(F.col(vec_col))).first()
+        if first is None:
+            raise ValueError("embeddings DataFrame is empty; pass dim explicitly")
+        dim = first[0]
+    planes = hyperplanes(num_planes, dim)
+    c = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    return (
+        c.alias("l")
+        .join(c.alias("r"), F.col("l.bucket") == F.col("r.bucket"))
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )

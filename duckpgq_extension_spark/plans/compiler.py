@@ -273,12 +273,16 @@ class MatchCompiler:
             undirected=edge.direction == EDGE_ANY,
             with_edge_ids=need_path,
         )
-        # restrict the BFS to sources actually joinable from the left vertex
+        # restrict the BFS to sources actually joinable from the left vertex;
+        # an inline WHERE on the source element prunes the source set BEFORE
+        # the traversal (BFS from 10 seeds instead of |V| — the difference
+        # between a seeded expansion and an all-pairs closure at scale)
         prev_info = self.bound[prev.binding]
         src_pk = self._endpoint_pk(pgt, prev_info["pgt"], prefer_source=True)
-        sources = self.pg.element_df(prev.label or prev_info["label"]).select(
-            F.col(src_pk).cast("long")
-        )
+        src_vdf = self.pg.element_df(prev.label or prev_info["label"]).alias(prev.binding)
+        if prev.where:
+            src_vdf = src_vdf.where(F.expr(prev.where))
+        sources = src_vdf.select(F.col(src_pk).cast("long"))
         # effective quantifier bounds: ANY SHORTEST over a plain edge = one hop
         if not edge.quantified:
             lower, upper = 1, 1

@@ -1,0 +1,126 @@
+"""Structured-Streaming operators over event streams.
+
+Beyond-reference addition (the reference has no streaming surface,
+SURVEY.md §2C).  Each transformation is written against a plain DataFrame
+so the SAME builder serves batch (for oracle verification) and streaming
+(readStream + watermark) — the Spark idiom for keeping one code path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
+    """Per event-type tumbling-window counts + value sums."""
+    return (
+        events.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, window: str = "1 hour", slide: str = "15 minutes") -> DataFrame:
+    return (
+        events.groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization (batch): a new session starts when a user
+    is idle longer than the gap.  lag + running-sum windows — one shuffle
+    on user_id.  Returns events + session_id (user_id-scoped ordinal)."""
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gap_s = gap_minutes * 60
+    with_gap = events.withColumn(
+        "__new_session",
+        (
+            F.coalesce(
+                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w),
+                F.lit(gap_s + 1),
+            )
+            > gap_s
+        ).cast("int"),
+    )
+    return with_gap.withColumn(
+        "session_id",
+        F.sum("__new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    ).drop("__new_session")
+
+
+def session_stats(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-session aggregates derived from sessionize()."""
+    s = sessionize(events, gap_minutes)
+    return s.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.sum("value").alias("sum_value"),
+    )
+
+
+# -- streaming entry points -------------------------------------------------
+
+
+def stream_from_parquet(
+    spark: SparkSession, path: str, schema: str = EVENT_SCHEMA
+) -> DataFrame:
+    """File-source stream over a parquet directory (for tests/local runs;
+    production would be Kafka with the same downstream code)."""
+    return spark.readStream.schema(schema).parquet(path)
+
+
+def windowed_stream(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling aggregation: late events beyond `watermark`
+    are dropped, state is bounded — the canonical late-data pattern."""
+    return tumbling_counts(events_stream.withWatermark("ts", watermark), window)
+
+
+def run_stream_to_memory(
+    agg_stream: DataFrame, query_name: str, output_mode: str = "append"
+):
+    """Drive a (bounded) stream to completion into an in-memory sink and
+    return the handle; caller reads `SELECT * FROM <query_name>`."""
+    q = (
+        agg_stream.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(query_name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
+def sessionize_stream(events_stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization via the native session_window (state is
+    merged incrementally; watermark bounds it)."""
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

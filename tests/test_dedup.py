@@ -1,0 +1,79 @@
+import pytest
+from pyspark.sql import Row
+
+from duckpgq_extension_spark.operators import dedup
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    base = [
+        (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+        (2, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+        (3, "the quick brown fox jumps over the lazy dog near the old river"),  # near dup
+        (4, "completely different content about spark sql engines and joins"),
+        (5, "spark sql engines and joins are discussed in this different text"),
+        (6, "unrelated short text"),
+    ]
+    return spark.createDataFrame([Row(doc_id=i, text=t) for i, t in base])
+
+
+def test_exact_duplicates(corpus):
+    got = dedup.exact_duplicates(corpus, "doc_id", "text").collect()
+    assert len(got) == 1
+    assert got[0]["keep_id"] == 1 and got[0]["n_copies"] == 2
+
+
+def test_deduplicate_exact(corpus):
+    kept = dedup.deduplicate_exact(corpus, "doc_id", "text")
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 3, 4, 5, 6]
+
+
+def test_ngram_jaccard_pairs(corpus):
+    pairs = dedup.ngram_jaccard_pairs(corpus, "doc_id", "text", n=3, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0  # exact dup
+    assert (1, 3) in got and 0.3 <= got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_minhash_signatures_shape(corpus):
+    sig = dedup.minhash_signatures(corpus, "doc_id", "text", n=3, num_perm=16)
+    rows = sig.collect()
+    assert all(len(r["sig"]) == 16 for r in rows)
+    by_id = {r["id"]: r["sig"] for r in rows}
+    assert by_id[1] == by_id[2]  # identical text -> identical signature
+
+
+def test_minhash_lsh_pairs(corpus):
+    pairs = dedup.minhash_lsh_pairs(
+        corpus, "doc_id", "text", n=3, num_perm=16, bands=8, threshold=0.4
+    )
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert (1, 3) in got  # near dup estimated above threshold
+    assert (1, 6) not in got
+
+
+def test_simhash_near_dup(corpus):
+    sh = {r["id"]: r["simhash"] for r in dedup.simhash(corpus, "doc_id", "text").collect()}
+    assert sh[1] == sh[2]
+    ham13 = bin(sh[1] ^ sh[3]).count("1")
+    ham14 = bin(sh[1] ^ sh[4]).count("1")
+    assert ham13 < ham14  # near-dup closer than unrelated
+
+
+def test_simhash_pairs(corpus):
+    pairs = dedup.simhash_pairs(corpus, "doc_id", "text", max_hamming=6)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_on_real_documents(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=5, threshold=0.8, max_doc_freq=100
+    )
+    assert pairs.count() >= 0  # executes end-to-end on the real corpus

@@ -1,0 +1,165 @@
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from duckpgq_extension_spark.operators import multimodal, relational
+from duckpgq_extension_spark.sources.tables import load_table
+from duckpgq_extension_spark.streaming import events as ev
+
+SF = "/root/testdata/sf0.001"
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_as_of_join(spark):
+    trades = spark.createDataFrame(
+        [
+            Row(sym="A", t=ts("2024-01-01T10:00:05"), px=10.0),
+            Row(sym="A", t=ts("2024-01-01T10:00:20"), px=11.0),
+            Row(sym="B", t=ts("2024-01-01T10:00:10"), px=99.0),
+        ]
+    )
+    quotes = spark.createDataFrame(
+        [
+            Row(sym="A", qt=ts("2024-01-01T10:00:00"), bid=9.5),
+            Row(sym="A", qt=ts("2024-01-01T10:00:10"), bid=10.5),
+            Row(sym="B", qt=ts("2024-01-01T10:00:30"), bid=98.0),  # after the trade
+        ]
+    )
+    out = relational.as_of_join(trades, quotes, "sym", "t", "qt", ["bid"])
+    got = {(r["sym"], r["t"]): r["bid_r"] for r in out.collect()}
+    assert got[("A", ts("2024-01-01T10:00:05"))] == 9.5
+    assert got[("A", ts("2024-01-01T10:00:20"))] == 10.5
+    assert got[("B", ts("2024-01-01T10:00:10"))] is None  # no quote yet
+
+
+def test_as_of_join_matches_duckdb(spark):
+    """Oracle cross-check: same as-of semantics as DuckDB's native ASOF JOIN."""
+    import duckdb
+
+    events = load_table(spark, SF, "events").where(F.col("user_id") < 30)
+    orders = spark.read.parquet(f"{SF}/orders.parquet").where(F.col("o_custkey") < 30)
+    out = relational.as_of_join(
+        events.withColumnRenamed("user_id", "k"),
+        orders.withColumnRenamed("o_custkey", "k"),
+        "k",
+        "ts",
+        "o_orderdate",
+        ["o_orderkey", "o_totalprice"],
+    )
+    got = {
+        (r["k"], r["event_id"]): (r["o_orderkey_r"], r["o_totalprice_r"])
+        for r in out.collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{SF}/events.parquet' WHERE user_id < 30"
+    )
+    con.execute(
+        f"CREATE VIEW orders AS SELECT * FROM '{SF}/orders.parquet' WHERE o_custkey < 30"
+    )
+    oracle = con.execute(
+        """
+        SELECT e.user_id, e.event_id, o.o_orderkey, o.o_totalprice
+        FROM events e ASOF LEFT JOIN orders o
+          ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+        """
+    ).fetchall()
+    exp = {(r[0], r[1]): (r[2], r[3]) for r in oracle}
+    assert got == exp
+
+
+def test_top_k_per_group(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    top = relational.top_k_per_group(
+        li, ["l_returnflag"], "l_extendedprice", 3, tie_breaker="l_orderkey"
+    )
+    rows = top.collect()
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r["l_returnflag"], []).append(r["l_extendedprice"])
+    for g, vals in by_g.items():
+        assert len(vals) == 3
+
+
+def test_tumbling_counts_batch(spark):
+    events = load_table(spark, SF, "events")
+    agg = ev.tumbling_counts(events, "1 day")
+    total = agg.agg(F.sum("n_events")).first()[0]
+    assert total == events.count()
+
+
+def test_sessionize(spark):
+    events = load_table(spark, SF, "events")
+    s = ev.session_stats(events, gap_minutes=60)
+    row = s.first()
+    assert row["n_events"] >= 1
+    # sessions are disjoint per user and ordered
+    per_user = ev.sessionize(events, 60).where(F.col("user_id") == row["user_id"])
+    sess = per_user.select("session_id").distinct().count()
+    assert sess >= 1
+
+
+def test_streaming_windowed_memory_sink(spark, tmp_path):
+    # bounded file-source stream over the real events parquet
+    src = str(tmp_path / "stream_src")
+    load_table(spark, SF, "events").limit(200).write.parquet(src)
+    stream = ev.stream_from_parquet(spark, src)
+    assert stream.isStreaming
+    q = ev.run_stream_to_memory(ev.windowed_stream(stream, "6 hours", "1 hour"), "win_out")
+    try:
+        batch = ev.tumbling_counts(spark.read.parquet(src), "6 hours")
+        got = spark.sql("SELECT sum(n_events) FROM win_out").first()[0]
+        # append mode only emits windows closed by the watermark; all rows
+        # arrive in one batch so late windows may be withheld — check bounds
+        assert got is None or got <= batch.agg(F.sum("n_events")).first()[0]
+    finally:
+        q.stop()
+
+
+def test_streaming_session_window(spark, tmp_path):
+    src = str(tmp_path / "stream_src2")
+    load_table(spark, SF, "events").limit(100).write.parquet(src)
+    stream = ev.stream_from_parquet(spark, src)
+    q = ev.run_stream_to_memory(ev.sessionize_stream(stream, "30 minutes"), "sess_out")
+    try:
+        assert spark.table("sess_out").columns == [
+            "session_start",
+            "session_end",
+            "user_id",
+            "n_events",
+            "sum_value",
+        ]
+    finally:
+        q.stop()
+
+
+def test_multimodal_decode(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"fakeimagebytes" * 10)), (2, bytearray(b""))],
+        "id long, data binary",
+    )
+    media = multimodal.attach_media(df, "id", "data", "image")
+    assert [f.name for f in media.schema.fields] == [
+        "media_id",
+        "media_type",
+        "content",
+        "metadata",
+    ]
+    decoded = {r["media_id"]: r for r in multimodal.decode_images(media).collect()}
+    assert decoded[1]["decoder"] in ("fake", "pil")
+    assert len(decoded[1]["features"]) == 8
+    # deterministic: same bytes -> same features
+    again = {r["media_id"]: r for r in multimodal.decode_images(media).collect()}
+    assert decoded[1]["features"] == again[1]["features"]
+
+
+def test_multimodal_frames(spark):
+    df = spark.createDataFrame([(1, bytearray(b"x" * 3000))], "id long, data binary")
+    media = multimodal.attach_media(df, "id", "data", "video")
+    frames = multimodal.sample_frames(media, every_n_bytes=1024).collect()
+    assert [r["frame_index"] for r in sorted(frames, key=lambda r: r["frame_index"])] == [0, 1]

@@ -1,0 +1,78 @@
+"""Text functions + portability of the md5-prefix hash against DuckDB."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from duckpgq_extension_spark.functions import text as TX
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_md5_long_matches_duckdb(spark):
+    samples = ["hello", "the cat sat", "", "über café 北京"]
+    df = spark.createDataFrame([(s,) for s in samples], "s string")
+    got = {r[0]: r[1] for r in df.select("s", TX.md5_long(F.col("s")).alias("h")).collect()}
+    con = duckdb.connect()
+    for s in samples:
+        expected = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [s]
+        ).fetchone()[0]
+        assert got[s] == expected, s
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame([("a b  c",), ("one",)], "s string")
+    got = [r[0] for r in df.select(TX.token_count(F.col("s"))).collect()]
+    assert got == [3, 1]
+
+
+def test_lang_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of war",),
+            ("der hund und die katze ist",),
+            ("le chat et la vie des gens",),
+            ("xyzzy qwerty",),
+        ],
+        "s string",
+    )
+    got = [r[0] for r in df.select(TX.lang_id(F.col("s"))).collect()]
+    assert got == ["en", "de", "fr", "und"]
+
+
+def test_quality_score_range(docs):
+    stats = docs.select(
+        F.min(TX.quality_score(F.col("text"))).alias("lo"),
+        F.max(TX.quality_score(F.col("text"))).alias("hi"),
+    ).first()
+    assert 0.0 <= stats["lo"] <= stats["hi"] <= 1.0
+
+
+def test_word_ngrams_and_fingerprint(spark):
+    df = spark.createDataFrame([("a b c d",), ("a",)], "s string")
+    grams = [r[0] for r in df.select(TX.word_ngrams(F.col("s"), 3)).collect()]
+    assert grams[0] == ["a b c", "b c d"]
+    assert grams[1] == []
+    fps = [r[0] for r in df.select(TX.doc_fingerprint(F.col("s"), 3)).collect()]
+    assert all(isinstance(x, int) for x in fps)
+
+
+def test_fingerprint_detects_shared_prefix(spark):
+    # identical 5-gram content -> identical fingerprint
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon eta")],
+        "id long, s string",
+    )
+    fps = [r[0] for r in df.select(TX.doc_fingerprint(F.col("s"), 5)).collect()]
+    # both share the shingle "alpha beta gamma delta epsilon"; min-hash may
+    # or may not pick it, but equal inputs must hash equally:
+    df2 = spark.createDataFrame([(1, "x y z"), (2, "x y z")], "id long, s string")
+    fps2 = [r[0] for r in df2.select(TX.doc_fingerprint(F.col("s"), 3)).collect()]
+    assert fps2[0] == fps2[1]
+    assert len(fps) == 2
