@@ -1,0 +1,1064 @@
+"""Driver-contract query catalog: every operator from SURVEY.md §2 (plus
+the beyond-reference pipeline operators) as a (spark, sf_dir) -> DataFrame
+callable, paired with an equivalent DuckDB oracle SQL string.
+
+The derived graph: the testdata has no native edge table, so both engines
+derive the SAME deterministic directed graph over customers from orders:
+
+    src = o_custkey, dst = o_orderkey % |customer|, eid = o_orderkey,
+    w = o_orderkey % 7 + 1
+
+Oracle-matching rules observed throughout (driver hashes sorted values):
+- every computed column aliased identically on both sides;
+- floats rounded to 6 (or fewer) decimals on both sides, far above the
+  cross-engine double noise (~1e-12) so rounding can't flip;
+- timestamps compared as epoch microseconds (DuckDB truncates ns -> us the
+  same way sources.tables.load_table does);
+- graph BFS/pagerank/wcc oracles are recursive CTEs / unrolled iterations
+  computing the identical fixed-point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import algorithms
+from .api import PGQSession
+from .functions import text as TX
+from .operators import dedup, multimodal, paths as pathops, relational, similarity
+from .operators.dedup import MINHASH_PRIME, minhash_params
+from .sources.tables import load_table, register_all
+from .streaming import events as ev
+
+# --------------------------------------------------------------------------
+# shared derived-graph SQL (identical text runs on Spark SQL and DuckDB)
+# --------------------------------------------------------------------------
+
+EDGES_SQL = (
+    "SELECT o_custkey AS src, o_orderkey % (SELECT count(*) FROM customer) AS dst, "
+    "o_orderkey AS eid, o_orderkey % 7 + 1 AS w FROM orders"
+)
+CUSTOMER_TM_SQL = (
+    "SELECT c_custkey, c_name, c_acctbal, 1 + (c_custkey % 2) * 2 AS typemask "
+    "FROM customer"
+)
+
+GRAPH_DDL = """
+CREATE OR REPLACE PROPERTY GRAPH social
+VERTEX TABLES (
+    customer PROPERTIES (c_custkey, c_name, c_acctbal, c_nationkey) LABEL Customer,
+    customer_tm PROPERTIES (c_custkey, typemask) LABEL CustomerTM IN typemask (bronze, premium)
+)
+EDGE TABLES (
+    c_edges SOURCE KEY (src) REFERENCES customer (c_custkey)
+            DESTINATION KEY (dst) REFERENCES customer (c_custkey) LABEL Follows,
+    c_edges AS ce2 SOURCE KEY (src) REFERENCES customer_tm (c_custkey)
+            DESTINATION KEY (dst) REFERENCES customer_tm (c_custkey) LABEL FollowsTM
+)
+"""
+
+_SETUP: dict = {}
+
+
+def setup(spark: SparkSession, sf_dir: str) -> PGQSession:
+    key = (id(spark), sf_dir)
+    if key in _SETUP:
+        return _SETUP[key]
+    try:  # the driver's session may not carry our session.py configs
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    except Exception:
+        pass
+    register_all(spark, sf_dir)
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW c_edges AS {EDGES_SQL}")
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW customer_tm AS {CUSTOMER_TM_SQL}")
+    pgq = PGQSession(spark)
+    pgq.execute(GRAPH_DDL)
+    _SETUP[key] = pgq
+    return pgq
+
+
+def _with_e(body: str, recursive: bool = False) -> str:
+    kw = "WITH RECURSIVE" if recursive else "WITH"
+    return f"{kw} e AS ({EDGES_SQL}) {body}"
+
+
+# --------------------------------------------------------------------------
+# graph pattern matching (SURVEY §2A MATCH compiler)
+# --------------------------------------------------------------------------
+
+
+def q_match_1hop(spark, sf_dir):
+    pgq = setup(spark, sf_dir)
+    return pgq.graph_table(
+        """social MATCH (a:Customer)-[f:Follows]->(b:Customer)
+           WHERE a.c_acctbal > 9000
+           COLUMNS (a.c_custkey AS a_key, b.c_custkey AS b_key, f.w AS w)"""
+    )
+
+
+O_MATCH_1HOP = _with_e(
+    """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key, e.w AS w
+       FROM customer a JOIN e ON e.src = a.c_custkey
+       JOIN customer b ON b.c_custkey = e.dst
+       WHERE a.c_acctbal > 9000"""
+)
+
+
+def q_match_2hop(spark, sf_dir):
+    pgq = setup(spark, sf_dir)
+    return pgq.graph_table(
+        """social MATCH (a:Customer)-[f1:Follows]->(b:Customer)-[f2:Follows]->(c:Customer)
+           WHERE a.c_custkey < 100
+           COLUMNS (a.c_custkey AS a_key, b.c_custkey AS b_key, c.c_custkey AS c_key)"""
+    )
+
+
+O_MATCH_2HOP = _with_e(
+    """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key, c.c_custkey AS c_key
+       FROM customer a
+       JOIN e e1 ON e1.src = a.c_custkey JOIN customer b ON b.c_custkey = e1.dst
+       JOIN e e2 ON e2.src = b.c_custkey JOIN customer c ON c.c_custkey = e2.dst
+       WHERE a.c_custkey < 100"""
+)
+
+
+def q_match_undirected(spark, sf_dir):
+    pgq = setup(spark, sf_dir)
+    return pgq.graph_table(
+        """social MATCH (a:Customer)-[f:Follows]-(b:Customer)
+           WHERE a.c_custkey = 7
+           COLUMNS (a.c_custkey AS a_key, b.c_custkey AS b_key)"""
+    )
+
+
+O_MATCH_UNDIRECTED = _with_e(
+    """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key
+       FROM customer a
+       JOIN (SELECT src AS s, dst AS d FROM e UNION ALL SELECT dst, src FROM e) u
+         ON u.s = a.c_custkey
+       JOIN customer b ON b.c_custkey = u.d
+       WHERE a.c_custkey = 7"""
+)
+
+
+def q_match_reverse(spark, sf_dir):
+    pgq = setup(spark, sf_dir)
+    return pgq.graph_table(
+        """social MATCH (a:Customer)<-[f:Follows]-(b:Customer)
+           WHERE a.c_custkey < 20
+           COLUMNS (a.c_custkey AS a_key, b.c_custkey AS b_key)"""
+    )
+
+
+O_MATCH_REVERSE = _with_e(
+    """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key
+       FROM customer a JOIN e ON e.dst = a.c_custkey
+       JOIN customer b ON b.c_custkey = e.src
+       WHERE a.c_custkey < 20"""
+)
+
+
+def q_match_bidirected(spark, sf_dir):
+    pgq = setup(spark, sf_dir)
+    return pgq.graph_table(
+        """social MATCH (a:Customer)<-[f:Follows]->(b:Customer)
+           COLUMNS (a.c_custkey AS a_key, b.c_custkey AS b_key)"""
+    )
+
+
+O_MATCH_BIDIRECTED = _with_e(
+    """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key
+       FROM customer a
+       JOIN e e1 ON e1.src = a.c_custkey
+       JOIN customer b ON b.c_custkey = e1.dst
+       JOIN e e2 ON e2.src = b.c_custkey AND e2.dst = a.c_custkey"""
+)
+
+
+def q_match_triangle(spark, sf_dir):
+    pgq = setup(spark, sf_dir)
+    return pgq.graph_table(
+        """social MATCH (a:Customer)-[f1:Follows]->(b:Customer),
+                        (b:Customer)-[f2:Follows]->(c:Customer),
+                        (c:Customer)-[f3:Follows]->(a:Customer)
+           WHERE a.c_custkey < b.c_custkey AND b.c_custkey < c.c_custkey
+           COLUMNS (a.c_custkey AS a_key, b.c_custkey AS b_key, c.c_custkey AS c_key)"""
+    )
+
+
+O_MATCH_TRIANGLE = _with_e(
+    """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key, c.c_custkey AS c_key
+       FROM customer a
+       JOIN e e1 ON e1.src = a.c_custkey JOIN customer b ON b.c_custkey = e1.dst
+       JOIN e e2 ON e2.src = b.c_custkey JOIN customer c ON c.c_custkey = e2.dst
+       JOIN e e3 ON e3.src = c.c_custkey AND e3.dst = a.c_custkey
+       WHERE a.c_custkey < b.c_custkey AND b.c_custkey < c.c_custkey"""
+)
+
+
+def q_match_inheritance(spark, sf_dir):
+    pgq = setup(spark, sf_dir)
+    return pgq.graph_table(
+        """social MATCH (a:premium)-[f:FollowsTM]->(b:bronze)
+           WHERE a.c_custkey < 50
+           COLUMNS (a.c_custkey AS a_key, b.c_custkey AS b_key)"""
+    )
+
+
+O_MATCH_INHERITANCE = _with_e(
+    """SELECT a.c_custkey AS a_key, b.c_custkey AS b_key
+       FROM (SELECT * FROM ({TM}) WHERE (typemask & 2) = 2) a
+       JOIN e ON e.src = a.c_custkey
+       JOIN (SELECT * FROM ({TM}) WHERE (typemask & 1) = 1) b
+         ON b.c_custkey = e.dst
+       WHERE a.c_custkey < 50""".format(TM=CUSTOMER_TM_SQL)
+)
+
+
+# --------------------------------------------------------------------------
+# path finding (SURVEY §2A kernels)
+# --------------------------------------------------------------------------
+
+
+def q_var_length_1_2(spark, sf_dir):
+    pgq = setup(spark, sf_dir)
+    return pgq.graph_table(
+        """social MATCH (a:Customer WHERE a.c_custkey < 30)-[f:Follows]->{1,2}(b:Customer)
+           COLUMNS (a.c_custkey AS a_key, b.c_custkey AS b_key,
+                    CAST(f.dist AS BIGINT) AS dist)"""
+    )
+
+
+O_VAR_LENGTH_1_2 = _with_e(
+    """, bfs(src, dst, d) AS (
+         SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 30
+         UNION
+         SELECT b.src, e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.dst WHERE b.d < 2
+       )
+       SELECT src AS a_key, dst AS b_key, CAST(min(d) AS BIGINT) AS dist
+       FROM bfs GROUP BY src, dst HAVING min(d) BETWEEN 1 AND 2""",
+    recursive=True,
+)
+
+
+def q_shortest_len(spark, sf_dir):
+    pgq = setup(spark, sf_dir)
+    return pgq.graph_table(
+        """social MATCH p = ANY SHORTEST (a:Customer WHERE a.c_custkey < 10)-[f:Follows]->{1,4}(b:Customer)
+           COLUMNS (a.c_custkey AS a_key, b.c_custkey AS b_key,
+                    path_length(p) AS plen)"""
+    )
+
+
+O_SHORTEST_LEN = _with_e(
+    """, bfs(src, dst, d) AS (
+         SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+         UNION
+         SELECT b.src, e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.dst WHERE b.d < 4
+       )
+       SELECT src AS a_key, dst AS b_key, CAST(min(d) AS BIGINT) AS plen
+       FROM bfs GROUP BY src, dst HAVING min(d) BETWEEN 1 AND 4""",
+    recursive=True,
+)
+
+
+def q_reachability(spark, sf_dir):
+    pgq = setup(spark, sf_dir)
+    return pgq.graph_table(
+        """social MATCH (a:Customer WHERE a.c_custkey < 5)-[f:Follows]->*(b:Customer)
+           COLUMNS (a.c_custkey AS a_key, b.c_custkey AS b_key)"""
+    )
+
+
+O_REACHABILITY = _with_e(
+    """, bfs(src, dst) AS (
+         SELECT c_custkey, c_custkey FROM customer WHERE c_custkey < 5
+         UNION
+         SELECT b.src, e.dst FROM bfs b JOIN e ON e.src = b.dst
+       )
+       SELECT src AS a_key, dst AS b_key FROM bfs""",
+    recursive=True,
+)
+
+
+def q_shortest_path_vertices(spark, sf_dir):
+    """Path contents are engine-convention-specific (ANY SHORTEST picks an
+    arbitrary shortest path) -> rows-only check, no oracle."""
+    pgq = setup(spark, sf_dir)
+    return pgq.graph_table(
+        """social MATCH p = ANY SHORTEST (a:Customer WHERE a.c_custkey < 3)-[f:Follows]->{1,3}(b:Customer)
+           COLUMNS (a.c_custkey AS a_key, b.c_custkey AS b_key,
+                    path_length(p) AS plen, vertices(p) AS path_vertices)"""
+    )
+
+
+def q_cheapest_path(spark, sf_dir):
+    setup(spark, sf_dir)
+    edges = pathops.edge_frame(
+        spark.table("c_edges"), "src", "dst", weight_col="w"
+    )
+    sources = spark.table("customer").where("c_custkey < 10").select(
+        F.col("c_custkey").cast("long")
+    )
+    dist = pathops.cheapest_path_distances(edges, sources=sources)
+    return dist.select(
+        F.col("src").alias("a_key"),
+        F.col("dst").alias("b_key"),
+        F.col("cost").cast("bigint").alias("cost"),
+    )
+
+
+O_CHEAPEST_PATH = _with_e(
+    """, wf(src, dst, cost) AS (
+         SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 10
+         UNION
+         SELECT w.src, e.dst, w.cost + e.w FROM wf w JOIN e ON e.src = w.dst
+         WHERE w.cost + e.w <= 60
+       )
+       SELECT src AS a_key, dst AS b_key, CAST(min(cost) AS BIGINT) AS cost
+       FROM wf GROUP BY src, dst""",
+    recursive=True,
+)
+
+
+# --------------------------------------------------------------------------
+# whole-graph algorithms (SURVEY §2A table functions)
+# --------------------------------------------------------------------------
+
+
+def q_pagerank(spark, sf_dir):
+    setup(spark, sf_dir)
+    edges = pathops.edge_frame(spark.table("c_edges"), "src", "dst")
+    vertices = spark.table("customer").select(F.col("c_custkey").cast("long"))
+    ranks = algorithms.pagerank(edges, vertices, tol=0.0, max_iter=10)
+    return ranks.select("vid", F.round("pagerank", 6).alias("pr"))
+
+
+def _pagerank_oracle(iters: int = 10) -> str:
+    parts = [
+        f"verts AS (SELECT c_custkey AS vid FROM customer)",
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM customer)",
+        "odeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS cnt FROM e GROUP BY src)",
+        "r0 AS (SELECT vid, 1.0 / n.n AS rank FROM verts CROSS JOIN n)",
+    ]
+    for i in range(1, iters + 1):
+        p, c = f"r{i - 1}", f"r{i}"
+        parts.append(
+            f"""{c} AS (
+              SELECT v.vid,
+                     0.15 / n.n + 0.85 * (COALESCE(m.mass, 0) + d.dang / n.n) AS rank
+              FROM verts v
+              CROSS JOIN n
+              CROSS JOIN (SELECT COALESCE(SUM({p}.rank), 0) AS dang
+                          FROM {p} LEFT JOIN odeg ON {p}.vid = odeg.src
+                          WHERE odeg.src IS NULL) d
+              LEFT JOIN (SELECT e.dst AS vid, SUM({p}.rank / odeg.cnt) AS mass
+                         FROM {p} JOIN odeg ON odeg.src = {p}.vid
+                         JOIN e ON e.src = {p}.vid GROUP BY e.dst) m
+                ON m.vid = v.vid)"""
+        )
+    body = ",\n".join(parts)
+    return f"WITH e AS ({EDGES_SQL}),\n{body}\nSELECT vid, ROUND(rank, 6) AS pr FROM r{iters}"
+
+
+O_PAGERANK = _pagerank_oracle(10)
+
+
+def q_wcc(spark, sf_dir):
+    setup(spark, sf_dir)
+    edges = pathops.edge_frame(spark.table("c_edges"), "src", "dst")
+    vertices = spark.table("customer").select(F.col("c_custkey").cast("long"))
+    return algorithms.weakly_connected_component(edges, vertices)
+
+
+O_WCC = _with_e(
+    """, und AS (SELECT src, dst FROM e WHERE src <> dst
+                 UNION SELECT dst, src FROM e WHERE src <> dst),
+       reach(a, b) AS (
+         SELECT c_custkey, c_custkey FROM customer
+         UNION
+         SELECT r.a, u.dst FROM reach r JOIN und u ON u.src = r.b
+       )
+       SELECT a AS vid, min(b) AS component_id FROM reach GROUP BY a""",
+    recursive=True,
+)
+
+
+def q_lcc(spark, sf_dir):
+    setup(spark, sf_dir)
+    edges = pathops.edge_frame(spark.table("c_edges"), "src", "dst")
+    vertices = spark.table("customer").select(F.col("c_custkey").cast("long"))
+    lcc = algorithms.local_clustering_coefficient(edges, vertices)
+    return lcc.select("vid", F.round("local_clustering_coefficient", 6).alias("lcc"))
+
+
+O_LCC = _with_e(
+    """, und AS (SELECT DISTINCT src, dst FROM (
+           SELECT src, dst FROM e WHERE src <> dst
+           UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+       deg AS (SELECT src AS v, count(*) AS d FROM und GROUP BY src),
+       tri AS (SELECT n1.src AS v, count(*) AS links
+               FROM und n1
+               JOIN und n2 ON n1.src = n2.src AND n1.dst <> n2.dst
+               JOIN und n3 ON n3.src = n1.dst AND n3.dst = n2.dst
+               GROUP BY n1.src)
+       SELECT c.c_custkey AS vid,
+              ROUND(CASE WHEN COALESCE(deg.d, 0) < 2 THEN 0.0
+                    ELSE CAST(COALESCE(tri.links, 0) AS DOUBLE) / (deg.d * (deg.d - 1))
+                    END, 6) AS lcc
+       FROM customer c
+       LEFT JOIN deg ON deg.v = c.c_custkey
+       LEFT JOIN tri ON tri.v = c.c_custkey"""
+)
+
+
+def q_summarize(spark, sf_dir):
+    pgq = setup(spark, sf_dir)
+    s = pgq.summarize_property_graph("social")
+    return s.where(F.col("label") == "Follows").select(
+        "edge_table",
+        "vertex_count",
+        "edge_count",
+        "distinct_src",
+        "distinct_dst",
+        "isolated_vertices",
+        F.round("out_degree_avg", 6).alias("out_degree_avg"),
+        F.col("out_degree_max").cast("bigint").alias("out_degree_max"),
+        F.round("in_degree_avg", 6).alias("in_degree_avg"),
+    )
+
+
+O_SUMMARIZE = _with_e(
+    """SELECT 'c_edges' AS edge_table,
+              (SELECT count(*) FROM customer) AS vertex_count,
+              (SELECT count(*) FROM e) AS edge_count,
+              (SELECT count(DISTINCT src) FROM e) AS distinct_src,
+              (SELECT count(DISTINCT dst) FROM e) AS distinct_dst,
+              (SELECT count(*) FROM customer c
+               WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.c_custkey)
+                 AND NOT EXISTS (SELECT 1 FROM e WHERE e.dst = c.c_custkey)) AS isolated_vertices,
+              (SELECT ROUND(AVG(cnt), 6) FROM (
+                 SELECT count(e.src) AS cnt FROM customer c
+                 LEFT JOIN e ON e.src = c.c_custkey GROUP BY c.c_custkey)) AS out_degree_avg,
+              (SELECT CAST(MAX(cnt) AS BIGINT) FROM (
+                 SELECT count(e.src) AS cnt FROM customer c
+                 LEFT JOIN e ON e.src = c.c_custkey GROUP BY c.c_custkey)) AS out_degree_max,
+              (SELECT ROUND(AVG(cnt), 6) FROM (
+                 SELECT count(e.dst) AS cnt FROM customer c
+                 LEFT JOIN e ON e.dst = c.c_custkey GROUP BY c.c_custkey)) AS in_degree_avg"""
+)
+
+
+def q_create_vertex_table(spark, sf_dir):
+    pgq = setup(spark, sf_dir)
+    return pgq.create_vertex_table(spark.table("c_edges"), "src", "dst", "derived_vertices")
+
+
+O_CREATE_VERTEX_TABLE = _with_e(
+    "SELECT src AS id FROM e UNION SELECT dst AS id FROM e"
+)
+
+
+# --------------------------------------------------------------------------
+# relational / window / as-of (SURVEY §2B + §2C)
+# --------------------------------------------------------------------------
+
+
+def q_tpch_q1(spark, sf_dir):
+    setup(spark, sf_dir)
+    li = spark.table("lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 0).cast("bigint").alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 0
+            ).cast("bigint").alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+O_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS BIGINT) AS sum_qty,
+       CAST(ROUND(SUM(l_extendedprice), 0) AS BIGINT) AS sum_base_price,
+       CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)), 0) AS BIGINT) AS sum_disc_price,
+       ROUND(AVG(l_quantity), 4) AS avg_qty,
+       ROUND(AVG(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    setup(spark, sf_dir)
+    li = spark.table("lineitem").withColumn(
+        "uniq", F.col("l_orderkey") * 10 + F.col("l_linenumber")
+    )
+    top = relational.top_k_per_group(
+        li, ["l_returnflag"], "l_extendedprice", 3, tie_breaker="uniq"
+    )
+    return top.select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"),
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+O_TOPK_PER_GROUP = """
+SELECT l_returnflag, l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY l_returnflag
+      ORDER BY l_extendedprice DESC, l_orderkey * 10 + l_linenumber ASC) AS rank
+  FROM lineitem
+) WHERE rank <= 3
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    setup(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
+    orders_u = (
+        spark.table("orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = relational.as_of_join(
+        events.withColumnRenamed("user_id", "k"),
+        orders_u.withColumnRenamed("o_custkey", "k"),
+        "k",
+        "ts",
+        "o_orderdate",
+        ["o_orderkey"],
+    )
+    return out.select("event_id", "k", F.col("o_orderkey_r").alias("matched_order"))
+
+
+O_ASOF_JOIN = """
+WITH orders_u AS (
+  SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+  FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id AS k, o.o_orderkey AS matched_order
+FROM (SELECT * FROM events WHERE user_id < 50) e
+ASOF LEFT JOIN orders_u o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+"""
+
+
+def q_window_running_sum(spark, sf_dir):
+    from pyspark.sql import Window
+
+    setup(spark, sf_dir)
+    li = spark.table("lineitem").where(F.col("l_suppkey") < 20)
+    w = (
+        Window.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity")).over(w).cast("bigint").alias("running_qty"),
+    )
+
+
+O_WINDOW_RUNNING_SUM = """
+SELECT l_suppkey, l_orderkey, l_linenumber,
+       CAST(SUM(l_quantity) OVER (
+         PARTITION BY l_suppkey
+         ORDER BY l_shipdate, l_orderkey, l_linenumber
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
+FROM lineitem WHERE l_suppkey < 20
+"""
+
+
+def q_rollup_orders(spark, sf_dir):
+    setup(spark, sf_dir)
+    o = spark.table("orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 0).cast("bigint").alias("total"),
+    )
+
+
+O_ROLLUP_ORDERS = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+       CAST(ROUND(SUM(o_totalprice), 0) AS BIGINT) AS total
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+
+# --------------------------------------------------------------------------
+# events: windows + sessionization (streaming builders, batch-verified)
+# --------------------------------------------------------------------------
+
+
+def q_events_daily(spark, sf_dir):
+    setup(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_micros(F.col("day")).alias("day_us"), "event_type", "n", "sum_value"
+        )
+    )
+
+
+O_EVENTS_DAILY = """
+SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_sessionize(spark, sf_dir):
+    setup(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    s = ev.session_stats(events, gap_minutes=60)
+    return s.select(
+        "user_id",
+        F.col("session_id").cast("bigint").alias("session_id"),
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+O_SESSIONIZE = """
+WITH flagged AS (
+  SELECT *,
+         CASE WHEN COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER w, 3600000001)
+                   > 3600000000 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT *, SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       epoch_us(MIN(ts)) AS start_us, epoch_us(MAX(ts)) AS end_us,
+       COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+FROM sessions GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------------
+# text analysis (portable formulas; see functions/text.py)
+# --------------------------------------------------------------------------
+
+_TOKS = "string_split_regex(lower(trim(text)), '\\s+')"
+_MD5L = "('0x' || substr(md5({X}), 1, 15))::BIGINT"
+
+
+def _lang_sql() -> str:
+    score_cols = []
+    for lang, words in TX.LANG_MARKERS.items():
+        terms = " + ".join(
+            f"CAST(list_contains(t, '{w}') AS INT)" for w in words
+        )
+        score_cols.append(f"({terms}) AS s_{lang}")
+    langs = list(TX.LANG_MARKERS)
+    m = "GREATEST(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    case = "CASE WHEN " + m + " = 0 THEN 'und' "
+    for lg in langs:
+        case += f"WHEN s_{lg} = {m} THEN '{lg}' "
+    case += "END"
+    return (
+        f"WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents), "
+        f"scores AS (SELECT doc_id, {', '.join(score_cols)} FROM toks) "
+        f"SELECT doc_id, {case} AS lang FROM scores"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang"))
+
+
+O_LANG_ID = _lang_sql()
+
+
+def q_text_stats(spark, sf_dir):
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        TX.quality_score(F.col("text")).alias("quality"),
+        TX.doc_fingerprint(F.col("text"), 5).alias("fingerprint"),
+    )
+
+
+O_TEXT_STATS = f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+feat AS (
+  SELECT doc_id, text, t,
+         CAST(len(t) AS BIGINT) AS n_tok,
+         (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+           / GREATEST(length(text), 1) AS punct_ratio,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+           / GREATEST(length(text), 1) AS digit_ratio,
+         ({" + ".join(f"CAST(list_contains(t, '{w}') AS INT)" for w in TX.LANG_MARKERS["en"])})
+           / {len(TX.LANG_MARKERS["en"])}.0 AS stop_ratio,
+         CASE WHEN len(t) < 5 THEN NULL
+              ELSE list_aggregate(list_transform(
+                     list_transform(generate_series(1, len(t) - 4),
+                                    i -> array_to_string(t[i:i+4], ' ')),
+                     g -> {_MD5L.format(X='g')}), 'min')
+         END AS min_sh
+  FROM toks
+)
+SELECT doc_id, n_tok,
+       ROUND(0.4 * LEAST(CAST(n_tok AS DOUBLE) / 50.0, 1.0)
+           + 0.3 * GREATEST(0.0, 1.0 - 5.0 * (punct_ratio + digit_ratio))
+           + 0.3 * LEAST(1.0, stop_ratio * 2.0), 6) AS quality,
+       COALESCE(min_sh, {_MD5L.format(X='text')}) AS fingerprint
+FROM feat
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup (SURVEY §2C / BASELINE north star)
+# --------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark, sf_dir):
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    return dedup.exact_duplicates(docs, "doc_id", "text")
+
+
+O_DEDUP_EXACT = f"""
+SELECT {_MD5L.format(X='text')} AS content_hash,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_fingerprint(spark, sf_dir):
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    fp = docs.select("doc_id", TX.doc_fingerprint(F.col("text"), 5).alias("fp"))
+    return (
+        fp.groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+O_DEDUP_FINGERPRINT = f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+fp AS (
+  SELECT doc_id,
+         COALESCE(
+           CASE WHEN len(t) < 5 THEN NULL
+                ELSE list_aggregate(list_transform(
+                       list_transform(generate_series(1, len(t) - 4),
+                                      i -> array_to_string(t[i:i+4], ' ')),
+                       g -> {_MD5L.format(X='g')}), 'min')
+           END, {_MD5L.format(X='text')}) AS fp
+  FROM toks
+)
+SELECT fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM fp GROUP BY fp HAVING COUNT(*) > 1
+"""
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5)
+
+
+O_DEDUP_JACCARD = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, g FROM toks,
+  UNNEST(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+1], ' ')) END) AS u(g)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS shared
+  FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
+"""
+
+
+def q_dedup_minhash(spark, sf_dir):
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    sig = dedup.minhash_signatures(docs, "doc_id", "text", n=2, num_perm=8)
+    return sig.select(
+        F.col("id").alias("doc_id"),
+        F.posexplode("sig"),
+    ).select("doc_id", F.col("pos").cast("bigint").alias("perm"), F.col("col").alias("minhash"))
+
+
+def _minhash_oracle(num_perm: int = 8) -> str:
+    selects = []
+    for i, (a, b) in enumerate(minhash_params(num_perm)):
+        selects.append(
+            f"SELECT doc_id, {i} AS perm, "
+            f"MIN(({a} * h31 + {b}) % {MINHASH_PRIME}) AS minhash FROM hashes GROUP BY doc_id"
+        )
+    body = " UNION ALL ".join(selects)
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, g FROM toks,
+  UNNEST(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+1], ' ')) END) AS u(g)
+),
+hashes AS (SELECT doc_id, {_MD5L.format(X='g')} % {MINHASH_PRIME} AS h31 FROM sh)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(perm AS BIGINT) AS perm, minhash
+FROM ({body})
+"""
+
+
+O_DEDUP_MINHASH = _minhash_oracle(8)
+
+
+def q_simhash(spark, sf_dir):
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    return dedup.simhash(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), "simhash"
+    )
+
+
+def _simhash_oracle(bits: int = 32) -> str:
+    sums = ", ".join(
+        f"SUM(2 * ((h >> {b}) & 1) - 1) AS b{b}" for b in range(bits)
+    )
+    val = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(bits)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, UNNEST({_TOKS}) AS tok FROM documents),
+hashes AS (SELECT doc_id, {_MD5L.format(X='tok')} AS h FROM toks),
+bitsums AS (SELECT doc_id, {sums} FROM hashes GROUP BY doc_id)
+SELECT doc_id, {val} AS simhash FROM bitsums
+"""
+
+
+O_SIMHASH = _simhash_oracle(32)
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """LSH banding is an approximate blocking strategy -> rows-only check
+    (the exact-Jaccard and signature queries above are the oracled ones)."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", n=2, num_perm=16, bands=8, threshold=0.5
+    )
+
+
+# --------------------------------------------------------------------------
+# similarity search (SURVEY §2C)
+# --------------------------------------------------------------------------
+
+
+def _emb_double(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+
+
+def q_similarity_topk(spark, sf_dir):
+    setup(spark, sf_dir)
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    top = similarity.brute_force_topk(emb, queries, k=5)
+    return top.select(
+        "query_id", "vec_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+O_SIMILARITY_TOPK = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         ROUND(list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+           AS cosine_sim
+  FROM (SELECT * FROM emb WHERE vec_id < 10) q
+  JOIN emb c ON q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    setup(spark, sf_dir)
+    emb = _emb_double(spark, sf_dir).where(F.col("vec_id") < 300)
+    return similarity.exact_near_duplicates(emb, threshold=0.3)
+
+
+O_EMBEDDING_NEAR_DUP = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+             FROM embeddings WHERE vec_id < 300),
+sims AS (
+  SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+         ROUND(list_dot_product(l.v, r.v) /
+               (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6)
+           AS cosine_sim
+  FROM emb l JOIN emb r ON l.vec_id < r.vec_id
+)
+SELECT id_a, id_b, cosine_sim FROM sims WHERE cosine_sim >= 0.3
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Approximate by construction -> rows-only check."""
+    setup(spark, sf_dir)
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, k=5, num_planes=4).select(
+        "query_id", "vec_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+# --------------------------------------------------------------------------
+# multimodal plumbing (decode dimensions are derivable from byte length)
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_decode(spark, sf_dir):
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    media = multimodal.attach_media(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("b")), "doc_id", "b", "image"
+    )
+    return multimodal.decode_images(media).select(
+        "media_id", F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+    )
+
+
+O_MULTIMODAL_DECODE = """
+SELECT doc_id AS media_id,
+       CAST(16 + octet_length(encode(text)) % 64 AS BIGINT) AS width,
+       CAST(16 + (octet_length(encode(text)) // 64) % 64 AS BIGINT) AS height
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "match_1hop": q_match_1hop,
+    "match_2hop": q_match_2hop,
+    "match_undirected": q_match_undirected,
+    "match_reverse": q_match_reverse,
+    "match_bidirected": q_match_bidirected,
+    "match_triangle": q_match_triangle,
+    "match_inheritance": q_match_inheritance,
+    "var_length_1_2": q_var_length_1_2,
+    "shortest_len": q_shortest_len,
+    "reachability": q_reachability,
+    "shortest_path_vertices": q_shortest_path_vertices,
+    "cheapest_path": q_cheapest_path,
+    "pagerank": q_pagerank,
+    "wcc": q_wcc,
+    "lcc": q_lcc,
+    "summarize": q_summarize,
+    "create_vertex_table": q_create_vertex_table,
+    "tpch_q1": q_tpch_q1,
+    "topk_per_group": q_topk_per_group,
+    "asof_join": q_asof_join,
+    "window_running_sum": q_window_running_sum,
+    "rollup_orders": q_rollup_orders,
+    "events_daily": q_events_daily,
+    "sessionize": q_sessionize,
+    "lang_id": q_lang_id,
+    "text_stats": q_text_stats,
+    "dedup_exact": q_dedup_exact,
+    "dedup_fingerprint": q_dedup_fingerprint,
+    "dedup_jaccard": q_dedup_jaccard,
+    "dedup_minhash": q_dedup_minhash,
+    "simhash": q_simhash,
+    "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "similarity_topk": q_similarity_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "ann_lsh": q_ann_lsh,
+    "multimodal_decode": q_multimodal_decode,
+}
+
+ORACLES = {
+    "match_1hop": O_MATCH_1HOP,
+    "match_2hop": O_MATCH_2HOP,
+    "match_undirected": O_MATCH_UNDIRECTED,
+    "match_reverse": O_MATCH_REVERSE,
+    "match_bidirected": O_MATCH_BIDIRECTED,
+    "match_triangle": O_MATCH_TRIANGLE,
+    "match_inheritance": O_MATCH_INHERITANCE,
+    "var_length_1_2": O_VAR_LENGTH_1_2,
+    "shortest_len": O_SHORTEST_LEN,
+    "reachability": O_REACHABILITY,
+    "cheapest_path": O_CHEAPEST_PATH,
+    "pagerank": O_PAGERANK,
+    "wcc": O_WCC,
+    "lcc": O_LCC,
+    "summarize": O_SUMMARIZE,
+    "create_vertex_table": O_CREATE_VERTEX_TABLE,
+    "tpch_q1": O_TPCH_Q1,
+    "topk_per_group": O_TOPK_PER_GROUP,
+    "asof_join": O_ASOF_JOIN,
+    "window_running_sum": O_WINDOW_RUNNING_SUM,
+    "rollup_orders": O_ROLLUP_ORDERS,
+    "events_daily": O_EVENTS_DAILY,
+    "sessionize": O_SESSIONIZE,
+    "lang_id": O_LANG_ID,
+    "text_stats": O_TEXT_STATS,
+    "dedup_exact": O_DEDUP_EXACT,
+    "dedup_fingerprint": O_DEDUP_FINGERPRINT,
+    "dedup_jaccard": O_DEDUP_JACCARD,
+    "dedup_minhash": O_DEDUP_MINHASH,
+    "simhash": O_SIMHASH,
+    "similarity_topk": O_SIMILARITY_TOPK,
+    "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
+    "multimodal_decode": O_MULTIMODAL_DECODE,
+    # rows-only (no SQL-expressible oracle): shortest_path_vertices,
+    # minhash_lsh_pairs, ann_lsh
+}

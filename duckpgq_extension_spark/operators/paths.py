@@ -74,8 +74,17 @@ def edge_frame(
 
 
 def _prep_edges(edges: DataFrame, num_partitions: int | None) -> DataFrame:
+    """Materialize the adjacency hash-partitioned by src.
+
+    localCheckpoint (not just persist) on purpose: it severs the upstream
+    logical plan, so (a) per-level joins don't re-analyze an arbitrarily
+    deep user plan, and (b) Catalyst's Union constraint propagation never
+    sees exotic upstream operators (scalar subqueries in a derived edge
+    view trip `UnionBase.rewriteConstraints` otherwise).  On a cluster with
+    flaky executors prefer setCheckpointDir + .checkpoint().
+    """
     n = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
-    return edges.repartition(n, "src").persist()
+    return edges.repartition(n, "src").localCheckpoint(eager=True)
 
 
 def bfs_distances(

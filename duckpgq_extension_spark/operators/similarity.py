@@ -150,6 +150,28 @@ def lsh_topk(
     return sim.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def exact_near_duplicates(
+    embeddings: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs near-duplicates (cosine >= threshold), id_a < id_b.
+    O(n²) — the verification baseline for the LSH-blocked variant; use only
+    on bounded subsets."""
+    c = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return (
+        c.alias("l")
+        .join(c.alias("r"), F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6).alias("cosine_sim"),
+        )
+        .where(F.col("cosine_sim") >= threshold)
+    )
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     threshold: float = 0.99,

@@ -376,8 +376,9 @@ class MatchCompiler:
         if item.fn == "element_id":
             col = F.expr(p)
         elif item.fn == "path_length":
-            # interleaved [v,e,v,...,v]: length = size // 2 (match.cpp:745-760)
-            col = F.expr(f"size({p}) div 2")
+            # interleaved [v,e,v,...,v]: length = size // 2 (match.cpp:745-760);
+            # BIGINT like the reference's result type (iterativelength.cpp:149-151)
+            col = F.expr(f"cast(size({p}) div 2 as bigint)")
         elif item.fn == "vertices":
             col = F.expr(
                 f"transform(sequence(0, size({p}) - 1, 2), i -> element_at({p}, i + 1))"

@@ -40,6 +40,11 @@ def get_spark(
         # testdata events.ts is parquet TIMESTAMP(NANOS); read as long and
         # convert in sources.tables.load_table
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Catalyst's Union constraint rewrite hits "key not found" on the
+        # iterative BFS plan shape (join -> project -> anti-join -> union);
+        # constraint propagation buys little here since every filter is
+        # explicit, so trade it for analyzer robustness
+        .config("spark.sql.constraintPropagation.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
