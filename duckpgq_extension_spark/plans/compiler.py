@@ -420,7 +420,29 @@ class MatchCompiler:
                         "(use element_id/path_length/vertices/edges)"
                     )
                 else:
-                    raise PGQBinderError(f"Unknown binding '{item.binding}'")
+                    # bare property name: resolve across bindings if unique
+                    # (the reference allows COLUMNS(firstName, ...),
+                    # test/sql/snb/snb.test IS1)
+                    matches = []
+                    for b, info in self.bound.items():
+                        if info["kind"] == "path" or b.startswith("__"):
+                            continue
+                        for src_col, exposed in self.pg.property_columns(info["pgt"]):
+                            if exposed.lower() == item.binding:
+                                matches.append((b, src_col, exposed))
+                    if len(matches) == 1:
+                        b, src_col, exposed = matches[0]
+                        select_cols.append(
+                            F.col(f"{b}.{src_col}").alias(item.alias or exposed)
+                        )
+                        agg_flags.append(False)
+                    elif len(matches) > 1:
+                        raise PGQBinderError(
+                            f"Property '{item.binding}' is ambiguous across bindings "
+                            f"{sorted({m[0] for m in matches})}"
+                        )
+                    else:
+                        raise PGQBinderError(f"Unknown binding '{item.binding}'")
             elif item.kind == "path_fn":
                 select_cols.append(self._path_fn_col(item))
                 agg_flags.append(False)

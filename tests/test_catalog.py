@@ -1,0 +1,135 @@
+"""DDL / catalog behavior, ported from reference test/sql/create_pg/*."""
+
+import pytest
+from pyspark.sql import Row
+
+from duckpgq_extension_spark import PGQBinderError, PGQSession
+
+from .conftest import rows
+
+
+@pytest.fixture()
+def session(spark):
+    spark.createDataFrame([Row(id=1, name="x")], "id long, name string").createOrReplaceTempView(
+        "cat_v"
+    )
+    spark.createDataFrame([Row(a=1, b=1)], "a long, b long").createOrReplaceTempView("cat_e")
+    return PGQSession(spark)
+
+
+DDL = """CREATE PROPERTY GRAPH catpg
+VERTEX TABLES ( cat_v LABEL V )
+EDGE TABLES ( cat_e SOURCE KEY (a) REFERENCES cat_v (id)
+              DESTINATION KEY (b) REFERENCES cat_v (id) LABEL E )"""
+
+
+def test_create_and_conflicts(session):
+    assert session.execute(DDL).collect()[0]["Success"]
+    # duplicate fails (create_property_graph.cpp conflict handling)
+    with pytest.raises(PGQBinderError):
+        session.execute(DDL)
+    # IF NOT EXISTS is a no-op; OR REPLACE succeeds
+    session.execute(DDL.replace("PROPERTY GRAPH catpg", "PROPERTY GRAPH IF NOT EXISTS catpg"))
+    session.execute(DDL.replace("CREATE PROPERTY", "CREATE OR REPLACE PROPERTY"))
+    assert session.catalog.names() == ["catpg"]
+
+
+def test_drop(session):
+    session.execute(DDL.replace("catpg", "catpg2"))
+    session.execute("DROP PROPERTY GRAPH catpg2")
+    with pytest.raises(PGQBinderError):
+        session.execute("DROP PROPERTY GRAPH catpg2")
+    session.execute("DROP PROPERTY GRAPH IF EXISTS catpg2")  # no error
+
+
+def test_validation_errors(session):
+    # unknown table (create_property_graph.cpp:57-103 analog)
+    with pytest.raises(PGQBinderError):
+        session.execute(
+            """CREATE PROPERTY GRAPH bad1 VERTEX TABLES ( no_such_table LABEL V )"""
+        )
+    # unknown property column
+    with pytest.raises(PGQBinderError):
+        session.execute(
+            """CREATE PROPERTY GRAPH bad2
+               VERTEX TABLES ( cat_v PROPERTIES (nope) LABEL V )"""
+        )
+    # edge referencing unregistered vertex table
+    with pytest.raises(PGQBinderError):
+        session.execute(
+            """CREATE PROPERTY GRAPH bad3
+               VERTEX TABLES ( cat_v LABEL V )
+               EDGE TABLES ( cat_e SOURCE KEY (a) REFERENCES other_v (id)
+                             DESTINATION KEY (b) REFERENCES cat_v (id) LABEL E )"""
+        )
+    # duplicate label
+    with pytest.raises(PGQBinderError):
+        session.execute(
+            """CREATE PROPERTY GRAPH bad4
+               VERTEX TABLES ( cat_v LABEL Dup, cat_v AS c2 LABEL Dup )"""
+        )
+
+
+def test_persistence_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "pgq_catalog")
+    spark.createDataFrame([Row(id=1)], "id long").createOrReplaceTempView("persist_v")
+    s1 = PGQSession(spark, catalog_path=path)
+    s1.execute(
+        "CREATE PROPERTY GRAPH persisted VERTEX TABLES ( persist_v LABEL PV )"
+    )
+    # a brand-new session reloads from disk (reference __duckpgq_internal
+    # reload, duckpgq_state.cpp:34-160)
+    s2 = PGQSession(spark, catalog_path=path)
+    pg = s2.graph("persisted")
+    assert pg.vertex_tables[0].main_label == "PV"
+    s2.execute("DROP PROPERTY GRAPH persisted")
+    s3 = PGQSession(spark, catalog_path=path)
+    with pytest.raises(PGQBinderError):
+        s3.graph("persisted")
+
+
+def test_describe_and_show(session):
+    session.execute(DDL.replace("catpg", "catpg3"))
+    d = session.describe_property_graph("catpg3")
+    got = {r["table_name"]: r for r in d.collect()}
+    assert got["cat_e"]["source_fk"] == ["a"]
+    assert got["cat_v"]["is_vertex_table"]
+    names = [r["property_graph"] for r in session.show_property_graphs().collect()]
+    assert "catpg3" in names
+
+
+def test_graph_table_in_cte_and_multiple(pgq):
+    # CTE + two GRAPH_TABLEs in one statement (with_clause.test,
+    # multiple_graph_table.test analogs)
+    df = pgq.sql(
+        """
+        WITH g1 AS (
+          SELECT * FROM GRAPH_TABLE (pg
+            MATCH (a:Person)-[k:Knows]->(b:Person)
+            COLUMNS (a.name AS an, b.name AS bn)) t1
+        ),
+        g2 AS (
+          SELECT * FROM GRAPH_TABLE (pg
+            MATCH (x:Person)-[s:StudyAt]->(y:School)
+            COLUMNS (x.name AS xn, y.name AS yn)) t2
+        )
+        SELECT g1.an, g1.bn, g2.yn
+        FROM g1 JOIN g2 ON g1.an = g2.xn
+        ORDER BY g1.an, g1.bn, g2.yn
+        """
+    )
+    got = rows(df, sort=False)
+    assert len(got) == 8  # every knows-edge joined with the source's school
+    assert got[0] == ("Daniel", "Gabor", "VU")
+
+
+def test_ctas_over_graph_table(pgq, spark):
+    pgq.sql(
+        """
+        CREATE OR REPLACE TEMP VIEW knows_pairs AS
+        SELECT * FROM GRAPH_TABLE (pg
+          MATCH (a:Person)-[k:Knows]->(b:Person)
+          COLUMNS (a.id AS a_id, b.id AS b_id)) t
+        """
+    )
+    assert spark.table("knows_pairs").count() == 8

@@ -1,0 +1,180 @@
+"""LDBC SNB SF0.003 end-to-end queries, ported from the reference
+test/sql/snb/snb.test with its golden outputs (FIXTURES.md F6)."""
+
+import datetime as dt
+
+import pytest
+
+SNB = "/root/reference/data/SNB0.003"
+
+SNB_TABLES = {
+    "Person": "person",
+    "Message": "message",
+    "Organisation": "organisation",
+    "Forum": "forum",
+    "Tag": "tag",
+    "TagClass": "tagclass",
+    "Place": "place",
+    "Person_knows_Person": "person_knows_person",
+    "Forum_hasMember_Person": "forum_hasmember_person",
+    "Forum_hasTag_Tag": "forum_hastag_tag",
+    "Person_hasInterest_Tag": "person_hasinterest_tag",
+    "person_workAt_Organisation": "person_workat_organisation",
+    "Person_likes_Message": "person_likes_message",
+    "Message_hasTag_Tag": "message_hastag_tag",
+    "Message_hasAuthor_Person": "message_hasauthor_person",
+    "Message_replyOf_Message": "message_replyof_message",
+}
+
+
+@pytest.fixture(scope="session")
+def snb(spark):
+    from duckpgq_extension_spark import PGQSession
+
+    for view, fn in SNB_TABLES.items():
+        spark.read.parquet(f"{SNB}/{fn}.parquet").createOrReplaceTempView(view)
+    s = PGQSession(spark)
+    s.execute(
+        """
+        CREATE PROPERTY GRAPH snb
+        VERTEX TABLES (
+            Person LABEL Person,
+            Forum LABEL Forum,
+            Organisation LABEL Organisation IN typemask(company, university),
+            Place LABEL Place,
+            Tag LABEL Tag,
+            TagClass LABEL TagClass,
+            Message LABEL Message
+        )
+        EDGE TABLES (
+            Person_knows_Person SOURCE KEY (Person1Id) REFERENCES Person (id)
+                                DESTINATION KEY (Person2Id) REFERENCES Person (id)
+                                LABEL Knows,
+            Forum_hasMember_Person SOURCE KEY (ForumId) REFERENCES Forum (id)
+                                DESTINATION KEY (PersonId) REFERENCES Person (id)
+                                LABEL hasMember,
+            Forum_hasTag_Tag SOURCE KEY (ForumId) REFERENCES Forum (id)
+                                DESTINATION KEY (TagId) REFERENCES Tag (id)
+                                LABEL Forum_hasTag,
+            Person_hasInterest_Tag SOURCE KEY (PersonId) REFERENCES Person (id)
+                                DESTINATION KEY (TagId) REFERENCES Tag (id)
+                                LABEL hasInterest,
+            person_workAt_Organisation SOURCE KEY (PersonId) REFERENCES Person (id)
+                                DESTINATION KEY (OrganisationId) REFERENCES Organisation (id)
+                                LABEL workAt_Organisation,
+            Person_likes_Message SOURCE KEY (PersonId) REFERENCES Person (id)
+                                DESTINATION KEY (id) REFERENCES Message (id)
+                                LABEL likes_Message,
+            Message_hasTag_Tag SOURCE KEY (id) REFERENCES Message (id)
+                                DESTINATION KEY (TagId) REFERENCES Tag (id)
+                                LABEL message_hasTag,
+            Message_hasAuthor_Person SOURCE KEY (messageId) REFERENCES Message (id)
+                                DESTINATION KEY (PersonId) REFERENCES Person (id)
+                                LABEL hasAuthor,
+            Message_replyOf_Message SOURCE KEY (messageId) REFERENCES Message (id)
+                                DESTINATION KEY (ParentMessageId) REFERENCES Message (id)
+                                LABEL replyOf
+        )
+        """
+    )
+    return s
+
+
+def test_work_at_university(snb, spark):
+    """snb.test:55-76 golden — sublabel `University` via typemask bit 1."""
+    df = snb.sql(
+        """
+        SELECT * FROM GRAPH_TABLE (snb
+            MATCH (p:Person)-[w:workAt_Organisation]->(u:University)
+            COLUMNS (p.id as p_id, u.id as u_id, u.type as u_type)
+        ) tmp ORDER BY p_id, u_id LIMIT 10
+        """
+    )
+    got = [tuple(r) for r in df.collect()]
+    assert got == [
+        (14, 4593, "University"),
+        (16, 5809, "University"),
+        (32, 5047, "University"),
+        (2199023255557, 1953, "University"),
+        (2199023255573, 5263, "University"),
+        (2199023255594, 1597, "University"),
+        (4398046511139, 4929, "University"),
+        (6597069766702, 5038, "University"),
+        (8796093022234, 3008, "University"),
+        (8796093022244, 3008, "University"),
+    ]
+
+
+def test_ic2_recent_messages_of_friends(snb, spark):
+    """snb.test IC2 golden (first rows): undirected knows + reverse hasAuthor."""
+    df = snb.sql(
+        """
+        SELECT * FROM GRAPH_TABLE (snb
+            MATCH (a:Person WHERE a.id = 17592186044461)-[k:knows]-(b:Person)<-[au:hasAuthor]-(m:message WHERE m.creationDate < '2010-10-16')
+            COLUMNS (a.id AS a_id, a.firstName AS fn, a.lastName AS ln,
+                     m.id as messageId, coalesce(m.imageFile, m.content) AS content,
+                     m.creationDate AS creationDate)
+        ) tmp ORDER BY creationDate DESC, messageId ASC LIMIT 4
+        """
+    )
+    got = [tuple(r) for r in df.collect()]
+    assert got == [
+        (
+            17592186044461, "Ali", "Abouba", 274877907945, "photo274877907945.jpg",
+            dt.datetime(2010, 9, 25, 5, 41, 53, 571000),
+        ),
+        (
+            17592186044461, "Ali", "Abouba", 274877907944, "photo274877907944.jpg",
+            dt.datetime(2010, 9, 25, 5, 41, 52, 571000),
+        ),
+        (
+            17592186044461, "Ali", "Abouba", 274877907943, "photo274877907943.jpg",
+            dt.datetime(2010, 9, 25, 5, 41, 51, 571000),
+        ),
+        (
+            17592186044461, "Ali", "Abouba", 274877907942, "photo274877907942.jpg",
+            dt.datetime(2010, 9, 25, 5, 41, 50, 571000),
+        ),
+    ]
+
+
+def test_ic13_shortest_path(snb):
+    """snb.test IC13 golden: directed ANY SHORTEST between two people."""
+    df = snb.graph_table(
+        """snb MATCH p = ANY SHORTEST (a:Person WHERE a.id = 17592186044461)-[k:knows]->*(b:Person WHERE b.id = 35184372088856)
+           COLUMNS (path_length(p) AS plen, a.id as a_id, b.id as b_id)"""
+    )
+    got = [tuple(r) for r in df.collect()]
+    assert got == [(2, 17592186044461, 35184372088856)]
+
+
+def test_is1_person_profile(snb):
+    """snb.test IS1 golden — bare property names in COLUMNS."""
+    df = snb.graph_table(
+        """snb MATCH (a:person WHERE a.id = 17592186044461)
+           COLUMNS (firstName, lastName, birthday, locationIP, browserUsed,
+                    LocationCityId, gender)"""
+    )
+    got = [tuple(r) for r in df.collect()]
+    assert got == [
+        (
+            "Ali", "Abouba", dt.date(1987, 5, 29), "41.203.147.168",
+            "Internet Explorer", 1264, "male",
+        )
+    ]
+
+
+def test_is3_friends(snb, spark):
+    """snb.test IS3: friends of a person over undirected knows."""
+    df = snb.sql(
+        """
+        SELECT * FROM GRAPH_TABLE (snb
+            MATCH (a:person WHERE a.id = 17592186044461)-[k:knows]-(b:person)
+            COLUMNS (b.id AS id, b.firstname AS fn, b.lastname AS ln,
+                     CAST(k.creationDate AS STRING) AS creationDate)
+        ) tmp ORDER BY creationDate DESC, id ASC
+        """
+    )
+    got = [tuple(r) for r in df.collect()]
+    assert len(got) >= 1
+    assert got[0][0] == 32 and got[0][1] == "Miguel" and got[0][2] == "Gonzalez"
