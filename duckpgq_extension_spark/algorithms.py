@@ -74,11 +74,13 @@ def pagerank(
             with_deg = ranks.alias("r").join(
                 out_deg.alias("d"), F.col("r.vid") == F.col("d.src"), "left"
             )
-            # mass from dangling vertices (no out-edges) is spread uniformly
-            dangling = (
-                with_deg.where(F.col("d.out_deg").isNull())
-                .agg(F.coalesce(F.sum("r.rank"), F.lit(0.0)))
-                .first()[0]
+            # mass from dangling vertices (no out-edges) is spread uniformly;
+            # kept as a broadcast 1-row frame so each iteration is ONE job
+            # (collecting the scalar would add a driver roundtrip per round)
+            dangling = F.broadcast(
+                with_deg.where(F.col("d.out_deg").isNull()).agg(
+                    F.coalesce(F.sum("r.rank"), F.lit(0.0)).alias("__dang")
+                )
             )
             shares = with_deg.where(F.col("d.out_deg").isNotNull()).select(
                 F.col("r.vid").alias("vid"),
@@ -93,25 +95,32 @@ def pagerank(
             new_ranks = (
                 vertices.alias("v")
                 .join(contribs.alias("c"), F.col("v.vid") == F.col("c.vid"), "left")
+                .crossJoin(dangling)
                 .select(
                     F.col("v.vid").alias("vid"),
                     (
                         (1.0 - damping) / n
                         + damping
-                        * (F.coalesce(F.col("c.in_mass"), F.lit(0.0)) + dangling / n)
+                        * (
+                            F.coalesce(F.col("c.in_mass"), F.lit(0.0))
+                            + F.col("__dang") / n
+                        )
                     ).alias("rank"),
                 )
                 .localCheckpoint(eager=True)
             )
-            delta = (
-                new_ranks.alias("n")
-                .join(ranks.alias("o"), F.col("n.vid") == F.col("o.vid"))
-                .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))))
-                .first()[0]
-            )
-            ranks = new_ranks
-            if delta is not None and delta < tol:
-                break
+            if tol > 0:  # fixed-iteration mode skips the convergence job
+                delta = (
+                    new_ranks.alias("n")
+                    .join(ranks.alias("o"), F.col("n.vid") == F.col("o.vid"))
+                    .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))))
+                    .first()[0]
+                )
+                ranks = new_ranks
+                if delta is not None and delta < tol:
+                    break
+            else:
+                ranks = new_ranks
         if phantom_vertices:
             ranks = ranks.join(real_vertices.toDF("vid"), "vid", "left_semi")
         return ranks.select("vid", F.col("rank").alias("pagerank"))

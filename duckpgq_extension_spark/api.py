@@ -276,6 +276,31 @@ class PGQSession:
             raise PGQBinderError(f"Property graph '{graph}' has no edge tables")
         return out
 
+    # metadata accessors, mirroring get_pg_vtablenames / etablenames /
+    # vcolnames / ecolnames (src/core/functions/table/pgq_scan.cpp:155-266)
+    def get_vertex_table_names(self, graph: str) -> DataFrame:
+        pg = self.catalog.get(graph)
+        return self.spark.createDataFrame(
+            [Row(table=t.table_name) for t in pg.vertex_tables], "table string"
+        )
+
+    def get_edge_table_names(self, graph: str) -> DataFrame:
+        pg = self.catalog.get(graph)
+        return self.spark.createDataFrame(
+            [Row(table=t.table_name) for t in pg.edge_tables], "table string"
+        )
+
+    def get_column_names(self, graph: str, label: str) -> DataFrame:
+        pg = self.catalog.get(graph)
+        t = pg.table_for_label(label)
+        rows = [
+            Row(table=t.table_name, column=src, property=exposed)
+            for src, exposed in pg.property_columns(t)
+        ]
+        return self.spark.createDataFrame(
+            rows, "table string, column string, property string"
+        )
+
     def create_vertex_table(
         self,
         edges_df: DataFrame,

@@ -788,16 +788,16 @@ FROM fp GROUP BY fp HAVING COUNT(*) > 1
 def q_dedup_jaccard(spark, sf_dir):
     setup(spark, sf_dir)
     docs = spark.table("documents")
-    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.5)
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", n=3, threshold=0.5)
 
 
 O_DEDUP_JACCARD = f"""
 WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
 sh AS (
   SELECT DISTINCT doc_id, g FROM toks,
-  UNNEST(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
-         ELSE list_transform(generate_series(1, len(t) - 1),
-                             i -> array_to_string(t[i:i+1], ' ')) END) AS u(g)
+  UNNEST(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(t) - 2),
+                             i -> array_to_string(t[i:i+2], ' ')) END) AS u(g)
 ),
 sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
 shared AS (

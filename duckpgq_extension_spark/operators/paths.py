@@ -156,7 +156,13 @@ def bfs_distances(
             nxt = nxt.localCheckpoint(eager=True)
             if nxt.isEmpty():
                 break
-            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            # each level is already materialized, so the accumulated visited
+            # set is a cheap union of checkpointed frames — no extra job;
+            # re-checkpoint occasionally so deep (high-diameter) graphs don't
+            # grow an O(levels)-wide union plan in the per-level anti-join
+            visited = visited.unionByName(nxt)
+            if level % 10 == 0:
+                visited = visited.localCheckpoint(eager=True)
             frontier = nxt
         return visited
     finally:

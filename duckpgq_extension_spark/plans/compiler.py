@@ -265,6 +265,7 @@ class MatchCompiler:
         e = edge.binding
 
         edf = self.pg.element_df(edge.label)
+        self._check_path_vertices(edge.label, pgt, edf, src_fk, dst_fk)
         need_path = pattern.shortest or pattern.path_variable is not None
         edges = pathops.edge_frame(
             edf,
@@ -333,6 +334,43 @@ class MatchCompiler:
             self.path_vars[pattern.path_variable] = e
         if nxt.where:
             self.filters.append(nxt.where)
+
+    def _check_path_vertices(self, label, pgt, edf, src_fk: str, dst_fk: str) -> None:
+        """Edge-integrity guard for path finding, mirroring the reference's
+        CSR build check (csr_creation.cpp:121-125; error text matched for
+        test parity, non-unique-vertices.test): every edge endpoint must
+        resolve to exactly one vertex.  Cached per edge label for the
+        session — one validation pass per graph, not per query.
+        """
+        cache = getattr(self.pg, "_path_vertex_checked", None)
+        if cache is None:
+            cache = self.pg._path_vertex_checked = set()
+        key = label.lower()
+        if key in cache:
+            return
+        vkeys = self.pg.spark.table(pgt.source_reference).select(
+            F.col(self._single_key(pgt.source_pk, "SOURCE")).alias("__vid")
+        )
+        n_edges = edf.count()
+        resolved = (
+            edf.join(vkeys, F.col(src_fk) == F.col("__vid"), "inner")
+            .drop("__vid")
+            .join(
+                vkeys.withColumnRenamed("__vid", "__vid2"),
+                F.col(dst_fk) == F.col("__vid2"),
+                "inner",
+            )
+            .count()
+        )
+        if resolved != n_edges:
+            from ..errors import PGQConstraintError
+
+            raise PGQConstraintError(
+                "Non-existent/non-unique vertices detected. Make sure all "
+                "vertices referred by edge tables exist and are unique for "
+                "path-finding queries."
+            )
+        cache.add(key)
 
     # -- projection ----------------------------------------------------
     def _prop_cols(self, binding: str) -> list:
