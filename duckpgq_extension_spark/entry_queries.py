@@ -602,6 +602,60 @@ FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
 
+def q_cube_lineitem(spark, sf_dir):
+    setup(spark, sf_dir)
+    li = spark.table("lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").cast("bigint").alias("qty"),
+    )
+
+
+O_CUBE_LINEITEM = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       CAST(SUM(l_quantity) AS BIGINT) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_semi_anti_join(spark, sf_dir):
+    """Customers with orders but no high-value order (semi + anti join)."""
+    setup(spark, sf_dir)
+    c = spark.table("customer")
+    o = spark.table("orders")
+    with_orders = c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+    big = o.where(F.col("o_totalprice") > 300000)
+    return with_orders.join(
+        big, with_orders["c_custkey"] == big["o_custkey"], "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+O_SEMI_ANTI_JOIN = """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+"""
+
+
+def q_streaming_window(spark, sf_dir):
+    """Real Structured-Streaming execution (readStream over the events
+    parquet rewritten to a bounded dir, watermarked tumbling agg, memory
+    sink).  Append-mode emission depends on watermark advancement ->
+    rows-only check."""
+    import tempfile
+
+    setup(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="pgq_stream_")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    stream = ev.stream_from_parquet(spark, src)
+    q = ev.run_stream_to_memory(
+        ev.windowed_stream(stream, "1 day", "1 hour"), "bench_stream_out"
+    )
+    q.stop()
+    return spark.table("bench_stream_out")
+
+
 # --------------------------------------------------------------------------
 # events: windows + sessionization (streaming builders, batch-verified)
 # --------------------------------------------------------------------------
@@ -1009,6 +1063,9 @@ QUERIES = {
     "asof_join": q_asof_join,
     "window_running_sum": q_window_running_sum,
     "rollup_orders": q_rollup_orders,
+    "cube_lineitem": q_cube_lineitem,
+    "semi_anti_join": q_semi_anti_join,
+    "streaming_window": q_streaming_window,
     "events_daily": q_events_daily,
     "sessionize": q_sessionize,
     "lang_id": q_lang_id,
@@ -1047,6 +1104,8 @@ ORACLES = {
     "asof_join": O_ASOF_JOIN,
     "window_running_sum": O_WINDOW_RUNNING_SUM,
     "rollup_orders": O_ROLLUP_ORDERS,
+    "cube_lineitem": O_CUBE_LINEITEM,
+    "semi_anti_join": O_SEMI_ANTI_JOIN,
     "events_daily": O_EVENTS_DAILY,
     "sessionize": O_SESSIONIZE,
     "lang_id": O_LANG_ID,

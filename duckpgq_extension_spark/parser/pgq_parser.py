@@ -302,13 +302,17 @@ class Parser:
                 break
         if self.match_kw("WHERE"):
             expr.where = self.capture_expr(lambda p: p.is_kw("COLUMNS"))
-        self.expect_kw("COLUMNS")
-        self.expect_op("(")
-        while True:
-            expr.columns.append(self.parse_column_item())
-            if not self.match_op(","):
-                break
-        self.expect_op(")")
+        # COLUMNS is optional in the reference grammar (bi.test:56-60 runs a
+        # bare MATCH); default to projecting every named binding's properties
+        if self.match_kw("COLUMNS"):
+            self.expect_op("(")
+            while True:
+                expr.columns.append(self.parse_column_item())
+                if not self.match_op(","):
+                    break
+            self.expect_op(")")
+        else:
+            expr.columns.append(ColumnItem(kind="expr", text="*"))
         return expr
 
     _anon_counter = 0
@@ -463,6 +467,8 @@ class Parser:
             self.advance()
             return ColumnItem(kind="star", text=f"{binding}.*", binding=binding)
         expr = self.capture_expr(lambda p: p.is_kw("AS") or p.is_op(","))
+        if not expr:
+            raise PGQParseError("Empty COLUMNS item")
         alias = None
         if self.match_kw("AS"):
             alias = self.ident()

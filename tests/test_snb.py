@@ -148,6 +148,15 @@ def test_ic13_shortest_path(snb):
     assert got == [(2, 17592186044461, 35184372088856)]
 
 
+def test_bi_triangle_no_columns(snb):
+    """bi.test:56-60: undirected triangle with inline edge WHERE and no
+    COLUMNS clause (defaults to all registered properties)."""
+    df = snb.graph_table(
+        """snb MATCH (personA:Person)-[kAB:Knows WHERE kAB.creationDate BETWEEN '2012-10-04' AND '2013-01-16']-(personB:Person)-[kBC:Knows WHERE kBC.creationDate BETWEEN '2012-10-04' AND '2013-01-16']-(personC:Person)-[kCA:Knows WHERE kCA.creationDate BETWEEN '2012-10-04' AND '2013-01-16']-(personA:Person)"""
+    )
+    assert df.count() >= 0  # executes; statement-ok parity
+
+
 def test_is1_person_profile(snb):
     """snb.test IS1 golden — bare property names in COLUMNS."""
     df = snb.graph_table(
