@@ -109,6 +109,44 @@ def run_stream_to_memory(
     return q
 
 
+def running_user_totals_stream(
+    events_stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running event count + value total maintained across
+    micro-batches (arbitrary state the built-in aggregations can't express
+    is the point — this is the template for custom incremental operators).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        (user_id,) = key
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            "user_id long, n_events long, total_value double",
+            "n long, total double",
+            "update",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def sessionize_stream(events_stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
     """Streaming sessionization via the native session_window (state is
     merged incrementally; watermark bounds it)."""

@@ -1,0 +1,58 @@
+import pytest
+from pyspark.sql import functions as F
+
+from duckpgq_extension_spark.sources import io
+from duckpgq_extension_spark.sources.tables import load_table
+from duckpgq_extension_spark.streaming import events as ev
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_io_roundtrip_formats(spark, tmp_path):
+    df = spark.read.parquet(f"{SF}/nation.parquet")
+    schema = df.schema.simpleString().replace("struct<", "").rstrip(">").replace(":", " ")
+    for fmt in ("parquet", "orc", "csv", "json"):
+        p = str(tmp_path / fmt)
+        io.write(df, p, fmt=fmt)
+        back = io.read(
+            spark, p, fmt=fmt, schema=None if fmt in ("parquet", "orc") else schema
+        )
+        assert back.count() == df.count(), fmt
+    with pytest.raises(ValueError):
+        io.read(spark, "/nope", fmt="avro")
+    with pytest.raises(ValueError):
+        io.read(spark, "/nope", fmt="csv")  # schema required
+    with pytest.raises(NotImplementedError):
+        io.read_delta(spark, "/nope")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = load_table(spark, SF, "events")
+    out = str(tmp_path / "part")
+    io.write(df, out, fmt="parquet", partition_by=["event_type"])
+    back = io.read(spark, out).where(F.col("event_type") == "click")
+    # partition pruning: only the click directory is scanned
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert back.count() == df.where("event_type = 'click'").count()
+
+
+def test_stateful_streaming_running_totals(spark, tmp_path):
+    src = str(tmp_path / "stateful_src")
+    events = load_table(spark, SF, "events").limit(300)
+    events.write.parquet(src)
+    stream = ev.stream_from_parquet(spark, src)
+    q = ev.run_stream_to_memory(
+        ev.running_user_totals_stream(stream), "stateful_out", output_mode="update"
+    )
+    try:
+        got = {r["user_id"]: r for r in spark.table("stateful_out").collect()}
+        batch = (
+            spark.read.parquet(src)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        )
+        for r in batch.collect():
+            assert got[r["user_id"]]["n_events"] == r["n"]
+            assert got[r["user_id"]]["total_value"] == pytest.approx(r["v"])
+    finally:
+        q.stop()
