@@ -218,22 +218,40 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """(id, simhash) 32-bit SimHash over whitespace tokens.
 
-    bit b of the result is 1 iff sum over tokens of (2*((h>>b)&1)-1) > 0,
-    h being the 60-bit md5 token hash.  Pure groupBy-sum — one shuffle.
+    bit b of the result is 1 iff the majority of token hashes have bit b
+    set (equivalent to the classic sum-of-±1 > 0), h being the 60-bit md5
+    token hash.
+
+    The per-bit one-counts are bit-PACKED four to a 64-bit accumulator
+    (16-bit fields), so the groupBy aggregates 8 longs + 1 count instead of
+    32 separate sums — 32 separate sum exprs blow Janino's 64 KB
+    whole-stage-codegen limit and fall back to interpreted execution.
+    Field width caps documents at 65535 tokens (far above any sane chunk
+    size; chunk longer docs upstream).
     """
+    assert bits % 4 == 0
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", md5_long(F.col("tok")))
-    bit_sums = tok.groupBy("id").agg(
-        *[
-            F.sum(2 * F.shiftright(F.col("h"), b).bitwiseAND(1) - 1).alias(f"b{b}")
-            for b in range(bits)
-        ]
-    )
+    packed_aggs = []
+    for j in range(bits // 4):
+        expr = F.lit(0).cast("long")
+        for pos in range(4):
+            b = j * 4 + pos
+            expr = expr + F.shiftleft(
+                F.shiftright(F.col("h"), b).bitwiseAND(1).cast("long"), 16 * pos
+            )
+        packed_aggs.append(F.sum(expr).alias(f"p{j}"))
+    sums = tok.groupBy("id").agg(F.count("*").alias("__n"), *packed_aggs)
     val = F.lit(0).cast("long")
-    for b in range(bits):
-        val = val + F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("long")).otherwise(0)
-    return bit_sums.select("id", val.alias("simhash"))
+    for j in range(bits // 4):
+        for pos in range(4):
+            b = j * 4 + pos
+            ones = F.shiftright(F.col(f"p{j}"), 16 * pos).bitwiseAND(0xFFFF)
+            val = val + F.when(
+                2 * ones > F.col("__n"), F.lit(1 << b).cast("long")
+            ).otherwise(0)
+    return sums.select("id", val.alias("simhash"))
 
 
 def simhash_pairs(

@@ -142,6 +142,68 @@ def test_var_length_without_shortest(pgq):
     assert rows(df) == [("David", "Daniel", 2), ("David", "Peter", 1)]
 
 
+@pytest.fixture(scope="session")
+def und_pg(spark):
+    """Exact undirected_paths.test fixture (9 edges incl. (2,4))."""
+    spark.createDataFrame(
+        [Row(id=i, name=n) for i, n in enumerate(["Daniel", "Tavneet", "Gabor", "Peter", "David"])],
+        "id long, name string",
+    ).createOrReplaceTempView("und_student")
+    spark.createDataFrame(
+        [
+            Row(src=s, dst=d, id=i)
+            for s, d, i in [
+                (0, 1, 10), (0, 2, 11), (0, 3, 12), (3, 0, 13), (1, 2, 14),
+                (1, 3, 15), (2, 3, 16), (4, 3, 17), (2, 4, 18),
+            ]
+        ],
+        "src long, dst long, id long",
+    ).createOrReplaceTempView("und_know")
+    s = PGQSession(spark)
+    s.execute(
+        """CREATE PROPERTY GRAPH und_pg
+           VERTEX TABLES ( und_student LABEL Person )
+           EDGE TABLES ( und_know SOURCE KEY (src) REFERENCES und_student (id)
+                         DESTINATION KEY (dst) REFERENCES und_student (id) LABEL Knows )"""
+    )
+    return s
+
+
+def test_undirected_any_shortest_goldens(und_pg):
+    """undirected_paths.test goldens: ANY SHORTEST -[e]- * from one seed."""
+    df = und_pg.graph_table(
+        """und_pg MATCH o = ANY SHORTEST (a:Person WHERE a.id = 0)-[e:Knows]-*(b:Person)
+           COLUMNS (a.id as a_id, b.id as b_id, path_length(o) AS plen)"""
+    )
+    assert rows(df) == [(0, 0, 0), (0, 1, 1), (0, 2, 1), (0, 3, 1), (0, 4, 2)]
+    df4 = und_pg.graph_table(
+        """und_pg MATCH o = ANY SHORTEST (a:Person WHERE a.id = 4)-[e:Knows]-*(b:Person)
+           COLUMNS (a.id as a_id, b.id as b_id, path_length(o) AS plen)"""
+    )
+    assert rows(df4) == [(4, 0, 2), (4, 1, 2), (4, 2, 1), (4, 3, 1), (4, 4, 0)]
+
+
+def test_shortest_from_nonexistent_source(pgq):
+    # undirected_paths.test: WHERE a.id = 999 -> empty result
+    df = pgq.graph_table(
+        """pg MATCH o = ANY SHORTEST (a:Person WHERE a.id = 999)-[e:Knows]-*(b:Person)
+           COLUMNS (a.id as a_id, b.id as b_id)"""
+    )
+    assert rows(df) == []
+
+
+def test_shortest_left_and_both_rejected(pgq):
+    from duckpgq_extension_spark.errors import PGQNotImplementedError
+
+    # undirected_paths.test:52-72 parity: no shortest path over <- or <->
+    for arrow in ("<-[e:Knows]-*", "<-[e:Knows]->*"):
+        with pytest.raises(PGQNotImplementedError):
+            pgq.graph_table(
+                f"""pg MATCH o = ANY SHORTEST (a:Person){arrow}(b:Person)
+                    COLUMNS (a.id as a_id)"""
+            )
+
+
 def test_undirected_var_length(pgq):
     # undirected 1-hop reach from David: only Peter; 2 hops reaches rest
     df = pgq.graph_table(
