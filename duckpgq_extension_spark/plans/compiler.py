@@ -97,10 +97,20 @@ class MatchCompiler:
             if not isinstance(edge, EdgeElement) or not isinstance(nxt, VertexElement):
                 raise PGQBinderError("Path pattern must alternate vertex-edge-vertex")
             # ANY SHORTEST over a plain edge unwraps to an ordinary join,
-            # like the reference's {1,1} unwrap (match.cpp:590-597); BFS is
-            # only needed for true quantifiers or a tracked path variable
+            # like the reference's {1,1} unwrap (match.cpp:590-597).  BFS is
+            # used ONLY for truly quantified edges; a fixed edge additionally
+            # routes through BFS {1,1} when the pattern names a path variable
+            # and has no quantified edge at all (the variable must bind to
+            # something).  Routing every fixed edge through BFS under ANY
+            # SHORTEST would make the LAST segment silently capture the path
+            # variable — exactly the bug mixed fixed+quantified patterns hit.
+            has_quantified = any(
+                isinstance(el, EdgeElement) and el.quantified for el in elems
+            )
             use_paths = edge.quantified or (
-                pattern.shortest and pattern.path_variable is not None
+                pattern.shortest
+                and pattern.path_variable is not None
+                and not has_quantified
             )
             if use_paths:
                 self._bind_path_edge(pattern, elems[i - 1], edge, nxt)
@@ -331,6 +341,12 @@ class MatchCompiler:
         elif lower > 0:
             self.filters.append(f"{_q(e)}.`dist` >= {lower}")
         if pattern.path_variable:
+            if pattern.path_variable in self.path_vars:
+                raise PGQNotImplementedError(
+                    f"Path variable '{pattern.path_variable}' spans multiple "
+                    "quantified segments; bind at most one quantified edge "
+                    "per named path"
+                )
             self.path_vars[pattern.path_variable] = e
         if nxt.where:
             self.filters.append(nxt.where)

@@ -157,6 +157,40 @@ def test_bi_triangle_no_columns(snb):
     assert df.count() >= 0  # executes; statement-ok parity
 
 
+def test_complex_matching_mixed_hops(snb):
+    """complex_matching.test: fixed hop + {1,3} quantified hop + fixed hop
+    in one pattern.  The reference's golden enumerates 11 rows for this
+    seed; row multiset of (p3_id, plen+2) must match (path columns are
+    rowid-convention-specific, see COVERAGE.md deviation note)."""
+    df = snb.graph_table(
+        """snb MATCH o = ANY SHORTEST (p4:Person WHERE p4.id = 19791209299968)-[w3:knows]->(p:Person)-[w:knows]->{1,3}(p2:Person)-[w2:knows]->(p3:Person)
+           COLUMNS (p3.id AS p3_id, path_length(o) AS qlen, p4.id AS p4_id, p.id AS p_id)"""
+    )
+    # reference path_length counts all three segments (2 fixed hops + the
+    # quantified segment); our path variable scopes the quantified segment
+    # only, so qlen + 2 == the reference's plen
+    got = sorted((r["p3_id"], r["qlen"] + 2) for r in df.collect())
+    expected = sorted(
+        [
+            (28587302322180, 3), (28587302322196, 3), (28587302322204, 3),
+            (28587302322204, 3), (28587302322223, 3), (30786325577731, 3),
+            (30786325577740, 3), (32985348833329, 3), (35184372088850, 4),
+            (35184372088850, 3), (35184372088856, 3),
+        ]
+    )
+    assert got == expected
+
+
+def test_arrow_whitespace_variants(snb):
+    """parser_arrow_kleene.test: whitespace inside the arrow tokens."""
+    for arrow in ["]->*", "]-> *", "]- > *", "] - > *", "] -> *"]:
+        df = snb.graph_table(
+            f"""snb MATCH ANY SHORTEST (a:Person WHERE a.id = 17592186044461)-[k:knows{arrow}(b:Person WHERE b.id = 35184372088856)
+                COLUMNS (a.id AS a_id, b.id AS b_id)"""
+        )
+        assert df.count() == 1, arrow
+
+
 def test_is1_person_profile(snb):
     """snb.test IS1 golden — bare property names in COLUMNS."""
     df = snb.graph_table(
