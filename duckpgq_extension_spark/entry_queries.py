@@ -661,6 +661,26 @@ def q_streaming_window(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 
+def q_events_json(spark, sf_dir):
+    """JSON property extraction from the events.props column."""
+    setup(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k")
+        )
+        .groupBy((F.col("k") % 10).alias("k_mod"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+O_EVENTS_JSON = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
 def q_events_daily(spark, sf_dir):
     setup(spark, sf_dir)
     events = load_table(spark, sf_dir, "events")
@@ -1066,6 +1086,7 @@ QUERIES = {
     "cube_lineitem": q_cube_lineitem,
     "semi_anti_join": q_semi_anti_join,
     "streaming_window": q_streaming_window,
+    "events_json": q_events_json,
     "events_daily": q_events_daily,
     "sessionize": q_sessionize,
     "lang_id": q_lang_id,
@@ -1106,6 +1127,7 @@ ORACLES = {
     "rollup_orders": O_ROLLUP_ORDERS,
     "cube_lineitem": O_CUBE_LINEITEM,
     "semi_anti_join": O_SEMI_ANTI_JOIN,
+    "events_json": O_EVENTS_JSON,
     "events_daily": O_EVENTS_DAILY,
     "sessionize": O_SESSIONIZE,
     "lang_id": O_LANG_ID,

@@ -1,0 +1,92 @@
+"""Randomized cross-checks + schema-evolution behavior."""
+
+import numpy as np
+import pytest
+from pyspark.sql import Row
+
+from duckpgq_extension_spark import PGQSession
+from duckpgq_extension_spark.operators import paths as pathops
+
+
+@pytest.mark.parametrize("seed", [7, 21, 99])
+def test_bfs_matches_floyd_warshall(spark, seed):
+    """Batched BFS distances equal a numpy Floyd-Warshall oracle on random
+    directed graphs (deterministic seeds)."""
+    rng = np.random.default_rng(seed)
+    n = 25
+    density = 0.12
+    adj = rng.random((n, n)) < density
+    np.fill_diagonal(adj, False)
+    edges = [(int(i), int(j)) for i in range(n) for j in range(n) if adj[i, j]]
+    if not edges:
+        pytest.skip("empty random graph")
+    edf = spark.createDataFrame(edges, "src long, dst long")
+    dist = pathops.bfs_distances(edf)
+    got = {(r["src"], r["dst"]): r["dist"] for r in dist.collect()}
+
+    INF = 10**9
+    d = np.full((n, n), INF)
+    np.fill_diagonal(d, 0)
+    for i, j in edges:
+        d[i, j] = 1
+    for k in range(n):
+        d = np.minimum(d, d[:, k][:, None] + d[k, :][None, :])
+    # BFS only reports vertices that appear in the edge list as sources
+    vs = {v for e in edges for v in e}
+    for i in vs:
+        for j in range(n):
+            expect = None if d[i, j] >= INF else int(d[i, j])
+            assert got.get((i, j)) == expect, (seed, i, j)
+
+
+@pytest.mark.parametrize("seed", [5, 42])
+def test_cheapest_matches_numpy(spark, seed):
+    rng = np.random.default_rng(seed)
+    n = 15
+    adj = rng.random((n, n)) < 0.2
+    np.fill_diagonal(adj, False)
+    w = rng.integers(1, 9, (n, n)).astype(float)
+    edges = [(int(i), int(j), float(w[i, j])) for i in range(n) for j in range(n) if adj[i, j]]
+    if not edges:
+        pytest.skip("empty random graph")
+    edf = spark.createDataFrame(edges, "src long, dst long, weight double")
+    got = {
+        (r["src"], r["dst"]): r["cost"]
+        for r in pathops.cheapest_path_distances(edf).collect()
+    }
+    INF = 1e18
+    d = np.full((n, n), INF)
+    np.fill_diagonal(d, 0.0)
+    for i, j, ww in edges:
+        d[i, j] = min(d[i, j], ww)
+    for k in range(n):
+        d = np.minimum(d, d[:, k][:, None] + d[k, :][None, :])
+    vs = {v for i, j, _ in edges for v in (i, j)}
+    for i in vs:
+        for j in range(n):
+            if d[i, j] < INF:
+                assert got.get((i, j)) == pytest.approx(d[i, j]), (seed, i, j)
+            else:
+                assert (i, j) not in got
+
+
+def test_graph_over_replaced_view(spark):
+    """altering_table.test analog: the graph reads the CURRENT state of its
+    backing view (metadata holds names, not snapshots)."""
+    spark.createDataFrame([Row(id=1, name="x")], "id long, name string").createOrReplaceTempView(
+        "alt_v"
+    )
+    spark.createDataFrame([Row(a=1, b=1)], "a long, b long").createOrReplaceTempView("alt_e")
+    s = PGQSession(spark)
+    s.execute(
+        """CREATE PROPERTY GRAPH altg
+           VERTEX TABLES ( alt_v PROPERTIES ARE ALL COLUMNS LABEL V )
+           EDGE TABLES ( alt_e SOURCE KEY (a) REFERENCES alt_v (id)
+                         DESTINATION KEY (b) REFERENCES alt_v (id) LABEL E )"""
+    )
+    assert s.graph_table("altg MATCH (v:V) COLUMNS (v.name AS n)").count() == 1
+    # replace the view with more rows; the graph sees them immediately
+    spark.createDataFrame(
+        [Row(id=1, name="x"), Row(id=2, name="y")], "id long, name string"
+    ).createOrReplaceTempView("alt_v")
+    assert s.graph_table("altg MATCH (v:V) COLUMNS (v.name AS n)").count() == 2
