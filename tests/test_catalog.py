@@ -123,6 +123,41 @@ def test_graph_table_in_cte_and_multiple(pgq):
     assert got[0] == ("Daniel", "Gabor", "VU")
 
 
+def test_nested_and_unnamed_subqueries(pgq):
+    # nested_subquery.test / unnamed_subquery.test analogs
+    df = pgq.sql(
+        """
+        SELECT id, nested_friend_id
+        FROM (
+            SELECT id, friend_id AS nested_friend_id
+            FROM (
+                SELECT id, friend_id
+                FROM GRAPH_TABLE (
+                    pg MATCH (p:Person)-[k:Knows]->(p2:Person)
+                    COLUMNS (p.id as id, p2.id as friend_id)
+                )
+            )
+        ) WHERE id > 1
+        """
+    )
+    assert df.count() == 3  # edges (2,3), (3,0), (4,3)
+    joined = pgq.sql(
+        """
+        SELECT Student.name, friend_id
+        FROM Student
+        JOIN (
+            SELECT student_id, friend_id
+            FROM GRAPH_TABLE (
+                pg MATCH (p:Person)-[k:Knows]->(p2:Person)
+                COLUMNS (p.id as student_id, p2.id as friend_id)
+            ) graph
+        ) AS subquery
+        ON Student.id = subquery.student_id
+        """
+    )
+    assert joined.count() == 8
+
+
 def test_ctas_over_graph_table(pgq, spark):
     pgq.sql(
         """

@@ -70,6 +70,39 @@ def test_cheapest_matches_numpy(spark, seed):
                 assert (i, j) not in got
 
 
+def test_match_plan_has_no_cartesian_product(pgq):
+    """Plan-shape guard: connected patterns must compile to equi-joins
+    (hash/merge), never CartesianProduct/BroadcastNestedLoop — the property
+    that makes the compiler viable at cluster scale (SURVEY §4)."""
+    df = pgq.graph_table(
+        """pg MATCH (a:Person)-[k:Knows]->(b:Person)-[k2:Knows]->(c:Person)
+           WHERE a.id = 0 COLUMNS (a.name AS an, c.name AS cn)"""
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_match_filter_pushdown(pgq, spark):
+    """Vertex predicates must reach the scan (PushedFilters), not sit above
+    the joins."""
+    import os
+
+    path = "/tmp/pgq_pushdown_test"
+    spark.table("Student").write.mode("overwrite").parquet(path)
+    spark.read.parquet(path).createOrReplaceTempView("student_pq")
+    from duckpgq_extension_spark import PGQSession
+
+    s = PGQSession(spark)
+    s.execute(
+        """CREATE OR REPLACE PROPERTY GRAPH push_pg
+           VERTEX TABLES ( student_pq LABEL P )"""
+    )
+    df = s.graph_table("push_pg MATCH (a:P) WHERE a.id = 3 COLUMNS (a.name AS n)")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "id" in plan.split("PushedFilters")[1][:80]
+
+
 def test_graph_over_replaced_view(spark):
     """altering_table.test analog: the graph reads the CURRENT state of its
     backing view (metadata holds names, not snapshots)."""
