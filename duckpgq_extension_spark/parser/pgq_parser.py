@@ -212,8 +212,19 @@ class Parser:
         self.match_op(";")
         return stmt
 
+    def qualified_name(self) -> str:
+        """catalog.schema.table / schema.table / table (211_using_other_schemas)."""
+        parts = [self.ident()]
+        while self.is_op(".") and self.peek(1) is not None and self.peek(1).kind in (
+            "ident",
+            "qident",
+        ):
+            self.advance()
+            parts.append(self.ident())
+        return ".".join(parts)
+
     def parse_pg_table(self, is_vertex: bool) -> PropertyGraphTable:
-        table_name = self.ident()
+        table_name = self.qualified_name()
         t = PropertyGraphTable(table_name=table_name, is_vertex=is_vertex)
         alias = None
         if self.match_kw("AS"):
@@ -223,13 +234,13 @@ class Parser:
             self.expect_kw("KEY")
             t.source_fk = self._paren_name_list()
             self.expect_kw("REFERENCES")
-            t.source_reference = self.ident()
+            t.source_reference = self.qualified_name()
             t.source_pk = self._paren_name_list()
             self.expect_kw("DESTINATION")
             self.expect_kw("KEY")
             t.destination_fk = self._paren_name_list()
             self.expect_kw("REFERENCES")
-            t.destination_reference = self.ident()
+            t.destination_reference = self.qualified_name()
             t.destination_pk = self._paren_name_list()
         # properties clause
         if self.match_kw("NO"):

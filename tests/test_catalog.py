@@ -123,6 +123,33 @@ def test_graph_table_in_cte_and_multiple(pgq):
     assert got[0] == ("Daniel", "Gabor", "VU")
 
 
+def test_schema_qualified_tables(spark):
+    """211_using_other_schemas.test analog: db-qualified table names in DDL."""
+    from pyspark.sql import Row
+
+    import shutil
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS otherdb")
+    for t in ("sv", "se"):
+        spark.sql(f"DROP TABLE IF EXISTS otherdb.{t}")
+        shutil.rmtree(f"spark-warehouse/otherdb.db/{t}", ignore_errors=True)
+    spark.createDataFrame(
+        [Row(id=1, name="x"), Row(id=2, name="y")], "id long, name string"
+    ).write.mode("overwrite").saveAsTable("otherdb.sv")
+    spark.createDataFrame([Row(a=1, b=2)], "a long, b long").write.mode(
+        "overwrite"
+    ).saveAsTable("otherdb.se")
+    s = PGQSession(spark)
+    s.execute(
+        """CREATE OR REPLACE PROPERTY GRAPH sgq
+           VERTEX TABLES ( otherdb.sv LABEL V )
+           EDGE TABLES ( otherdb.se SOURCE KEY (a) REFERENCES otherdb.sv (id)
+                         DESTINATION KEY (b) REFERENCES otherdb.sv (id) LABEL E )"""
+    )
+    df = s.graph_table("sgq MATCH (x:V)-[e:E]->(y:V) COLUMNS (x.name AS xn, y.name AS yn)")
+    assert rows(df) == [("x", "y")]
+
+
 def test_nested_and_unnamed_subqueries(pgq):
     # nested_subquery.test / unnamed_subquery.test analogs
     df = pgq.sql(
