@@ -168,7 +168,13 @@ def weakly_connected_component(edges: DataFrame, vertices: DataFrame) -> DataFra
             labels = prop
             if converged:
                 break
-        return labels.select("vid", F.col("comp").alias("component_id"))
+        # propagation unions edge endpoints into the label set; restrict the
+        # answer to the caller's vertex domain (contract: one row per input
+        # vertex, like pagerank/lcc)
+        return (
+            labels.join(vertices, "vid", "left_semi")
+            .select("vid", F.col("comp").alias("component_id"))
+        )
     finally:
         und.unpersist()
 

@@ -103,16 +103,27 @@ class PGQSession:
                 out.append(query[pos:])
                 break
             out.append(query[pos : m.start()])
-            # find the matching close paren, respecting quotes
+            # find the matching close paren, skipping quoted strings,
+            # double-quoted identifiers, and -- / /* */ comments (a paren
+            # inside any of those must not affect nesting depth)
             depth = 1
             i = m.end()
             n = len(query)
             while i < n and depth > 0:
                 c = query[i]
-                if c == "'":
+                if c == "'" or c == '"' or c == "`":
+                    quote = c
                     i += 1
-                    while i < n and query[i] != "'":
+                    while i < n and query[i] != quote:
                         i += 1
+                elif c == "-" and i + 1 < n and query[i + 1] == "-":
+                    while i < n and query[i] != "\n":
+                        i += 1
+                elif c == "/" and i + 1 < n and query[i + 1] == "*":
+                    i += 2
+                    while i + 1 < n and not (query[i] == "*" and query[i + 1] == "/"):
+                        i += 1
+                    i += 1  # land on the closing '/'
                 elif c == "(":
                     depth += 1
                 elif c == ")":
@@ -140,8 +151,13 @@ class PGQSession:
             raise PGQBinderError(f"'{edge_label}' is not an edge label")
         pk = et.source_pk[0]
         vdf = pg.element_df(vertex_label)
+        edf = pg.element_df(edge_label)
+        pathops.require_integral_keys(
+            edf, [et.source_fk[0], et.destination_fk[0]], f"edge table '{et.table_name}'"
+        )
+        pathops.require_integral_keys(vdf, [pk], f"vertex table '{vt.table_name}'")
         edges = pathops.edge_frame(
-            pg.element_df(edge_label),
+            edf,
             et.source_fk[0],
             et.destination_fk[0],
             undirected=undirected,

@@ -52,6 +52,11 @@ class PropertyGraphTable:
     destination_reference: str | None = None
     destination_pk: list[str] = field(default_factory=list)
     destination_fk: list[str] = field(default_factory=list)
+    # optional unique edge-id column (Spark extension `EDGE ID (col)`):
+    # stands in for the reference's implicit rowid in path output
+    # (shortest_path.cpp:213-216); without it path edge-ids fall back to
+    # per-query monotonically_increasing_id values
+    edge_id_col: str | None = None
 
     def to_dict(self) -> dict:
         return {
@@ -70,6 +75,7 @@ class PropertyGraphTable:
             "destination_reference": self.destination_reference,
             "destination_pk": self.destination_pk,
             "destination_fk": self.destination_fk,
+            "edge_id_col": self.edge_id_col,
         }
 
     @classmethod
@@ -213,6 +219,11 @@ class PropertyGraph:
                                 f"{kind} REFERENCES column '{c}' not found in "
                                 f"vertex table '{ref}'"
                             )
+                if t.edge_id_col and t.edge_id_col.lower() not in cols:
+                    raise PGQBinderError(
+                        f"EDGE ID column '{t.edge_id_col}' not found in edge "
+                        f"table '{t.table_name}'"
+                    )
 
     # -- serialization -----------------------------------------------------
     def to_dict(self) -> dict:

@@ -52,9 +52,11 @@ VERTEX TABLES (
 )
 EDGE TABLES (
     c_edges SOURCE KEY (src) REFERENCES customer (c_custkey)
-            DESTINATION KEY (dst) REFERENCES customer (c_custkey) LABEL Follows,
+            DESTINATION KEY (dst) REFERENCES customer (c_custkey)
+            EDGE ID (eid) LABEL Follows,
     c_edges AS ce2 SOURCE KEY (src) REFERENCES customer_tm (c_custkey)
-            DESTINATION KEY (dst) REFERENCES customer_tm (c_custkey) LABEL FollowsTM
+            DESTINATION KEY (dst) REFERENCES customer_tm (c_custkey)
+            EDGE ID (eid) LABEL FollowsTM
 )
 """
 
@@ -285,14 +287,52 @@ O_REACHABILITY = _with_e(
 
 
 def q_shortest_path_vertices(spark, sf_dir):
-    """Path contents are engine-convention-specific (ANY SHORTEST picks an
-    arbitrary shortest path) -> rows-only check, no oracle."""
+    """Full path contents, hash-checkable: ANY SHORTEST ties break
+    deterministically to the lexicographically-smallest interleaved
+    [v,e,v,...] path (operators/paths.py module notes), and the graph DDL
+    designates `eid` as the edge id, so both engines can compute the exact
+    same path.  The array is serialized to a string because the driver's
+    canonicalizer hashes scalars."""
     pgq = setup(spark, sf_dir)
-    return pgq.graph_table(
+    df = pgq.graph_table(
         """social MATCH p = ANY SHORTEST (a:Customer WHERE a.c_custkey < 3)-[f:Follows]->{1,3}(b:Customer)
            COLUMNS (a.c_custkey AS a_key, b.c_custkey AS b_key,
                     path_length(p) AS plen, vertices(p) AS path_vertices)"""
     )
+    return df.select(
+        "a_key",
+        "b_key",
+        "plen",
+        F.concat_ws(
+            "->", F.transform(F.col("path_vertices"), lambda x: x.cast("string"))
+        ).alias("path_str"),
+    )
+
+
+O_SHORTEST_PATH_VERTICES = _with_e(
+    """, paths(src, dst, d, path) AS (
+         SELECT c_custkey, c_custkey, 0, [CAST(c_custkey AS BIGINT)]
+         FROM customer WHERE c_custkey < 3
+         UNION
+         SELECT p.src, e.dst, p.d + 1,
+                list_append(list_append(p.path, CAST(e.eid AS BIGINT)),
+                            CAST(e.dst AS BIGINT))
+         FROM paths p JOIN e ON e.src = p.dst WHERE p.d < 3
+       ),
+       best AS (SELECT src, dst, min(d) AS d FROM paths GROUP BY src, dst),
+       chosen AS (
+         SELECT p.src, p.dst, p.d, min(p.path) AS path
+         FROM paths p
+         JOIN best b ON b.src = p.src AND b.dst = p.dst AND b.d = p.d
+         GROUP BY p.src, p.dst, p.d
+       )
+       SELECT src AS a_key, dst AS b_key, CAST(d AS BIGINT) AS plen,
+              array_to_string(
+                list_transform(generate_series(1, len(path), 2), i -> path[i]),
+                '->') AS path_str
+       FROM chosen WHERE d BETWEEN 1 AND 3""",
+    recursive=True,
+)
 
 
 def q_cheapest_path(spark, sf_dir):
@@ -1114,6 +1154,7 @@ ORACLES = {
     "var_length_1_2": O_VAR_LENGTH_1_2,
     "shortest_len": O_SHORTEST_LEN,
     "reachability": O_REACHABILITY,
+    "shortest_path_vertices": O_SHORTEST_PATH_VERTICES,
     "cheapest_path": O_CHEAPEST_PATH,
     "pagerank": O_PAGERANK,
     "wcc": O_WCC,
@@ -1140,6 +1181,5 @@ ORACLES = {
     "similarity_topk": O_SIMILARITY_TOPK,
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
     "multimodal_decode": O_MULTIMODAL_DECODE,
-    # rows-only (no SQL-expressible oracle): shortest_path_vertices,
-    # minhash_lsh_pairs, ann_lsh
+    # rows-only (no SQL-expressible oracle): minhash_lsh_pairs, ann_lsh
 }

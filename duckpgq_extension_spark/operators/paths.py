@@ -26,16 +26,47 @@ Scale notes (100 TB / 1000 executors):
   `spark.sparkContext.setCheckpointDir(...)` + `.checkpoint()`.
 - Vertex ids are natural long keys — no dense 0..N-1 renumbering (a CSR
   artifact) and therefore no global sort at build time.
-- Path tracking needs an `edge_id`; we derive a deterministic one with a
-  global row_number only when paths are requested AND the edge table has no
-  id column.  At scale callers should supply their own stable edge id
-  column instead (monotonic ids from the source system).
+- Path tracking needs an `edge_id`.  Callers designate an existing unique
+  edge column (`EDGE ID (col)` in the property-graph DDL routes it here);
+  without one we fall back to `monotonically_increasing_id()` — fully
+  distributed (no global sort), but the ids are then per-query artifacts,
+  not stable across runs.  Supply a real id column whenever path contents
+  must be reproducible.
+- ANY SHORTEST ties break DETERMINISTICALLY: each BFS level keeps the
+  lexicographically-smallest path array per (src, dst).  The reference
+  keeps an arbitrary shortest path (shortest_path.cpp:28-29); emitting the
+  lex-min one is a strict refinement (still "a shortest path") that makes
+  results reproducible and oracle-checkable.  The induction holds because a
+  lex-min shortest path's prefix is itself the lex-min shortest path to its
+  endpoint (same-length prefixes compare element-wise).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from ..errors import PGQNotImplementedError
+
+_INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+
+def require_integral_keys(df: DataFrame, cols: list[str], context: str) -> None:
+    """Bind-time guard: BFS/Bellman-Ford/pagerank/wcc/lcc key columns are
+    cast to long; a non-integral (e.g. VARCHAR) key would cast to NULL and
+    silently produce empty results.  The reference supports arbitrary key
+    types via dense CSR renumbering (csr_creation.cpp); here we fail loudly
+    instead — callers with string keys should build a dense long id mapping
+    first (e.g. via create_vertex_table + a join)."""
+    types = {f.name.lower(): f.dataType.simpleString() for f in df.schema.fields}
+    for c in cols:
+        dt = types.get(c.lower())
+        if dt not in _INTEGRAL_TYPES:
+            raise PGQNotImplementedError(
+                f"{context}: key column '{c}' has type '{dt}'; path-finding "
+                "and whole-graph algorithms require integral vertex keys "
+                "(map non-numeric keys to dense long ids first)"
+            )
 
 
 def edge_frame(
@@ -58,9 +89,10 @@ def edge_frame(
         if edge_id_col is not None:
             cols.append(F.col(edge_id_col).cast("long").alias("edge_id"))
         else:
-            # deterministic fallback id; fine at test scale, see module notes
-            w = Window.orderBy(src_col, dst_col)
-            edf = edf.withColumn("__pgq_eid", F.row_number().over(w).cast("long"))
+            # distributed fallback: per-partition monotonic ids, no global
+            # sort.  Ids are per-query artifacts (not stable across runs) —
+            # designate a real edge id column for reproducible path output.
+            edf = edf.withColumn("__pgq_eid", F.monotonically_increasing_id())
             cols.append(F.col("__pgq_eid").alias("edge_id"))
     if weight_col is not None:
         cols.append(F.col(weight_col).alias("weight"))
@@ -108,8 +140,10 @@ def bfs_distances(
     which is the DataFrame analog of the reference's NULL result,
     iterativelength.cpp:132-140).
 
-    When several shortest paths tie, an arbitrary one is kept — same
-    nondeterminism as the reference's ANY SHORTEST (shortest_path.cpp:28-29).
+    When several shortest paths tie, the lexicographically-smallest path
+    array is kept (deterministic; see module notes).  The reference keeps
+    an arbitrary one (shortest_path.cpp:28-29) — any shortest path is a
+    valid ANY SHORTEST answer, so this is a compatible refinement.
     """
     if track_paths and "edge_id" not in edges.columns:
         raise ValueError("track_paths requires an edge_id column (use edge_frame)")
@@ -132,7 +166,7 @@ def bfs_distances(
             if max_hops is not None and level >= max_hops:
                 break
             level += 1
-            nxt = (
+            expanded = (
                 frontier.alias("f")
                 .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
                 .select(
@@ -150,9 +184,17 @@ def bfs_distances(
                         else []
                     ),
                 )
-                .dropDuplicates(["src", "dst"])
-                .join(visited.select("src", "dst"), ["src", "dst"], "left_anti")
             )
+            if track_paths:
+                # deterministic tie-break: lexicographically-smallest path
+                # per (src, dst) this level (see module notes); same shuffle
+                # key + map-side partial agg as dropDuplicates
+                nxt = expanded.groupBy("src", "dst").agg(
+                    F.min("dist").alias("dist"), F.min("path").alias("path")
+                )
+            else:
+                nxt = expanded.dropDuplicates(["src", "dst"])
+            nxt = nxt.join(visited.select("src", "dst"), ["src", "dst"], "left_anti")
             nxt = nxt.localCheckpoint(eager=True)
             if nxt.isEmpty():
                 break

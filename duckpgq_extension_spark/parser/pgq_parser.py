@@ -242,6 +242,15 @@ class Parser:
             self.expect_kw("REFERENCES")
             t.destination_reference = self.qualified_name()
             t.destination_pk = self._paren_name_list()
+            # Spark extension: designate a unique edge-id column (the analog
+            # of the reference's implicit rowid in path output).  Optional;
+            # without it path edge-ids are per-query artifacts.
+            if self.match_kw("EDGE"):
+                self.expect_kw("ID")
+                ids = self._paren_name_list()
+                if len(ids) != 1:
+                    raise PGQParseError("EDGE ID takes exactly one column")
+                t.edge_id_col = ids[0]
         # properties clause
         if self.match_kw("NO"):
             self.expect_kw("PROPERTIES")

@@ -275,13 +275,25 @@ class MatchCompiler:
         e = edge.binding
 
         edf = self.pg.element_df(edge.label)
+        # integrity guard FIRST (reference error parity: non-unique/missing
+        # vertices report the CSR constraint error regardless of key type,
+        # non-unique-vertices.test), then the integral-key guard
         self._check_path_vertices(edge.label, pgt, edf, src_fk, dst_fk)
+        pathops.require_integral_keys(
+            edf, [src_fk, dst_fk], f"edge table '{pgt.table_name}'"
+        )
+        pathops.require_integral_keys(
+            self.pg.spark.table(pgt.source_reference),
+            pgt.source_pk,
+            f"vertex table '{pgt.source_reference}'",
+        )
         need_path = pattern.shortest or pattern.path_variable is not None
         edges = pathops.edge_frame(
             edf,
             src_fk,
             dst_fk,
             undirected=edge.direction == EDGE_ANY,
+            edge_id_col=pgt.edge_id_col,
             with_edge_ids=need_path,
         )
         # restrict the BFS to sources actually joinable from the left vertex;

@@ -45,15 +45,18 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     is idle longer than the gap.  lag + running-sum windows — one shuffle
     on user_id.  Returns events + session_id (user_id-scoped ordinal)."""
     w = Window.partitionBy("user_id").orderBy("ts")
-    gap_s = gap_minutes * 60
+    # microsecond precision: ts.cast("long") truncates to whole seconds,
+    # which can split sessions differently from a µs-exact engine when a
+    # true gap falls inside (gap, gap+1s)
+    gap_us = gap_minutes * 60 * 1_000_000
     with_gap = events.withColumn(
         "__new_session",
         (
             F.coalesce(
-                F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w),
-                F.lit(gap_s + 1),
+                F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w),
+                F.lit(gap_us + 1),
             )
-            > gap_s
+            > gap_us
         ).cast("int"),
     )
     return with_gap.withColumn(
