@@ -681,8 +681,10 @@ WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 def q_streaming_window(spark, sf_dir):
     """Real Structured-Streaming execution (readStream over the events
     parquet rewritten to a bounded dir, watermarked tumbling agg, memory
-    sink).  Append-mode emission depends on watermark advancement ->
-    rows-only check."""
+    sink).  Append-mode emission is deterministic for a bounded source:
+    exactly the windows whose end <= final watermark (max event time,
+    floored to ms as Spark's event-time stats do, minus the 1 h delay) —
+    which the DuckDB oracle reproduces with a batch aggregation + filter."""
     import tempfile
 
     setup(spark, sf_dir)
@@ -693,7 +695,29 @@ def q_streaming_window(spark, sf_dir):
         ev.windowed_stream(stream, "1 day", "1 hour"), "bench_stream_out"
     )
     q.stop()
-    return spark.table("bench_stream_out")
+    return spark.table("bench_stream_out").select(
+        F.unix_micros("window_start").alias("start_us"),
+        F.unix_micros("window_end").alias("end_us"),
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value"),
+    )
+
+
+O_STREAMING_WINDOW = """
+WITH wm AS (
+  SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS watermark_us
+  FROM events
+),
+agg AS (
+  SELECT epoch_us(date_trunc('day', ts)) AS start_us,
+         epoch_us(date_trunc('day', ts) + INTERVAL 1 DAY) AS end_us,
+         event_type, COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT start_us, end_us, event_type, n_events, sum_value
+FROM agg, wm WHERE end_us <= watermark_us
+"""
 
 
 # --------------------------------------------------------------------------
@@ -991,13 +1015,65 @@ O_SIMHASH = _simhash_oracle(32)
 
 
 def q_minhash_lsh_pairs(spark, sf_dir):
-    """LSH banding is an approximate blocking strategy -> rows-only check
-    (the exact-Jaccard and signature queries above are the oracled ones)."""
+    """LSH banding with fixed permutation constants (dedup.minhash_params)
+    is fully deterministic, so the DuckDB oracle replays the identical
+    signature -> band -> candidate -> estimate pipeline in SQL."""
     setup(spark, sf_dir)
     docs = spark.table("documents")
     return dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", n=2, num_perm=16, bands=8, threshold=0.5
     )
+
+
+def _minhash_lsh_oracle(num_perm: int = 16, bands: int = 8, threshold: float = 0.5) -> str:
+    rows = num_perm // bands
+    mins = ", ".join(
+        f"MIN(({a} * h31 + {b}) % {MINHASH_PRIME}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_params(num_perm))
+    )
+    sig_list = "[" + ", ".join(f"m{i}" for i in range(num_perm)) + "]"
+    band_rows = " UNION ALL ".join(
+        "SELECT doc_id, {b} AS band, {h} AS bh FROM sig".format(
+            b=b,
+            h=_MD5L.format(
+                X=" || '-' || ".join(
+                    f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
+                )
+            ),
+        )
+        for b in range(bands)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, g FROM toks,
+  UNNEST(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+1], ' ')) END) AS u(g)
+),
+hashes AS (SELECT doc_id, {_MD5L.format(X='g')} % {MINHASH_PRIME} AS h31 FROM sh),
+sig0 AS (SELECT doc_id, {mins} FROM hashes GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig_list} AS sig FROM sig0),
+banded AS ({band_rows}),
+cands AS (
+  SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh
+  WHERE l.doc_id < r.doc_id
+),
+scored AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(len(list_filter(generate_series(1, {num_perm}),
+                               i -> sa.sig[i] = sb.sig[i])) / {num_perm}.0,
+               6) AS est_jaccard
+  FROM cands c
+  JOIN sig sa ON sa.doc_id = c.id_a
+  JOIN sig sb ON sb.doc_id = c.id_b
+)
+SELECT id_a, id_b, est_jaccard FROM scored WHERE est_jaccard >= {threshold}
+"""
+
+
+O_MINHASH_LSH_PAIRS = _minhash_lsh_oracle(16, 8, 0.5)
 
 
 # --------------------------------------------------------------------------
@@ -1062,13 +1138,48 @@ SELECT id_a, id_b, cosine_sim FROM sims WHERE cosine_sim >= 0.3
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Approximate by construction -> rows-only check."""
+    """Approximate by construction but fully deterministic: the LCG
+    hyperplanes (similarity.hyperplanes) are fixed literals, so the DuckDB
+    oracle recomputes the identical sign-bucket blocking + in-bucket exact
+    cosine ranking."""
     setup(spark, sf_dir)
     emb = _emb_double(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 10)
     return similarity.lsh_topk(emb, queries, k=5, num_planes=4).select(
         "query_id", "vec_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank")
     )
+
+
+def _ann_lsh_oracle(num_planes: int = 4, dim: int = 64, k: int = 5) -> str:
+    planes = similarity.hyperplanes(num_planes, dim)
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, [{vals}]) > 0 THEN {bit} ELSE 0 END)".format(
+            vals=", ".join(repr(x) for x in plane), bit=1 << p
+        )
+        for p, plane in enumerate(planes)
+    )
+    return f"""
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bkt AS (SELECT vec_id, v, {bucket} AS bucket FROM emb),
+sims AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+         ROUND(list_dot_product(q.v, c.v) /
+               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6)
+           AS cosine_sim
+  FROM (SELECT * FROM bkt WHERE vec_id < 10) q
+  JOIN bkt c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM sims
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= {k}
+"""
+
+
+O_ANN_LSH = _ann_lsh_oracle(4, 64, 5)
 
 
 # --------------------------------------------------------------------------
@@ -1181,5 +1292,7 @@ ORACLES = {
     "similarity_topk": O_SIMILARITY_TOPK,
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
     "multimodal_decode": O_MULTIMODAL_DECODE,
-    # rows-only (no SQL-expressible oracle): minhash_lsh_pairs, ann_lsh
+    "streaming_window": O_STREAMING_WINDOW,
+    "minhash_lsh_pairs": O_MINHASH_LSH_PAIRS,
+    "ann_lsh": O_ANN_LSH,
 }
