@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from . import algorithms
 from .catalog import GraphCatalog, PropertyGraph
-from .errors import PGQBinderError, PGQParseError
+from .errors import PGQBinderError, PGQNotImplementedError, PGQParseError
 from .operators import paths as pathops
 from .parser.ast import CreatePropertyGraph, DropPropertyGraph
 from .parser.pgq_parser import Parser, parse_graph_table_body, parse_match
@@ -149,6 +149,12 @@ class PGQSession:
         et = pg.table_for_label(edge_label)
         if vt is et or not et.source_fk:
             raise PGQBinderError(f"'{edge_label}' is not an edge label")
+        if len(et.source_pk) != 1 or len(et.source_fk) != 1:
+            raise PGQNotImplementedError(
+                f"Whole-graph algorithms require a single-column vertex key; "
+                f"edge table '{et.table_name}' uses a composite key — derive "
+                "a surrogate key column first"
+            )
         pk = et.source_pk[0]
         vdf = pg.element_df(vertex_label)
         edf = pg.element_df(edge_label)
@@ -246,16 +252,23 @@ class PGQSession:
         out = None
         for et in pg.edge_tables:
             edf = pg.spark.table(et.table_name)
-            src_fk, dst_fk = et.source_fk[0], et.destination_fk[0]
+            src_fks, dst_fks = list(et.source_fk), list(et.destination_fk)
             src_vt = et.source_reference
             vdf = pg.spark.table(src_vt)
-            pk = et.source_pk[0]
+            pks = list(et.source_pk)
 
-            def degree_stats(fk_col: str, name: str):
+            def key_cond(fk_cols):
+                cond = None
+                for pk_c, fk_c in zip(pks, fk_cols):
+                    eq = vdf[pk_c] == edf[fk_c]
+                    cond = eq if cond is None else (cond & eq)
+                return cond
+
+            def degree_stats(fk_cols: list, name: str):
                 deg = (
-                    vdf.join(edf, vdf[pk] == edf[fk_col], "left")
-                    .groupBy(vdf[pk])
-                    .agg(F.count(edf[fk_col]).alias("deg"))
+                    vdf.join(edf, key_cond(fk_cols), "left")
+                    .groupBy(*[vdf[c] for c in pks])
+                    .agg(F.count(edf[fk_cols[0]]).alias("deg"))
                 )
                 return deg.agg(
                     F.avg("deg").alias(f"{name}_degree_avg"),
@@ -271,21 +284,21 @@ class PGQSession:
             )
             counts = edf.agg(
                 F.count("*").alias("edge_count"),
-                F.countDistinct(src_fk).alias("distinct_src"),
-                F.countDistinct(dst_fk).alias("distinct_dst"),
+                F.countDistinct(*src_fks).alias("distinct_src"),
+                F.countDistinct(*dst_fks).alias("distinct_dst"),
             )
             vcount = vdf.agg(F.count("*").alias("vertex_count"))
             isolated = (
-                vdf.join(edf, vdf[pk] == edf[src_fk], "left_anti")
-                .join(edf, vdf[pk] == edf[dst_fk], "left_anti")
+                vdf.join(edf, key_cond(src_fks), "left_anti")
+                .join(edf, key_cond(dst_fks), "left_anti")
                 .agg(F.count("*").alias("isolated_vertices"))
             )
             row = (
                 base.crossJoin(vcount)
                 .crossJoin(counts)
                 .crossJoin(isolated)
-                .crossJoin(degree_stats(src_fk, "out"))
-                .crossJoin(degree_stats(dst_fk, "in"))
+                .crossJoin(degree_stats(src_fks, "out"))
+                .crossJoin(degree_stats(dst_fks, "in"))
             )
             out = row if out is None else out.unionByName(row)
         if out is None:

@@ -43,6 +43,19 @@ CUSTOMER_TM_SQL = (
     "SELECT c_custkey, c_name, c_acctbal, 1 + (c_custkey % 2) * 2 AS typemask "
     "FROM customer"
 )
+# composite-key variant: vertices keyed by (nation, custkey); edges carry the
+# full two-column endpoint keys (property_graph_table.hpp:56-71 models pk/fk
+# as vectors — this exercises the multi-column join path)
+CUST2_SQL = (
+    "SELECT c_nationkey AS part1, c_custkey AS part2, c_name, c_acctbal "
+    "FROM customer"
+)
+EDGES2_SQL = (
+    "SELECT s.c_nationkey AS src1, e.src AS src2, d.c_nationkey AS dst1, "
+    "e.dst AS dst2, e.w FROM ({e}) e "
+    "JOIN customer s ON s.c_custkey = e.src "
+    "JOIN customer d ON d.c_custkey = e.dst"
+).format(e=EDGES_SQL)
 
 GRAPH_DDL = """
 CREATE OR REPLACE PROPERTY GRAPH social
@@ -57,6 +70,18 @@ EDGE TABLES (
     c_edges AS ce2 SOURCE KEY (src) REFERENCES customer_tm (c_custkey)
             DESTINATION KEY (dst) REFERENCES customer_tm (c_custkey)
             EDGE ID (eid) LABEL FollowsTM
+)
+"""
+
+GRAPH2_DDL = """
+CREATE OR REPLACE PROPERTY GRAPH social2
+VERTEX TABLES (
+    cust2 PROPERTIES (part1, part2, c_name, c_acctbal) LABEL C2
+)
+EDGE TABLES (
+    edges2 SOURCE KEY (src1, src2) REFERENCES cust2 (part1, part2)
+           DESTINATION KEY (dst1, dst2) REFERENCES cust2 (part1, part2)
+           LABEL F2
 )
 """
 
@@ -76,8 +101,11 @@ def setup(spark: SparkSession, sf_dir: str) -> PGQSession:
     register_all(spark, sf_dir)
     spark.sql(f"CREATE OR REPLACE TEMP VIEW c_edges AS {EDGES_SQL}")
     spark.sql(f"CREATE OR REPLACE TEMP VIEW customer_tm AS {CUSTOMER_TM_SQL}")
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW cust2 AS {CUST2_SQL}")
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW edges2 AS {EDGES2_SQL}")
     pgq = PGQSession(spark)
     pgq.execute(GRAPH_DDL)
+    pgq.execute(GRAPH2_DDL)
     _SETUP[key] = pgq
     return pgq
 
@@ -218,6 +246,37 @@ O_MATCH_INHERITANCE = _with_e(
          ON b.c_custkey = e.dst
        WHERE a.c_custkey < 50""".format(TM=CUSTOMER_TM_SQL)
 )
+
+
+def q_match_composite_key(spark, sf_dir):
+    """2-hop MATCH over a graph whose vertices are keyed by a composite
+    (nation, custkey) pair — every endpoint join is a two-column equality
+    (reference models pk/fk as vectors, property_graph_table.hpp:56-71)."""
+    pgq = setup(spark, sf_dir)
+    return pgq.graph_table(
+        """social2 MATCH (a:C2)-[f:F2]->(b:C2)-[g:F2]->(c:C2)
+           WHERE a.c_acctbal > 9500 AND a.part1 <> b.part1
+           COLUMNS (a.part1 AS a_n, a.part2 AS a_key, b.part2 AS b_key,
+                    c.part2 AS c_key, g.w AS w2)"""
+    )
+
+
+O_MATCH_COMPOSITE_KEY = f"""
+WITH e0 AS ({EDGES_SQL}),
+e2 AS (SELECT s.c_nationkey AS src1, e0.src AS src2, d.c_nationkey AS dst1,
+              e0.dst AS dst2, e0.w
+       FROM e0 JOIN customer s ON s.c_custkey = e0.src
+               JOIN customer d ON d.c_custkey = e0.dst),
+c2 AS ({CUST2_SQL})
+SELECT a.part1 AS a_n, a.part2 AS a_key, b.part2 AS b_key,
+       c.part2 AS c_key, g.w AS w2
+FROM c2 a
+JOIN e2 f ON f.src1 = a.part1 AND f.src2 = a.part2
+JOIN c2 b ON b.part1 = f.dst1 AND b.part2 = f.dst2
+JOIN e2 g ON g.src1 = b.part1 AND g.src2 = b.part2
+JOIN c2 c ON c.part1 = g.dst1 AND c.part2 = g.dst2
+WHERE a.c_acctbal > 9500 AND a.part1 <> b.part1
+"""
 
 
 # --------------------------------------------------------------------------
@@ -1219,6 +1278,7 @@ QUERIES = {
     "match_bidirected": q_match_bidirected,
     "match_triangle": q_match_triangle,
     "match_inheritance": q_match_inheritance,
+    "match_composite_key": q_match_composite_key,
     "var_length_1_2": q_var_length_1_2,
     "shortest_len": q_shortest_len,
     "reachability": q_reachability,
@@ -1262,6 +1322,7 @@ ORACLES = {
     "match_bidirected": O_MATCH_BIDIRECTED,
     "match_triangle": O_MATCH_TRIANGLE,
     "match_inheritance": O_MATCH_INHERITANCE,
+    "match_composite_key": O_MATCH_COMPOSITE_KEY,
     "var_length_1_2": O_VAR_LENGTH_1_2,
     "shortest_len": O_SHORTEST_LEN,
     "reachability": O_REACHABILITY,

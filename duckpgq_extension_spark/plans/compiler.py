@@ -66,8 +66,17 @@ class MatchCompiler:
         # binding -> {"kind": "vertex"|"edge"|"path", "pgt": PropertyGraphTable|None}
         self.bound: dict[str, dict] = {}
         self.filters: list[str] = []
-        # path variable -> binding of the virtual path-edge DataFrame
+        # path variable -> binding of its first contributing segment (used
+        # for the bare-variable rejection); the actual path value is the
+        # concatenation of per-segment SQL exprs in path_segments
         self.path_vars: dict[str, str] = {}
+        # path variable -> list of SQL exprs, each an array<bigint> segment
+        # of the interleaved [v,e,v,...] path in pattern order (the Spark
+        # analog of the reference's list_value/list_concat/array_pop_front
+        # composition, match.cpp:497-707)
+        self.path_segments: dict[str, list[str]] = {}
+        # path variables that already consumed a quantified segment
+        self.path_quantified: set[str] = set()
 
     # ------------------------------------------------------------------
     def compile(self) -> DataFrame:
@@ -98,24 +107,16 @@ class MatchCompiler:
                 raise PGQBinderError("Path pattern must alternate vertex-edge-vertex")
             # ANY SHORTEST over a plain edge unwraps to an ordinary join,
             # like the reference's {1,1} unwrap (match.cpp:590-597).  BFS is
-            # used ONLY for truly quantified edges; a fixed edge additionally
-            # routes through BFS {1,1} when the pattern names a path variable
-            # and has no quantified edge at all (the variable must bind to
-            # something).  Routing every fixed edge through BFS under ANY
-            # SHORTEST would make the LAST segment silently capture the path
-            # variable — exactly the bug mixed fixed+quantified patterns hit.
-            has_quantified = any(
-                isinstance(el, EdgeElement) and el.quantified for el in elems
-            )
-            use_paths = edge.quantified or (
-                pattern.shortest
-                and pattern.path_variable is not None
-                and not has_quantified
-            )
-            if use_paths:
+            # used ONLY for truly quantified edges; fixed edges always
+            # plain-bind, and when the pattern names a path variable each
+            # fixed segment contributes [v, e, v] directly to the path —
+            # matching the reference's CreatePathFindingFunction, which
+            # list_value's fixed segments and only calls shortestpath for
+            # subpaths with upper > 1 (match.cpp:497-620).
+            if edge.quantified:
                 self._bind_path_edge(pattern, elems[i - 1], edge, nxt)
             else:
-                self._bind_plain_edge(elems[i - 1], edge, nxt)
+                self._bind_plain_edge(pattern, elems[i - 1], edge, nxt)
 
     def _vertex_pgt(self, v: VertexElement) -> PropertyGraphTable:
         if v.label is None:
@@ -140,27 +141,39 @@ class MatchCompiler:
             self.filters.append(v.where)
 
     def _single_key(self, cols: list[str], what: str) -> str:
+        """Path-finding/BFS routes need one integral key per vertex (the
+        interleaved path arrays are flat longs, like the reference's rowid
+        lists).  Composite keys work for fixed-hop MATCH joins; here they
+        fail loudly instead of producing wrong results."""
         if len(cols) != 1:
             raise PGQNotImplementedError(
-                f"Composite {what} keys are not supported yet"
+                f"Composite {what} keys are not supported for path-finding "
+                "or variable-length patterns (fixed-hop MATCH supports them); "
+                "derive a single surrogate key column first"
             )
         return cols[0]
 
-    def _endpoint_pk(self, pgt: PropertyGraphTable, vertex_pgt: PropertyGraphTable, prefer_source: bool) -> str:
-        """pk column of the vertex table as referenced by this edge table."""
+    def _endpoint_pks(self, pgt: PropertyGraphTable, vertex_pgt: PropertyGraphTable, prefer_source: bool) -> list[str]:
+        """pk columns of the vertex table as referenced by this edge table
+        (multi-column for composite keys, property_graph_table.hpp:56-71)."""
         if prefer_source and pgt.source_reference == vertex_pgt.table_name:
-            return self._single_key(pgt.source_pk, "SOURCE")
+            return pgt.source_pk
         if pgt.destination_reference == vertex_pgt.table_name:
-            return self._single_key(pgt.destination_pk, "DESTINATION")
+            return pgt.destination_pk
         if pgt.source_reference == vertex_pgt.table_name:
-            return self._single_key(pgt.source_pk, "SOURCE")
+            return pgt.source_pk
         raise PGQBinderError(
             f"Edge table '{pgt.table_name}' does not reference vertex table "
             f"'{vertex_pgt.table_name}'"
         )
 
+    def _endpoint_pk(self, pgt: PropertyGraphTable, vertex_pgt: PropertyGraphTable, prefer_source: bool) -> str:
+        pks = self._endpoint_pks(pgt, vertex_pgt, prefer_source)
+        what = "SOURCE" if pgt.source_reference == vertex_pgt.table_name else "DESTINATION"
+        return self._single_key(pks, what)
+
     def _bind_plain_edge(
-        self, prev: VertexElement, edge: EdgeElement, nxt: VertexElement
+        self, pattern: PathPattern, prev: VertexElement, edge: EdgeElement, nxt: VertexElement
     ) -> None:
         if edge.binding in self.bound:
             raise PGQBinderError(
@@ -173,10 +186,27 @@ class MatchCompiler:
         pgt = self.pg.table_for_label(edge.label)
         if pgt.is_vertex:
             raise PGQBinderError(f"Label '{edge.label}' is a vertex label, not an edge")
-        src_fk = self._single_key(pgt.source_fk, "SOURCE")
-        dst_fk = self._single_key(pgt.destination_fk, "DESTINATION")
+        # composite (multi-column) keys join on every fk/pk pair
+        # (property_graph_table.hpp:56-71 models pk/fk as vectors)
+        src_fks = list(pgt.source_fk)
+        dst_fks = list(pgt.destination_fk)
         e = edge.binding
         edf = self.pg.element_df(edge.label)
+        path_var = pattern.path_variable
+        eid_col = None
+        if path_var is not None:
+            # this fixed segment will contribute [v, e, v] to the named
+            # path; it needs an edge id (the reference uses rowid,
+            # match.cpp:602-620)
+            if pgt.edge_id_col is not None:
+                eid_col = pgt.edge_id_col
+                pathops.require_integral_keys(
+                    edf, [eid_col], f"edge table '{pgt.table_name}' (EDGE ID)"
+                )
+            else:
+                # per-query fallback id, fully distributed (see paths.py)
+                edf = edf.withColumn("__pgq_eid", F.monotonically_increasing_id())
+                eid_col = "__pgq_eid"
 
         nxt_new = nxt.binding not in self.bound
         prev_pgt = self.bound[prev.binding]["pgt"]
@@ -185,24 +215,34 @@ class MatchCompiler:
             # undirected: union of both orientations (match.cpp:365-392)
             cols = [c for c in edf.columns]
             fwd = edf.select(
-                F.col(src_fk).alias("__pgq_from"), F.col(dst_fk).alias("__pgq_to"), *cols
+                *[F.col(c).alias(f"__pgq_from_{i}") for i, c in enumerate(src_fks)],
+                *[F.col(c).alias(f"__pgq_to_{i}") for i, c in enumerate(dst_fks)],
+                *cols,
             )
             rev = edf.select(
-                F.col(dst_fk).alias("__pgq_from"), F.col(src_fk).alias("__pgq_to"), *cols
+                *[F.col(c).alias(f"__pgq_from_{i}") for i, c in enumerate(dst_fks)],
+                *[F.col(c).alias(f"__pgq_to_{i}") for i, c in enumerate(src_fks)],
+                *cols,
             )
             edf = fwd.unionByName(rev)
-            from_col, to_col = "__pgq_from", "__pgq_to"
-            prev_endpoint, nxt_endpoint = prev, nxt
+            from_cols = [f"__pgq_from_{i}" for i in range(len(src_fks))]
+            to_cols = [f"__pgq_to_{i}" for i in range(len(dst_fks))]
         elif edge.direction == EDGE_LEFT:
-            from_col, to_col = src_fk, dst_fk
-            prev_endpoint, nxt_endpoint = nxt, prev  # e.src = b, e.dst = a
+            from_cols, to_cols = src_fks, dst_fks  # e.src = b, e.dst = a
         else:  # RIGHT and BOTH share the forward orientation
-            from_col, to_col = src_fk, dst_fk
-            prev_endpoint, nxt_endpoint = prev, nxt
+            from_cols, to_cols = src_fks, dst_fks
 
-        def endpoint_cond(binding_v: str, vpgt, col: str, is_source: bool) -> str:
-            pk = self._endpoint_pk(pgt, vpgt, prefer_source=is_source)
-            return f"{_q(e)}.{_q(col)} = {_q(binding_v)}.{_q(pk)}"
+        def endpoint_cond(binding_v: str, vpgt, cols_e: list[str], is_source: bool) -> str:
+            pks = self._endpoint_pks(pgt, vpgt, prefer_source=is_source)
+            if len(pks) != len(cols_e):
+                raise PGQBinderError(
+                    f"Edge table '{pgt.table_name}': key column count mismatch "
+                    f"({len(cols_e)} fk vs {len(pks)} pk)"
+                )
+            return " AND ".join(
+                f"{_q(e)}.{_q(c)} = {_q(binding_v)}.{_q(pk)}"
+                for c, pk in zip(cols_e, pks)
+            )
 
         # figure out which side condition mentions prev (already in plan) vs nxt
         swapped = edge.direction == EDGE_LEFT
@@ -212,11 +252,11 @@ class MatchCompiler:
             nxt_pgt = self.bound[nxt.binding]["pgt"]
 
         if swapped:
-            cond_prev = endpoint_cond(prev.binding, prev_pgt, to_col, is_source=False)
-            cond_nxt = endpoint_cond(nxt.binding, nxt_pgt, from_col, is_source=True)
+            cond_prev = endpoint_cond(prev.binding, prev_pgt, to_cols, is_source=False)
+            cond_nxt = endpoint_cond(nxt.binding, nxt_pgt, from_cols, is_source=True)
         else:
-            cond_prev = endpoint_cond(prev.binding, prev_pgt, from_col, is_source=True)
-            cond_nxt = endpoint_cond(nxt.binding, nxt_pgt, to_col, is_source=False)
+            cond_prev = endpoint_cond(prev.binding, prev_pgt, from_cols, is_source=True)
+            cond_nxt = endpoint_cond(nxt.binding, nxt_pgt, to_cols, is_source=False)
 
         if nxt_new:
             self.plan = self.plan.join(edf.alias(e), F.expr(cond_prev))
@@ -232,15 +272,45 @@ class MatchCompiler:
         if edge.direction == EDGE_BOTH:
             # require the reverse edge too (match.cpp:416-444): second aliased copy
             e2 = f"__rev_{e}"
-            rev_cond = (
-                f"{_q(e2)}.{_q(src_fk)} = {_q(nxt.binding)}."
-                f"{_q(self._endpoint_pk(pgt, nxt_pgt, prefer_source=True))} AND "
-                f"{_q(e2)}.{_q(dst_fk)} = {_q(prev.binding)}."
-                f"{_q(self._endpoint_pk(pgt, prev_pgt, prefer_source=False))}"
+            nxt_pks = self._endpoint_pks(pgt, nxt_pgt, prefer_source=True)
+            prev_pks = self._endpoint_pks(pgt, prev_pgt, prefer_source=False)
+            rev_cond = " AND ".join(
+                [
+                    f"{_q(e2)}.{_q(c)} = {_q(nxt.binding)}.{_q(pk)}"
+                    for c, pk in zip(src_fks, nxt_pks)
+                ]
+                + [
+                    f"{_q(e2)}.{_q(c)} = {_q(prev.binding)}.{_q(pk)}"
+                    for c, pk in zip(dst_fks, prev_pks)
+                ]
             )
             self.plan = self.plan.join(
                 self.pg.element_df(edge.label).alias(e2), F.expr(rev_cond)
             )
+        if path_var is not None:
+            # contribute this fixed segment to the named path, in pattern
+            # order (direction does not reorder the contribution — the
+            # reference appends prev/edge/next rowids as written,
+            # match.cpp:602-620)
+            prev_pk = self._endpoint_pk(pgt, prev_pgt, prefer_source=not swapped)
+            nxt_pk = self._endpoint_pk(pgt, nxt_pgt, prefer_source=swapped)
+            pathops.require_integral_keys(
+                self.pg.spark.table(prev_pgt.table_name), [prev_pk],
+                f"vertex table '{prev_pgt.table_name}' (named path)",
+            )
+            pathops.require_integral_keys(
+                self.pg.spark.table(nxt_pgt.table_name), [nxt_pk],
+                f"vertex table '{nxt_pgt.table_name}' (named path)",
+            )
+            self.path_vars.setdefault(path_var, e)
+            segs = self.path_segments.setdefault(path_var, [])
+            eid_sql = f"cast({_q(e)}.{_q(eid_col)} as bigint)"
+            nxt_sql = f"cast({_q(nxt.binding)}.{_q(nxt_pk)} as bigint)"
+            if segs:
+                segs.append(f"array({eid_sql}, {nxt_sql})")
+            else:
+                prev_sql = f"cast({_q(prev.binding)}.{_q(prev_pk)} as bigint)"
+                segs.append(f"array({prev_sql}, {eid_sql}, {nxt_sql})")
         if edge.where:
             self.filters.append(edge.where)
         if nxt.where:
@@ -353,13 +423,22 @@ class MatchCompiler:
         elif lower > 0:
             self.filters.append(f"{_q(e)}.`dist` >= {lower}")
         if pattern.path_variable:
-            if pattern.path_variable in self.path_vars:
+            if pattern.path_variable in self.path_quantified:
                 raise PGQNotImplementedError(
                     f"Path variable '{pattern.path_variable}' spans multiple "
                     "quantified segments; bind at most one quantified edge "
                     "per named path"
                 )
-            self.path_vars[pattern.path_variable] = e
+            self.path_quantified.add(pattern.path_variable)
+            self.path_vars.setdefault(pattern.path_variable, e)
+            segs = self.path_segments.setdefault(pattern.path_variable, [])
+            p = f"{_q(e)}.`path`"
+            if segs:
+                # the segment's source vertex equals the previous segment's
+                # endpoint: drop it (array_pop_front, match.cpp:580-589)
+                segs.append(f"slice({p}, 2, greatest(size({p}) - 1, 0))")
+            else:
+                segs.append(p)
         if nxt.where:
             self.filters.append(nxt.where)
 
@@ -435,10 +514,13 @@ class MatchCompiler:
                 )
 
     def _path_fn_col(self, item: ColumnItem):
-        e = self.path_vars.get(item.path_var)
-        if e is None:
+        segs = self.path_segments.get(item.path_var)
+        if not segs:
             raise PGQBinderError(f"Path variable '{item.path_var}' is not defined")
-        p = f"{_q(e)}.`path`"
+        # full-pattern path: concatenation of every segment in pattern order
+        # (fixed [v,e,v] triples and pop-fronted BFS arrays alike,
+        # CreatePathFindingFunction, match.cpp:497-707)
+        p = segs[0] if len(segs) == 1 else "concat(" + ", ".join(segs) + ")"
         if item.fn == "element_id":
             col = F.expr(p)
         elif item.fn == "path_length":

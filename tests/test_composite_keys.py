@@ -1,0 +1,125 @@
+"""Composite (multi-column) vertex keys.
+
+The reference models pk/fk as vectors (property_graph_table.hpp:56-71) and
+its DDL exercises explicit multi-column SOURCE/DESTINATION KEY clauses
+(create_pg_with_pk_fk.test drives the explicit-keys error surface).  Here:
+
+- DDL with two-column keys validates and round-trips.
+- Fixed-hop MATCH joins on every fk/pk pair (directed, undirected,
+  bidirected).
+- Path-finding / whole-graph algorithms reject composite keys loudly
+  (the interleaved path arrays are flat longs, like the reference's rowid
+  lists — a surrogate key is required).
+- Key arity mismatches are DDL-time binder errors.
+"""
+
+import pytest
+from pyspark.sql import Row
+
+from duckpgq_extension_spark import PGQSession
+from duckpgq_extension_spark.errors import PGQBinderError, PGQNotImplementedError
+
+from .conftest import rows
+
+
+@pytest.fixture(scope="session")
+def ck_pg(spark):
+    """Vertices keyed by (grp, num): A=(1,1), B=(1,2), C=(2,1).
+    Edges A->B, B->C, C->A.  A and C share num=1, so a join that used
+    only one key column would produce spurious matches — the tests rely
+    on that to prove both columns participate in every endpoint join."""
+    spark.createDataFrame(
+        [
+            Row(grp=1, num=1, name="A"),
+            Row(grp=1, num=2, name="B"),
+            Row(grp=2, num=1, name="C"),
+        ],
+        "grp long, num long, name string",
+    ).createOrReplaceTempView("ck_nodes")
+    spark.createDataFrame(
+        [
+            Row(sg=1, sn=1, dg=1, dn=2, tag="ab"),
+            Row(sg=1, sn=2, dg=2, dn=1, tag="bc"),
+            Row(sg=2, sn=1, dg=1, dn=1, tag="ca"),
+        ],
+        "sg long, sn long, dg long, dn long, tag string",
+    ).createOrReplaceTempView("ck_edges")
+    s = PGQSession(spark)
+    s.execute(
+        """CREATE PROPERTY GRAPH ck_pg
+           VERTEX TABLES ( ck_nodes LABEL N )
+           EDGE TABLES ( ck_edges SOURCE KEY (sg, sn) REFERENCES ck_nodes (grp, num)
+                         DESTINATION KEY (dg, dn) REFERENCES ck_nodes (grp, num)
+                         LABEL E )"""
+    )
+    return s
+
+
+def test_composite_ddl_roundtrip(ck_pg):
+    t = ck_pg.graph("ck_pg").edge_tables[0]
+    assert t.source_fk == ["sg", "sn"] and t.source_pk == ["grp", "num"]
+
+
+def test_composite_one_hop(ck_pg):
+    df = ck_pg.graph_table(
+        """ck_pg MATCH (a:N)-[e:E]->(b:N)
+           COLUMNS (a.name AS a_name, b.name AS b_name, e.tag AS tag)"""
+    )
+    assert rows(df) == [("A", "B", "ab"), ("B", "C", "bc"), ("C", "A", "ca")]
+
+
+def test_composite_two_hop_shared_binding(ck_pg):
+    df = ck_pg.graph_table(
+        """ck_pg MATCH (a:N)-[e1:E]->(b:N)-[e2:E]->(c:N)
+           WHERE a.name = 'A'
+           COLUMNS (a.name AS a_name, b.name AS b_name, c.name AS c_name)"""
+    )
+    assert rows(df) == [("A", "B", "C")]
+
+
+def test_composite_undirected(ck_pg):
+    df = ck_pg.graph_table(
+        """ck_pg MATCH (a:N WHERE a.name = 'A')-[e:E]-(b:N)
+           COLUMNS (b.name AS b_name)"""
+    )
+    # undirected from A: forward A->B, reverse C->A
+    assert rows(df) == [("B",), ("C",)]
+
+
+def test_composite_reverse(ck_pg):
+    df = ck_pg.graph_table(
+        """ck_pg MATCH (a:N WHERE a.name = 'A')<-[e:E]-(b:N)
+           COLUMNS (b.name AS b_name)"""
+    )
+    assert rows(df) == [("C",)]
+
+
+def test_composite_quantified_raises(ck_pg):
+    with pytest.raises(PGQNotImplementedError, match="[Cc]omposite"):
+        ck_pg.graph_table(
+            """ck_pg MATCH (a:N)-[e:E]->{1,2}(b:N) COLUMNS (a.name AS a_name)"""
+        )
+
+
+def test_composite_pagerank_raises(ck_pg):
+    with pytest.raises(PGQNotImplementedError, match="composite"):
+        ck_pg.pagerank("ck_pg", "N", "E")
+
+
+def test_composite_arity_mismatch_rejected(spark, ck_pg):
+    s = PGQSession(spark)
+    with pytest.raises(PGQBinderError, match="arity"):
+        s.execute(
+            """CREATE PROPERTY GRAPH ck_bad
+               VERTEX TABLES ( ck_nodes LABEL BN )
+               EDGE TABLES ( ck_edges SOURCE KEY (sg, sn) REFERENCES ck_nodes (grp)
+                             DESTINATION KEY (dg, dn) REFERENCES ck_nodes (grp, num)
+                             LABEL BE )"""
+        )
+
+
+def test_composite_summarize(ck_pg):
+    row = ck_pg.summarize_property_graph("ck_pg").collect()[0]
+    assert row.vertex_count == 3 and row.edge_count == 3
+    assert row.isolated_vertices == 0
+    assert row.out_degree_avg == 1.0

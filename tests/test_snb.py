@@ -158,18 +158,20 @@ def test_bi_triangle_no_columns(snb):
 
 
 def test_complex_matching_mixed_hops(snb):
-    """complex_matching.test: fixed hop + {1,3} quantified hop + fixed hop
-    in one pattern.  The reference's golden enumerates 11 rows for this
-    seed; row multiset of (p3_id, plen+2) must match (path columns are
-    rowid-convention-specific, see COVERAGE.md deviation note)."""
+    """complex_matching.test golden: fixed hop + {1,3} quantified hop +
+    fixed hop concatenate into ONE named path (CheckNamedSubpath +
+    CreatePathFindingFunction, match.cpp:497-790), so path_length counts
+    all three segments — exact parity with the reference's plen column.
+    Path element ids follow the natural-key convention (the reference
+    emits rowids), so vertices/element_id are checked structurally."""
     df = snb.graph_table(
         """snb MATCH o = ANY SHORTEST (p4:Person WHERE p4.id = 19791209299968)-[w3:knows]->(p:Person)-[w:knows]->{1,3}(p2:Person)-[w2:knows]->(p3:Person)
-           COLUMNS (p3.id AS p3_id, path_length(o) AS qlen, p4.id AS p4_id, p.id AS p_id)"""
+           COLUMNS (p3.id AS p3_id, path_length(o) AS plen, vertices(o) AS vs,
+                    element_id(o) AS eids, edges(o) AS es,
+                    p4.id AS p4_id, p.id AS p_id, p2.id AS p2_id)"""
     )
-    # reference path_length counts all three segments (2 fixed hops + the
-    # quantified segment); our path variable scopes the quantified segment
-    # only, so qlen + 2 == the reference's plen
-    got = sorted((r["p3_id"], r["qlen"] + 2) for r in df.collect())
+    rows_ = df.collect()
+    got = sorted((r["p3_id"], r["plen"]) for r in rows_)
     expected = sorted(
         [
             (28587302322180, 3), (28587302322196, 3), (28587302322204, 3),
@@ -179,6 +181,34 @@ def test_complex_matching_mixed_hops(snb):
         ]
     )
     assert got == expected
+    for r in rows_:
+        # interleaved [v, e, v, ..., v]; vertices = odd slots, edges = even
+        assert len(r["eids"]) == 2 * r["plen"] + 1
+        assert r["vs"] == r["eids"][0::2]
+        assert r["es"] == r["eids"][1::2]
+        # endpoints and the first fixed hop resolve to the bound vertices
+        assert r["vs"][0] == 19791209299968
+        assert r["vs"][1] == r["p_id"]
+        assert r["vs"][-2] == r["p2_id"]
+        assert r["vs"][-1] == r["p3_id"]
+
+
+def test_complex_matching_heterogeneous_tail(snb):
+    """complex_matching.test:96-117 golden: quantified Person segment
+    followed by a fixed hop into a DIFFERENT vertex table (Tag) inside a
+    named path — the fixed tail plain-binds and joins the BFS output."""
+    df = snb.graph_table(
+        """snb MATCH o = ANY SHORTEST (p:Person)-[w:knows]->{1,3}(p2:Person)-[i:hasInterest]->(t:Tag)
+           COLUMNS (p.id AS p_id, p2.id AS p2_id, t.id AS t_id)"""
+    )
+    got = sorted(tuple(r) for r in df.collect())[:10]
+    assert got == [
+        (14, 10995116277782, 470), (14, 10995116277782, 588),
+        (14, 10995116277782, 598), (14, 10995116277782, 798),
+        (14, 10995116277782, 805), (14, 10995116277782, 974),
+        (14, 10995116277782, 1031), (14, 10995116277782, 1174),
+        (14, 10995116277782, 1183), (14, 10995116277782, 1527),
+    ]
 
 
 def test_arrow_whitespace_variants(snb):
