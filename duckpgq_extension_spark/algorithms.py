@@ -23,8 +23,10 @@ truncate lineage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+
+from .operators import paths as pathops
 
 DAMPING = 0.85
 TOLERANCE = 1e-6
@@ -92,12 +94,16 @@ def pagerank(
                 .groupBy(F.col("e.dst").alias("vid"))
                 .agg(F.sum("share").alias("in_mass"))
             )
-            new_ranks = (
-                vertices.alias("v")
-                .join(contribs.alias("c"), F.col("v.vid") == F.col("c.vid"), "left")
+            # join the OLD ranks (one row per vid, phantoms included) rather
+            # than the vertex list, so the convergence delta is computable
+            # on this same frame — an Observation collects it during the
+            # checkpoint job, making each iteration exactly ONE job
+            new_full = (
+                ranks.alias("o")
+                .join(contribs.alias("c"), F.col("o.vid") == F.col("c.vid"), "left")
                 .crossJoin(dangling)
                 .select(
-                    F.col("v.vid").alias("vid"),
+                    F.col("o.vid").alias("vid"),
                     (
                         (1.0 - damping) / n
                         + damping
@@ -106,21 +112,20 @@ def pagerank(
                             + F.col("__dang") / n
                         )
                     ).alias("rank"),
+                    F.col("o.rank").alias("__old"),
                 )
-                .localCheckpoint(eager=True)
             )
-            if tol > 0:  # fixed-iteration mode skips the convergence job
-                delta = (
-                    new_ranks.alias("n")
-                    .join(ranks.alias("o"), F.col("n.vid") == F.col("o.vid"))
-                    .agg(F.max(F.abs(F.col("n.rank") - F.col("o.rank"))))
-                    .first()[0]
+            if tol > 0:
+                obs = Observation(f"__pgq_pr_{next(pathops._obs_seq)}")
+                new_full = new_full.observe(
+                    obs, F.max(F.abs(F.col("rank") - F.col("__old"))).alias("delta")
                 )
-                ranks = new_ranks
+                ranks = new_full.select("vid", "rank").localCheckpoint(eager=True)
+                delta = obs.get["delta"]
                 if delta is not None and delta < tol:
                     break
             else:
-                ranks = new_ranks
+                ranks = new_full.select("vid", "rank").localCheckpoint(eager=True)
         if phantom_vertices:
             ranks = ranks.join(real_vertices.toDF("vid"), "vid", "left_semi")
         return ranks.select("vid", F.col("rank").alias("pagerank"))
@@ -157,16 +162,24 @@ def weakly_connected_component(edges: DataFrame, vertices: DataFrame) -> DataFra
                 .unionByName(labels)
                 .groupBy("vid")
                 .agg(F.min("comp").alias("comp"))
-                .localCheckpoint(eager=True)
             )
-            converged = (
-                prop.alias("n")
-                .join(labels.alias("o"), F.col("n.vid") == F.col("o.vid"))
-                .where(F.col("n.comp") != F.col("o.comp"))
-                .isEmpty()
+            # left-join the previous labels back in so the changed-row count
+            # is observable during the checkpoint job — one job per round
+            # instead of a separate isEmpty probe
+            merged = prop.join(
+                labels.select("vid", F.col("comp").alias("__old")), "vid", "left"
             )
-            labels = prop
-            if converged:
+            obs = Observation(f"__pgq_wcc_{next(pathops._obs_seq)}")
+            merged = merged.observe(
+                obs,
+                F.sum(
+                    F.when(
+                        F.col("__old").isNull() | (F.col("comp") != F.col("__old")), 1
+                    ).otherwise(0)
+                ).alias("changed"),
+            )
+            labels = merged.select("vid", "comp").localCheckpoint(eager=True)
+            if not obs.get["changed"]:
                 break
         # propagation unions edge endpoints into the label set; restrict the
         # answer to the caller's vertex domain (contract: one row per input

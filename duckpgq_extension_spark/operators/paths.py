@@ -43,12 +43,30 @@ Scale notes (100 TB / 1000 executors):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import itertools
+
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 from ..errors import PGQNotImplementedError
 
 _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
+
+_obs_seq = itertools.count()
+
+
+def checkpoint_with_count(df: DataFrame) -> tuple[DataFrame, int]:
+    """Lineage-truncating checkpoint + row count in ONE Spark job.
+
+    An Observation collects count(1) while the checkpoint job materializes
+    the frame, so iterative loops get their emptiness/convergence signal
+    for free instead of launching a second `isEmpty`/`count` job per level
+    — per-level driver round-trips halve, which dominates small-frontier
+    BFS levels (the reference's kernels are single-process and have no
+    analog of this cost)."""
+    obs = Observation(f"__pgq_ckpt_{next(_obs_seq)}")
+    out = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    return out, obs.get["n"]
 
 
 def require_integral_keys(df: DataFrame, cols: list[str], context: str) -> None:
@@ -195,8 +213,8 @@ def bfs_distances(
             else:
                 nxt = expanded.dropDuplicates(["src", "dst"])
             nxt = nxt.join(visited.select("src", "dst"), ["src", "dst"], "left_anti")
-            nxt = nxt.localCheckpoint(eager=True)
-            if nxt.isEmpty():
+            nxt, n_new = checkpoint_with_count(nxt)
+            if n_new == 0:
                 break
             # each level is already materialized, so the accumulated visited
             # set is a cheap union of checkpointed frames — no extra job;
@@ -254,14 +272,20 @@ def cheapest_path_distances(
         else:
             srcs = sources.toDF("src").distinct()
         dist = srcs.select(
-            F.col("src"), F.col("src").alias("dst"), F.lit(0.0).cast("double").alias("cost")
+            F.col("src"),
+            F.col("src").alias("dst"),
+            F.lit(0.0).cast("double").alias("cost"),
+            F.lit(True).alias("__improved"),
         ).localCheckpoint(eager=True)
-        frontier = dist
         rounds = 0
         while True:
             rounds += 1
             if max_iters is not None and rounds > max_iters:
                 break
+            # relax only from rows improved last round (the frontier is a
+            # zero-cost FILTER over the checkpointed dist, not a separate
+            # materialization)
+            frontier = dist.where(F.col("__improved"))
             cand = (
                 frontier.alias("f")
                 .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
@@ -273,27 +297,39 @@ def cheapest_path_distances(
                 .groupBy("src", "dst")
                 .agg(F.min("cost").alias("cost"))
             )
-            improved = (
-                cand.alias("c")
+            # single full-outer merge keeps the best cost per (src, dst) and
+            # flags improvements; the improvement count is observed during
+            # the checkpoint job -> exactly ONE Spark job per round (vs.
+            # candidate-materialize + dist-rebuild before)
+            merged = (
+                dist.select("src", "dst", F.col("cost").alias("__old")).alias("o")
                 .join(
-                    dist.select(
-                        F.col("src"), F.col("dst"), F.col("cost").alias("old_cost")
-                    ).alias("o"),
-                    (F.col("c.src") == F.col("o.src")) & (F.col("c.dst") == F.col("o.dst")),
-                    "left",
+                    cand.alias("c"),
+                    (F.col("o.src") == F.col("c.src")) & (F.col("o.dst") == F.col("c.dst")),
+                    "full_outer",
                 )
-                .where(F.col("o.old_cost").isNull() | (F.col("c.cost") < F.col("o.old_cost")))
-                .select(F.col("c.src").alias("src"), F.col("c.dst").alias("dst"), F.col("c.cost").alias("cost"))
-                .localCheckpoint(eager=True)
+                .select(
+                    F.coalesce(F.col("o.src"), F.col("c.src")).alias("src"),
+                    F.coalesce(F.col("o.dst"), F.col("c.dst")).alias("dst"),
+                    F.when(
+                        F.col("__old").isNull() | (F.col("c.cost") < F.col("__old")),
+                        F.col("c.cost"),
+                    )
+                    .otherwise(F.col("__old"))
+                    .alias("cost"),
+                    (
+                        F.col("__old").isNull()
+                        | (F.col("c.cost") < F.col("__old"))
+                    ).alias("__improved"),
+                )
             )
-            if improved.isEmpty():
+            obs = Observation(f"__pgq_bf_{next(_obs_seq)}")
+            merged = merged.observe(
+                obs, F.sum(F.col("__improved").cast("int")).alias("n")
+            )
+            dist = merged.localCheckpoint(eager=True)
+            if not obs.get["n"]:
                 break
-            dist = (
-                dist.join(improved.select("src", "dst"), ["src", "dst"], "left_anti")
-                .unionByName(improved)
-                .localCheckpoint(eager=True)
-            )
-            frontier = improved
-        return dist
+        return dist.select("src", "dst", "cost")
     finally:
         edges.unpersist()
