@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from . import algorithms
-from .catalog import GraphCatalog, PropertyGraph
+from .catalog import GraphCatalog, PropertyGraph, table_df
 from .errors import PGQBinderError, PGQNotImplementedError, PGQParseError
 from .operators import paths as pathops
 from .parser.ast import CreatePropertyGraph, DropPropertyGraph
@@ -30,6 +30,20 @@ from .parser.pgq_parser import Parser, parse_graph_table_body, parse_match
 from .plans.compiler import compile_match
 
 _GRAPH_TABLE_RE = re.compile(r"\bGRAPH_TABLE\s*\(", re.IGNORECASE)
+
+# words that can legally follow a derived table WITHOUT being its alias —
+# used to decide whether GRAPH_TABLE(...) needs the implicit
+# `unnamed_subquery` alias (DuckDB's convention for aliasless subqueries)
+_CLAUSE_KEYWORDS = {
+    "", "where", "group", "order", "limit", "offset", "fetch", "having",
+    "qualify", "window", "union", "intersect", "except", "join", "inner",
+    "left", "right", "full", "cross", "natural", "on", "using",
+}
+
+
+def _next_word(text: str, pos: int) -> str:
+    m = re.match(r"\s*([A-Za-z_][\w$]*)?", text[pos:])
+    return (m.group(1) or "").lower() if m else ""
 
 
 class PGQSession:
@@ -137,8 +151,19 @@ class PGQSession:
             view = f"__pgq_graph_table_{self._view_counter}"
             df.createOrReplaceTempView(view)
             out.append(view)
+            # DuckDB names an aliasless derived table `unnamed_subquery`
+            # and lets queries reference its columns through that name
+            # (unnamed_subquery.test) — add the alias unless the caller
+            # wrote one
+            if _next_word(query, i) in _CLAUSE_KEYWORDS:
+                out.append(" AS unnamed_subquery")
             pos = i
-        return self.spark.sql("".join(out))
+        rewritten = "".join(out)
+        # DuckDB's FROM-first shorthand (`FROM t LIMIT 10`,
+        # unnamed_subquery.test) — Spark requires an explicit SELECT
+        if re.match(r"\s*FROM\b", rewritten, re.IGNORECASE):
+            rewritten = "SELECT * " + rewritten
+        return self.spark.sql(rewritten)
 
     # -- algorithm table functions --------------------------------------
     def _graph_frames(
@@ -251,10 +276,10 @@ class PGQSession:
         pg = self.catalog.get(graph)
         out = None
         for et in pg.edge_tables:
-            edf = pg.spark.table(et.table_name)
+            edf = table_df(pg.spark, et.table_name)
             src_fks, dst_fks = list(et.source_fk), list(et.destination_fk)
             src_vt = et.source_reference
-            vdf = pg.spark.table(src_vt)
+            vdf = table_df(pg.spark, src_vt)
             pks = list(et.source_pk)
 
             def key_cond(fk_cols):

@@ -31,6 +31,14 @@ from pyspark.sql import functions as F
 from .errors import PGQBinderError
 
 
+def table_df(spark: SparkSession, name: str) -> DataFrame:
+    """spark.table with every part of the (possibly qualified) name
+    backtick-quoted, so reserved words and exotic identifiers work as
+    backing tables (generated_sql_quoting.test uses tables named
+    "select" / "group")."""
+    return spark.table(".".join(f"`{p}`" for p in name.split(".")))
+
+
 @dataclass
 class PropertyGraphTable:
     """Metadata for one vertex or edge table registered in a property graph."""
@@ -134,7 +142,7 @@ class PropertyGraph:
         the predicate (discriminator & 2^i) = 2^i.
         """
         t, sub_idx = self.resolve_label(label)
-        df = self.spark.table(t.table_name)
+        df = table_df(self.spark, t.table_name)
         if sub_idx is not None:
             mask = 1 << sub_idx
             df = df.where(F.col(t.discriminator).bitwiseAND(F.lit(mask)) == F.lit(mask))
@@ -146,7 +154,7 @@ class PropertyGraph:
             return []
         if t.properties:
             return list(t.properties.items())
-        cols = self.spark.table(t.table_name).columns
+        cols = table_df(self.spark, t.table_name).columns
         exc = {c.lower() for c in t.except_columns}
         return [(c, c) for c in cols if c.lower() not in exc]
 
@@ -160,7 +168,7 @@ class PropertyGraph:
         vertex_names = {t.table_name for t in self.vertex_tables}
         for t in self.vertex_tables + self.edge_tables:
             try:
-                df = self.spark.table(t.table_name)
+                df = table_df(self.spark, t.table_name)
             except Exception as exc:  # AnalysisException
                 raise PGQBinderError(
                     f"Table '{t.table_name}' not found in the Spark catalog"
@@ -212,7 +220,7 @@ class PropertyGraph:
                                 f"{kind} KEY column '{c}' not found in edge table "
                                 f"'{t.table_name}'"
                             )
-                    ref_cols = {c.lower() for c in self.spark.table(ref).columns}
+                    ref_cols = {c.lower() for c in table_df(self.spark, ref).columns}
                     for c in pk:
                         if c.lower() not in ref_cols:
                             raise PGQBinderError(

@@ -426,6 +426,13 @@ class Parser:
         label = None
         where = None
         if self.match_op("["):
+            if self.is_op("]"):
+                # reference PEG grammar requires a binding or label inside
+                # edge brackets; bare `-[]->` is a syntax error
+                raise PGQParseError(
+                    "Empty edge brackets are not allowed; write -> for an "
+                    "anonymous edge or name/label the edge inside [...]"
+                )
             if self.peek() is not None and self.peek().kind in ("ident", "qident"):
                 if not self.is_kw("WHERE"):
                     binding = self.ident()
@@ -515,9 +522,8 @@ class Parser:
             )
         if re.fullmatch(r"[A-Za-z_][\w$]*", expr):
             return ColumnItem(kind="binding", text=expr, alias=alias, binding=expr.lower())
-        if alias is None:
-            m2 = re.fullmatch(r"([A-Za-z_][\w$]*)\.([A-Za-z_][\w$]*)", expr)
-            alias = m2.group(2) if m2 else None
+        # bare binding.prop refs default their output name in the compiler
+        # (which also dedups duplicates with _1/_2, nested_subquery.test)
         return ColumnItem(kind="expr", text=expr, alias=alias)
 
 

@@ -31,7 +31,7 @@ import re
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..catalog import PropertyGraph, PropertyGraphTable
+from ..catalog import PropertyGraph, PropertyGraphTable, table_df
 from ..errors import PGQBinderError, PGQNotImplementedError
 from ..operators import paths as pathops
 from ..parser.ast import (
@@ -52,10 +52,32 @@ _AGG_RE = re.compile(
     re.IGNORECASE,
 )
 _PROP_REF_RE = re.compile(r"\b([A-Za-z_][\w$]*)\s*\.\s*([A-Za-z_][\w$]*)")
+# double-quoted ANSI/PGQ identifiers inside expression text ("" = escaped ")
+_DQUOTE_IDENT_RE = re.compile(r'"((?:[^"]|"")*)"')
+# a bare `binding.prop` reference (plain or quoted prop) — its output column
+# defaults to the property name, like the reference's generated SQL
+_SIMPLE_REF_RE = re.compile(
+    r'^\s*([A-Za-z_][\w$]*)\s*\.\s*(?:([A-Za-z_][\w$]*)|"([^"]+)")\s*$'
+)
 
 
 def _q(name: str) -> str:
     return f"`{name}`"
+
+
+def _expr(text: str):
+    """F.expr with PGQ/ANSI double-quoted identifiers translated to Spark
+    backticks (generated_sql_quoting.test exercises "Name Value"-style
+    columns; Spark reads double quotes as string literals).  Single-quoted
+    string literals pass through untouched."""
+    parts = re.split(r"('(?:[^']|'')*')", text)
+    translated = "".join(
+        p
+        if p.startswith("'")
+        else _DQUOTE_IDENT_RE.sub(lambda m: "`" + m.group(1).replace('""', '"') + "`", p)
+        for p in parts
+    )
+    return F.expr(translated)
 
 
 class MatchCompiler:
@@ -90,7 +112,7 @@ class MatchCompiler:
         for f in self.filters:
             if not f.startswith("`__pgq"):
                 self._validate_expr_refs(f)
-            plan = plan.where(F.expr(f))
+            plan = plan.where(_expr(f))
         return self._project(plan)
 
     # -- pattern walking ----------------------------------------------
@@ -295,11 +317,11 @@ class MatchCompiler:
             prev_pk = self._endpoint_pk(pgt, prev_pgt, prefer_source=not swapped)
             nxt_pk = self._endpoint_pk(pgt, nxt_pgt, prefer_source=swapped)
             pathops.require_integral_keys(
-                self.pg.spark.table(prev_pgt.table_name), [prev_pk],
+                table_df(self.pg.spark, prev_pgt.table_name), [prev_pk],
                 f"vertex table '{prev_pgt.table_name}' (named path)",
             )
             pathops.require_integral_keys(
-                self.pg.spark.table(nxt_pgt.table_name), [nxt_pk],
+                table_df(self.pg.spark, nxt_pgt.table_name), [nxt_pk],
                 f"vertex table '{nxt_pgt.table_name}' (named path)",
             )
             self.path_vars.setdefault(path_var, e)
@@ -353,7 +375,7 @@ class MatchCompiler:
             edf, [src_fk, dst_fk], f"edge table '{pgt.table_name}'"
         )
         pathops.require_integral_keys(
-            self.pg.spark.table(pgt.source_reference),
+            table_df(self.pg.spark, pgt.source_reference),
             pgt.source_pk,
             f"vertex table '{pgt.source_reference}'",
         )
@@ -374,7 +396,7 @@ class MatchCompiler:
         src_pk = self._endpoint_pk(pgt, prev_info["pgt"], prefer_source=True)
         src_vdf = self.pg.element_df(prev.label or prev_info["label"]).alias(prev.binding)
         if prev.where:
-            src_vdf = src_vdf.where(F.expr(prev.where))
+            src_vdf = src_vdf.where(_expr(prev.where))
         sources = src_vdf.select(F.col(src_pk).cast("long"))
         # effective quantifier bounds: ANY SHORTEST over a plain edge = one hop
         if not edge.quantified:
@@ -455,7 +477,7 @@ class MatchCompiler:
         key = label.lower()
         if key in cache:
             return
-        vkeys = self.pg.spark.table(pgt.source_reference).select(
+        vkeys = table_df(self.pg.spark, pgt.source_reference).select(
             F.col(self._single_key(pgt.source_pk, "SOURCE")).alias("__vid")
         )
         n_edges = edf.count()
@@ -484,7 +506,7 @@ class MatchCompiler:
         info = self.bound[binding]
         cols = []
         for src, exposed in self.pg.property_columns(info["pgt"]):
-            cols.append(F.col(f"{binding}.{src}").alias(exposed))
+            cols.append(F.col(f"{_q(binding)}.{_q(src)}").alias(exposed))
         return cols
 
     def _validate_expr_refs(self, text: str) -> None:
@@ -543,6 +565,19 @@ class MatchCompiler:
     def _project(self, plan: DataFrame) -> DataFrame:
         select_cols = []
         agg_flags = []
+        # duplicate defaulted names get _1/_2 suffixes like the reference's
+        # generated SQL (nested_subquery.test: COLUMNS(p.id, p2.id) -> id,
+        # id_1); explicitly-aliased columns are never renamed
+        used_names: dict[str, int] = {}
+
+        def uniq(name: str) -> str:
+            key = name.lower()
+            if key not in used_names:
+                used_names[key] = 0
+                return name
+            used_names[key] += 1
+            return f"{name}_{used_names[key]}"
+
         for item in self.expr.columns:
             if item.kind == "star" or (item.kind == "expr" and item.text == "*"):
                 if item.kind == "star":
@@ -581,7 +616,9 @@ class MatchCompiler:
                     if len(matches) == 1:
                         b, src_col, exposed = matches[0]
                         select_cols.append(
-                            F.col(f"{b}.{src_col}").alias(item.alias or exposed)
+                            F.col(f"{_q(b)}.{_q(src_col)}").alias(
+                                item.alias or uniq(exposed)
+                            )
                         )
                         agg_flags.append(False)
                     elif len(matches) > 1:
@@ -596,8 +633,12 @@ class MatchCompiler:
                 agg_flags.append(False)
             else:
                 self._validate_expr_refs(item.text)
-                alias = item.alias or item.text
-                select_cols.append(F.expr(item.text).alias(alias))
+                if item.alias:
+                    alias = item.alias
+                else:
+                    mref = _SIMPLE_REF_RE.match(item.text)
+                    alias = uniq(mref.group(2) or mref.group(3)) if mref else item.text
+                select_cols.append(_expr(item.text).alias(alias))
                 agg_flags.append(bool(_AGG_RE.match(item.text)))
         if agg_flags and all(agg_flags):
             return plan.agg(*select_cols)
