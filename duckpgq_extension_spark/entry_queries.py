@@ -394,6 +394,52 @@ O_SHORTEST_PATH_VERTICES = _with_e(
 )
 
 
+def q_topk_paths(spark, sf_dir):
+    """Beyond-reference SHORTEST k (the reference rejects it with "TopK has
+    not been implemented yet.", top_k.test:33-49): the k best walks per
+    (src, dst) ranked by (hop count, lexicographic interleaved path).  The
+    interleaved [v,e,v,...] path is serialized to a string so the driver
+    can hash it.  Note the rank runs over ALL walks of length <= upper
+    (including the 0-hop self walk); the quantifier bound filters AFTER
+    ranking — mirrored exactly in the oracle."""
+    pgq = setup(spark, sf_dir)
+    df = pgq.graph_table(
+        """social MATCH p = SHORTEST 2 (a:Customer WHERE a.c_custkey < 3)-[f:Follows]->{1,3}(b:Customer)
+           COLUMNS (a.c_custkey AS a_key, b.c_custkey AS b_key,
+                    path_length(p) AS plen, element_id(p) AS path_elems)"""
+    )
+    return df.select(
+        "a_key",
+        "b_key",
+        "plen",
+        F.concat_ws(
+            "->", F.transform(F.col("path_elems"), lambda x: x.cast("string"))
+        ).alias("path_str"),
+    )
+
+
+O_TOPK_PATHS = _with_e(
+    """, paths(src, dst, d, path) AS (
+         SELECT c_custkey, c_custkey, 0, [CAST(c_custkey AS BIGINT)]
+         FROM customer WHERE c_custkey < 3
+         UNION
+         SELECT p.src, e.dst, p.d + 1,
+                list_append(list_append(p.path, CAST(e.eid AS BIGINT)),
+                            CAST(e.dst AS BIGINT))
+         FROM paths p JOIN e ON e.src = p.dst WHERE p.d < 3
+       ),
+       ranked AS (
+         SELECT src, dst, d, path,
+                row_number() OVER (PARTITION BY src, dst ORDER BY d, path) AS rn
+         FROM paths
+       )
+       SELECT src AS a_key, dst AS b_key, CAST(d AS BIGINT) AS plen,
+              array_to_string(path, '->') AS path_str
+       FROM ranked WHERE rn <= 2 AND d BETWEEN 1 AND 3""",
+    recursive=True,
+)
+
+
 def q_cheapest_path(spark, sf_dir):
     setup(spark, sf_dir)
     edges = pathops.edge_frame(
@@ -1283,6 +1329,7 @@ QUERIES = {
     "shortest_len": q_shortest_len,
     "reachability": q_reachability,
     "shortest_path_vertices": q_shortest_path_vertices,
+    "topk_paths": q_topk_paths,
     "cheapest_path": q_cheapest_path,
     "pagerank": q_pagerank,
     "wcc": q_wcc,
@@ -1327,6 +1374,7 @@ ORACLES = {
     "shortest_len": O_SHORTEST_LEN,
     "reachability": O_REACHABILITY,
     "shortest_path_vertices": O_SHORTEST_PATH_VERTICES,
+    "topk_paths": O_TOPK_PATHS,
     "cheapest_path": O_CHEAPEST_PATH,
     "pagerank": O_PAGERANK,
     "wcc": O_WCC,

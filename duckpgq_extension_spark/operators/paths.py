@@ -144,6 +144,7 @@ def bfs_distances(
     track_paths: bool = False,
     num_partitions: int | None = None,
     checkpoint_every: int = 1,
+    k: int = 1,
 ) -> DataFrame:
     """All-pairs-from-sources BFS: returns (src, dst, dist [, path]).
 
@@ -162,7 +163,16 @@ def bfs_distances(
     array is kept (deterministic; see module notes).  The reference keeps
     an arbitrary one (shortest_path.cpp:28-29) — any shortest path is a
     valid ANY SHORTEST answer, so this is a compatible refinement.
+
+    k > 1 (beyond-reference `SHORTEST k`, which the reference rejects,
+    top_k.test:33-49) keeps the k best walks per (src, dst) ordered by
+    (dist, lexicographic path) — up to k rows per pair.  Correct for WALK
+    semantics because the k best walks to a vertex extend the k best walks
+    to its predecessors; entries beyond k are pruned permanently, bounding
+    state at k rows per pair regardless of cycles.
     """
+    if k > 1 and not track_paths:
+        raise ValueError("k > 1 requires track_paths (paths break ties)")
     if track_paths and "edge_id" not in edges.columns:
         raise ValueError("track_paths requires an edge_id column (use edge_frame)")
     edges = _prep_edges(edges, num_partitions)
@@ -203,16 +213,37 @@ def bfs_distances(
                     ),
                 )
             )
-            if track_paths:
+            if k > 1:
+                # keep the lex-smallest candidates that fit the remaining
+                # per-pair capacity (k minus walks already kept); later
+                # levels only ever ADD longer walks, so adding in level
+                # order == ranking by (dist, path)
+                from pyspark.sql import Window
+
+                counts = visited.groupBy("src", "dst").agg(
+                    F.count("*").alias("__cnt")
+                )
+                w = Window.partitionBy("src", "dst").orderBy("path")
+                nxt = (
+                    expanded.withColumn("__rn", F.row_number().over(w))
+                    .join(counts, ["src", "dst"], "left")
+                    .where(
+                        F.col("__rn")
+                        <= F.lit(k) - F.coalesce(F.col("__cnt"), F.lit(0))
+                    )
+                    .drop("__rn", "__cnt")
+                )
+            elif track_paths:
                 # deterministic tie-break: lexicographically-smallest path
                 # per (src, dst) this level (see module notes); same shuffle
                 # key + map-side partial agg as dropDuplicates
                 nxt = expanded.groupBy("src", "dst").agg(
                     F.min("dist").alias("dist"), F.min("path").alias("path")
                 )
+                nxt = nxt.join(visited.select("src", "dst"), ["src", "dst"], "left_anti")
             else:
                 nxt = expanded.dropDuplicates(["src", "dst"])
-            nxt = nxt.join(visited.select("src", "dst"), ["src", "dst"], "left_anti")
+                nxt = nxt.join(visited.select("src", "dst"), ["src", "dst"], "left_anti")
             nxt, n_new = checkpoint_with_count(nxt)
             if n_new == 0:
                 break

@@ -352,6 +352,11 @@ class Parser:
         # modifiers, possibly followed by "p = " again (ANY SHORTEST p = ...)
         if self.match_kw("ANY"):
             if self.match_kw("SHORTEST"):
+                t = self.peek()
+                if t is not None and t.kind == "number":
+                    # parser-error parity: the reference grammar rejects a
+                    # count after ANY SHORTEST (top_k.test:24-31,51-56)
+                    raise PGQParseError(f"syntax error at or near \"{t.value}\"")
                 pat.shortest = True
             # plain ANY = any walk
         elif self.match_kw("ALL"):
@@ -361,7 +366,14 @@ class Parser:
         elif self.match_kw("SHORTEST"):
             t = self.peek()
             if t is not None and t.kind == "number":
-                raise PGQNotImplementedError("SHORTEST k (top-k paths) is not supported")
+                # beyond-reference: SHORTEST k top-k walks (the reference
+                # raises "TopK has not been implemented yet.",
+                # top_k.test:33-49); implemented on the batched BFS by
+                # keeping the k best (dist, lex path) walks per (src, dst)
+                k = int(self.advance().value)
+                if k < 1:
+                    raise PGQParseError("SHORTEST k requires k >= 1")
+                pat.topk = k
             pat.shortest = True
         if pat.path_variable is None:
             t0, t1 = self.peek(), self.peek(1)

@@ -407,11 +407,13 @@ class MatchCompiler:
             from ..errors import PGQConstraintError
 
             raise PGQConstraintError("Lower bound greater than upper bound")
+        topk = pattern.topk or 1
         dist = pathops.bfs_distances(
             edges,
             sources=sources,
             max_hops=upper,
-            track_paths=need_path,
+            track_paths=need_path or topk > 1,
+            k=topk,
         )
         # virtual edge table (src, dst, dist [, path])
         self.plan = self.plan if self.plan is not None else None

@@ -172,3 +172,45 @@ def test_sql_scanner_skips_comments_and_qidents(pgq):
            ) WHERE `odd(col` = 0'''
     )
     assert rows(df) == [("Daniel",)]
+
+
+def test_shortest_topk_walks(eid_pg):
+    """Beyond-reference SHORTEST k: the k best walks per (src, dst) by
+    (dist, lex path).  Diamond 0->3 has two 2-hop walks; parallel edges
+    0->1 give two 1-hop walks."""
+    df = eid_pg.graph_table(
+        """eid_pg MATCH p = SHORTEST 2 (a:N WHERE a.id = 0)-[e:E]->{1,3}(b:N WHERE b.id = 3)
+           COLUMNS (element_id(p) AS pth, path_length(p) AS plen)"""
+    )
+    assert sorted((tuple(r.pth), r.plen) for r in df.collect()) == [
+        ((0, 5, 2, 6, 3), 2),
+        ((0, 50, 1, 7, 3), 2),
+    ]
+    df2 = eid_pg.graph_table(
+        """eid_pg MATCH p = SHORTEST 2 (a:N WHERE a.id = 0)-[e:E]->{1,1}(b:N WHERE b.id = 1)
+           COLUMNS (element_id(p) AS pth)"""
+    )
+    assert sorted(tuple(r.pth) for r in df2.collect()) == [(0, 50, 1), (0, 100, 1)]
+
+
+def test_shortest_topk_more_than_available(eid_pg):
+    """k larger than the number of distinct walks returns what exists:
+    the DAG has exactly 3 walks 0->3 (via eids 5->6, 50->7, 100->7)."""
+    df = eid_pg.graph_table(
+        """eid_pg MATCH p = SHORTEST 9 (a:N WHERE a.id = 0)-[e:E]->{1,3}(b:N WHERE b.id = 3)
+           COLUMNS (path_length(p) AS plen)"""
+    )
+    assert df.count() == 3
+
+
+def test_any_shortest_k_parse_error(eid_pg):
+    """Reference parser-error parity (top_k.test:24-31): a count after
+    ANY SHORTEST is a syntax error."""
+    import pytest as _pytest
+    from duckpgq_extension_spark.errors import PGQParseError
+
+    with _pytest.raises(PGQParseError, match="syntax error"):
+        eid_pg.graph_table(
+            """eid_pg MATCH p = ANY SHORTEST 5 WALK (a:N)-[e:E]->*(b:N)
+               COLUMNS (path_length(p) AS plen)"""
+        )

@@ -131,8 +131,12 @@ def test_multiple_patterns_shared_binding():
 def test_not_implemented_errors():
     with pytest.raises(PGQNotImplementedError):
         parse_graph_table_body("pg MATCH ALL SHORTEST (a:P)-[e:K]->*(b:P) COLUMNS (a.id)")
-    with pytest.raises(PGQNotImplementedError):
-        parse_graph_table_body("pg MATCH SHORTEST 3 (a:P)-[e:K]->*(b:P) COLUMNS (a.id)")
+    # SHORTEST k now parses (beyond-reference top-k walks; the reference
+    # rejects it, top_k.test:33-49)
+    expr = parse_graph_table_body(
+        "pg MATCH SHORTEST 3 (a:P)-[e:K]->*(b:P) COLUMNS (a.id)"
+    )
+    assert expr.patterns[0].topk == 3 and expr.patterns[0].shortest
 
 
 def test_parse_errors():
