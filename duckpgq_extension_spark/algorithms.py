@@ -17,7 +17,7 @@ Reference parity:
 Implementation is DataFrame-only (no GraphX): PySpark 4 has no Python
 GraphX binding, and the DataFrame formulation keeps every step inside
 Catalyst/Tungsten with explicit partitioning — edges hash-partitioned by
-src once, ranks/labels co-partitioned, localCheckpoint per iteration to
+src once, ranks/labels co-partitioned, pathops.materialize per iteration to
 truncate lineage.
 """
 
@@ -51,7 +51,7 @@ def pagerank(
     Pass 2 to reproduce the reference's numbers bit-for-bit; the default 0
     computes the textbook-correct ranks.
     """
-    vertices = vertices.toDF("vid").distinct().localCheckpoint(eager=True)
+    vertices = pathops.materialize(vertices.toDF("vid").distinct())
     real_vertices = vertices
     if phantom_vertices:
         max_vid = vertices.agg(F.max("vid")).first()[0] or 0
@@ -59,7 +59,7 @@ def pagerank(
         phantoms = spark.range(max_vid + 1, max_vid + 1 + phantom_vertices).select(
             F.col("id").alias("vid")
         )
-        vertices = vertices.unionByName(phantoms).localCheckpoint(eager=True)
+        vertices = pathops.materialize(vertices.unionByName(phantoms))
     n = vertices.count()
     if n == 0:
         return vertices.withColumn("pagerank", F.lit(0.0))
@@ -68,8 +68,8 @@ def pagerank(
     edges = edges.select("src", "dst").repartition(parts, "src").persist()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg")).persist()
 
-    ranks = vertices.select("vid", F.lit(1.0 / n).alias("rank")).localCheckpoint(
-        eager=True
+    ranks = pathops.materialize(
+        vertices.select("vid", F.lit(1.0 / n).alias("rank"))
     )
     try:
         for _ in range(max_iter):
@@ -120,12 +120,12 @@ def pagerank(
                 new_full = new_full.observe(
                     obs, F.max(F.abs(F.col("rank") - F.col("__old"))).alias("delta")
                 )
-                ranks = new_full.select("vid", "rank").localCheckpoint(eager=True)
+                ranks = pathops.materialize(new_full.select("vid", "rank"))
                 delta = obs.get["delta"]
                 if delta is not None and delta < tol:
                     break
             else:
-                ranks = new_full.select("vid", "rank").localCheckpoint(eager=True)
+                ranks = pathops.materialize(new_full.select("vid", "rank"))
         if phantom_vertices:
             ranks = ranks.join(real_vertices.toDF("vid"), "vid", "left_semi")
         return ranks.select("vid", F.col("rank").alias("pagerank"))
@@ -152,7 +152,7 @@ def weakly_connected_component(edges: DataFrame, vertices: DataFrame) -> DataFra
         .repartition(parts, "src")
         .persist()
     )
-    labels = vertices.select("vid", F.col("vid").alias("comp")).localCheckpoint(eager=True)
+    labels = pathops.materialize(vertices.select("vid", F.col("vid").alias("comp")))
     try:
         while True:
             prop = (
@@ -178,7 +178,7 @@ def weakly_connected_component(edges: DataFrame, vertices: DataFrame) -> DataFra
                     ).otherwise(0)
                 ).alias("changed"),
             )
-            labels = merged.select("vid", "comp").localCheckpoint(eager=True)
+            labels = pathops.materialize(merged.select("vid", "comp"))
             if not obs.get["changed"]:
                 break
         # propagation unions edge endpoints into the label set; restrict the

@@ -55,6 +55,20 @@ class PGQSession:
         self.catalog = GraphCatalog(spark, catalog_path)
         self._view_counter = 0
 
+    def set_checkpoint_dir(self, path: str | None) -> None:
+        """Switch every iterative kernel (BFS / Bellman-Ford / pagerank /
+        wcc / lcc) from executor-local `localCheckpoint` to reliable
+        `.checkpoint()` under `path` — survives executor loss, the right
+        setting for long runs on large clusters.  Pass None to switch back
+        to local checkpoints (the default)."""
+        from .operators.paths import RELIABLE_CHECKPOINT_CONF
+
+        if path is None:
+            self.spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")
+        else:
+            self.spark.sparkContext.setCheckpointDir(path)
+            self.spark.conf.set(RELIABLE_CHECKPOINT_CONF, "true")
+
     # -- DDL ------------------------------------------------------------
     def execute(self, statement: str) -> DataFrame:
         stmt = Parser(statement).parse_statement()

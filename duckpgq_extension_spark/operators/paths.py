@@ -20,10 +20,10 @@ Scale notes (100 TB / 1000 executors):
 - The adjacency DataFrame is hash-partitioned by `src` and cached once, so
   every per-level join co-partitions with the frontier and only the frontier
   side shuffles.
-- `localCheckpoint` every level truncates lineage (iterative unions
-  otherwise build an O(levels)-deep plan and re-execute from scratch);
-  on a real cluster with unreliable executors prefer
-  `spark.sparkContext.setCheckpointDir(...)` + `.checkpoint()`.
+- Every level truncates lineage via `materialize()` (iterative unions
+  otherwise build an O(levels)-deep plan and re-execute from scratch):
+  `localCheckpoint` by default; set `spark.duckpgq.reliableCheckpoint=true`
+  + a checkpoint dir for executor-loss-tolerant reliable checkpoints.
 - Vertex ids are natural long keys — no dense 0..N-1 renumbering (a CSR
   artifact) and therefore no global sort at build time.
 - Path tracking needs an `edge_id`.  Callers designate an existing unique
@@ -54,6 +54,25 @@ _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
 _obs_seq = itertools.count()
 
+RELIABLE_CHECKPOINT_CONF = "spark.duckpgq.reliableCheckpoint"
+
+
+def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
+    """Lineage-truncating materialization for iterative loops.
+
+    Defaults to `localCheckpoint` (executor-local blocks, no HDFS write —
+    right for local mode and healthy clusters).  Setting the runtime conf
+    `spark.duckpgq.reliableCheckpoint=true` (plus
+    `sparkContext.setCheckpointDir(...)`; see PGQSession.set_checkpoint_dir)
+    switches every iterative kernel to reliable `.checkpoint()`, which
+    survives executor loss — preferable for long BFS/pagerank runs on a
+    1000-executor cluster where losing one executor's local blocks would
+    otherwise fail the whole query."""
+    spark = df.sparkSession
+    if spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false").lower() == "true":
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
+
 
 def checkpoint_with_count(df: DataFrame) -> tuple[DataFrame, int]:
     """Lineage-truncating checkpoint + row count in ONE Spark job.
@@ -65,7 +84,7 @@ def checkpoint_with_count(df: DataFrame) -> tuple[DataFrame, int]:
     BFS levels (the reference's kernels are single-process and have no
     analog of this cost)."""
     obs = Observation(f"__pgq_ckpt_{next(_obs_seq)}")
-    out = df.observe(obs, F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
+    out = materialize(df.observe(obs, F.count(F.lit(1)).alias("n")))
     return out, obs.get["n"]
 
 
@@ -126,15 +145,14 @@ def edge_frame(
 def _prep_edges(edges: DataFrame, num_partitions: int | None) -> DataFrame:
     """Materialize the adjacency hash-partitioned by src.
 
-    localCheckpoint (not just persist) on purpose: it severs the upstream
+    Checkpoint (not just persist) on purpose: it severs the upstream
     logical plan, so (a) per-level joins don't re-analyze an arbitrarily
     deep user plan, and (b) Catalyst's Union constraint propagation never
     sees exotic upstream operators (scalar subqueries in a derived edge
-    view trip `UnionBase.rewriteConstraints` otherwise).  On a cluster with
-    flaky executors prefer setCheckpointDir + .checkpoint().
+    view trip `UnionBase.rewriteConstraints` otherwise).
     """
     n = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
-    return edges.repartition(n, "src").localCheckpoint(eager=True)
+    return materialize(edges.repartition(n, "src"))
 
 
 def bfs_distances(
@@ -187,7 +205,7 @@ def bfs_distances(
         )
         if track_paths:
             frontier = frontier.withColumn("path", F.array(F.col("src")))
-        visited = frontier.localCheckpoint(eager=True)
+        visited = materialize(frontier)
         frontier = visited
         level = 0
         while True:
@@ -253,7 +271,7 @@ def bfs_distances(
             # grow an O(levels)-wide union plan in the per-level anti-join
             visited = visited.unionByName(nxt)
             if level % 10 == 0:
-                visited = visited.localCheckpoint(eager=True)
+                visited = materialize(visited)
             frontier = nxt
         return visited
     finally:
@@ -307,7 +325,8 @@ def cheapest_path_distances(
             F.col("src").alias("dst"),
             F.lit(0.0).cast("double").alias("cost"),
             F.lit(True).alias("__improved"),
-        ).localCheckpoint(eager=True)
+        )
+        dist = materialize(dist)
         rounds = 0
         while True:
             rounds += 1
@@ -358,7 +377,7 @@ def cheapest_path_distances(
             merged = merged.observe(
                 obs, F.sum(F.col("__improved").cast("int")).alias("n")
             )
-            dist = merged.localCheckpoint(eager=True)
+            dist = materialize(merged)
             if not obs.get["n"]:
                 break
         return dist.select("src", "dst", "cost")

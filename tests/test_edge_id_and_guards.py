@@ -214,3 +214,23 @@ def test_any_shortest_k_parse_error(eid_pg):
             """eid_pg MATCH p = ANY SHORTEST 5 WALK (a:N)-[e:E]->*(b:N)
                COLUMNS (path_length(p) AS plen)"""
         )
+
+
+def test_reliable_checkpoint_switch(eid_pg, tmp_path):
+    """set_checkpoint_dir flips iterative kernels to reliable .checkpoint()
+    (files land under the dir, results unchanged); None flips back."""
+    q = """eid_pg MATCH p = ANY SHORTEST (a:N WHERE a.id = 0)-[e:E]->*(b:N)
+           COLUMNS (b.id AS b_id, path_length(p) AS plen)"""
+    baseline = sorted(rows(eid_pg.graph_table(q)))
+    ckdir = str(tmp_path / "ck")
+    eid_pg.set_checkpoint_dir(ckdir)
+    try:
+        assert sorted(rows(eid_pg.graph_table(q))) == baseline
+        import os
+
+        found = [f for _, _, fs in os.walk(ckdir) for f in fs]
+        assert found, "reliable checkpoint wrote no files"
+    finally:
+        eid_pg.set_checkpoint_dir(None)
+    # back on local checkpoints and still correct
+    assert sorted(rows(eid_pg.graph_table(q))) == baseline
