@@ -78,25 +78,69 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
-    """Exact Jaccard similarity over word-n-gram shingle sets, for every
-    candidate pair sharing at least one shingle.  Returns
+    """Exact Jaccard similarity over word-n-gram shingle sets.  Returns
     (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+
+    Candidate generation uses *positional prefix filtering* (Bayardo et
+    al., "Scaling Up All Pairs Similarity Search", WWW'07): shingles are
+    globally ordered rarest-document-frequency-first, and each document
+    joins only on its first `sz - ceil(t*sz) + 1` shingles — any pair with
+    J >= t must share a shingle inside BOTH prefixes, so the filter is
+    lossless, but common shingles (the quadratic-blowup tail) almost never
+    land in a prefix.  A length-ratio prune (`t*sz_a <= sz_b`, since
+    J <= min/max of the set sizes) runs inside the candidate join.
+    Verification is exact: `array_intersect` over the full per-doc shingle
+    arrays, so the output is identical to the unfiltered all-pairs result
+    and the DuckDB oracle needs no knowledge of the candidate strategy.
     """
-    sh = _shingles(df, id_col, text_col, n, max_doc_freq).persist()
+    sh = _shingles(df, id_col, text_col, n, max_doc_freq)
+    freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    # per-doc shingle array in (df asc, sh asc) global order; rarest first
+    # minimizes prefix collisions.  The orderable struct sorts by (df, sh).
+    sets = (
+        sh.join(freq, "sh")
+        .groupBy("id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("df"), F.col("sh")))
+            ).alias("ordered"),
+        )
+        .select(
+            "id",
+            F.col("ordered.sh").alias("arr"),
+            F.size("ordered").alias("sz"),
+        )
+        .withColumn(
+            "plen",
+            F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1,
+        )
+        .persist()
+    )
     try:
-        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-        shared = (
-            sh.alias("l")
-            .join(sh.alias("r"), F.col("l.sh") == F.col("r.sh"))
-            .where(F.col("l.id") < F.col("r.id"))
-            .groupBy(
-                F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+        prefix = sets.select(
+            "id", "sz", F.explode(F.slice("arr", 1, F.col("plen"))).alias("sh")
+        )
+        cands = (
+            prefix.alias("l")
+            .join(prefix.alias("r"), F.col("l.sh") == F.col("r.sh"))
+            .where(
+                (F.col("l.id") < F.col("r.id"))
+                & (F.lit(threshold) * F.col("l.sz") <= F.col("r.sz"))
+                & (F.lit(threshold) * F.col("r.sz") <= F.col("l.sz"))
             )
-            .agg(F.count("*").alias("shared"))
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
         )
         out = (
-            shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-            .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+            cands.join(
+                sets.select(F.col("id").alias("id_a"), F.col("arr").alias("arr_a"), F.col("sz").alias("sz_a")),
+                "id_a",
+            )
+            .join(
+                sets.select(F.col("id").alias("id_b"), F.col("arr").alias("arr_b"), F.col("sz").alias("sz_b")),
+                "id_b",
+            )
+            .withColumn("shared", F.size(F.array_intersect("arr_a", "arr_b")))
             .select(
                 "id_a",
                 "id_b",
@@ -109,7 +153,7 @@ def ngram_jaccard_pairs(
         out = out.localCheckpoint(eager=True)
         return out
     finally:
-        sh.unpersist()
+        sets.unpersist()
 
 
 def minhash_signatures(
