@@ -29,7 +29,9 @@ from .parser.ast import CreatePropertyGraph, DropPropertyGraph
 from .parser.pgq_parser import Parser, parse_graph_table_body, parse_match
 from .plans.compiler import compile_match
 
-_GRAPH_TABLE_RE = re.compile(r"\bGRAPH_TABLE\s*\(", re.IGNORECASE)
+# `GRAPH TABLE` (space) is an accepted spelling alongside `GRAPH_TABLE`
+# (graph_table_keyword.test:22-27)
+_GRAPH_TABLE_RE = re.compile(r"\bGRAPH(?:_|\s+)TABLE\s*\(", re.IGNORECASE)
 
 # words that can legally follow a derived table WITHOUT being its alias —
 # used to decide whether GRAPH_TABLE(...) needs the implicit
@@ -184,8 +186,8 @@ class PGQSession:
         self, graph: str, vertex_label: str, edge_label: str, undirected: bool
     ):
         pg = self.catalog.get(graph)
-        vt = pg.table_for_label(vertex_label)
-        et = pg.table_for_label(edge_label)
+        vt = pg.table_for_label(vertex_label, kind="vertex")
+        et = pg.table_for_label(edge_label, kind="edge")
         if vt is et or not et.source_fk:
             raise PGQBinderError(f"'{edge_label}' is not an edge label")
         if len(et.source_pk) != 1 or len(et.source_fk) != 1:

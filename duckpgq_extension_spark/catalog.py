@@ -31,6 +31,20 @@ from pyspark.sql import functions as F
 from .errors import PGQBinderError
 
 
+def _levenshtein(a: str, b: str) -> int:
+    """Edit distance for did-you-mean label suggestions (reference analog:
+    LevenshteinDistance in create_property_graph_info.hpp:182-196)."""
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
 def table_df(spark: SparkSession, name: str) -> DataFrame:
     """spark.table with every part of the (possibly qualified) name
     backtick-quoted, so reserved words and exotic identifiers work as
@@ -123,16 +137,55 @@ class PropertyGraph:
             self._label_map[key] = (t, i)
 
     # -- lookup ------------------------------------------------------------
-    def resolve_label(self, label: str) -> tuple[PropertyGraphTable, int | None]:
+    def resolve_label(
+        self, label: str, kind: str | None = None
+    ) -> tuple[PropertyGraphTable, int | None]:
+        """Resolve a label to its table (+ sublabel index).
+
+        With `kind` ("vertex"/"edge") the lookup mirrors the reference's
+        GetTableByName (create_property_graph_info.hpp:140-210): exact label
+        must be of the right kind; a table-name hit or the
+        Levenshtein-closest label of the right kind produces a
+        did-you-mean error instead of a bare not-found.
+        """
         got = self._label_map.get(label.lower())
-        if got is None:
+        if got is not None:
+            if kind is not None and got[0].is_vertex != (kind == "vertex"):
+                raise PGQBinderError(
+                    f"Exact label '{label}' found, but it is not a {kind} table."
+                )
+            return got
+        if kind is None:
             raise PGQBinderError(
                 f"Label '{label}' is not registered in property graph '{self.name}'"
             )
-        return got
+        tables = self.vertex_tables if kind == "vertex" else self.edge_tables
+        closest, min_d = None, None
+        for t in tables:
+            # case-SENSITIVE like the reference's table-name probe
+            # (create_property_graph_info.hpp:173): a case-mismatched table
+            # name falls through to the Levenshtein suggestion instead
+            if t.table_name == label:
+                raise PGQBinderError(
+                    f"Table '{label}' found in the property graph, but does "
+                    f"not have the correct label. Did you mean the label "
+                    f"'{t.main_label}' instead?"
+                )
+            for cand in t.labels():
+                d = _levenshtein(label.lower(), cand.lower())
+                if min_d is None or d < min_d:
+                    closest, min_d = cand, d
+        if closest is not None:
+            raise PGQBinderError(
+                f"Label '{label}' not found. Did you mean the {kind} label "
+                f"'{closest.lower()}'?"
+            )
+        raise PGQBinderError(
+            f"Label '{label}' not found in the property graph for a {kind} table."
+        )
 
-    def table_for_label(self, label: str) -> PropertyGraphTable:
-        return self.resolve_label(label)[0]
+    def table_for_label(self, label: str, kind: str | None = None) -> PropertyGraphTable:
+        return self.resolve_label(label, kind)[0]
 
     def element_df(self, label: str) -> DataFrame:
         """DataFrame for a label, with sublabel discriminator filter applied.

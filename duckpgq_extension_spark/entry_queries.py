@@ -329,7 +329,7 @@ O_SHORTEST_LEN = _with_e(
 def q_reachability(spark, sf_dir):
     pgq = setup(spark, sf_dir)
     return pgq.graph_table(
-        """social MATCH (a:Customer WHERE a.c_custkey < 5)-[f:Follows]->*(b:Customer)
+        """social MATCH ANY SHORTEST (a:Customer WHERE a.c_custkey < 5)-[f:Follows]->*(b:Customer)
            COLUMNS (a.c_custkey AS a_key, b.c_custkey AS b_key)"""
     )
 

@@ -330,6 +330,10 @@ class Parser:
                 expr.columns.append(self.parse_column_item())
                 if not self.match_op(","):
                     break
+                if self.is_op(")"):
+                    # trailing comma: COLUMNS (p.id AS p_id,) parses in the
+                    # reference (optional_columns.test:44-55)
+                    break
             self.expect_op(")")
         else:
             expr.columns.append(ColumnItem(kind="expr", text="*"))
@@ -420,6 +424,12 @@ class Parser:
         anonymous = binding is None
         if binding is None:
             binding = self._fresh_binding("v")
+        elif label is None:
+            # `(Person)` — a lone identifier is both the binding and the
+            # label, matching the reference's grammar (PathElement keeps
+            # label == variable_binding; graph_table_keyword.test:22-27 uses
+            # `MATCH (Person) COLUMNS (Person.id)`).
+            label = binding
         return VertexElement(
             binding=binding.lower(), label=label, where=where, anonymous=anonymous
         )

@@ -403,10 +403,19 @@ class MatchCompiler:
             lower, upper = 1, 1
         else:
             lower, upper = edge.lower, edge.upper
-        if upper is not None and lower > upper:
-            from ..errors import PGQConstraintError
+        from ..errors import PGQConstraintError
 
+        if upper is not None and lower > upper:
             raise PGQConstraintError("Lower bound greater than upper bound")
+        if upper is None and not pattern.shortest:
+            # reference parity (match.cpp:100-104): plain (ALL-walks)
+            # unbounded quantifiers are rejected — only ANY SHORTEST may
+            # traverse without an upper bound
+            raise PGQConstraintError(
+                "ALL unbounded with path mode WALK is not possible as this "
+                "could lead to infinite results. Consider specifying an upper "
+                "bound or path mode other than WALK"
+            )
         topk = pattern.topk or 1
         dist = pathops.bfs_distances(
             edges,
