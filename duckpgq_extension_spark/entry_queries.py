@@ -801,8 +801,8 @@ def q_streaming_window(spark, sf_dir):
     )
     q.stop()
     return spark.table("bench_stream_out").select(
-        F.unix_micros("window_start").alias("start_us"),
-        F.unix_micros("window_end").alias("end_us"),
+        ev.epoch_us(F.col("window_start")).alias("start_us"),
+        ev.epoch_us(F.col("window_end")).alias("end_us"),
         "event_type",
         "n_events",
         F.round("sum_value", 4).alias("sum_value"),
@@ -859,7 +859,7 @@ def q_events_daily(spark, sf_dir):
         )
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
         .select(
-            F.unix_micros(F.col("day")).alias("day_us"), "event_type", "n", "sum_value"
+            ev.epoch_us(F.col("day")).alias("day_us"), "event_type", "n", "sum_value"
         )
     )
 
@@ -878,8 +878,8 @@ def q_sessionize(spark, sf_dir):
     return s.select(
         "user_id",
         F.col("session_id").cast("bigint").alias("session_id"),
-        F.unix_micros("session_start").alias("start_us"),
-        F.unix_micros("session_end").alias("end_us"),
+        ev.epoch_us(F.col("session_start")).alias("start_us"),
+        ev.epoch_us(F.col("session_end")).alias("end_us"),
         "n_events",
         F.round("sum_value", 4).alias("sum_value"),
     )

@@ -17,6 +17,19 @@ EVENT_SCHEMA = (
 )
 
 
+def epoch_us(c: F.Column) -> F.Column:
+    """Epoch microseconds for TIMESTAMP *or* TIMESTAMP_NTZ columns.
+
+    pyspark 4.1 reads the testdata's parquet TIMESTAMP(NANOS) as
+    TIMESTAMP_NTZ, which unix_micros() rejects.  The session timezone is
+    pinned to UTC (session.get_spark / entry_queries.setup), so casting
+    NTZ -> TIMESTAMP reinterprets the wall clock as a UTC instant — the
+    exact semantics of DuckDB's epoch_us() on its naive TIMESTAMP, keeping
+    oracle comparisons bit-identical.  The cast is a no-op on LTZ inputs.
+    """
+    return F.unix_micros(c.cast("timestamp"))
+
+
 def tumbling_counts(events: DataFrame, window: str = "1 hour") -> DataFrame:
     """Per event-type tumbling-window counts + value sums."""
     return (
@@ -49,14 +62,11 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     # which can split sessions differently from a µs-exact engine when a
     # true gap falls inside (gap, gap+1s)
     gap_us = gap_minutes * 60 * 1_000_000
+    ts_us = epoch_us(F.col("ts"))
     with_gap = events.withColumn(
         "__new_session",
         (
-            F.coalesce(
-                F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w),
-                F.lit(gap_us + 1),
-            )
-            > gap_us
+            F.coalesce(ts_us - F.lag(ts_us).over(w), F.lit(gap_us + 1)) > gap_us
         ).cast("int"),
     )
     return with_gap.withColumn(
