@@ -33,6 +33,25 @@ from .plans.compiler import compile_match
 # (graph_table_keyword.test:22-27)
 _GRAPH_TABLE_RE = re.compile(r"\bGRAPH(?:_|\s+)TABLE\s*\(", re.IGNORECASE)
 
+
+def _skip_special(query: str, i: int) -> int | None:
+    """If query[i] opens a quoted string ('...'), quoted identifier ("..."
+    or `...`), or a -- / slash-star comment, return the index just past its
+    end (clamped to len); else None.  Shared by the GRAPH_TABLE detector
+    and the paren matcher so both agree on what is 'inside a literal'."""
+    c = query[i]
+    n = len(query)
+    if c in ("'", '"', "`"):
+        j = query.find(c, i + 1)
+        return n if j == -1 else j + 1
+    if c == "-" and query[i + 1 : i + 2] == "-":
+        j = query.find("\n", i)
+        return n if j == -1 else j + 1
+    if c == "/" and query[i + 1 : i + 2] == "*":
+        j = query.find("*/", i + 2)
+        return n if j == -1 else j + 2
+    return None
+
 # words that can legally follow a derived table WITHOUT being its alias —
 # used to decide whether GRAPH_TABLE(...) needs the implicit
 # `unnamed_subquery` alias (DuckDB's convention for aliasless subqueries)
@@ -127,8 +146,23 @@ class PGQSession:
         """
         out = []
         pos = 0
+        n = len(query)
         while True:
-            m = _GRAPH_TABLE_RE.search(query, pos)
+            # linear scan for the next GRAPH_TABLE( that is OUTSIDE quoted
+            # strings / identifiers / comments — `SELECT 'graph_table('`
+            # must pass through untouched (duckdb_columns.test analog)
+            m = None
+            j = pos
+            while j < n:
+                skip = _skip_special(query, j)
+                if skip is not None:
+                    j = skip
+                    continue
+                mm = _GRAPH_TABLE_RE.match(query, j)
+                if mm:
+                    m = mm
+                    break
+                j += 1
             if not m:
                 out.append(query[pos:])
                 break
@@ -138,23 +172,13 @@ class PGQSession:
             # inside any of those must not affect nesting depth)
             depth = 1
             i = m.end()
-            n = len(query)
             while i < n and depth > 0:
+                skip = _skip_special(query, i)
+                if skip is not None:
+                    i = skip
+                    continue
                 c = query[i]
-                if c == "'" or c == '"' or c == "`":
-                    quote = c
-                    i += 1
-                    while i < n and query[i] != quote:
-                        i += 1
-                elif c == "-" and i + 1 < n and query[i + 1] == "-":
-                    while i < n and query[i] != "\n":
-                        i += 1
-                elif c == "/" and i + 1 < n and query[i + 1] == "*":
-                    i += 2
-                    while i + 1 < n and not (query[i] == "*" and query[i + 1] == "/"):
-                        i += 1
-                    i += 1  # land on the closing '/'
-                elif c == "(":
+                if c == "(":
                     depth += 1
                 elif c == ")":
                     depth -= 1

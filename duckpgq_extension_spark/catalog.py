@@ -315,14 +315,43 @@ class GraphCatalog:
         self.spark = spark
         self.path = path  # directory for JSON persistence; None = in-memory only
         self.graphs: dict[str, PropertyGraph] = {}
-        if path and os.path.isdir(path):
-            for fn in sorted(os.listdir(path)):
-                if fn.endswith(".json"):
-                    with open(os.path.join(path, fn)) as f:
-                        pg = PropertyGraph.from_dict(json.load(f), spark)
-                    self.graphs[pg.name.lower()] = pg
+        self._mtimes: dict[str, float] = {}
+        self._sync()
+
+    def _sync(self) -> None:
+        """Refresh the in-memory registry from the persistence directory.
+
+        Reference parity: DuckPGQ registers graphs in database-level state,
+        so a CREATE/DROP in one connection is immediately visible in every
+        other open connection (create_pg_multiple_connections.test).  Here
+        the shared store is the JSON directory; for a persisted catalog the
+        directory is the source of truth and each access re-syncs against
+        it (mtime-cached, so unchanged graphs are never re-parsed).
+        """
+        if not self.path or not os.path.isdir(self.path):
+            return
+        seen = set()
+        for fn in sorted(os.listdir(self.path)):
+            if not fn.endswith(".json"):
+                continue
+            key = fn[: -len(".json")]
+            seen.add(key)
+            p = os.path.join(self.path, fn)
+            try:
+                m = os.path.getmtime(p)
+            except OSError:  # dropped by a concurrent session mid-listing
+                continue
+            if self._mtimes.get(key) != m:
+                with open(p) as f:
+                    self.graphs[key] = PropertyGraph.from_dict(json.load(f), self.spark)
+                self._mtimes[key] = m
+        for key in list(self.graphs):
+            if key not in seen:
+                del self.graphs[key]
+                self._mtimes.pop(key, None)
 
     def create(self, pg: PropertyGraph, or_replace: bool = False, if_not_exists: bool = False) -> None:
+        self._sync()
         key = pg.name.lower()
         if key in self.graphs:
             if if_not_exists:
@@ -340,6 +369,7 @@ class GraphCatalog:
                 json.dump(pg.to_dict(), f, indent=1)
 
     def drop(self, name: str, if_exists: bool = False) -> None:
+        self._sync()
         key = name.lower()
         if key not in self.graphs:
             if if_exists:
@@ -352,10 +382,12 @@ class GraphCatalog:
                 os.remove(p)
 
     def get(self, name: str) -> PropertyGraph:
+        self._sync()
         pg = self.graphs.get(name.lower())
         if pg is None:
             raise PGQBinderError(f"Property graph '{name}' does not exist")
         return pg
 
     def names(self) -> list[str]:
+        self._sync()
         return sorted(pg.name for pg in self.graphs.values())

@@ -42,7 +42,7 @@ from .ast import (
 _TOKEN_RE = re.compile(
     r"""
     (?P<ws>\s+)
-  | (?P<comment>--[^\n]*)
+  | (?P<comment>--[^\n]*|/\*(?s:.*?)\*/)
   | (?P<string>'(?:[^']|'')*')
   | (?P<qident>"(?:[^"]|"")*")
   | (?P<number>\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
