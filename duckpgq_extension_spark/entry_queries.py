@@ -1287,6 +1287,52 @@ FROM ranked WHERE rank <= {k}
 O_ANN_LSH = _ann_lsh_oracle(4, 64, 5)
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-Flat ANN (similarity.ivf_topk): nlist inverted lists from
+    deterministic seed centroids (the nlist lowest vec_ids, iterations=0
+    so the oracle can rebuild the identical centroid set in SQL), nprobe
+    lists searched exactly per query."""
+    setup(spark, sf_dir)
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk(emb, queries, k=5, nlist=8, nprobe=2).select(
+        "query_id", "vec_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+O_ANN_IVF = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8),
+csim AS (
+  SELECT e.vec_id, e.v, c.cid,
+         list_dot_product(e.v, c.cv) /
+           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+  FROM emb e CROSS JOIN cent c),
+asg AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM csim) WHERE rn = 1),
+probe AS (
+  SELECT vec_id AS query_id, v AS qv, cid FROM (
+    SELECT vec_id, v, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM csim WHERE vec_id < 10) WHERE rn <= 2),
+sims AS (
+  SELECT p.query_id, a.vec_id,
+         ROUND(list_dot_product(p.qv, a.v) /
+               (sqrt(list_dot_product(p.qv, p.qv)) * sqrt(list_dot_product(a.v, a.v))), 6)
+           AS cosine_sim
+  FROM probe p JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM sims)
+SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (decode dimensions are derivable from byte length)
 # --------------------------------------------------------------------------
@@ -1358,6 +1404,7 @@ QUERIES = {
     "similarity_topk": q_similarity_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh": q_ann_lsh,
+    "ann_ivf": q_ann_ivf,
     "multimodal_decode": q_multimodal_decode,
 }
 
@@ -1404,4 +1451,5 @@ ORACLES = {
     "streaming_window": O_STREAMING_WINDOW,
     "minhash_lsh_pairs": O_MINHASH_LSH_PAIRS,
     "ann_lsh": O_ANN_LSH,
+    "ann_ivf": O_ANN_IVF,
 }

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_long, tokens, word_ngrams
+from ..functions.text import md5_long, tokens, word_ngrams_from_tokens
 
 # Deterministic permutation constants for MinHash: (a * h + b) mod P over the
 # 31-bit reduction of the shingle hash.  Fixed literals so the DuckDB oracle
@@ -57,9 +57,12 @@ def deduplicate_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int | None):
     sh = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.explode(F.array_distinct(word_ngrams(F.col(text_col), n))).alias("shingle"),
+        df.select(F.col(id_col).alias("id"), tokens(F.col(text_col)).alias("__toks"))
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(word_ngrams_from_tokens(F.col("__toks"), n))
+            ).alias("shingle"),
         )
         .withColumn("sh", md5_long(F.col("shingle")))
         .select("id", "sh")
@@ -93,7 +96,10 @@ def ngram_jaccard_pairs(
     arrays, so the output is identical to the unfiltered all-pairs result
     and the DuckDB oracle needs no knowledge of the candidate strategy.
     """
-    sh = _shingles(df, id_col, text_col, n, max_doc_freq)
+    # persist the exploded shingles: they feed BOTH the document-frequency
+    # aggregate and the per-doc set build, and the tokenize+shingle+hash
+    # projection is the single most expensive expression in the operator
+    sh = _shingles(df, id_col, text_col, n, max_doc_freq).persist()
     freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     # per-doc shingle array in (df asc, sh asc) global order; rarest first
     # minimizes prefix collisions.  The orderable struct sorts by (df, sh).
@@ -154,6 +160,7 @@ def ngram_jaccard_pairs(
         return out
     finally:
         sets.unpersist()
+        sh.unpersist()
 
 
 def minhash_signatures(

@@ -150,6 +150,131 @@ def lsh_topk(
     return sim.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    nlist: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 0,
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF 'training': seed centroids are the `nlist`
+    lowest-id vectors; optional Lloyd iterations refine them (assign every
+    vector to its nearest centroid by cosine, recompute element-wise
+    means).  Fully deterministic given the data, so results are
+    reproducible across engines; with iterations=0 the centroid set is
+    even expressible in plain SQL (the ann_ivf oracle uses that).
+
+    Returns [(centroid_id, vector)] — nlist * dim floats, driver-small by
+    the IVF contract (the centroid table is broadcast state).
+    """
+    cents = [
+        (i, list(r["__v"]))
+        for i, r in enumerate(
+            embeddings.select(F.col(id_col).alias("__id"), F.col(vec_col).cast("array<double>").alias("__v"))
+            .orderBy("__id")
+            .limit(nlist)
+            .collect()
+        )
+    ]
+    for _ in range(iterations):
+        assigned = embeddings.select(
+            F.col(vec_col).cast("array<double>").alias("__v"),
+            _nearest_centroid(F.col(vec_col), cents).alias("__cid"),
+        )
+        # element-wise mean per cluster: posexplode + groupBy — one shuffle
+        means = (
+            assigned.select("__cid", F.posexplode("__v").alias("__pos", "__x"))
+            .groupBy("__cid", "__pos")
+            .agg(F.avg("__x").alias("__m"))
+            .groupBy("__cid")
+            .agg(F.sort_array(F.collect_list(F.struct("__pos", "__m"))).alias("__mv"))
+            .select("__cid", F.col("__mv.__m").alias("__v"))
+            .collect()
+        )
+        new = {r["__cid"]: list(r["__v"]) for r in means}
+        # empty clusters keep their previous centroid (standard Lloyd fix)
+        cents = [(cid, new.get(cid, vec)) for cid, vec in cents]
+    return cents
+
+
+def _nearest_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Argmax-by-cosine centroid id as a pure column expression; ties break
+    toward the lowest centroid id (array_max on (sim, -cid) structs)."""
+    choices = F.array(
+        *[
+            F.struct(
+                cosine(vec, F.array(*[F.lit(x).cast("double") for x in cvec])).alias("sim"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+    return -F.array_max(choices)["ncid"]
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 16,
+    nprobe: int = 4,
+    iterations: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: the corpus is partitioned into `nlist`
+    inverted lists by nearest centroid; each query exactly searches only
+    its `nprobe` closest lists.
+
+    Returns (query_id, vec_id, cosine_sim, rank), rank 1..k per query.
+
+    At 100 TB: the list assignment is a precomputed column and the corpus
+    is written partitioned/bucketed by it, so a query batch touches
+    nprobe/nlist of the data via partition pruning; the centroid table is
+    broadcast.  Recall/latency trade on (nlist, nprobe) exactly as in
+    FAISS-style IVF-Flat.
+    """
+    query_id_col = query_id_col or id_col
+    cents = ivf_centroids(embeddings, nlist, id_col, vec_col, iterations)
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("__cvec"),
+        _nearest_centroid(F.col(vec_col), cents).alias("__cid"),
+    )
+    # per query: rank all centroids, keep the nprobe nearest lists
+    cent_rows = F.array(
+        *[
+            F.struct(
+                cosine(F.col("__qvec"), F.array(*[F.lit(x).cast("double") for x in cvec])).alias("sim"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+        .withColumn("__probe", F.slice(F.sort_array(cent_rows, asc=False), 1, nprobe))
+        .select("query_id", "__qvec", F.explode("__probe.ncid").alias("__ncid"))
+        .select("query_id", "__qvec", (-F.col("__ncid")).alias("__cid"))
+    )
+    sim = (
+        q.join(corpus, "__cid")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return sim.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def exact_near_duplicates(
     embeddings: DataFrame,
     threshold: float,
