@@ -809,6 +809,42 @@ def q_streaming_window(spark, sf_dir):
     )
 
 
+def q_streaming_dedup(spark, sf_dir):
+    """Real Structured-Streaming dedup (readStream over the events parquet
+    written TWICE, dropDuplicatesWithinWatermark on event_id, memory sink).
+    Deterministic despite arbitrary arrival order because every duplicate
+    pair is bit-identical — whichever copy wins, the emitted row is the
+    same — so the oracle is simply the original table."""
+    import tempfile
+
+    setup(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="pgq_dedup_stream_")
+    ev_rows = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    ev_rows.unionByName(ev_rows).write.mode("overwrite").parquet(src)
+    stream = ev.stream_from_parquet(spark, src)
+    q = ev.run_stream_to_memory(
+        ev.dedup_stream(stream, ["event_id"], watermark="365 days"),
+        "bench_dedup_stream_out",
+    )
+    q.stop()
+    return spark.table("bench_dedup_stream_out").select(
+        "event_id",
+        ev.epoch_us(F.col("ts")).alias("ts_us"),
+        "user_id",
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+
+
+O_STREAMING_DEDUP = """
+SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+       ROUND(value, 4) AS value
+FROM events
+"""
+
+
 O_STREAMING_WINDOW = """
 WITH wm AS (
   SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS watermark_us
@@ -1390,6 +1426,7 @@ QUERIES = {
     "cube_lineitem": q_cube_lineitem,
     "semi_anti_join": q_semi_anti_join,
     "streaming_window": q_streaming_window,
+    "streaming_dedup": q_streaming_dedup,
     "events_json": q_events_json,
     "events_daily": q_events_daily,
     "sessionize": q_sessionize,
@@ -1449,6 +1486,7 @@ ORACLES = {
     "embedding_near_dup": O_EMBEDDING_NEAR_DUP,
     "multimodal_decode": O_MULTIMODAL_DECODE,
     "streaming_window": O_STREAMING_WINDOW,
+    "streaming_dedup": O_STREAMING_DEDUP,
     "minhash_lsh_pairs": O_MINHASH_LSH_PAIRS,
     "ann_lsh": O_ANN_LSH,
     "ann_ivf": O_ANN_IVF,

@@ -175,3 +175,36 @@ def sessionize_stream(events_stream: DataFrame, gap: str = "30 minutes", waterma
             "sum_value",
         )
     )
+
+
+def dedup_stream(
+    events_stream: DataFrame,
+    key_cols: list[str],
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first event per key.
+
+    `dropDuplicatesWithinWatermark` bounds state by the watermark — a key's
+    dedup entry is dropped once it can no longer collide with a late
+    arrival, so state stays O(keys per watermark window) instead of
+    O(all keys ever).  This is the streaming face of
+    operators.dedup.deduplicate_exact: same keep-first semantics, bounded
+    state, one shuffle on the key columns.
+    """
+    return events_stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
+def dedup_stream_batch_equivalent(events: DataFrame, key_cols: list[str], ts_col: str = "ts") -> DataFrame:
+    """Batch frame equal to dedup_stream's complete output on a bounded
+    source when events arrive in order: the earliest row per key (ties on
+    the timestamp keep one arbitrary row, matching streaming arrival
+    order)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(ts_col))
+    return (
+        events.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )

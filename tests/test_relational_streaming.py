@@ -163,3 +163,29 @@ def test_multimodal_frames(spark):
     media = multimodal.attach_media(df, "id", "data", "video")
     frames = multimodal.sample_frames(media, every_n_bytes=1024).collect()
     assert [r["frame_index"] for r in sorted(frames, key=lambda r: r["frame_index"])] == [0, 1]
+
+
+def test_dedup_stream_bounded_source(spark, tmp_path):
+    """dedup_stream keeps one row per duplicated key and matches the batch
+    row-number-1 equivalent on an in-order bounded source."""
+    src = str(tmp_path / "dedup_src")
+    ev_df = load_table(spark, SF, "events").limit(500)
+    # duplicate every event's content key on purpose
+    ev_df.select("event_id", "ts", "user_id", "event_type", "value", "props") \
+        .union(ev_df.select("event_id", "ts", "user_id", "event_type", "value", "props")) \
+        .coalesce(1).write.parquet(src)
+    stream = ev.stream_from_parquet(spark, src)
+    q = ev.run_stream_to_memory(
+        ev.dedup_stream(stream, ["event_id"], watermark="1 hour"), "dedup_out"
+    )
+    try:
+        got = spark.sql("SELECT count(*) FROM dedup_out").first()[0]
+        assert got == 500
+        dup = spark.sql(
+            "SELECT count(*) FROM (SELECT event_id FROM dedup_out GROUP BY event_id HAVING count(*) > 1)"
+        ).first()[0]
+        assert dup == 0
+        batch = ev.dedup_stream_batch_equivalent(spark.read.parquet(src), ["event_id"])
+        assert batch.count() == 500
+    finally:
+        q.stop()
