@@ -1017,6 +1017,82 @@ FROM feat
 """
 
 
+def q_corpus_clean(spark, sf_dir):
+    """End-to-end training-data cleaning pipeline in one plan: language
+    filter (en) -> quality filter (rounded score >= 0.5, rounded on BOTH
+    engines so the boundary agrees bit-exactly) -> exact dedup keeping the
+    lowest doc_id per distinct text -> corpus totals.  Composes lang_id,
+    quality_score, token_count and deduplicate_exact; everything stays one
+    JVM-side plan with two shuffles (dedup window + final agg)."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        TX.lang_id(F.col("text")).alias("lang"),
+        F.round(TX.quality_score(F.col("text")), 6).alias("q"),
+        TX.token_count(F.col("text")).cast("bigint").alias("n_tok"),
+    )
+    kept = scored.where((F.col("lang") == "en") & (F.col("q") >= 0.5))
+    deduped = dedup.deduplicate_exact(kept, "doc_id", "text")
+    return deduped.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+    )
+
+
+_Q_SQL = """ROUND(0.4 * LEAST(CAST(len(t) AS DOUBLE) / 50.0, 1.0)
+           + 0.3 * GREATEST(0.0, 1.0 - 5.0 *
+               ((length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                  / GREATEST(length(text), 1)
+              + (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))
+                  / GREATEST(length(text), 1)))
+           + 0.3 * LEAST(1.0, ({stops}) / {nstops}.0 * 2.0), 6)"""
+
+
+def _corpus_clean_oracle() -> str:
+    stops = " + ".join(
+        f"CAST(list_contains(t, '{w}') AS INT)" for w in TX.LANG_MARKERS["en"]
+    )
+    q = _Q_SQL.format(stops=stops, nstops=len(TX.LANG_MARKERS["en"]))
+    return f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+scored AS (
+  SELECT doc_id, text, CAST(len(t) AS BIGINT) AS n_tok, {q} AS q
+  FROM toks
+  WHERE ({_lang_case_sql()}) = 'en'
+),
+kept AS (SELECT * FROM scored WHERE q >= 0.5),
+deduped AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1)
+SELECT COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
+       ROUND(AVG(q), 4) AS avg_quality
+FROM deduped
+"""
+
+
+def _lang_case_sql() -> str:
+    """The lang_id CASE expression over a token array column `t`."""
+    score = {
+        lang: "("
+        + " + ".join(f"CAST(list_contains(t, '{w}') AS INT)" for w in words)
+        + ")"
+        for lang, words in TX.LANG_MARKERS.items()
+    }
+    langs = list(TX.LANG_MARKERS)
+    m = "GREATEST(" + ", ".join(score[lg] for lg in langs) + ")"
+    case = f"CASE WHEN {m} = 0 THEN 'und' "
+    for lg in langs:
+        case += f"WHEN {score[lg]} = {m} THEN '{lg}' "
+    return case + "END"
+
+
+O_CORPUS_CLEAN = _corpus_clean_oracle()
+
+
 # --------------------------------------------------------------------------
 # dedup (SURVEY §2C / BASELINE north star)
 # --------------------------------------------------------------------------
@@ -1374,6 +1450,39 @@ FROM ranked WHERE rank <= 5
 # --------------------------------------------------------------------------
 
 
+def q_embedding_clusters(spark, sf_dir):
+    """Embedding-space corpus clustering: nearest-centroid assignment over
+    deterministic seed centroids (the k-means labeling step / IVF list
+    build), aggregated to per-cluster sizes.  Assignment is a pure column
+    expression with broadcast centroid literals — one scan + one shuffle."""
+    setup(spark, sf_dir)
+    emb = _emb_double(spark, sf_dir)
+    cents = similarity.ivf_centroids(emb, nlist=8)
+    return (
+        similarity.assign_clusters(emb, cents)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_members"), F.min("id").alias("min_member"))
+    )
+
+
+O_EMBEDDING_CLUSTERS = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8),
+csim AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(e.v, c.cv) /
+           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+  FROM emb e CROSS JOIN cent c),
+asg AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM csim) WHERE rn = 1)
+SELECT cluster, COUNT(*) AS n_members, MIN(vec_id) AS min_member
+FROM asg GROUP BY cluster
+"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     setup(spark, sf_dir)
     docs = spark.table("documents")
@@ -1432,6 +1541,7 @@ QUERIES = {
     "sessionize": q_sessionize,
     "lang_id": q_lang_id,
     "text_stats": q_text_stats,
+    "corpus_clean": q_corpus_clean,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
     "dedup_jaccard": q_dedup_jaccard,
@@ -1442,6 +1552,7 @@ QUERIES = {
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh": q_ann_lsh,
     "ann_ivf": q_ann_ivf,
+    "embedding_clusters": q_embedding_clusters,
     "multimodal_decode": q_multimodal_decode,
 }
 
@@ -1477,6 +1588,7 @@ ORACLES = {
     "sessionize": O_SESSIONIZE,
     "lang_id": O_LANG_ID,
     "text_stats": O_TEXT_STATS,
+    "corpus_clean": O_CORPUS_CLEAN,
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_fingerprint": O_DEDUP_FINGERPRINT,
     "dedup_jaccard": O_DEDUP_JACCARD,
@@ -1490,4 +1602,5 @@ ORACLES = {
     "minhash_lsh_pairs": O_MINHASH_LSH_PAIRS,
     "ann_lsh": O_ANN_LSH,
     "ann_ivf": O_ANN_IVF,
+    "embedding_clusters": O_EMBEDDING_CLUSTERS,
 }

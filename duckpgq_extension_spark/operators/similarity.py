@@ -212,6 +212,22 @@ def _nearest_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Colu
     return -F.array_max(choices)["ncid"]
 
 
+def assign_clusters(
+    embeddings: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster) nearest-centroid assignment — the labeling half of
+    k-means / the inverted-list build of IVF, usable standalone for
+    embedding-space corpus clustering.  Pure column expression per row;
+    centroids are literals (broadcast by construction)."""
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        _nearest_centroid(F.col(vec_col), cents).alias("cluster"),
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
