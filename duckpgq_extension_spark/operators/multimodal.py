@@ -138,3 +138,99 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 1024) -> DataFrame:
             )
 
     return media.select("media_id", "content").mapInPandas(run, FRAME_SCHEMA)
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField("resizer", T.StringType(), True),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 224, height: int = 224) -> DataFrame:
+    """Resize image bytes to a fixed (width, height) — the standard
+    pre-training normalization step.  Arrow-batched mapInPandas; PIL when
+    importable, else a deterministic fake that truncates/pads the byte
+    buffer to width*height bytes (the `resizer` column says which ran).
+    The output keeps the MEDIA-like shape so resize chains into
+    decode_images / extract_features.
+    """
+    try:  # pragma: no cover - PIL absent in this container
+        import io
+
+        from PIL import Image
+
+        def resize_one(buf: bytes):
+            img = Image.open(io.BytesIO(buf)).resize((width, height))
+            out = io.BytesIO()
+            img.save(out, format="PNG")
+            return out.getvalue(), "pil"
+
+    except ImportError:
+
+        def resize_one(buf: bytes):
+            buf = buf or b""
+            target = width * height
+            out = (buf * (target // max(len(buf), 1) + 1))[:target] if buf else bytes(target)
+            return out, "fake"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [resize_one(b) for b in pdf["content"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "content": [r[0] for r in rows],
+                    "resizer": [r[1] for r in rows],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, RESIZE_SCHEMA)
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.DoubleType()), True),
+        T.StructField("extractor", T.StringType(), True),
+    ]
+)
+
+
+def extract_features(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Media bytes -> fixed-dim embedding (the encoder step of a
+    multimodal pipeline).  A real deployment swaps the kernel for a GPU
+    model over the same Arrow batches — batch shape, schema, and
+    partitioning are identical; here the fallback is a deterministic
+    byte-histogram projection (`extractor` column marks it fake).
+    The output plugs straight into operators.similarity (ANN / near-dup /
+    clustering) as the `embedding` column.
+    """
+
+    def embed_one(buf: bytes) -> list[float]:
+        buf = buf or b""
+        # byte-value histogram folded to `dim` buckets, L1-normalized —
+        # deterministic, locality-ish: similar byte streams embed nearby
+        hist = [0] * dim
+        for b in buf:
+            hist[b % dim] += 1
+        total = max(sum(hist), 1)
+        return [h / total for h in hist]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "embedding": [embed_one(b) for b in pdf["content"]],
+                    "extractor": ["fake"] * len(pdf),
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, FEATURE_SCHEMA)

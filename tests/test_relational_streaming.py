@@ -189,3 +189,28 @@ def test_dedup_stream_bounded_source(spark, tmp_path):
         assert batch.count() == 500
     finally:
         q.stop()
+
+
+def test_multimodal_resize_and_features(spark):
+    from duckpgq_extension_spark.operators import multimodal as mm
+    from duckpgq_extension_spark.operators import similarity as sim
+
+    docs = load_table(spark, SF, "documents").limit(50)
+    media = mm.attach_media(
+        docs.select("doc_id", F.encode("text", "utf-8").alias("b")), "doc_id", "b", "image"
+    )
+    rs = mm.resize_images(media, width=8, height=8)
+    rows = rs.collect()
+    assert len(rows) == 50
+    assert all(r["width"] == 8 and r["height"] == 8 for r in rows)
+    assert all(len(r["content"]) == 64 for r in rows)
+
+    feats = mm.extract_features(media, dim=8)
+    frows = feats.collect()
+    assert len(frows) == 50
+    assert all(len(r["embedding"]) == 8 for r in frows)
+    assert all(abs(sum(r["embedding"]) - 1.0) < 1e-9 for r in frows)
+    # embeddings flow straight into the similarity operators
+    emb = feats.select(F.col("media_id").alias("vec_id"), "embedding")
+    top = sim.brute_force_topk(emb, emb.limit(3), k=2)
+    assert top.count() == 6
