@@ -27,7 +27,7 @@ from .errors import PGQBinderError, PGQNotImplementedError, PGQParseError
 from .operators import paths as pathops
 from .parser.ast import CreatePropertyGraph, DropPropertyGraph
 from .parser.pgq_parser import Parser, parse_graph_table_body, parse_match
-from .plans.compiler import compile_match
+from .plans.compiler import _key_hash, compile_match
 
 # `GRAPH TABLE` (space) is an accepted spelling alongside `GRAPH_TABLE`
 # (graph_table_keyword.test:22-27)
@@ -214,37 +214,50 @@ class PGQSession:
         et = pg.table_for_label(edge_label, kind="edge")
         if vt is et or not et.source_fk:
             raise PGQBinderError(f"'{edge_label}' is not an edge label")
-        if len(et.source_pk) != 1 or len(et.source_fk) != 1:
-            raise PGQNotImplementedError(
-                f"Whole-graph algorithms require a single-column vertex key; "
-                f"edge table '{et.table_name}' uses a composite key — derive "
-                "a surrogate key column first"
-            )
-        pk = et.source_pk[0]
+        pks = list(et.source_pk)
         vdf = pg.element_df(vertex_label)
         edf = pg.element_df(edge_label)
-        pathops.require_integral_keys(
-            edf, [et.source_fk[0], et.destination_fk[0]], f"edge table '{et.table_name}'"
-        )
-        pathops.require_integral_keys(vdf, [pk], f"vertex table '{vt.table_name}'")
-        edges = pathops.edge_frame(
-            edf,
-            et.source_fk[0],
-            et.destination_fk[0],
-            undirected=undirected,
-        )
-        vertices = vdf.select(F.col(pk).cast("long"))
-        return pg, vt, et, pk, vdf, vertices, edges
+        if len(pks) > 1:
+            # composite keys: xxhash64 surrogate vertex ids (same scheme as
+            # the MATCH compiler's path route), collision-checked against
+            # the actual vertex set before any iteration runs
+            stats = vdf.agg(
+                F.countDistinct(*[F.col(c) for c in pks]).alias("t"),
+                F.countDistinct(_key_hash([F.col(c) for c in pks])).alias("h"),
+            ).first()
+            if stats["t"] != stats["h"]:
+                from .errors import PGQConstraintError
+
+                raise PGQConstraintError(
+                    f"Surrogate-key hash collision on vertex table "
+                    f"'{vt.table_name}' composite key {pks}; whole-graph "
+                    "algorithms need an explicit single-column key"
+                )
+            edf = edf.withColumn(
+                "__pgq_src_h", _key_hash([F.col(c) for c in et.source_fk])
+            ).withColumn("__pgq_dst_h", _key_hash([F.col(c) for c in et.destination_fk]))
+            src_c, dst_c = "__pgq_src_h", "__pgq_dst_h"
+            vkey = _key_hash([F.col(c) for c in pks])
+        else:
+            src_c, dst_c = et.source_fk[0], et.destination_fk[0]
+            pathops.require_integral_keys(
+                edf, [src_c, dst_c], f"edge table '{et.table_name}'"
+            )
+            pathops.require_integral_keys(vdf, pks, f"vertex table '{vt.table_name}'")
+            vkey = F.col(pks[0]).cast("long")
+        edges = pathops.edge_frame(edf, src_c, dst_c, undirected=undirected)
+        vertices = vdf.select(vkey)
+        return pg, vt, et, pks, vdf, vkey, vertices, edges
 
     def pagerank(self, graph: str, vertex_label: str, edge_label: str, **kw) -> DataFrame:
         """(pk, pagerank) — directed graph, like the reference table function
         (src/core/functions/table/pagerank.cpp:10-23)."""
-        _, _, _, pk, vdf, vertices, edges = self._graph_frames(
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
             graph, vertex_label, edge_label, undirected=False
         )
         ranks = algorithms.pagerank(edges, vertices, **kw)
-        return vdf.join(ranks, vdf[pk].cast("long") == ranks["vid"]).select(
-            vdf[pk], F.col("pagerank")
+        return vdf.join(ranks, vkey == ranks["vid"]).select(
+            *[vdf[c] for c in pks], F.col("pagerank")
         )
 
     def weakly_connected_component(
@@ -253,12 +266,12 @@ class PGQSession:
         """(pk, componentId) — undirected, min-member representative
         (reference: src/core/functions/table/weakly_connected_component.cpp:10-25;
         representative convention differs, see algorithms.py)."""
-        _, _, _, pk, vdf, vertices, edges = self._graph_frames(
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
             graph, vertex_label, edge_label, undirected=False
         )
         comp = algorithms.weakly_connected_component(edges, vertices)
-        return vdf.join(comp, vdf[pk].cast("long") == comp["vid"]).select(
-            vdf[pk], F.col("component_id").alias("componentId")
+        return vdf.join(comp, vkey == comp["vid"]).select(
+            *[vdf[c] for c in pks], F.col("component_id").alias("componentId")
         )
 
     def local_clustering_coefficient(
@@ -266,13 +279,13 @@ class PGQSession:
     ) -> DataFrame:
         """(pk, local_clustering_coefficient) — undirected doubled-edge
         convention (src/core/functions/table/local_clustering_coefficient.cpp:17-32)."""
-        _, _, _, pk, vdf, vertices, edges = self._graph_frames(
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
             graph, vertex_label, edge_label, undirected=False
         )
         lcc = algorithms.local_clustering_coefficient(edges, vertices)
         # FLOAT output for reference type parity (local_clustering_coefficient.cpp:78-80)
-        return vdf.join(lcc, vdf[pk].cast("long") == lcc["vid"]).select(
-            vdf[pk],
+        return vdf.join(lcc, vkey == lcc["vid"]).select(
+            *[vdf[c] for c in pks],
             F.col("local_clustering_coefficient").cast("float").alias(
                 "local_clustering_coefficient"
             ),

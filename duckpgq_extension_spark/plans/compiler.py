@@ -65,6 +65,16 @@ def _q(name: str) -> str:
     return f"`{name}`"
 
 
+def _key_hash(cols) -> "F.Column":
+    """Surrogate long vertex id for composite keys: xxhash64 over the
+    string-rendered key tuple.  String casts make the hash agree between
+    fk and pk sides even when their physical types differ (INT fk
+    referencing BIGINT pk); per-column hashing (not concat) avoids tuple
+    ambiguity.  Collision-freedom is checked against the actual vertex set
+    in _check_path_vertices before any traversal uses the surrogate."""
+    return F.xxhash64(*[c.cast("string") for c in cols])
+
+
 def _expr(text: str):
     """F.expr with PGQ/ANSI double-quoted identifiers translated to Spark
     backticks (generated_sql_quoting.test exercises "Name Value"-style
@@ -193,6 +203,32 @@ class MatchCompiler:
         pks = self._endpoint_pks(pgt, vertex_pgt, prefer_source)
         what = "SOURCE" if pgt.source_reference == vertex_pgt.table_name else "DESTINATION"
         return self._single_key(pks, what)
+
+    def _endpoint_key_col(
+        self, pgt: PropertyGraphTable, vertex_pgt: PropertyGraphTable, prefer_source: bool
+    ):
+        """BFS vertex-id Column for an endpoint: the natural long key, or
+        the xxhash64 surrogate for composite keys (matches the surrogate
+        built on the edge frame in _bind_path_edge)."""
+        pks = self._endpoint_pks(pgt, vertex_pgt, prefer_source)
+        if len(pks) == 1:
+            return F.col(pks[0]).cast("long")
+        return _key_hash([F.col(c) for c in pks])
+
+    def _endpoint_key_sql(
+        self,
+        pgt: PropertyGraphTable,
+        vertex_pgt: PropertyGraphTable,
+        prefer_source: bool,
+        binding: str,
+    ) -> str:
+        """Same key as _endpoint_key_col but as a SQL expression string
+        qualified by a binding alias (used in join conditions)."""
+        pks = self._endpoint_pks(pgt, vertex_pgt, prefer_source)
+        if len(pks) == 1:
+            return f"{_q(binding)}.{_q(pks[0])}"
+        cols = ", ".join(f"cast({_q(binding)}.{_q(c)} as string)" for c in pks)
+        return f"xxhash64({cols})"
 
     def _bind_plain_edge(
         self, pattern: PathPattern, prev: VertexElement, edge: EdgeElement, nxt: VertexElement
@@ -362,23 +398,38 @@ class MatchCompiler:
                 "Variable-length paths over edges between different vertex "
                 "tables are not supported"
             )
-        src_fk = self._single_key(pgt.source_fk, "SOURCE")
-        dst_fk = self._single_key(pgt.destination_fk, "DESTINATION")
+        src_fks, dst_fks = list(pgt.source_fk), list(pgt.destination_fk)
+        composite = len(src_fks) > 1
         e = edge.binding
 
         edf = self.pg.element_df(edge.label)
         # integrity guard FIRST (reference error parity: non-unique/missing
         # vertices report the CSR constraint error regardless of key type,
         # non-unique-vertices.test), then the integral-key guard
-        self._check_path_vertices(edge.label, pgt, edf, src_fk, dst_fk)
-        pathops.require_integral_keys(
-            edf, [src_fk, dst_fk], f"edge table '{pgt.table_name}'"
-        )
-        pathops.require_integral_keys(
-            table_df(self.pg.spark, pgt.source_reference),
-            pgt.source_pk,
-            f"vertex table '{pgt.source_reference}'",
-        )
+        self._check_path_vertices(edge.label, pgt, edf, src_fks, dst_fks)
+        if composite:
+            # surrogate long vertex ids: xxhash64 over the string-rendered
+            # key tuple (string casts make INT fk vs BIGINT pk hash alike).
+            # The reference renumbers composite keys to dense rowids at CSR
+            # build (csr_creation.cpp) — same idea, but hashing needs no
+            # global sort; _check_path_vertices proves the hash is
+            # collision-free on this graph before any traversal runs.
+            # Path arrays/element ids then contain surrogate ids, exactly
+            # as the reference's contain rowids.
+            edf = edf.withColumn(
+                "__pgq_src_h", _key_hash([F.col(c) for c in src_fks])
+            ).withColumn("__pgq_dst_h", _key_hash([F.col(c) for c in dst_fks]))
+            src_fk, dst_fk = "__pgq_src_h", "__pgq_dst_h"
+        else:
+            src_fk, dst_fk = src_fks[0], dst_fks[0]
+            pathops.require_integral_keys(
+                edf, [src_fk, dst_fk], f"edge table '{pgt.table_name}'"
+            )
+            pathops.require_integral_keys(
+                table_df(self.pg.spark, pgt.source_reference),
+                pgt.source_pk,
+                f"vertex table '{pgt.source_reference}'",
+            )
         need_path = pattern.shortest or pattern.path_variable is not None
         edges = pathops.edge_frame(
             edf,
@@ -393,11 +444,11 @@ class MatchCompiler:
         # the traversal (BFS from 10 seeds instead of |V| — the difference
         # between a seeded expansion and an all-pairs closure at scale)
         prev_info = self.bound[prev.binding]
-        src_pk = self._endpoint_pk(pgt, prev_info["pgt"], prefer_source=True)
+        src_key = self._endpoint_key_col(pgt, prev_info["pgt"], prefer_source=True)
         src_vdf = self.pg.element_df(prev.label or prev_info["label"]).alias(prev.binding)
         if prev.where:
             src_vdf = src_vdf.where(_expr(prev.where))
-        sources = src_vdf.select(F.col(src_pk).cast("long"))
+        sources = src_vdf.select(src_key)
         # effective quantifier bounds: ANY SHORTEST over a plain edge = one hop
         if not edge.quantified:
             lower, upper = 1, 1
@@ -434,12 +485,12 @@ class MatchCompiler:
         nxt_pgt = self._vertex_pgt(nxt) if nxt_new else self.bound[nxt.binding]["pgt"]
 
         cond_prev = (
-            f"{_q(e)}.`src` = {_q(prev.binding)}."
-            f"{_q(self._endpoint_pk(pgt, prev_pgt, prefer_source=True))}"
+            f"{_q(e)}.`src` = "
+            f"{self._endpoint_key_sql(pgt, prev_pgt, True, prev.binding)}"
         )
         cond_nxt = (
-            f"{_q(e)}.`dst` = {_q(nxt.binding)}."
-            f"{_q(self._endpoint_pk(pgt, nxt_pgt, prefer_source=False))}"
+            f"{_q(e)}.`dst` = "
+            f"{self._endpoint_key_sql(pgt, nxt_pgt, False, nxt.binding)}"
         )
         self.plan = self.plan.join(dist.alias(e), F.expr(cond_prev))
         if nxt_new:
@@ -475,12 +526,18 @@ class MatchCompiler:
         if nxt.where:
             self.filters.append(nxt.where)
 
-    def _check_path_vertices(self, label, pgt, edf, src_fk: str, dst_fk: str) -> None:
+    def _check_path_vertices(
+        self, label, pgt, edf, src_fks: list[str], dst_fks: list[str]
+    ) -> None:
         """Edge-integrity guard for path finding, mirroring the reference's
         CSR build check (csr_creation.cpp:121-125; error text matched for
         test parity, non-unique-vertices.test): every edge endpoint must
-        resolve to exactly one vertex.  Cached per edge label for the
-        session — one validation pass per graph, not per query.
+        resolve to exactly one vertex.  For composite keys the same pass
+        also proves the xxhash64 surrogate key is collision-free on this
+        vertex set (distinct hashes == distinct key tuples), so the BFS
+        surrogate route can never silently merge two vertices.  Cached per
+        edge label for the session — one validation pass per graph, not
+        per query.
         """
         cache = getattr(self.pg, "_path_vertex_checked", None)
         if cache is None:
@@ -488,16 +545,40 @@ class MatchCompiler:
         key = label.lower()
         if key in cache:
             return
-        vkeys = table_df(self.pg.spark, pgt.source_reference).select(
-            F.col(self._single_key(pgt.source_pk, "SOURCE")).alias("__vid")
-        )
+        pks = list(pgt.source_pk)
+        vtab = table_df(self.pg.spark, pgt.source_reference)
+        vkeys = vtab.select(*[F.col(c).alias(f"__vk{i}") for i, c in enumerate(pks)])
+        if len(pks) > 1:
+            stats = vtab.agg(
+                F.countDistinct(*[F.col(c) for c in pks]).alias("n_tuples"),
+                F.countDistinct(_key_hash([F.col(c) for c in pks])).alias("n_hashes"),
+            ).first()
+            if stats["n_tuples"] != stats["n_hashes"]:
+                from ..errors import PGQConstraintError
+
+                raise PGQConstraintError(
+                    f"Surrogate-key hash collision on vertex table "
+                    f"'{pgt.source_reference}' composite key {pks}; "
+                    "path-finding over this graph needs an explicit "
+                    "single-column key"
+                )
+
+        def cond(fks, prefix):
+            c = None
+            for i, fk in enumerate(fks):
+                eq = F.col(fk) == F.col(f"{prefix}{i}")
+                c = eq if c is None else (c & eq)
+            return c
+
         n_edges = edf.count()
         resolved = (
-            edf.join(vkeys, F.col(src_fk) == F.col("__vid"), "inner")
-            .drop("__vid")
+            edf.join(vkeys, cond(src_fks, "__vk"), "inner")
+            .drop(*[f"__vk{i}" for i in range(len(pks))])
             .join(
-                vkeys.withColumnRenamed("__vid", "__vid2"),
-                F.col(dst_fk) == F.col("__vid2"),
+                vkeys.select(
+                    *[F.col(f"__vk{i}").alias(f"__vl{i}") for i in range(len(pks))]
+                ),
+                cond(dst_fks, "__vl"),
                 "inner",
             )
             .count()

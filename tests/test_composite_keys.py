@@ -94,16 +94,40 @@ def test_composite_reverse(ck_pg):
     assert rows(df) == [("C",)]
 
 
-def test_composite_quantified_raises(ck_pg):
-    with pytest.raises(PGQNotImplementedError, match="[Cc]omposite"):
-        ck_pg.graph_table(
-            """ck_pg MATCH (a:N)-[e:E]->{1,2}(b:N) COLUMNS (a.name AS a_name)"""
-        )
+def test_composite_quantified_surrogate_bfs(ck_pg):
+    """Quantified patterns over composite keys traverse via the xxhash64
+    surrogate ids (A=(1,1) and C=(2,1) share num, so single-column keys
+    would corrupt the walk).  Cycle A->B->C->A: {1,2} from A reaches B
+    (1 hop) and C (2 hops)."""
+    df = ck_pg.graph_table(
+        """ck_pg MATCH (a:N)-[e:E]->{1,2}(b:N)
+           WHERE a.name = 'A' COLUMNS (a.name AS a_name, b.name AS b_name)"""
+    )
+    assert rows(df) == [("A", "B"), ("A", "C")]
 
 
-def test_composite_pagerank_raises(ck_pg):
-    with pytest.raises(PGQNotImplementedError, match="composite"):
-        ck_pg.pagerank("ck_pg", "N", "E")
+def test_composite_any_shortest_lengths(ck_pg):
+    df = ck_pg.graph_table(
+        """ck_pg MATCH p = ANY SHORTEST (a:N)-[e:E]->*(b:N)
+           WHERE a.name = 'A'
+           COLUMNS (b.name AS b_name, path_length(p) AS plen)"""
+    )
+    assert rows(df) == [("A", 0), ("B", 1), ("C", 2)]
+
+
+def test_composite_pagerank_surrogate(ck_pg):
+    """Whole-graph algorithms run over composite keys via the surrogate
+    hash ids and report the natural key columns back.  A->B->C->A is a
+    3-cycle, so PageRank is uniform."""
+    got = ck_pg.pagerank("ck_pg", "N", "E").collect()
+    assert len(got) == 3
+    assert {(r["grp"], r["num"]) for r in got} == {(1, 1), (1, 2), (2, 1)}
+    ranks = [r["pagerank"] for r in got]
+    assert max(ranks) - min(ranks) < 1e-9
+    wcc = ck_pg.weakly_connected_component("ck_pg", "N", "E").collect()
+    assert len({r["componentId"] for r in wcc}) == 1
+    lcc = ck_pg.local_clustering_coefficient("ck_pg", "N", "E").collect()
+    assert len(lcc) == 3
 
 
 def test_composite_arity_mismatch_rejected(spark, ck_pg):
