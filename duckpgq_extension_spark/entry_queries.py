@@ -326,6 +326,34 @@ O_SHORTEST_LEN = _with_e(
 )
 
 
+def q_shortest_composite(spark, sf_dir):
+    """ANY SHORTEST over the composite-key graph (xxhash64 surrogate ids
+    inside the BFS; natural two-column keys in the output).  The oracle
+    runs the same BFS as a recursive CTE directly on the composite keys,
+    proving the surrogate route is invisible in the results."""
+    pgq = setup(spark, sf_dir)
+    return pgq.graph_table(
+        """social2 MATCH p = ANY SHORTEST (a:C2 WHERE a.part2 < 10)-[f:F2]->{1,4}(b:C2)
+           COLUMNS (a.part1 AS a_n, a.part2 AS a_key, b.part1 AS b_n,
+                    b.part2 AS b_key, path_length(p) AS plen)"""
+    )
+
+
+O_SHORTEST_COMPOSITE = f"""
+WITH RECURSIVE e2 AS ({EDGES2_SQL}),
+bfs(a1, a2, b1, b2, d) AS (
+  SELECT c_nationkey, c_custkey, c_nationkey, c_custkey, 0
+  FROM customer WHERE c_custkey < 10
+  UNION
+  SELECT b.a1, b.a2, e.dst1, e.dst2, b.d + 1 FROM bfs b
+  JOIN e2 e ON e.src1 = b.b1 AND e.src2 = b.b2 WHERE b.d < 4
+)
+SELECT a1 AS a_n, a2 AS a_key, b1 AS b_n, b2 AS b_key,
+       CAST(min(d) AS BIGINT) AS plen
+FROM bfs GROUP BY 1, 2, 3, 4 HAVING min(d) BETWEEN 1 AND 4
+"""
+
+
 def q_reachability(spark, sf_dir):
     pgq = setup(spark, sf_dir)
     return pgq.graph_table(
@@ -1516,6 +1544,7 @@ QUERIES = {
     "match_triangle": q_match_triangle,
     "match_inheritance": q_match_inheritance,
     "match_composite_key": q_match_composite_key,
+    "shortest_composite": q_shortest_composite,
     "var_length_1_2": q_var_length_1_2,
     "shortest_len": q_shortest_len,
     "reachability": q_reachability,
@@ -1565,6 +1594,7 @@ ORACLES = {
     "match_triangle": O_MATCH_TRIANGLE,
     "match_inheritance": O_MATCH_INHERITANCE,
     "match_composite_key": O_MATCH_COMPOSITE_KEY,
+    "shortest_composite": O_SHORTEST_COMPOSITE,
     "var_length_1_2": O_VAR_LENGTH_1_2,
     "shortest_len": O_SHORTEST_LEN,
     "reachability": O_REACHABILITY,
