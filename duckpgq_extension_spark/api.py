@@ -217,10 +217,16 @@ class PGQSession:
         pks = list(et.source_pk)
         vdf = pg.element_df(vertex_label)
         edf = pg.element_df(edge_label)
-        if len(pks) > 1:
-            # composite keys: xxhash64 surrogate vertex ids (same scheme as
-            # the MATCH compiler's path route), collision-checked against
-            # the actual vertex set before any iteration runs
+        surrogate = (
+            len(pks) > 1
+            or not pathops.integral_keys(vdf, pks)
+            or not pathops.integral_keys(edf, list(et.source_fk) + list(et.destination_fk))
+        )
+        if surrogate:
+            # composite or non-integral (e.g. VARCHAR) keys: xxhash64
+            # surrogate vertex ids (same scheme as the MATCH compiler's
+            # path route), collision-checked against the actual vertex set
+            # before any iteration runs
             stats = vdf.agg(
                 F.countDistinct(*[F.col(c) for c in pks]).alias("t"),
                 F.countDistinct(_key_hash([F.col(c) for c in pks])).alias("h"),
@@ -230,8 +236,8 @@ class PGQSession:
 
                 raise PGQConstraintError(
                     f"Surrogate-key hash collision on vertex table "
-                    f"'{vt.table_name}' composite key {pks}; whole-graph "
-                    "algorithms need an explicit single-column key"
+                    f"'{vt.table_name}' key {pks}; whole-graph "
+                    "algorithms need an explicit integral key column"
                 )
             edf = edf.withColumn(
                 "__pgq_src_h", _key_hash([F.col(c) for c in et.source_fk])

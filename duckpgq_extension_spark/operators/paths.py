@@ -89,12 +89,13 @@ def checkpoint_with_count(df: DataFrame) -> tuple[DataFrame, int]:
 
 
 def require_integral_keys(df: DataFrame, cols: list[str], context: str) -> None:
-    """Bind-time guard: BFS/Bellman-Ford/pagerank/wcc/lcc key columns are
-    cast to long; a non-integral (e.g. VARCHAR) key would cast to NULL and
-    silently produce empty results.  The reference supports arbitrary key
-    types via dense CSR renumbering (csr_creation.cpp); here we fail loudly
-    instead — callers with string keys should build a dense long id mapping
-    first (e.g. via create_vertex_table + a join)."""
+    """Bind-time guard for the places that splice NATURAL vertex/edge ids
+    into long arrays (EDGE ID columns, named-path fixed segments): a
+    non-integral value would cast to NULL and corrupt the array.
+    Quantified patterns and whole-graph algorithms no longer need this —
+    they route composite/string keys through the collision-checked
+    xxhash64 surrogate (compiler._key_hash), the no-global-sort analog of
+    the reference's dense CSR renumbering (csr_creation.cpp)."""
     types = {f.name.lower(): f.dataType.simpleString() for f in df.schema.fields}
     for c in cols:
         dt = types.get(c.lower())
@@ -383,3 +384,12 @@ def cheapest_path_distances(
         return dist.select("src", "dst", "cost")
     finally:
         edges.unpersist()
+
+
+def integral_keys(df: DataFrame, cols: list[str]) -> bool:
+    """True iff every named column has an integral type (usable directly
+    as a BFS vertex id); non-integral keys route through the xxhash64
+    surrogate instead (reference analog: dense renumbering at CSR build
+    supports arbitrary key types, csr_creation.cpp)."""
+    types = {f.name.lower(): f.dataType.simpleString() for f in df.schema.fields}
+    return all(types.get(c.lower()) in _INTEGRAL_TYPES for c in cols)

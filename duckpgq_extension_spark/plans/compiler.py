@@ -173,15 +173,17 @@ class MatchCompiler:
             self.filters.append(v.where)
 
     def _single_key(self, cols: list[str], what: str) -> str:
-        """Path-finding/BFS routes need one integral key per vertex (the
-        interleaved path arrays are flat longs, like the reference's rowid
-        lists).  Composite keys work for fixed-hop MATCH joins; here they
-        fail loudly instead of producing wrong results."""
+        """Named-path FIXED segments splice natural vertex ids into the
+        interleaved path array, so they need one integral key (quantified
+        segments route composite/string keys through the xxhash64
+        surrogate instead — mixing natural and surrogate ids in one path
+        array would corrupt it, hence the loud error here)."""
         if len(cols) != 1:
             raise PGQNotImplementedError(
-                f"Composite {what} keys are not supported for path-finding "
-                "or variable-length patterns (fixed-hop MATCH supports them); "
-                "derive a single surrogate key column first"
+                f"Composite {what} keys are not supported for named-path "
+                "fixed segments (quantified patterns and whole-graph "
+                "algorithms support them via surrogate ids); derive a "
+                "single key column first"
             )
         return cols[0]
 
@@ -205,13 +207,18 @@ class MatchCompiler:
         return self._single_key(pks, what)
 
     def _endpoint_key_col(
-        self, pgt: PropertyGraphTable, vertex_pgt: PropertyGraphTable, prefer_source: bool
+        self,
+        pgt: PropertyGraphTable,
+        vertex_pgt: PropertyGraphTable,
+        prefer_source: bool,
+        surrogate: bool,
     ):
         """BFS vertex-id Column for an endpoint: the natural long key, or
-        the xxhash64 surrogate for composite keys (matches the surrogate
-        built on the edge frame in _bind_path_edge)."""
+        the xxhash64 surrogate (must mirror _bind_path_edge's decision —
+        passed in explicitly so edge and vertex sides can never diverge
+        when fk/pk physical types differ)."""
         pks = self._endpoint_pks(pgt, vertex_pgt, prefer_source)
-        if len(pks) == 1:
+        if not surrogate:
             return F.col(pks[0]).cast("long")
         return _key_hash([F.col(c) for c in pks])
 
@@ -221,11 +228,12 @@ class MatchCompiler:
         vertex_pgt: PropertyGraphTable,
         prefer_source: bool,
         binding: str,
+        surrogate: bool,
     ) -> str:
         """Same key as _endpoint_key_col but as a SQL expression string
         qualified by a binding alias (used in join conditions)."""
         pks = self._endpoint_pks(pgt, vertex_pgt, prefer_source)
-        if len(pks) == 1:
+        if not surrogate:
             return f"{_q(binding)}.{_q(pks[0])}"
         cols = ", ".join(f"cast({_q(binding)}.{_q(c)} as string)" for c in pks)
         return f"xxhash64({cols})"
@@ -399,14 +407,24 @@ class MatchCompiler:
                 "tables are not supported"
             )
         src_fks, dst_fks = list(pgt.source_fk), list(pgt.destination_fk)
-        composite = len(src_fks) > 1
         e = edge.binding
 
         edf = self.pg.element_df(edge.label)
         # integrity guard FIRST (reference error parity: non-unique/missing
         # vertices report the CSR constraint error regardless of key type,
-        # non-unique-vertices.test), then the integral-key guard
+        # non-unique-vertices.test)
         self._check_path_vertices(edge.label, pgt, edf, src_fks, dst_fks)
+        # surrogate ids whenever the natural key is not a single integral
+        # column: composite keys AND string/decimal/etc. single keys both
+        # hash (the reference renumbers arbitrary key types to dense rowids
+        # at CSR build; hashing needs no global sort)
+        composite = (
+            len(src_fks) > 1
+            or not pathops.integral_keys(edf, src_fks + dst_fks)
+            or not pathops.integral_keys(
+                table_df(self.pg.spark, pgt.source_reference), pgt.source_pk
+            )
+        )
         if composite:
             # surrogate long vertex ids: xxhash64 over the string-rendered
             # key tuple (string casts make INT fk vs BIGINT pk hash alike).
@@ -444,7 +462,9 @@ class MatchCompiler:
         # the traversal (BFS from 10 seeds instead of |V| — the difference
         # between a seeded expansion and an all-pairs closure at scale)
         prev_info = self.bound[prev.binding]
-        src_key = self._endpoint_key_col(pgt, prev_info["pgt"], prefer_source=True)
+        src_key = self._endpoint_key_col(
+            pgt, prev_info["pgt"], prefer_source=True, surrogate=composite
+        )
         src_vdf = self.pg.element_df(prev.label or prev_info["label"]).alias(prev.binding)
         if prev.where:
             src_vdf = src_vdf.where(_expr(prev.where))
@@ -486,11 +506,11 @@ class MatchCompiler:
 
         cond_prev = (
             f"{_q(e)}.`src` = "
-            f"{self._endpoint_key_sql(pgt, prev_pgt, True, prev.binding)}"
+            f"{self._endpoint_key_sql(pgt, prev_pgt, True, prev.binding, composite)}"
         )
         cond_nxt = (
             f"{_q(e)}.`dst` = "
-            f"{self._endpoint_key_sql(pgt, nxt_pgt, False, nxt.binding)}"
+            f"{self._endpoint_key_sql(pgt, nxt_pgt, False, nxt.binding, composite)}"
         )
         self.plan = self.plan.join(dist.alias(e), F.expr(cond_prev))
         if nxt_new:
@@ -548,7 +568,7 @@ class MatchCompiler:
         pks = list(pgt.source_pk)
         vtab = table_df(self.pg.spark, pgt.source_reference)
         vkeys = vtab.select(*[F.col(c).alias(f"__vk{i}") for i, c in enumerate(pks)])
-        if len(pks) > 1:
+        if len(pks) > 1 or not pathops.integral_keys(vtab, pks):
             stats = vtab.agg(
                 F.countDistinct(*[F.col(c) for c in pks]).alias("n_tuples"),
                 F.countDistinct(_key_hash([F.col(c) for c in pks])).alias("n_hashes"),

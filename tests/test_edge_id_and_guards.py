@@ -5,7 +5,7 @@
   shortest_path.cpp:213-216), with DDL-time validation.
 - Deterministic ANY SHORTEST tie-breaking (lexicographically-smallest
   interleaved path; operators/paths.py module notes).
-- Bind-time integral-key validation (non-numeric keys raise instead of
+- Non-integral keys route through the xxhash64 surrogate (instead of
   silently returning empty results).
 - weakly_connected_component restricted to the caller's vertex domain.
 - Microsecond-precision sessionization gaps.
@@ -112,16 +112,26 @@ def test_string_keys_fixed_hop_still_works(str_pg):
     assert rows(df) == [("a", "b")]
 
 
-def test_string_keys_quantified_raises(str_pg):
-    with pytest.raises(PGQNotImplementedError, match="integral vertex keys"):
-        str_pg.graph_table(
-            """str_pg MATCH (a:SN)-[e:SE]->{1,2}(b:SN) COLUMNS (a.code AS a_c)"""
-        )
+def test_string_keys_quantified_surrogate(str_pg):
+    """Non-integral keys traverse via the collision-checked xxhash64
+    surrogate (reference analog: dense renumbering supports arbitrary key
+    types at CSR build)."""
+    df = str_pg.graph_table(
+        """str_pg MATCH (a:SN)-[e:SE]->{1,2}(b:SN)
+           COLUMNS (a.code AS a_c, b.code AS b_c)"""
+    )
+    assert rows(df) == [("a", "b")]
+    sp = str_pg.graph_table(
+        """str_pg MATCH p = ANY SHORTEST (a:SN)-[e:SE]->*(b:SN)
+           COLUMNS (a.code AS a_c, b.code AS b_c, path_length(p) AS plen)"""
+    )
+    assert ("a", "b", 1) in set(rows(sp))
 
 
-def test_string_keys_pagerank_raises(str_pg):
-    with pytest.raises(PGQNotImplementedError, match="integral vertex keys"):
-        str_pg.pagerank("str_pg", "SN", "SE")
+def test_string_keys_pagerank_surrogate(str_pg):
+    got = str_pg.pagerank("str_pg", "SN", "SE").collect()
+    assert {r["code"] for r in got} == {"a", "b"}
+    assert all(r["pagerank"] > 0 for r in got)
 
 
 def test_wcc_restricted_to_vertex_domain(spark):
