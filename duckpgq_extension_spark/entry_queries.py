@@ -73,6 +73,27 @@ EDGE TABLES (
 )
 """
 
+# string-key variant: vertices keyed by the VARCHAR c_name (exercises the
+# non-integral surrogate route end to end)
+CUSTS_SQL = "SELECT c_name, c_acctbal FROM customer"
+EDGES_S_SQL = (
+    "SELECT s.c_name AS sname, d.c_name AS dname FROM ({e}) e "
+    "JOIN customer s ON s.c_custkey = e.src "
+    "JOIN customer d ON d.c_custkey = e.dst"
+).format(e=EDGES_SQL)
+
+GRAPHS_DDL = """
+CREATE OR REPLACE PROPERTY GRAPH social_s
+VERTEX TABLES (
+    custs PROPERTIES (c_name, c_acctbal) LABEL CS
+)
+EDGE TABLES (
+    edges_s SOURCE KEY (sname) REFERENCES custs (c_name)
+            DESTINATION KEY (dname) REFERENCES custs (c_name)
+            LABEL FS
+)
+"""
+
 GRAPH2_DDL = """
 CREATE OR REPLACE PROPERTY GRAPH social2
 VERTEX TABLES (
@@ -103,9 +124,12 @@ def setup(spark: SparkSession, sf_dir: str) -> PGQSession:
     spark.sql(f"CREATE OR REPLACE TEMP VIEW customer_tm AS {CUSTOMER_TM_SQL}")
     spark.sql(f"CREATE OR REPLACE TEMP VIEW cust2 AS {CUST2_SQL}")
     spark.sql(f"CREATE OR REPLACE TEMP VIEW edges2 AS {EDGES2_SQL}")
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW custs AS {CUSTS_SQL}")
+    spark.sql(f"CREATE OR REPLACE TEMP VIEW edges_s AS {EDGES_S_SQL}")
     pgq = PGQSession(spark)
     pgq.execute(GRAPH_DDL)
     pgq.execute(GRAPH2_DDL)
+    pgq.execute(GRAPHS_DDL)
     _SETUP[key] = pgq
     return pgq
 
@@ -351,6 +375,30 @@ bfs(a1, a2, b1, b2, d) AS (
 SELECT a1 AS a_n, a2 AS a_key, b1 AS b_n, b2 AS b_key,
        CAST(min(d) AS BIGINT) AS plen
 FROM bfs GROUP BY 1, 2, 3, 4 HAVING min(d) BETWEEN 1 AND 4
+"""
+
+
+def q_shortest_string(spark, sf_dir):
+    """ANY SHORTEST over a graph keyed by the VARCHAR c_name — the
+    non-integral surrogate route, oracle-checked with a recursive CTE
+    running directly on the string keys."""
+    pgq = setup(spark, sf_dir)
+    return pgq.graph_table(
+        """social_s MATCH p = ANY SHORTEST (a:CS WHERE a.c_name <= 'Customer#000000009')-[f:FS]->{1,4}(b:CS)
+           COLUMNS (a.c_name AS a_name, b.c_name AS b_name, path_length(p) AS plen)"""
+    )
+
+
+O_SHORTEST_STRING = f"""
+WITH RECURSIVE es AS ({EDGES_S_SQL}),
+bfs(a, b, d) AS (
+  SELECT c_name, c_name, 0 FROM customer WHERE c_name <= 'Customer#000000009'
+  UNION
+  SELECT f.a, e.dname, f.d + 1 FROM bfs f
+  JOIN es e ON e.sname = f.b WHERE f.d < 4
+)
+SELECT a AS a_name, b AS b_name, CAST(min(d) AS BIGINT) AS plen
+FROM bfs GROUP BY a, b HAVING min(d) BETWEEN 1 AND 4
 """
 
 
@@ -1545,6 +1593,7 @@ QUERIES = {
     "match_inheritance": q_match_inheritance,
     "match_composite_key": q_match_composite_key,
     "shortest_composite": q_shortest_composite,
+    "shortest_string": q_shortest_string,
     "var_length_1_2": q_var_length_1_2,
     "shortest_len": q_shortest_len,
     "reachability": q_reachability,
@@ -1595,6 +1644,7 @@ ORACLES = {
     "match_inheritance": O_MATCH_INHERITANCE,
     "match_composite_key": O_MATCH_COMPOSITE_KEY,
     "shortest_composite": O_SHORTEST_COMPOSITE,
+    "shortest_string": O_SHORTEST_STRING,
     "var_length_1_2": O_VAR_LENGTH_1_2,
     "shortest_len": O_SHORTEST_LEN,
     "reachability": O_REACHABILITY,
