@@ -410,6 +410,10 @@ class Parser:
 
     def parse_vertex(self) -> VertexElement:
         self.expect_op("(")
+        if self.peek() is not None and self.peek().kind == "op" and self.peek().value == "(":
+            # parenthesized subpath in a vertex position — reference parity
+            # (match.cpp:824-826 rejects these before binding)
+            raise PGQNotImplementedError("Recursive patterns are not yet supported.")
         binding = None
         label = None
         where = None

@@ -272,3 +272,22 @@ def test_is7_replies_by_known_authors(snb_msg):
         (962072674305, "yes", "2012-07-08 16:48:41.630000", 24189255811081, "Alim", "Guliyev"),
         (962072674306, "thanks", "2012-07-08 13:32:03.239000", 24189255811081, "Alim", "Guliyev"),
     ]
+
+
+def test_recursive_and_edge_subpaths_rejected():
+    """Reference parity (match.cpp:824-826, 847-849): parenthesized
+    subpaths in vertex or edge positions are rejected with typed errors."""
+    from duckpgq_extension_spark.errors import (
+        PGQNotImplementedError as NIE,
+        PGQParseError as PE,
+    )
+    from duckpgq_extension_spark.parser.pgq_parser import parse_graph_table_body
+
+    with pytest.raises(NIE, match="Recursive patterns"):
+        parse_graph_table_body(
+            "g MATCH ((a:V)-[e:E]->(b:V)){1,3} COLUMNS (a.x AS x)"
+        )
+    with pytest.raises((NIE, PE)):
+        parse_graph_table_body(
+            "g MATCH (a:V)(-[e1:E]->-[e2:E]->)(b:V) COLUMNS (a.x AS x)"
+        )
