@@ -291,3 +291,46 @@ def test_recursive_and_edge_subpaths_rejected():
         parse_graph_table_body(
             "g MATCH (a:V)(-[e1:E]->-[e2:E]->)(b:V) COLUMNS (a.x AS x)"
         )
+
+
+def test_altering_backing_table_surfaces_errors(spark):
+    """altering_table.test: after the backing table changes shape, queries
+    against properties that no longer exist error instead of silently
+    returning stale data (the reference's ALTER TABLE RENAME analog is
+    replacing the temp view)."""
+    spark.createDataFrame(
+        [Row(id=i, name=n) for i, n in enumerate(["Daniel", "Tavneet"])],
+        "id long, name string",
+    ).createOrReplaceTempView("alt_student")
+    spark.createDataFrame(
+        [Row(src=0, dst=1)], "src long, dst long"
+    ).createOrReplaceTempView("alt_know")
+    s = PGQSession(spark)
+    s.execute(
+        """CREATE PROPERTY GRAPH alt_pg
+           VERTEX TABLES ( alt_student PROPERTIES ( id, name ) LABEL Person )
+           EDGE TABLES (
+               alt_know SOURCE KEY ( src ) REFERENCES alt_student ( id )
+                        DESTINATION KEY ( dst ) REFERENCES alt_student ( id )
+                        LABEL Knows )"""
+    )
+    ok = s.graph_table(
+        "alt_pg MATCH (a:Person)-[k:Knows]->(b:Person) COLUMNS (a.id AS id)"
+    )
+    assert ok.count() == 1
+    # rename id -> jd in the backing view
+    spark.createDataFrame(
+        [Row(jd=i, name=n) for i, n in enumerate(["Daniel", "Tavneet"])],
+        "jd long, name string",
+    ).createOrReplaceTempView("alt_student")
+    # the renamed column is not a registered property; the key join also
+    # no longer analyzes — either way a typed error, never stale output
+    with pytest.raises(Exception):
+        s.graph_table(
+            "alt_pg MATCH (a:Person)-[k:Knows]->(b:Person) COLUMNS (a.jd AS jd)"
+        )
+    # the registered property no longer exists in the table -> error too
+    with pytest.raises(Exception):
+        s.graph_table(
+            "alt_pg MATCH (a:Person)-[k:Knows]->(b:Person) COLUMNS (a.id AS id)"
+        ).collect()
