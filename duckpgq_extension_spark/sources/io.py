@@ -65,3 +65,38 @@ def read_delta(spark: SparkSession, path: str) -> DataFrame:
             "the classpath (not present in this environment)"
         ) from exc
     return spark.read.format("delta").load(path)  # pragma: no cover
+
+
+def write_bucketed_edges(
+    edges: DataFrame,
+    table: str,
+    src_col: str = "src",
+    buckets: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist an edge table bucketed by its source key.
+
+    At cluster scale this is the difference between shuffling the
+    adjacency once per session and never shuffling it at all: a bucketed
+    table is already hash-partitioned on disk, so every per-level BFS /
+    Bellman-Ford join against a frontier bucketed the same way is
+    shuffle-free on the edge side (Spark recognizes the bucketing as a
+    satisfied HashPartitioning requirement).  Pair with
+    `spark.conf.set("spark.sql.sources.bucketing.enabled", "true")`
+    (default on) and read back via `spark.table(table)`.
+
+    buckets defaults to the session's shuffle partition count so bucket
+    and shuffle layouts line up.
+    """
+    spark = edges.sparkSession
+    if buckets is None:
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        edges.write.mode(mode)
+        .bucketBy(buckets, src_col)
+        .sortBy(src_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )

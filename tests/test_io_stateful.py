@@ -56,3 +56,34 @@ def test_stateful_streaming_running_totals(spark, tmp_path):
             assert got[r["user_id"]]["total_value"] == pytest.approx(r["v"])
     finally:
         q.stop()
+
+
+def test_write_bucketed_edges_no_edge_side_shuffle(spark):
+    """Bucketed adjacency joins against a key-partitioned frontier without
+    an Exchange on the edge side (the 100 TB BFS layout)."""
+    from pyspark.sql import functions as F
+
+    from duckpgq_extension_spark.sources import io as pgio
+
+    edges = spark.range(1000).select(
+        (F.col("id") % 100).alias("src"), ((F.col("id") * 7) % 100).alias("dst")
+    )
+    pgio.write_bucketed_edges(edges, "bkt_edges", buckets=4)
+    try:
+        back = spark.table("bkt_edges")
+        assert back.count() == 1000
+        frontier = spark.range(50).select(F.col("id").alias("dst"))
+        plan = (
+            frontier.repartition(4, "dst")
+            .hint("merge")  # forbid broadcast so the layout is observable
+            .join(back, frontier["dst"] == back["src"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        # edge side must carry NO Exchange: the bucketed scan satisfies the
+        # join's HashPartitioning requirement, so the only shuffle in the
+        # whole plan is the frontier's own repartition
+        assert plan.count("Exchange") == 1, plan
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_edges")
