@@ -152,6 +152,11 @@ def _prep_edges(edges: DataFrame, num_partitions: int | None) -> DataFrame:
     sees exotic upstream operators (scalar subqueries in a derived edge
     view trip `UnionBase.rewriteConstraints` otherwise).
     """
+    if num_partitions == 0:
+        # caller vouches the input is already laid out by src (e.g. a
+        # bucketed table from sources.io.write_bucketed_edges) — skip the
+        # repartition shuffle entirely
+        return materialize(edges)
     n = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
     return materialize(edges.repartition(n, "src"))
 

@@ -87,3 +87,22 @@ def test_write_bucketed_edges_no_edge_side_shuffle(spark):
         assert plan.count("Exchange") == 1, plan
     finally:
         spark.sql("DROP TABLE IF EXISTS bkt_edges")
+
+
+def test_bfs_trusts_prepartitioned_edges(spark):
+    """num_partitions=0 skips the adjacency repartition for inputs already
+    laid out by src (bucketed tables); results are identical."""
+    from pyspark.sql import functions as F
+
+    from duckpgq_extension_spark.operators import paths as pathops
+
+    edges = spark.range(200).select(
+        (F.col("id") % 40).alias("src"), ((F.col("id") * 3 + 1) % 40).alias("dst")
+    )
+    srcs = spark.range(3).select(F.col("id").alias("src"))
+    base = {(r["src"], r["dst"], r["dist"]) for r in
+            pathops.bfs_distances(edges, sources=srcs).collect()}
+    trusted = {(r["src"], r["dst"], r["dist"]) for r in
+               pathops.bfs_distances(edges.repartition(4, "src"), sources=srcs,
+                                     num_partitions=0).collect()}
+    assert base == trusted and base
