@@ -334,3 +334,32 @@ def test_altering_backing_table_surfaces_errors(spark):
         s.graph_table(
             "alt_pg MATCH (a:Person)-[k:Knows]->(b:Person) COLUMNS (a.id AS id)"
         ).collect()
+
+
+def test_graph_table_in_union_and_join(pgq):
+    """Frontend robustness: two GRAPH_TABLEs in one statement via UNION
+    ALL, and a GRAPH_TABLE joined against a plain table."""
+    df = pgq.sql(
+        """SELECT t.* FROM GRAPH_TABLE (pg
+             MATCH (a:Person)-[k:Knows]->(b:Person)
+             WHERE a.name = 'Daniel'
+             COLUMNS (a.name AS person, b.name AS friend)) t
+           UNION ALL
+           SELECT s.* FROM GRAPH_TABLE (pg
+             MATCH (a:Person)-[k:Knows]->(b:Person)
+             WHERE a.name = 'Tavneet'
+             COLUMNS (a.name AS person, b.name AS friend)) s"""
+    )
+    got = rows(df)
+    assert ("Daniel", "Tavneet") in got and ("Tavneet", "Gabor") in got
+    j = pgq.sql(
+        """SELECT g.person, g.friend, st.id AS friend_id
+           FROM GRAPH_TABLE (pg
+             MATCH (a:Person)-[k:Knows]->(b:Person)
+             WHERE a.name = 'Daniel'
+             COLUMNS (a.name AS person, b.name AS friend)) g
+           JOIN Student st ON st.name = g.friend
+           ORDER BY friend_id"""
+    )
+    got = rows(j, sort=False)
+    assert got == [("Daniel", "Tavneet", 1), ("Daniel", "Gabor", 2), ("Daniel", "Peter", 3)]
