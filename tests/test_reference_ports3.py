@@ -363,3 +363,27 @@ def test_graph_table_in_union_and_join(pgq):
     )
     got = rows(j, sort=False)
     assert got == [("Daniel", "Tavneet", 1), ("Daniel", "Gabor", 2), ("Daniel", "Peter", 3)]
+
+
+def test_source_destination_not_reserved(spark):
+    """source_keyword.test parity: SOURCE/DESTINATION are contextual
+    keywords, usable as column and property names end to end."""
+    spark.createDataFrame(
+        [Row(id=0, source="s0", destination="d0"), Row(id=1, source="s1", destination="d1")],
+        "id long, source string, destination string",
+    ).createOrReplaceTempView("kw_v")
+    spark.createDataFrame(
+        [Row(s=0, d=1)], "s long, d long"
+    ).createOrReplaceTempView("kw_e")
+    sess = PGQSession(spark)
+    sess.execute(
+        """CREATE PROPERTY GRAPH kw_pg
+           VERTEX TABLES ( kw_v PROPERTIES ( id, source, destination ) LABEL V )
+           EDGE TABLES ( kw_e SOURCE KEY (s) REFERENCES kw_v (id)
+                         DESTINATION KEY (d) REFERENCES kw_v (id) LABEL E )"""
+    )
+    df = sess.graph_table(
+        """kw_pg MATCH (a:V)-[e:E]->(b:V)
+           COLUMNS (a.source AS a_src, b.destination AS b_dst)"""
+    )
+    assert rows(df) == [("s0", "d1")]
