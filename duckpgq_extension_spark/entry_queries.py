@@ -749,6 +749,42 @@ FROM (
 """
 
 
+def q_interval_join(spark, sf_dir):
+    """Interval containment join, time-bucket blocked (equi-join on the
+    bucket grid + exact predicate; never an inequality-only cartesian):
+    user-0 session windows against the whole event stream."""
+    setup(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    sessions = ev.session_stats(events.where(F.col("user_id") == 0), gap_minutes=60)
+    iv = sessions.select(
+        F.col("session_id").cast("bigint").alias("session_id"),
+        F.col("session_start").alias("s"),
+        F.col("session_end").alias("e"),
+    ).localCheckpoint()  # iv derives from events; sever the lineage so the
+    # interval side joining back against events is not a self-join
+    out = relational.interval_join(iv, events, "s", "e", "ts", bucket="1 hour")
+    return out.select(
+        "session_id", "event_id", ev.epoch_us(F.col("ts")).alias("ts_us")
+    )
+
+
+O_INTERVAL_JOIN = """
+WITH u0 AS (SELECT * FROM events WHERE user_id = 0),
+flagged AS (
+  SELECT *, CASE WHEN COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER w, 3600000001)
+                 > 3600000000 THEN 1 ELSE 0 END AS new_session
+  FROM u0 WINDOW w AS (ORDER BY ts)
+),
+sessions AS (
+  SELECT SUM(new_session) OVER (ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id, ts
+  FROM flagged
+),
+iv AS (SELECT session_id, MIN(ts) AS s, MAX(ts) AS e FROM sessions GROUP BY session_id)
+SELECT iv.session_id, ev.event_id, epoch_us(ev.ts) AS ts_us
+FROM iv JOIN events ev ON ev.ts >= iv.s AND ev.ts <= iv.e
+"""
+
+
 def q_asof_join(spark, sf_dir):
     setup(spark, sf_dir)
     events = load_table(spark, sf_dir, "events").where(F.col("user_id") < 50)
@@ -1608,6 +1644,7 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "topk_per_group": q_topk_per_group,
     "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
     "window_running_sum": q_window_running_sum,
     "rollup_orders": q_rollup_orders,
     "cube_lineitem": q_cube_lineitem,
@@ -1659,6 +1696,7 @@ ORACLES = {
     "tpch_q1": O_TPCH_Q1,
     "topk_per_group": O_TOPK_PER_GROUP,
     "asof_join": O_ASOF_JOIN,
+    "interval_join": O_INTERVAL_JOIN,
     "window_running_sum": O_WINDOW_RUNNING_SUM,
     "rollup_orders": O_ROLLUP_ORDERS,
     "cube_lineitem": O_CUBE_LINEITEM,

@@ -84,3 +84,96 @@ def top_k_per_group(
         df.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
     )
+
+
+_DUR_UNITS = {
+    "second": 1_000_000, "seconds": 1_000_000,
+    "minute": 60_000_000, "minutes": 60_000_000,
+    "hour": 3_600_000_000, "hours": 3_600_000_000,
+    "day": 86_400_000_000, "days": 86_400_000_000,
+}
+
+
+def _duration_us(text: str) -> int:
+    """'15 minutes' -> microseconds (the subset of interval syntax the
+    blocking grid needs)."""
+    parts = text.strip().lower().split()
+    if len(parts) != 2 or parts[1] not in _DUR_UNITS or not parts[0].isdigit():
+        raise ValueError(f"Unsupported bucket duration {text!r} (use 'N second|minute|hour|day[s]')")
+    return int(parts[0]) * _DUR_UNITS[parts[1]]
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_ts: str,
+    bucket: str = "1 hour",
+    on: str | list[str] | None = None,
+) -> DataFrame:
+    """Interval join: pair every left interval [start, end] with the right
+    rows whose timestamp falls inside it (optionally also matching key
+    columns).
+
+    The naive plan is a pure inequality join — a broadcast-nested-loop /
+    cartesian that dies at scale.  This implementation blocks both sides
+    by a time bucket first: an interval joins only the buckets it
+    overlaps (explode over the covered bucket sequence), the point side
+    joins on its single bucket, and the exact containment predicate then
+    filters within the bucket — so the join is an equi-join on
+    (bucket [, keys]) that shuffles and prunes like any other.  Choose
+    `bucket` near the typical interval length: much smaller multiplies
+    the explode fan-out, much larger packs unrelated rows into one block.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    b_us = _duration_us(bucket)
+
+    def bidx(c):
+        # bucket ordinal on a shared epoch grid; works for TIMESTAMP and
+        # TIMESTAMP_NTZ alike (cast normalizes, session tz pinned UTC)
+        return F.floor(F.unix_micros(F.col(c).cast("timestamp")) / F.lit(b_us))
+
+    lb = left.withColumn(
+        "__b", F.explode(F.sequence(bidx(left_start), bidx(left_end)))
+    )
+    rb = right.withColumn("__b", bidx(right_ts))
+    cond = [lb["__b"] == rb["__b"]] + [lb[k] == rb[k] for k in keys]
+    out = (
+        lb.join(rb, cond)
+        .where(
+            (rb[right_ts] >= lb[left_start]) & (rb[right_ts] <= lb[left_end])
+        )
+        .drop(lb["__b"])
+        .drop(rb["__b"])
+    )
+    if keys:
+        for k in keys:
+            out = out.drop(rb[k])
+    return out
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: hot keys on the (large, skewed) left side
+    are spread across `salt` sub-partitions and the right side is
+    replicated `salt` ways, so no single reducer owns a whole hot key.
+
+    AQE's skew-join handles most cases at runtime; use this when the skew
+    is known up front (power-law graph degrees, stop-shingle blocks) or
+    when AQE is unavailable (bucketed sort-merge paths).  The salt is a
+    deterministic hash of the full left row — same data, same plan.
+    Result is exactly the plain join's (the salt column never leaks).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))
+    )
+    r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    out = l.join(r, keys + ["__salt"], how)
+    return out.drop("__salt")

@@ -214,3 +214,25 @@ def test_multimodal_resize_and_features(spark):
     emb = feats.select(F.col("media_id").alias("vec_id"), "embedding")
     top = sim.brute_force_topk(emb, emb.limit(3), k=2)
     assert top.count() == 6
+
+
+def test_salted_join_equals_plain_join(spark):
+    from duckpgq_extension_spark.operators.relational import salted_join
+
+    # pathological skew: 90% of left rows share one key
+    left = spark.range(1000).select(
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id")).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    right = spark.createDataFrame(
+        [(7, "hot"), (950, "cold"), (999, "cold")], "k long, tag string"
+    )
+    plain = {(r["k"], r["payload"], r["tag"]) for r in
+             left.join(right, "k").collect()}
+    salted = {(r["k"], r["payload"], r["tag"]) for r in
+              salted_join(left, right, "k", salt=8).collect()}
+    assert salted == plain and len(plain) == 902
+    # left join keeps unmatched rows exactly once
+    lp = left.join(right, "k", "left").count()
+    ls = salted_join(left, right, "k", salt=8, how="left").count()
+    assert lp == ls == 1000
