@@ -780,9 +780,12 @@ sessions AS (
   FROM flagged
 ),
 iv AS (SELECT session_id, MIN(ts) AS s, MAX(ts) AS e FROM sessions GROUP BY session_id)
-SELECT iv.session_id, ev.event_id, epoch_us(ev.ts) AS ts_us
+SELECT CAST(iv.session_id AS BIGINT) AS session_id, ev.event_id, epoch_us(ev.ts) AS ts_us
 FROM iv JOIN events ev ON ev.ts >= iv.s AND ev.ts <= iv.e
 """
+# session_id is a windowed SUM -> HUGEINT in DuckDB; pandas/arrow fetch turns
+# HUGEINT into float64 ("1.0" vs Spark's "1" under a value hash), so the
+# oracle must cast every integral aggregate it emits (CORRECTNESS_r02 red).
 
 
 def q_asof_join(spark, sf_dir):
@@ -1083,8 +1086,13 @@ def _lang_sql() -> str:
 
 def q_lang_id(spark, sf_dir):
     setup(spark, sf_dir)
-    docs = spark.table("documents")
-    return docs.select("doc_id", TX.lang_id(F.col("text")).alias("lang"))
+    # tokens pre-projected once; CollapseProject keeps the non-cheap,
+    # multiply-referenced alias as its own projection, so the regex split
+    # runs once per row and the scoring stage stays inside codegen
+    docs = spark.table("documents").withColumn("__toks", TX.tokens(F.col("text")))
+    return docs.select(
+        "doc_id", TX.lang_id(F.col("text"), toks=F.col("__toks")).alias("lang")
+    )
 
 
 O_LANG_ID = _lang_sql()
@@ -1092,12 +1100,13 @@ O_LANG_ID = _lang_sql()
 
 def q_text_stats(spark, sf_dir):
     setup(spark, sf_dir)
-    docs = spark.table("documents")
+    docs = spark.table("documents").withColumn("__toks", TX.tokens(F.col("text")))
+    t = F.col("__toks")
     return docs.select(
         "doc_id",
-        TX.token_count(F.col("text")).cast("bigint").alias("n_tok"),
-        TX.quality_score(F.col("text")).alias("quality"),
-        TX.doc_fingerprint(F.col("text"), 5).alias("fingerprint"),
+        TX.token_count(F.col("text"), toks=t).cast("bigint").alias("n_tok"),
+        TX.quality_score(F.col("text"), toks=t).alias("quality"),
+        TX.doc_fingerprint(F.col("text"), 5, toks=t).alias("fingerprint"),
     )
 
 
@@ -1137,20 +1146,24 @@ def q_corpus_clean(spark, sf_dir):
     quality_score, token_count and deduplicate_exact; everything stays one
     JVM-side plan with two shuffles (dedup window + final agg)."""
     setup(spark, sf_dir)
-    docs = spark.table("documents")
+    docs = spark.table("documents").withColumn("__toks", TX.tokens(F.col("text")))
+    t = F.col("__toks")
     scored = docs.select(
         "doc_id",
         "text",
-        TX.lang_id(F.col("text")).alias("lang"),
-        F.round(TX.quality_score(F.col("text")), 6).alias("q"),
-        TX.token_count(F.col("text")).cast("bigint").alias("n_tok"),
+        TX.lang_id(F.col("text"), toks=t).alias("lang"),
+        F.round(TX.quality_score(F.col("text"), toks=t), 6).alias("q"),
+        TX.token_count(F.col("text"), toks=t).cast("bigint").alias("n_tok"),
     )
     kept = scored.where((F.col("lang") == "en") & (F.col("q") >= 0.5))
     deduped = dedup.deduplicate_exact(kept, "doc_id", "text")
+    # avg_quality is emitted as a 1e-4 fixed-point BIGINT so the driver's
+    # value hash is integer-exact on both engines (a raw ROUND(avg,4) DOUBLE
+    # can differ in the last ULP between Spark and DuckDB summation orders)
     return deduped.agg(
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),
-        F.round(F.avg("q"), 4).alias("avg_quality"),
+        F.round(F.avg("q") * 10000, 0).cast("bigint").alias("avg_quality_e4"),
     )
 
 
@@ -1180,8 +1193,8 @@ deduped AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
     FROM kept) WHERE rn = 1)
-SELECT COUNT(*) AS n_docs, SUM(n_tok) AS n_tokens,
-       ROUND(AVG(q), 4) AS avg_quality
+SELECT COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(ROUND(AVG(q) * 10000, 0) AS BIGINT) AS avg_quality_e4
 FROM deduped
 """
 
@@ -1225,8 +1238,10 @@ FROM documents GROUP BY 1 HAVING COUNT(*) > 1
 
 def q_dedup_fingerprint(spark, sf_dir):
     setup(spark, sf_dir)
-    docs = spark.table("documents")
-    fp = docs.select("doc_id", TX.doc_fingerprint(F.col("text"), 5).alias("fp"))
+    docs = spark.table("documents").withColumn("__toks", TX.tokens(F.col("text")))
+    fp = docs.select(
+        "doc_id", TX.doc_fingerprint(F.col("text"), 5, toks=F.col("__toks")).alias("fp")
+    )
     return (
         fp.groupBy("fp")
         .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs"))

@@ -38,9 +38,10 @@ def tokens(col: Column) -> Column:
     return F.split(F.trim(F.lower(col)), r"\s+")
 
 
-def token_count(col: Column) -> Column:
-    """Whitespace token count."""
-    return F.size(tokens(col))
+def token_count(col: Column, toks: Column | None = None) -> Column:
+    """Whitespace token count.  Pass a pre-projected `tokens(col)` column
+    as `toks` in hot paths so the split runs once per row (see lang_id)."""
+    return F.size(tokens(col) if toks is None else toks)
 
 
 def bpe_ish_token_count(col: Column) -> Column:
@@ -53,33 +54,46 @@ def bpe_ish_token_count(col: Column) -> Column:
 
 
 def _contains_count(toks: Column, words: list[str]) -> Column:
-    """How many of `words` occur in the token array (0..len(words))."""
-    out = F.lit(0)
-    for w in words:
-        out = out + F.array_contains(toks, w).cast("int")
-    return out
+    """How many of `words` occur in the token array (0..len(words)).
+
+    size(array_intersect) instead of a sum of array_contains: one array
+    pass and one compact codegen expression per language instead of
+    len(words) scans — the sum-of-contains form, multiplied by predicate
+    pushdown inlining, was the main contributor to the Janino 64 KB
+    codegen fallback on the corpus pipeline.  `words` are distinct, so
+    the intersect size equals the contains-sum exactly.
+    """
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
 
 
-def lang_scores(col: Column) -> dict[str, Column]:
-    toks = tokens(col)
-    return {lang: _contains_count(toks, ws) for lang, ws in LANG_MARKERS.items()}
+def lang_scores(col: Column, toks: Column | None = None) -> dict[str, Column]:
+    t = tokens(col) if toks is None else toks
+    return {lang: _contains_count(t, ws) for lang, ws in LANG_MARKERS.items()}
 
 
-def lang_id(col: Column) -> Column:
+def lang_id(col: Column, toks: Column | None = None) -> Column:
     """Deterministic marker-stopword language ID.
 
     Picks the language with the most distinct marker hits; ties and
     zero-hit texts resolve in the fixed iteration order of LANG_MARKERS
     with 'und' (undetermined) when no marker matches at all.
+
+    Hot paths MUST pass `toks` (a pre-projected `tokens(col)` column):
+    inlining re-derives split(trim(lower(text))) once per marker word and
+    the combined projection blows Janino's 64 KB method limit, dropping
+    the whole stage out of codegen (observed on corpus_clean at r2).
     """
-    scores = lang_scores(col)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang, s in scores.items():  # later entries win only on strictly greater
-        cond = s > best_score
-        best_lang = F.when(cond, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(cond, s).otherwise(best_score)
-    return best_lang
+    scores = lang_scores(col, toks)
+    # linear CASE: greatest(scores) once, then first language (in marker
+    # order) hitting the maximum wins.  The previous running-max fold nested
+    # every prior CASE inside the next comparison, growing the expression
+    # tree exponentially in the language count — big enough to trip Janino's
+    # 64 KB method limit even with tokens pre-projected.
+    m = F.greatest(*scores.values())
+    out = F.when(m == F.lit(0), F.lit("und"))
+    for lang, s in scores.items():
+        out = out.when(s == m, F.lit(lang))
+    return out
 
 
 def punct_ratio(col: Column) -> Column:
@@ -92,24 +106,25 @@ def digit_ratio(col: Column) -> Column:
     return (F.length(col) - F.length(removed)) / F.greatest(F.length(col), F.lit(1))
 
 
-def stopword_ratio(col: Column) -> Column:
+def stopword_ratio(col: Column, toks: Column | None = None) -> Column:
     """Fraction of English marker stopwords present (0..1)."""
-    toks = tokens(col)
+    t = tokens(col) if toks is None else toks
     words = LANG_MARKERS["en"]
-    return _contains_count(toks, words) / F.lit(len(words))
+    return _contains_count(t, words) / F.lit(len(words))
 
 
-def quality_score(col: Column) -> Column:
+def quality_score(col: Column, toks: Column | None = None) -> Column:
     """Composite [0,1] document-quality heuristic: rewards reasonable
     length, low punctuation/digit noise, and natural-language stopword
     presence.  Weights are fixed so the oracle SQL can reproduce exactly.
+    Pass a pre-projected token column as `toks` in hot paths (see lang_id).
     """
-    n_tok = token_count(col).cast("double")
+    n_tok = token_count(col, toks).cast("double")
     length_term = F.least(n_tok / 50.0, F.lit(1.0))
     noise_term = F.greatest(
         F.lit(0.0), 1.0 - 5.0 * (punct_ratio(col) + digit_ratio(col))
     )
-    stop_term = F.least(F.lit(1.0), stopword_ratio(col) * 2.0)
+    stop_term = F.least(F.lit(1.0), stopword_ratio(col, toks) * 2.0)
     return F.round(0.4 * length_term + 0.3 * noise_term + 0.3 * stop_term, 6)
 
 
@@ -144,10 +159,10 @@ def word_ngrams(col: Column, n: int) -> Column:
     return word_ngrams_from_tokens(tokens(col), n)
 
 
-def doc_fingerprint(col: Column, n: int = 5) -> Column:
+def doc_fingerprint(col: Column, n: int = 5, toks: Column | None = None) -> Column:
     """Winnowing-flavored fingerprint: the minimum shingle hash over word
     n-grams (falls back to the hash of the whole text for short docs).
     Equal fingerprints => near-identical leading content."""
-    grams = word_ngrams(col, n)
+    grams = word_ngrams_from_tokens(tokens(col) if toks is None else toks, n)
     min_hash = F.array_min(F.transform(grams, md5_long))
     return F.coalesce(min_hash, md5_long(col))
