@@ -192,53 +192,128 @@ def weakly_connected_component(edges: DataFrame, vertices: DataFrame) -> DataFra
         und.unpersist()
 
 
-def local_clustering_coefficient(edges: DataFrame, vertices: DataFrame) -> DataFrame:
-    """Per-vertex local clustering coefficient, reference convention:
-
-    lcc(v) = |{(u,w) : u,w distinct neighbors of v, edge u->w in the
-    doubled undirected edge set}| / (deg(v) * (deg(v) - 1)), and 0.0 when
-    deg(v) < 2.  Because both the numerator pairs and the doubled edges are
-    ordered, this equals the textbook 2*triangles/(d*(d-1)).
-    """
-    vertices = vertices.toDF("vid").distinct()
+def _doubled_neighbors(edges: DataFrame) -> DataFrame:
+    """Distinct both-direction neighbor pairs (src, dst), self-loops dropped
+    — the undirected adjacency every triangle/clustering step works over."""
     parts = edges.sparkSession.sparkContext.defaultParallelism
-    nbr = (
+    return (
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where(F.col("src") != F.col("dst"))
         .distinct()
         .repartition(parts, "src")
-        .persist()
     )
+
+
+def _oriented_half_edges(nbr: DataFrame, deg: DataFrame) -> DataFrame:
+    """Each undirected edge exactly once, oriented from the lower-(degree,
+    id) endpoint to the higher: (src, dst, ddst) with ord(src) < ord(dst).
+
+    This is the degree-ordering trick from scalable triangle counting
+    (Cohen, "Graph Twiddling in a MapReduce World"): every vertex's
+    oriented out-degree is O(sqrt(m)), so the wedge self-join below
+    generates O(m^1.5) candidates total instead of the sum of squared raw
+    degrees — a celebrity vertex with 10^6 neighbors contributes zero
+    wedges from its own side because all its edges point INTO it.
+    """
+    return (
+        nbr.alias("e")
+        .join(deg.alias("ds"), F.col("e.src") == F.col("ds.src"))
+        .join(deg.alias("dd"), F.col("e.dst") == F.col("dd.src"))
+        .where(
+            (F.col("ds.deg") < F.col("dd.deg"))
+            | ((F.col("ds.deg") == F.col("dd.deg")) & (F.col("e.src") < F.col("e.dst")))
+        )
+        .select(
+            F.col("e.src").alias("src"),
+            F.col("e.dst").alias("dst"),
+            F.col("dd.deg").alias("ddst"),
+        )
+    )
+
+
+def triangle_counts(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Per-vertex undirected triangle participation counts: (vid, triangles).
+
+    Degree-ordered half-edge plan: orient each undirected edge low->high by
+    (degree, id), pair half-edges sharing their low apex (candidate wedge
+    (b, c) with ord(b) < ord(c)), close against the half-edge b->c — each
+    triangle is enumerated exactly once, then credited to all three
+    corners.  Replaces the neighbor-list self-join whose wedge set is
+    sum(deg^2) — quadratic in the hottest vertex's degree and a scale
+    anti-pattern on power-law graphs.
+    """
+    vertices = vertices.toDF("vid").distinct()
+    return _triangles_from_nbr(_doubled_neighbors(edges), vertices)
+
+
+def _triangles_from_nbr(nbr: DataFrame, vertices: DataFrame) -> DataFrame:
+    """triangle_counts over an already-doubled distinct neighbor frame."""
+    deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
+    half = _oriented_half_edges(nbr, deg).persist()
     try:
-        deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
-        # wedges centered at v: (v, u), (v, w), u != w; closed if (u, w) is an edge
         wedges = (
-            nbr.alias("n1")
-            .join(nbr.alias("n2"), F.col("n1.src") == F.col("n2.src"))
-            .where(F.col("n1.dst") != F.col("n2.dst"))
+            half.alias("h1")
+            .join(half.alias("h2"), F.col("h1.src") == F.col("h2.src"))
+            .where(
+                (F.col("h1.ddst") < F.col("h2.ddst"))
+                | (
+                    (F.col("h1.ddst") == F.col("h2.ddst"))
+                    & (F.col("h1.dst") < F.col("h2.dst"))
+                )
+            )
             .select(
-                F.col("n1.src").alias("v"),
-                F.col("n1.dst").alias("u"),
-                F.col("n2.dst").alias("w"),
+                F.col("h1.src").alias("a"),
+                F.col("h1.dst").alias("b"),
+                F.col("h2.dst").alias("c"),
             )
         )
         closed = wedges.alias("w").join(
-            nbr.alias("n3"),
-            (F.col("w.u") == F.col("n3.src")) & (F.col("w.w") == F.col("n3.dst")),
+            half.alias("h3"),
+            (F.col("w.b") == F.col("h3.src")) & (F.col("w.c") == F.col("h3.dst")),
+            "left_semi",
         )
-        links = closed.groupBy(F.col("w.v").alias("v")).agg(F.count("*").alias("links"))
+        tri = (
+            closed.select(
+                F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("vid")
+            )
+            .groupBy("vid")
+            .agg(F.count("*").alias("triangles"))
+        )
+        return pathops.materialize(
+            vertices.join(tri, "vid", "left").select(
+                "vid", F.coalesce(F.col("triangles"), F.lit(0)).alias("triangles")
+            )
+        )
+    finally:
+        half.unpersist()
+
+
+def local_clustering_coefficient(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient, reference convention:
+
+    lcc(v) = |{(u,w) : u,w distinct neighbors of v, edge u->w in the
+    doubled undirected edge set}| / (deg(v) * (deg(v) - 1)), and 0.0 when
+    deg(v) < 2.  The ordered-pair numerator equals 2 * triangles(v), so we
+    compute triangles via the degree-ordered half-edge plan
+    (triangle_counts) — O(m^1.5) wedge candidates instead of sum(deg^2).
+    """
+    vertices = vertices.toDF("vid").distinct()
+    nbr = _doubled_neighbors(edges).persist()
+    try:
+        deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
+        tri = _triangles_from_nbr(nbr, vertices)
         return (
             vertices.alias("vt")
             .join(deg.alias("dg"), F.col("vt.vid") == F.col("dg.src"), "left")
-            .join(links.alias("lk"), F.col("vt.vid") == F.col("lk.v"), "left")
+            .join(tri.alias("tr"), F.col("vt.vid") == F.col("tr.vid"), "left")
             .select(
                 F.col("vt.vid").alias("vid"),
                 F.when(
                     F.coalesce(F.col("deg"), F.lit(0)) < 2, F.lit(0.0)
                 )
                 .otherwise(
-                    F.coalesce(F.col("links"), F.lit(0)).cast("double")
+                    (2.0 * F.coalesce(F.col("triangles"), F.lit(0)).cast("double"))
                     / (F.col("deg").cast("double") * (F.col("deg") - 1))
                 )
                 .alias("local_clustering_coefficient"),

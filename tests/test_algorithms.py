@@ -150,3 +150,54 @@ def test_reachability(spark):
     )
     got = {(r[0], r[1]): r[2] for r in pathops.reachability(edges, pairs).collect()}
     assert got == {(0, 2): True, (2, 0): False}
+
+
+def test_triangle_counts_shared_edge(spark):
+    """Two triangles sharing edge 1-2: per-vertex participation counts."""
+    from pyspark.sql import functions as F
+    from duckpgq_extension_spark import algorithms as alg
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    vertices = spark.range(0, 4).select(F.col("id").alias("vid"))
+    got = {r[0]: r[1] for r in alg.triangle_counts(edges, vertices).collect()}
+    assert got == {0: 1, 1: 2, 2: 2, 3: 1}
+
+
+def test_lcc_star_graph_wedge_bound(spark):
+    """Degree-ordered orientation: a 1000-spoke star generates ZERO wedge
+    candidates (every edge orients spoke->hub, so no vertex has 2 oriented
+    out-edges), where the old neighbor-list self-join built ~10^6 wedge
+    rows centered on the hub.  This is the sum(deg^2) -> O(m^1.5) claim
+    from VERDICT r2 made checkable."""
+    from pyspark.sql import functions as F
+    from duckpgq_extension_spark import algorithms as alg
+
+    n = 1000
+    edges = spark.range(1, n + 1).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    vertices = spark.range(0, n + 1).select(F.col("id").alias("vid"))
+
+    nbr = alg._doubled_neighbors(edges)
+    deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
+    half = alg._oriented_half_edges(nbr, deg)
+    assert half.count() == n  # each undirected edge exactly once
+    wedge_candidates = (
+        half.alias("h1")
+        .join(half.alias("h2"), F.col("h1.src") == F.col("h2.src"))
+        .where(
+            (F.col("h1.ddst") < F.col("h2.ddst"))
+            | (
+                (F.col("h1.ddst") == F.col("h2.ddst"))
+                & (F.col("h1.dst") < F.col("h2.dst"))
+            )
+        )
+        .count()
+    )
+    assert wedge_candidates == 0
+
+    out = alg.local_clustering_coefficient(edges, vertices)
+    vals = {r[0]: r[1] for r in out.collect()}
+    assert len(vals) == n + 1 and all(v == 0.0 for v in vals.values())
