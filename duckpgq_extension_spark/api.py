@@ -27,7 +27,7 @@ from .errors import PGQBinderError, PGQNotImplementedError, PGQParseError
 from .operators import paths as pathops
 from .parser.ast import CreatePropertyGraph, DropPropertyGraph
 from .parser.pgq_parser import Parser, parse_graph_table_body, parse_match
-from .plans.compiler import _key_hash, compile_match
+from .plans.compiler import _key_canon_flags, _key_hash, compile_match
 
 # `GRAPH TABLE` (space) is an accepted spelling alongside `GRAPH_TABLE`
 # (graph_table_keyword.test:22-27)
@@ -225,11 +225,22 @@ class PGQSession:
         if surrogate:
             # composite or non-integral (e.g. VARCHAR) keys: xxhash64
             # surrogate vertex ids (same scheme as the MATCH compiler's
-            # path route), collision-checked against the actual vertex set
-            # before any iteration runs
-            stats = vdf.agg(
+            # path route, including numeric canonicalization flags),
+            # collision-checked against the actual vertex set before any
+            # iteration runs; NULL-key rows excluded from both counts so
+            # xxhash64's NULL-skipping can't fake a collision
+            canon = _key_canon_flags(
+                vdf,
+                [pks, list(et.destination_pk)],
+                edf,
+                [list(et.source_fk), list(et.destination_fk)],
+            )
+            nn = vdf
+            for c in pks:
+                nn = nn.where(F.col(c).isNotNull())
+            stats = nn.agg(
                 F.countDistinct(*[F.col(c) for c in pks]).alias("t"),
-                F.countDistinct(_key_hash([F.col(c) for c in pks])).alias("h"),
+                F.countDistinct(_key_hash([F.col(c) for c in pks], canon)).alias("h"),
             ).first()
             if stats["t"] != stats["h"]:
                 from .errors import PGQConstraintError
@@ -240,10 +251,12 @@ class PGQSession:
                     "algorithms need an explicit integral key column"
                 )
             edf = edf.withColumn(
-                "__pgq_src_h", _key_hash([F.col(c) for c in et.source_fk])
-            ).withColumn("__pgq_dst_h", _key_hash([F.col(c) for c in et.destination_fk]))
+                "__pgq_src_h", _key_hash([F.col(c) for c in et.source_fk], canon)
+            ).withColumn(
+                "__pgq_dst_h", _key_hash([F.col(c) for c in et.destination_fk], canon)
+            )
             src_c, dst_c = "__pgq_src_h", "__pgq_dst_h"
-            vkey = _key_hash([F.col(c) for c in pks])
+            vkey = _key_hash([F.col(c) for c in pks], canon)
         else:
             src_c, dst_c = et.source_fk[0], et.destination_fk[0]
             pathops.require_integral_keys(

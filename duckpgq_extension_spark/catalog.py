@@ -365,8 +365,17 @@ class GraphCatalog:
         self.graphs[key] = pg
         if self.path:
             os.makedirs(self.path, exist_ok=True)
-            with open(os.path.join(self.path, f"{key}.json"), "w") as f:
+            p = os.path.join(self.path, f"{key}.json")
+            # write-to-temp + atomic rename: a concurrent session's _sync
+            # can never observe a partially written JSON file
+            tmp = f"{p}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
                 json.dump(pg.to_dict(), f, indent=1)
+            os.replace(tmp, p)
+            try:
+                self._mtimes[key] = os.path.getmtime(p)
+            except OSError:
+                self._mtimes.pop(key, None)
 
     def drop(self, name: str, if_exists: bool = False) -> None:
         self._sync()
@@ -376,6 +385,9 @@ class GraphCatalog:
                 return
             raise PGQBinderError(f"Property graph '{name}' does not exist")
         del self.graphs[key]
+        # forget the mtime too: a later re-create with an identical mtime
+        # (same-second write) must not be skipped by _sync's cache
+        self._mtimes.pop(key, None)
         if self.path:
             p = os.path.join(self.path, f"{key}.json")
             if os.path.exists(p):

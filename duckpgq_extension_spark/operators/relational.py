@@ -169,7 +169,20 @@ def salted_join(
     when AQE is unavailable (bucketed sort-merge paths).  The salt is a
     deterministic hash of the full left row — same data, same plan.
     Result is exactly the plain join's (the salt column never leaks).
+
+    Only inner/left-side joins are supported: the right side is replicated
+    `salt` ways, so right/full outer joins would emit every unmatched
+    right row once per replica — a different result from the plain join.
+    To spread skew in a right/full join, swap the sides (salt the side
+    whose keys are hot) or fall back to AQE's skew-join handling.
     """
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi",
+                   "leftsemi", "left_anti", "leftanti", "cross"):
+        raise ValueError(
+            f"salted_join does not support how={how!r}: the right side is "
+            "replicated per salt, which duplicates unmatched right rows in "
+            "right/full outer joins; swap the join sides instead"
+        )
     keys = [on] if isinstance(on, str) else list(on)
     l = left.withColumn(
         "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salt))

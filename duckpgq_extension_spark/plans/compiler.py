@@ -65,14 +65,50 @@ def _q(name: str) -> str:
     return f"`{name}`"
 
 
-def _key_hash(cols) -> "F.Column":
+_NUM_SIMPLE = {"tinyint", "smallint", "int", "bigint", "float", "double"}
+
+
+def _is_numeric_type(simple: str | None) -> bool:
+    return bool(simple) and (simple in _NUM_SIMPLE or simple.startswith("decimal"))
+
+
+def _schema_types(df) -> dict:
+    return {f.name.lower(): f.dataType.simpleString() for f in df.schema.fields}
+
+
+def _key_canon_flags(vdf, pk_lists, edf, fk_lists) -> list[bool]:
+    """Per key position: numeric-canonicalize iff the vertex pk(s) and
+    every edge fk at that position are ALL numeric.  Mixed numeric/string
+    positions keep the plain string rendering (where INT 5 vs VARCHAR '5'
+    already agree); any residual divergence is caught loudly by the
+    hash-resolution guard in _check_path_vertices."""
+    vt, et = _schema_types(vdf), _schema_types(edf)
+    n = len(pk_lists[0])
+    return [
+        all(_is_numeric_type(vt.get(lst[i].lower())) for lst in pk_lists)
+        and all(_is_numeric_type(et.get(lst[i].lower())) for lst in fk_lists)
+        for i in range(n)
+    ]
+
+
+def _key_hash(cols, canon: list[bool] | None = None) -> "F.Column":
     """Surrogate long vertex id for composite keys: xxhash64 over the
-    string-rendered key tuple.  String casts make the hash agree between
-    fk and pk sides even when their physical types differ (INT fk
-    referencing BIGINT pk); per-column hashing (not concat) avoids tuple
-    ambiguity.  Collision-freedom is checked against the actual vertex set
-    in _check_path_vertices before any traversal uses the surrogate."""
-    return F.xxhash64(*[c.cast("string") for c in cols])
+    string-rendered key tuple.  Positions flagged in `canon` (all-numeric
+    fk/pk per _key_canon_flags) render through DECIMAL(38,15) so
+    numerically-equal values hash identically across physical types
+    (INT 5, DOUBLE 5.0, DECIMAL(10,2) 5.00 -> '5.000000000000000');
+    plain string casts otherwise.  Per-column hashing (not concat) avoids
+    tuple ambiguity.  Values outside DECIMAL(38,15) range canonicalize to
+    NULL, which the collision/resolution guards in _check_path_vertices
+    turn into a PGQConstraintError instead of a silent empty traversal."""
+    if canon is None:
+        canon = [False] * len(cols)
+    return F.xxhash64(
+        *[
+            c.cast("decimal(38,15)").cast("string") if k else c.cast("string")
+            for c, k in zip(cols, canon)
+        ]
+    )
 
 
 def _expr(text: str):
@@ -206,6 +242,19 @@ class MatchCompiler:
         what = "SOURCE" if pgt.source_reference == vertex_pgt.table_name else "DESTINATION"
         return self._single_key(pks, what)
 
+    def _key_canon(self, pgt: PropertyGraphTable) -> list[bool]:
+        """Canonicalization flags for this edge table's key positions,
+        shared by every surrogate-hash site (edge fks, vertex pks, SQL and
+        Column forms) so they can never diverge."""
+        vtab = table_df(self.pg.spark, pgt.source_reference)
+        etab = table_df(self.pg.spark, pgt.table_name)
+        return _key_canon_flags(
+            vtab,
+            [list(pgt.source_pk), list(pgt.destination_pk)],
+            etab,
+            [list(pgt.source_fk), list(pgt.destination_fk)],
+        )
+
     def _endpoint_key_col(
         self,
         pgt: PropertyGraphTable,
@@ -220,7 +269,7 @@ class MatchCompiler:
         pks = self._endpoint_pks(pgt, vertex_pgt, prefer_source)
         if not surrogate:
             return F.col(pks[0]).cast("long")
-        return _key_hash([F.col(c) for c in pks])
+        return _key_hash([F.col(c) for c in pks], self._key_canon(pgt))
 
     def _endpoint_key_sql(
         self,
@@ -235,8 +284,15 @@ class MatchCompiler:
         pks = self._endpoint_pks(pgt, vertex_pgt, prefer_source)
         if not surrogate:
             return f"{_q(binding)}.{_q(pks[0])}"
-        cols = ", ".join(f"cast({_q(binding)}.{_q(c)} as string)" for c in pks)
-        return f"xxhash64({cols})"
+        parts = []
+        for c, k in zip(pks, self._key_canon(pgt)):
+            ref = f"{_q(binding)}.{_q(c)}"
+            parts.append(
+                f"cast(cast({ref} as decimal(38,15)) as string)"
+                if k
+                else f"cast({ref} as string)"
+            )
+        return f"xxhash64({', '.join(parts)})"
 
     def _bind_plain_edge(
         self, pattern: PathPattern, prev: VertexElement, edge: EdgeElement, nxt: VertexElement
@@ -410,10 +466,6 @@ class MatchCompiler:
         e = edge.binding
 
         edf = self.pg.element_df(edge.label)
-        # integrity guard FIRST (reference error parity: non-unique/missing
-        # vertices report the CSR constraint error regardless of key type,
-        # non-unique-vertices.test)
-        self._check_path_vertices(edge.label, pgt, edf, src_fks, dst_fks)
         # surrogate ids whenever the natural key is not a single integral
         # column: composite keys AND string/decimal/etc. single keys both
         # hash (the reference renumbers arbitrary key types to dense rowids
@@ -425,6 +477,14 @@ class MatchCompiler:
                 table_df(self.pg.spark, pgt.source_reference), pgt.source_pk
             )
         )
+        # integrity guard before any traversal (reference error parity:
+        # non-unique/missing vertices report the CSR constraint error
+        # regardless of key type, non-unique-vertices.test); on the
+        # surrogate route it also proves hash collision-freedom AND that
+        # edge-side hashes resolve against vertex-side hashes
+        self._check_path_vertices(
+            edge.label, pgt, edf, src_fks, dst_fks, surrogate=composite
+        )
         if composite:
             # surrogate long vertex ids: xxhash64 over the string-rendered
             # key tuple (string casts make INT fk vs BIGINT pk hash alike).
@@ -434,9 +494,10 @@ class MatchCompiler:
             # collision-free on this graph before any traversal runs.
             # Path arrays/element ids then contain surrogate ids, exactly
             # as the reference's contain rowids.
+            canon = self._key_canon(pgt)
             edf = edf.withColumn(
-                "__pgq_src_h", _key_hash([F.col(c) for c in src_fks])
-            ).withColumn("__pgq_dst_h", _key_hash([F.col(c) for c in dst_fks]))
+                "__pgq_src_h", _key_hash([F.col(c) for c in src_fks], canon)
+            ).withColumn("__pgq_dst_h", _key_hash([F.col(c) for c in dst_fks], canon))
             src_fk, dst_fk = "__pgq_src_h", "__pgq_dst_h"
         else:
             src_fk, dst_fk = src_fks[0], dst_fks[0]
@@ -547,17 +608,26 @@ class MatchCompiler:
             self.filters.append(nxt.where)
 
     def _check_path_vertices(
-        self, label, pgt, edf, src_fks: list[str], dst_fks: list[str]
+        self,
+        label,
+        pgt,
+        edf,
+        src_fks: list[str],
+        dst_fks: list[str],
+        surrogate: bool = False,
     ) -> None:
         """Edge-integrity guard for path finding, mirroring the reference's
         CSR build check (csr_creation.cpp:121-125; error text matched for
         test parity, non-unique-vertices.test): every edge endpoint must
-        resolve to exactly one vertex.  For composite keys the same pass
-        also proves the xxhash64 surrogate key is collision-free on this
-        vertex set (distinct hashes == distinct key tuples), so the BFS
-        surrogate route can never silently merge two vertices.  Cached per
-        edge label for the session — one validation pass per graph, not
-        per query.
+        resolve to exactly one vertex.  On the surrogate route the same
+        pass also proves the xxhash64 surrogate key is collision-free on
+        this vertex set (distinct hashes == distinct key tuples, NULL-key
+        rows excluded from both counts so they cannot fake a collision)
+        AND that every edge-side key hash resolves against a vertex-side
+        hash — so fk/pk rendering divergence (e.g. exotic type mixes the
+        canonicalization doesn't cover) fails loudly instead of silently
+        returning empty paths.  Cached per edge label for the session —
+        one validation pass per graph, not per query.
         """
         cache = getattr(self.pg, "_path_vertex_checked", None)
         if cache is None:
@@ -568,21 +638,26 @@ class MatchCompiler:
         pks = list(pgt.source_pk)
         vtab = table_df(self.pg.spark, pgt.source_reference)
         vkeys = vtab.select(*[F.col(c).alias(f"__vk{i}") for i, c in enumerate(pks)])
-        if len(pks) > 1 or not pathops.integral_keys(vtab, pks):
-            stats = vtab.agg(
+        if surrogate or len(pks) > 1 or not pathops.integral_keys(vtab, pks):
+            from ..errors import PGQConstraintError
+
+            canon = self._key_canon(pgt)
+            nn = vtab
+            for c in pks:  # NULL-key vertices are unaddressable; exclude
+                nn = nn.where(F.col(c).isNotNull())
+            stats = nn.agg(
                 F.countDistinct(*[F.col(c) for c in pks]).alias("n_tuples"),
-                F.countDistinct(_key_hash([F.col(c) for c in pks])).alias("n_hashes"),
+                F.countDistinct(_key_hash([F.col(c) for c in pks], canon)).alias(
+                    "n_hashes"
+                ),
             ).first()
             if stats["n_tuples"] != stats["n_hashes"]:
-                from ..errors import PGQConstraintError
-
                 raise PGQConstraintError(
                     f"Surrogate-key hash collision on vertex table "
                     f"'{pgt.source_reference}' composite key {pks}; "
                     "path-finding over this graph needs an explicit "
                     "single-column key"
                 )
-
         def cond(fks, prefix):
             c = None
             for i, fk in enumerate(fks):
@@ -611,6 +686,39 @@ class MatchCompiler:
                 "vertices referred by edge tables exist and are unique for "
                 "path-finding queries."
             )
+        if surrogate:
+            # natural keys resolve (above) — now prove the HASHES resolve
+            # too, i.e. fk-side and pk-side renderings agree for every edge
+            # (they can diverge on type mixes canonicalization doesn't
+            # cover, which would otherwise silently produce empty paths)
+            from ..errors import PGQConstraintError
+
+            canon = self._key_canon(pgt)
+            nn = vtab
+            for c in pks:
+                nn = nn.where(F.col(c).isNotNull())
+            vh = nn.select(_key_hash([F.col(c) for c in pks], canon).alias("__vh"))
+            eh = edf.select(
+                _key_hash([F.col(c) for c in src_fks], canon).alias("__sh"),
+                _key_hash([F.col(c) for c in dst_fks], canon).alias("__dh"),
+            )
+            n_resolved_h = (
+                eh.join(vh, F.col("__sh") == F.col("__vh"), "left_semi")
+                .join(
+                    vh.select(F.col("__vh").alias("__vh2")),
+                    F.col("__dh") == F.col("__vh2"),
+                    "left_semi",
+                )
+                .count()
+            )
+            if n_resolved_h != n_edges:
+                raise PGQConstraintError(
+                    f"Surrogate key hashes of edge table '{pgt.table_name}' "
+                    f"do not all resolve against vertex table "
+                    f"'{pgt.source_reference}' — fk and pk key types render "
+                    "differently (mixed string/numeric key positions?); "
+                    "use matching key types or a single integral key"
+                )
         cache.add(key)
 
     # -- projection ----------------------------------------------------

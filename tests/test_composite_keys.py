@@ -147,3 +147,62 @@ def test_composite_summarize(ck_pg):
     assert row.vertex_count == 3 and row.edge_count == 3
     assert row.isolated_vertices == 0
     assert row.out_degree_avg == 1.0
+
+
+def test_mixed_numeric_key_types_hash_alike(spark):
+    """DECIMAL(10,2) vertex pk referenced by DOUBLE and INT fks: the
+    surrogate hashes must agree across physical types (r2 ADVICE — the
+    plain string rendering gave '5.00' vs '5.0' vs '5' and silently found
+    no edges)."""
+    from decimal import Decimal
+    from duckpgq_extension_spark import PGQSession
+
+    spark.createDataFrame(
+        [(Decimal("5.00"), "a"), (Decimal("6.50"), "b"), (Decimal("7.25"), "c")],
+        "vk decimal(10,2), name string",
+    ).createOrReplaceTempView("mixed_v")
+    spark.createDataFrame(
+        [(5.0, 6.5), (6.5, 7.25)], "src double, dst double"
+    ).createOrReplaceTempView("mixed_e")
+    s = PGQSession(spark)
+    s.execute(
+        """CREATE PROPERTY GRAPH mixed_pg
+           VERTEX TABLES ( mixed_v LABEL MV )
+           EDGE TABLES ( mixed_e SOURCE KEY (src) REFERENCES mixed_v (vk)
+                         DESTINATION KEY (dst) REFERENCES mixed_v (vk) LABEL ME )"""
+    )
+    rows = s.sql(
+        """SELECT t.len FROM GRAPH_TABLE(mixed_pg
+             MATCH p = ANY SHORTEST (a:MV)-[e:ME]->*(b:MV)
+             WHERE a.name = 'a' AND b.name = 'c'
+             COLUMNS (path_length(p) AS len)) t"""
+    ).collect()
+    assert [r.len for r in rows] == [2]
+
+
+def test_null_key_vertices_do_not_fake_collision(spark):
+    """Vertex rows with NULL keys are excluded from the surrogate collision
+    check (countDistinct skips NULL tuples but xxhash64 does not — r2
+    ADVICE); path finding over the non-NULL subgraph still works."""
+    from duckpgq_extension_spark import PGQSession
+
+    spark.createDataFrame(
+        [("x", 1), ("y", 2), (None, 3)], "vk string, payload int"
+    ).createOrReplaceTempView("nullk_v")
+    spark.createDataFrame([("x", "y")], "src string, dst string").createOrReplaceTempView(
+        "nullk_e"
+    )
+    s = PGQSession(spark)
+    s.execute(
+        """CREATE PROPERTY GRAPH nullk_pg
+           VERTEX TABLES ( nullk_v LABEL NV )
+           EDGE TABLES ( nullk_e SOURCE KEY (src) REFERENCES nullk_v (vk)
+                         DESTINATION KEY (dst) REFERENCES nullk_v (vk) LABEL NE )"""
+    )
+    rows = s.sql(
+        """SELECT t.len FROM GRAPH_TABLE(nullk_pg
+             MATCH p = ANY SHORTEST (a:NV)-[e:NE]->*(b:NV)
+             WHERE a.vk = 'x' AND b.vk = 'y'
+             COLUMNS (path_length(p) AS len)) t"""
+    ).collect()
+    assert [r.len for r in rows] == [1]

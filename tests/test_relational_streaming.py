@@ -236,3 +236,14 @@ def test_salted_join_equals_plain_join(spark):
     lp = left.join(right, "k", "left").count()
     ls = salted_join(left, right, "k", salt=8, how="left").count()
     assert lp == ls == 1000
+
+
+def test_salted_join_rejects_right_and_full(spark):
+    import pytest as _pytest
+    from duckpgq_extension_spark.operators.relational import salted_join
+
+    left = spark.createDataFrame([(1, "a")], "k long, v string")
+    right = spark.createDataFrame([(1, "x"), (2, "y")], "k long, w string")
+    for how in ("right", "full", "right_outer", "full_outer", "outer"):
+        with _pytest.raises(ValueError, match="salted_join does not support"):
+            salted_join(left, right, "k", salt=4, how=how)
