@@ -516,6 +516,48 @@ O_TOPK_PATHS = _with_e(
 )
 
 
+def q_acyclic_paths(spark, sf_dir):
+    """ACYCLIC path-mode enumeration (beyond-reference: the reference
+    rejects every non-WALK path mode, match.cpp:96-99).  One row per
+    vertex-distinct path of 1..3 hops from the low-key customers, with the
+    interleaved [v,e,v,...] path serialized so the driver hashes the
+    actual paths, not just counts."""
+    pgq = setup(spark, sf_dir)
+    df = pgq.graph_table(
+        """social MATCH p = ACYCLIC (a:Customer WHERE a.c_custkey < 3)-[f:Follows]->{1,3}(b:Customer)
+           COLUMNS (a.c_custkey AS a_key, b.c_custkey AS b_key,
+                    path_length(p) AS plen, element_id(p) AS path_elems)"""
+    )
+    return df.select(
+        "a_key",
+        "b_key",
+        "plen",
+        F.concat_ws(
+            "->", F.transform(F.col("path_elems"), lambda x: x.cast("string"))
+        ).alias("path_str"),
+    )
+
+
+O_ACYCLIC_PATHS = _with_e(
+    """, paths(src, dst, d, path, vseen) AS (
+         SELECT c_custkey, c_custkey, 0, [CAST(c_custkey AS BIGINT)],
+                [CAST(c_custkey AS BIGINT)]
+         FROM customer WHERE c_custkey < 3
+         UNION ALL
+         SELECT p.src, e.dst, p.d + 1,
+                list_append(list_append(p.path, CAST(e.eid AS BIGINT)),
+                            CAST(e.dst AS BIGINT)),
+                list_append(p.vseen, CAST(e.dst AS BIGINT))
+         FROM paths p JOIN e ON e.src = p.dst
+         WHERE p.d < 3 AND NOT list_contains(p.vseen, e.dst)
+       )
+       SELECT src AS a_key, dst AS b_key, CAST(d AS BIGINT) AS plen,
+              array_to_string(path, '->') AS path_str
+       FROM paths WHERE d BETWEEN 1 AND 3""",
+    recursive=True,
+)
+
+
 def q_cheapest_path(spark, sf_dir):
     setup(spark, sf_dir)
     edges = pathops.edge_frame(
@@ -1659,6 +1701,7 @@ QUERIES = {
     "tpch_q1": q_tpch_q1,
     "topk_per_group": q_topk_per_group,
     "asof_join": q_asof_join,
+    "acyclic_paths": q_acyclic_paths,
     "interval_join": q_interval_join,
     "window_running_sum": q_window_running_sum,
     "rollup_orders": q_rollup_orders,
@@ -1711,6 +1754,7 @@ ORACLES = {
     "tpch_q1": O_TPCH_Q1,
     "topk_per_group": O_TOPK_PER_GROUP,
     "asof_join": O_ASOF_JOIN,
+    "acyclic_paths": O_ACYCLIC_PATHS,
     "interval_join": O_INTERVAL_JOIN,
     "window_running_sum": O_WINDOW_RUNNING_SUM,
     "rollup_orders": O_ROLLUP_ORDERS,

@@ -284,6 +284,106 @@ def bfs_distances(
         edges.unpersist()
 
 
+def bfs_all_paths(
+    edges: DataFrame,
+    sources: DataFrame | None = None,
+    mode: str = "ACYCLIC",
+    max_hops: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Enumerate ALL distinct non-repeating paths (one row per path):
+    (src, dst, dist, path) with the interleaved [v0, e0, v1, ...] array.
+
+    Beyond-reference: the reference rejects every path mode except WALK
+    (match.cpp:96-99).  Modes:
+      ACYCLIC — no repeated vertex;
+      TRAIL   — no repeated edge (by edge_id, so an undirected edge's two
+                orientations count as the same edge);
+      SIMPLE  — no repeated vertex, except the path may close back to its
+                start as its final step (and then stops extending).
+
+    Unlike bfs_distances there is no per-(src,dst) dedup — every distinct
+    path is a row.  Termination needs no upper bound: a path consumes a
+    vertex (ACYCLIC/SIMPLE) or an edge (TRAIL) per step, so depth is
+    bounded by |V| / |E|.  Output size can still be combinatorial in
+    dense graphs — bound it with quantifier upper bounds or selective
+    sources, like any path-enumeration engine.
+
+    Scale shape: identical to bfs_distances — adjacency checkpointed
+    hash-partitioned by src once, one frontier join per level, lineage
+    truncated per level; the per-path `seen` array adds O(path length)
+    state per row but no extra shuffle.
+    """
+    mode = mode.upper()
+    if mode not in ("ACYCLIC", "TRAIL", "SIMPLE"):
+        raise ValueError(f"bfs_all_paths mode must be ACYCLIC/TRAIL/SIMPLE, got {mode!r}")
+    if "edge_id" not in edges.columns:
+        raise ValueError("bfs_all_paths requires an edge_id column (use edge_frame)")
+    edges = _prep_edges(edges, num_partitions)
+    try:
+        if sources is None:
+            srcs = edges.select("src").union(edges.select(F.col("dst").alias("src"))).distinct()
+        else:
+            srcs = sources.toDF("src").distinct()
+        frontier = srcs.select(
+            F.col("src"),
+            F.col("src").alias("dst"),
+            F.lit(0).alias("dist"),
+            F.array(F.col("src")).alias("path"),
+            # seen: vertices consumed (ACYCLIC/SIMPLE) or edge ids (TRAIL)
+            (
+                F.array().cast("array<long>")
+                if mode == "TRAIL"
+                else F.array(F.col("src"))
+            ).alias("seen"),
+        )
+        out = materialize(frontier)
+        frontier = out
+        level = 0
+        while True:
+            if max_hops is not None and level >= max_hops:
+                break
+            level += 1
+            f, e = frontier.alias("f"), edges.alias("e")
+            joined = f.join(e, F.col("f.dst") == F.col("e.src"))
+            if mode == "TRAIL":
+                keep = ~F.array_contains(F.col("f.seen"), F.col("e.edge_id"))
+                new_seen = F.concat(F.col("f.seen"), F.array(F.col("e.edge_id")))
+            elif mode == "ACYCLIC":
+                keep = ~F.array_contains(F.col("f.seen"), F.col("e.dst"))
+                new_seen = F.concat(F.col("f.seen"), F.array(F.col("e.dst")))
+            else:  # SIMPLE: closure back to the start vertex is allowed
+                keep = (~F.array_contains(F.col("f.seen"), F.col("e.dst"))) | (
+                    F.col("e.dst") == F.col("f.src")
+                )
+                new_seen = F.concat(F.col("f.seen"), F.array(F.col("e.dst")))
+            expanded = joined.where(keep).select(
+                F.col("f.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                (F.col("f.dist") + 1).alias("dist"),
+                F.concat(
+                    F.col("f.path"), F.array(F.col("e.edge_id"), F.col("e.dst"))
+                ).alias("path"),
+                new_seen.alias("seen"),
+            )
+            nxt, n_new = checkpoint_with_count(expanded)
+            if n_new == 0:
+                break
+            out = out.unionByName(nxt)
+            if level % 10 == 0:
+                out = materialize(out)
+            frontier = nxt
+            if mode == "SIMPLE":
+                # a closed path (dst == start, dist > 0) must not extend:
+                # anything after the closure would repeat the start vertex
+                frontier = nxt.where(
+                    (F.col("dst") != F.col("src")) | (F.col("dist") == 0)
+                )
+        return out.drop("seen")
+    finally:
+        edges.unpersist()
+
+
 def iterative_length(
     edges: DataFrame,
     pairs: DataFrame,

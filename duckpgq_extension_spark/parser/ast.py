@@ -57,7 +57,7 @@ class PathPattern:
     all_paths: bool = False
     topk: int | None = None
     path_variable: str | None = None
-    path_mode: str = "WALK"  # TRAIL/SIMPLE/ACYCLIC rejected like the reference
+    path_mode: str = "WALK"  # TRAIL/SIMPLE/ACYCLIC implemented beyond-reference
 
 
 @dataclass

@@ -389,16 +389,15 @@ class Parser:
             ):
                 pat.path_variable = self.ident().lower()
                 self.advance()
-        # optional path-mode prefix (grammar pgq.gram:40-44); the reference
-        # rejects everything except WALK (match.cpp:96-99)
+        # optional path-mode prefix (grammar pgq.gram:40-44).  The reference
+        # rejects everything except WALK (match.cpp:96-99); we exceed it and
+        # implement TRAIL (no repeated edge), ACYCLIC (no repeated vertex)
+        # and SIMPLE (no repeated vertex except first=last closure) — see
+        # plans/compiler._apply_path_mode and operators/paths.bfs_all_paths.
         for mode in ("WALK", "TRAIL", "SIMPLE", "ACYCLIC"):
             if self.match_kw(mode):
                 pat.path_mode = mode
                 self.match_kw("PATH")
-                if mode != "WALK":
-                    raise PGQNotImplementedError(
-                        f"Path mode {mode} is not supported (only WALK)"
-                    )
                 break
         pat.elements.append(self.parse_vertex())
         while not self.at_end() and (self.is_op("-") or self.is_op("<")):

@@ -168,6 +168,10 @@ class MatchCompiler:
             return
         if len(elems) % 2 == 0:
             raise PGQBinderError("Path pattern must alternate vertex-edge-vertex")
+        if pattern.path_mode != "WALK":
+            # beyond-reference (the reference rejects all non-WALK modes,
+            # match.cpp:96-99): validate applicability BEFORE any eager BFS
+            self._check_path_mode_scope(pattern)
         self._bind_vertex(elems[0])
         for i in range(1, len(elems), 2):
             edge, nxt = elems[i], elems[i + 1]
@@ -185,6 +189,104 @@ class MatchCompiler:
                 self._bind_path_edge(pattern, elems[i - 1], edge, nxt)
             else:
                 self._bind_plain_edge(pattern, elems[i - 1], edge, nxt)
+        if pattern.path_mode != "WALK" and not any(
+            e.quantified for e in elems[1::2]
+        ):
+            self._apply_path_mode_filters(pattern)
+
+    def _check_path_mode_scope(self, pattern: PathPattern) -> None:
+        """TRAIL/ACYCLIC/SIMPLE supported on (a) fixed-edge-only patterns
+        (pairwise-distinctness filters) and (b) a single quantified
+        segment (per-expansion filter in the BFS, paths.bfs_all_paths).
+        Cross-segment repetition checks (mixed fixed+quantified, or
+        several quantified segments) are not implemented — raise before
+        any traversal runs rather than silently returning WALK results."""
+        mode = pattern.path_mode
+        edges_el = pattern.elements[1::2]
+        n_quant = sum(1 for e in edges_el if e.quantified)
+        if n_quant > 0 and len(edges_el) > 1:
+            raise PGQNotImplementedError(
+                f"Path mode {mode} across multiple pattern segments is not "
+                "supported; use a single quantified segment or fixed edges "
+                "only"
+            )
+        if pattern.topk and pattern.topk > 1 and n_quant:
+            raise PGQNotImplementedError(
+                f"SHORTEST k with path mode {mode} is not supported "
+                "(k-best enumeration is defined over walks)"
+            )
+        # ANY SHORTEST + mode needs no special handling: a shortest walk
+        # never repeats a vertex or an edge, so it is already a trail, an
+        # acyclic path, and a simple path — compiled as WALK.
+
+    def _apply_path_mode_filters(self, pattern: PathPattern) -> None:
+        """Pairwise-distinctness semantics of TRAIL/ACYCLIC/SIMPLE on a
+        fixed-edge pattern, applied as plan filters:
+          ACYCLIC — all vertex positions pairwise distinct;
+          SIMPLE  — like ACYCLIC but the first and last position may
+                    coincide (closed walk);
+          TRAIL   — all edge positions pairwise distinct (needs EDGE ID
+                    to tell parallel edges apart).
+        """
+        mode = pattern.path_mode
+        elems = pattern.elements
+        verts = elems[0::2]
+        edges_el = elems[1::2]
+        n = len(verts)
+        # vertex binding -> (vertex table name, its unique-key columns as
+        # referenced by an adjacent edge table)
+        vkeys: dict[str, tuple[str, list[str]]] = {}
+        for i, eel in enumerate(edges_el):
+            pgt = self.pg.table_for_label(eel.label)
+            for vel in (verts[i], verts[i + 1]):
+                vpgt = self.bound[vel.binding]["pgt"]
+                if vel.binding not in vkeys:
+                    vkeys[vel.binding] = (
+                        vpgt.table_name,
+                        list(self._endpoint_pks(pgt, vpgt, prefer_source=True)),
+                    )
+        if mode in ("ACYCLIC", "SIMPLE"):
+            for i in range(n):
+                for j in range(i + 1, n):
+                    endpoints = i == 0 and j == n - 1
+                    bi, bj = verts[i].binding, verts[j].binding
+                    if mode == "SIMPLE" and endpoints:
+                        continue  # closure allowed
+                    if bi == bj:
+                        # the same binding at two positions IS a repeated
+                        # vertex by construction
+                        self.plan = self.plan.where(F.lit(False))
+                        continue
+                    ti, ki = vkeys[bi]
+                    tj, kj = vkeys[bj]
+                    if ti != tj:
+                        continue  # different vertex tables: never the same
+                    neq = " OR ".join(
+                        f"{_q(bi)}.{_q(a)} <> {_q(bj)}.{_q(b)}"
+                        for a, b in zip(ki, kj)
+                    )
+                    self.plan = self.plan.where(F.expr(neq))
+        if mode == "TRAIL":
+            items = []
+            for eel in edges_el:
+                pgt = self.pg.table_for_label(eel.label)
+                items.append((eel.binding, pgt))
+            for i in range(len(items)):
+                for j in range(i + 1, len(items)):
+                    (bi, pi), (bj, pj) = items[i], items[j]
+                    if pi.table_name != pj.table_name:
+                        continue
+                    if pi.edge_id_col is None:
+                        raise PGQNotImplementedError(
+                            f"TRAIL over edge table '{pi.table_name}' needs "
+                            "an EDGE ID column to tell parallel edges apart"
+                        )
+                    self.plan = self.plan.where(
+                        F.expr(
+                            f"{_q(bi)}.{_q(pi.edge_id_col)} <> "
+                            f"{_q(bj)}.{_q(pj.edge_id_col)}"
+                        )
+                    )
 
     def _vertex_pgt(self, v: VertexElement) -> PropertyGraphTable:
         if v.label is None:
@@ -509,7 +611,19 @@ class MatchCompiler:
                 pgt.source_pk,
                 f"vertex table '{pgt.source_reference}'",
             )
-        need_path = pattern.shortest or pattern.path_variable is not None
+        # TRAIL/ACYCLIC/SIMPLE on a quantified segment enumerate ALL
+        # non-repeating paths (beyond-reference); under ANY SHORTEST the
+        # mode is a no-op (a shortest walk already repeats nothing)
+        enumerate_mode = (
+            pattern.path_mode
+            if pattern.path_mode != "WALK" and not pattern.shortest
+            else None
+        )
+        need_path = (
+            pattern.shortest
+            or pattern.path_variable is not None
+            or enumerate_mode is not None
+        )
         edges = pathops.edge_frame(
             edf,
             src_fk,
@@ -539,23 +653,31 @@ class MatchCompiler:
 
         if upper is not None and lower > upper:
             raise PGQConstraintError("Lower bound greater than upper bound")
-        if upper is None and not pattern.shortest:
+        if upper is None and not pattern.shortest and enumerate_mode is None:
             # reference parity (match.cpp:100-104): plain (ALL-walks)
             # unbounded quantifiers are rejected — only ANY SHORTEST may
-            # traverse without an upper bound
+            # traverse without an upper bound.  Non-WALK modes consume a
+            # vertex/edge per step, so unbounded IS allowed there (that is
+            # exactly what the reference's error message suggests).
             raise PGQConstraintError(
                 "ALL unbounded with path mode WALK is not possible as this "
                 "could lead to infinite results. Consider specifying an upper "
                 "bound or path mode other than WALK"
             )
         topk = pattern.topk or 1
-        dist = pathops.bfs_distances(
-            edges,
-            sources=sources,
-            max_hops=upper,
-            track_paths=need_path or topk > 1,
-            k=topk,
-        )
+        if enumerate_mode is not None:
+            # one row PER distinct non-repeating path (not per pair)
+            dist = pathops.bfs_all_paths(
+                edges, sources=sources, mode=enumerate_mode, max_hops=upper
+            )
+        else:
+            dist = pathops.bfs_distances(
+                edges,
+                sources=sources,
+                max_hops=upper,
+                track_paths=need_path or topk > 1,
+                k=topk,
+            )
         # virtual edge table (src, dst, dist [, path])
         self.plan = self.plan if self.plan is not None else None
         if self.plan is None:

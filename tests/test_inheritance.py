@@ -96,16 +96,13 @@ def test_sublabel_reverse_edge(inh):
     assert rows(df) == [(0, "Daniel", "UvA", 1), (3, "Peter", "VU", 1)]
 
 
-def test_path_modes_rejected(inh):
-    for mode in ("TRAIL", "SIMPLE", "ACYCLIC"):
-        with pytest.raises(PGQNotImplementedError):
-            inh.graph_table(
-                f"""inh_pg MATCH {mode} (p:Person)-[w:worksAt]->(u:organisation)
-                    COLUMNS (p.id AS pid)"""
-            )
-    # WALK is the default and accepted
-    df = inh.graph_table(
-        """inh_pg MATCH WALK PATH (p:Person)-[w:worksAt]->(u:organisation)
-           COLUMNS (p.id AS pid)"""
-    )
-    assert df.count() == 8
+def test_path_modes_accepted_on_single_edge(inh):
+    # beyond-reference: TRAIL/SIMPLE/ACYCLIC are implemented (the
+    # reference rejects them, match.cpp:96-99); on a single-edge pattern
+    # over distinct vertex tables every mode equals WALK
+    for mode in ("WALK PATH", "TRAIL", "SIMPLE", "ACYCLIC"):
+        df = inh.graph_table(
+            f"""inh_pg MATCH {mode} (p:Person)-[w:worksAt]->(u:organisation)
+                COLUMNS (p.id AS pid)"""
+        )
+        assert df.count() == 8, mode
