@@ -163,6 +163,67 @@ def ngram_jaccard_pairs(
         sh.unpersist()
 
 
+def _bucket_pairs(
+    rows: DataFrame,
+    bucket_cols: list[str],
+    id_col: str = "id",
+    hot_threshold: int = 256,
+    chunks: int = 8,
+) -> DataFrame:
+    """Distinct unordered id pairs sharing a bucket: (id_a < id_b).
+
+    The naive self-join on the bucket key puts a whole bucket's |g|^2
+    pair space on ONE reducer — a mass-duplicate corpus (every doc
+    identical) turns one LSH band bucket into a single straggler task.
+    This splits the work adaptively:
+      - buckets with <= hot_threshold members: plain self-join (AQE's
+        skew handling covers moderate imbalance);
+      - hot buckets: triangle-salted join — each member is assigned a
+        chunk c = hash(id) % chunks, the pair space is partitioned into
+        chunk cells (ci <= cj), and the join key becomes
+        (bucket, ci, cj), so a g-member bucket spreads over
+        chunks*(chunks+1)/2 tasks of ~(g/chunks)^2 pairs each.
+    The union equals the plain join's pair set exactly (verified in
+    tests against 10^3 identical docs).
+    """
+    sizes = rows.groupBy(*bucket_cols).agg(F.count("*").alias("__g"))
+    hot_keys = F.broadcast(
+        sizes.where(F.col("__g") > hot_threshold).select(*bucket_cols)
+    )
+    cold = rows.join(hot_keys, bucket_cols, "left_anti")
+    hot = rows.join(hot_keys, bucket_cols, "left_semi").withColumn(
+        "__c", F.pmod(F.xxhash64(F.col(id_col)), F.lit(chunks))
+    )
+    cold_pairs = (
+        cold.alias("l")
+        .join(cold.alias("r"), bucket_cols)
+        .where(F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        .select(
+            F.col(f"l.{id_col}").alias("id_a"), F.col(f"r.{id_col}").alias("id_b")
+        )
+    )
+    # triangle cells: a pair with chunks (cx, cy), cx <= cy, meets exactly
+    # in cell (ci=cx, cj=cy) — the left side explodes its cj upward, the
+    # right side its ci downward; same-cell pairs appear in both
+    # orientations, least/greatest + distinct canonicalizes
+    lhs = hot.withColumn(
+        "__cj", F.explode(F.sequence(F.col("__c"), F.lit(chunks - 1)))
+    ).withColumnRenamed("__c", "__ci")
+    rhs = hot.withColumn(
+        "__ci", F.explode(F.sequence(F.lit(0), F.col("__c")))
+    ).withColumnRenamed("__c", "__cj")
+    hot_pairs = (
+        lhs.alias("l")
+        .join(rhs.alias("r"), bucket_cols + ["__ci", "__cj"])
+        .where(F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+        .select(
+            F.least(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"l.{id_col}"), F.col(f"r.{id_col}")).alias("id_b"),
+        )
+    )
+    return cold_pairs.unionByName(hot_pairs).distinct()
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -229,16 +290,7 @@ def minhash_lsh_pairs(
                 )
             ).alias("bb"),
         ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-        cands = (
-            banded.alias("l")
-            .join(
-                banded.alias("r"),
-                (F.col("l.band") == F.col("r.band")) & (F.col("l.bh") == F.col("r.bh")),
-            )
-            .where(F.col("l.id") < F.col("r.id"))
-            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-            .distinct()
-        )
+        cands = _bucket_pairs(banded, ["band", "bh"])
         scored = (
             cands.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
             .join(sig.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")), "id_b")

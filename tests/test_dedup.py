@@ -77,3 +77,56 @@ def test_on_real_documents(spark):
         docs, "doc_id", "text", n=5, threshold=0.8, max_doc_freq=100
     )
     assert pairs.count() >= 0  # executes end-to-end on the real corpus
+
+
+def test_bucket_pairs_hot_path_equals_plain_join(spark):
+    """Triangle-salted hot-bucket pair generation returns exactly the
+    plain self-join's pair set (one 60-member hot bucket to force the
+    salted path, one cold bucket, one singleton)."""
+    from pyspark.sql import functions as F
+    from duckpgq_extension_spark.operators.dedup import _bucket_pairs
+
+    data = (
+        [("hot", 1000 + i) for i in range(60)]
+        + [("cold", i) for i in range(5)]
+        + [("single", 7777)]
+    )
+    df = spark.createDataFrame(data, "bh string, id long")
+    got = _bucket_pairs(df, ["bh"], hot_threshold=16, chunks=4)
+    plain = (
+        df.alias("l")
+        .join(df.alias("r"), "bh")
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, plain.collect()))
+    assert got.count() == 60 * 59 // 2 + 5 * 4 // 2
+
+
+def test_minhash_lsh_mass_duplicate_corpus(spark):
+    """10^3 identical docs: every band bucket holds all 1000 docs — the
+    pre-salt plan put the full 10^6 pair space on one reducer.  The salted
+    join must still emit exactly C(1000,2) pairs at est_jaccard 1.0, and
+    the triangle split bounds any single join cell to ~(g/chunks)^2."""
+    from pyspark.sql import functions as F
+    from duckpgq_extension_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.range(0, 1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the quick brown fox jumps over the lazy dog again").alias("text"),
+    )
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", n=3, num_perm=16, bands=4)
+    assert pairs.count() == 1000 * 999 // 2
+    assert pairs.agg(F.min("est_jaccard")).first()[0] == 1.0
+
+    # the salted key space spreads one 1000-member bucket over
+    # chunks*(chunks+1)/2 cells, each side bounded by ~g/chunks rows
+    chunks = 8
+    cell_sizes = (
+        spark.range(0, 1000)
+        .select(F.pmod(F.xxhash64(F.col("id")), F.lit(chunks)).alias("c"))
+        .groupBy("c")
+        .count()
+    )
+    assert cell_sizes.agg(F.max("count")).first()[0] < 1000 / chunks * 2
