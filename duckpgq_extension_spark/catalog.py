@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -43,6 +44,56 @@ def _levenshtein(a: str, b: str) -> int:
             cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
         prev = cur
     return prev[-1]
+
+
+_PK_PROPS = ("duckpgq.key", "primarykey", "primary_key")
+_FK_PROP_PREFIX = "duckpgq.fk."
+
+
+def _table_properties(spark: SparkSession, name: str) -> dict[str, str]:
+    q = ".".join(f"`{p}`" for p in name.split("."))
+    try:
+        return {r[0]: r[1] for r in spark.sql(f"SHOW TBLPROPERTIES {q}").collect()}
+    except Exception:  # temp views / missing tables have no properties
+        return {}
+
+
+def declared_primary_key(spark: SparkSession, name: str) -> list[str]:
+    """Primary-key columns declared in table properties ('duckpgq.key',
+    'primaryKey' or 'primary_key', comma-separated).  The Spark analog of
+    the reference's PRIMARY KEY constraint sniffing
+    (create_property_graph.cpp:117-153) — Spark tables carry no enforced
+    constraints, so the convention is an explicit table property."""
+    props = {k.lower(): v for k, v in _table_properties(spark, name).items()}
+    for key in _PK_PROPS:
+        v = props.get(key)
+        if v:
+            return [c.strip() for c in v.split(",") if c.strip()]
+    return []
+
+
+def declared_foreign_keys(
+    spark: SparkSession, name: str
+) -> list[tuple[list[str], str, list[str]]]:
+    """[(fk_cols, referenced_table, pk_cols)] declared as table properties:
+    'duckpgq.fk.<col[,col]>' = '<ref_table>' or '<ref_table>(<pk[,pk]>)'.
+    The Spark analog of the reference's FOREIGN KEY constraint discovery."""
+    out = []
+    for k, v in _table_properties(spark, name).items():
+        if not k.lower().startswith(_FK_PROP_PREFIX):
+            continue
+        fk_cols = [c.strip() for c in k[len(_FK_PROP_PREFIX):].split(",") if c.strip()]
+        m = re.match(r"\s*([\w.$`]+)\s*(?:\(([^)]*)\))?\s*$", v or "")
+        if not m or not fk_cols:
+            continue
+        ref = m.group(1).replace("`", "")
+        pks = (
+            [c.strip() for c in m.group(2).split(",") if c.strip()]
+            if m.group(2)
+            else []
+        )
+        out.append((fk_cols, ref, pks))
+    return out
 
 
 def table_df(spark: SparkSession, name: str) -> DataFrame:
@@ -243,21 +294,56 @@ class PropertyGraph:
                     f"table '{t.table_name}'"
                 )
             if not t.is_vertex:
-                for ref, pk, fk, kind in (
-                    (t.source_reference, t.source_pk, t.source_fk, "SOURCE"),
-                    (
-                        t.destination_reference,
-                        t.destination_pk,
-                        t.destination_fk,
-                        "DESTINATION",
-                    ),
-                ):
-                    if ref is None or not pk or not fk:
+                for side, kind in (("source", "SOURCE"), ("destination", "DESTINATION")):
+                    ref = getattr(t, f"{side}_reference")
+                    pk = getattr(t, f"{side}_pk")
+                    fk = getattr(t, f"{side}_fk")
+                    if ref is None:
                         raise PGQBinderError(
-                            f"Edge table '{t.table_name}' must declare explicit "
-                            f"{kind} KEY ... REFERENCES ... (Spark has no FOREIGN "
-                            "KEY constraints to auto-discover keys from)"
+                            f"Edge table '{t.table_name}' must declare "
+                            f"{kind} [KEY ... REFERENCES] <vertex table>"
                         )
+                    if not pk or not fk:
+                        # short form `SOURCE v`: discover keys from declared
+                        # metadata, mirroring the reference's FK-constraint
+                        # sniffing (create_property_graph.cpp:117-153;
+                        # error text parity with create_pg_with_pk_fk.test)
+                        cands = [
+                            (fkc, r, pkc)
+                            for fkc, r, pkc in declared_foreign_keys(
+                                self.spark, t.table_name
+                            )
+                            if r.lower() == ref.lower()
+                        ]
+                        if len(cands) > 1:
+                            raise PGQBinderError(
+                                f"Multiple primary key - foreign key "
+                                f"relationships detected between {t.table_name} "
+                                f"and {ref}. Please explicitly define the "
+                                f"primary key and foreign key columns using "
+                                f"`{kind} KEY <foreign key> REFERENCES {ref} "
+                                f"<primary key>`"
+                            )
+                        if not cands:
+                            raise PGQBinderError(
+                                f"Edge table '{t.table_name}' must declare "
+                                f"explicit {kind} KEY ... REFERENCES ... "
+                                "(no declared key metadata found; Spark has no "
+                                "FOREIGN KEY constraints — declare table "
+                                "properties 'duckpgq.fk.<col>' = "
+                                "'<vertex_table>(<key>)' to enable discovery)"
+                            )
+                        fk = cands[0][0]
+                        pk = cands[0][2] or declared_primary_key(self.spark, ref)
+                        if not pk:
+                            raise PGQBinderError(
+                                f"Vertex table '{ref}' declares no primary key "
+                                "metadata ('duckpgq.key' table property) and "
+                                f"the '{_FK_PROP_PREFIX}' property names no "
+                                "referenced columns"
+                            )
+                        setattr(t, f"{side}_fk", fk)
+                        setattr(t, f"{side}_pk", pk)
                     if ref not in vertex_names:
                         raise PGQBinderError(
                             f"Referenced vertex table '{ref}' of edge table "

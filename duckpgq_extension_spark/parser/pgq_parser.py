@@ -230,18 +230,28 @@ class Parser:
         if self.match_kw("AS"):
             alias = self.ident()
         if not is_vertex:
+            # two forms, like the reference (create_property_graph.cpp:117-153):
+            #   SOURCE KEY (fk) REFERENCES v (pk)   -- explicit keys
+            #   SOURCE v                            -- keys discovered from
+            # declared metadata (reference: FOREIGN KEY constraints; Spark
+            # analog: duckpgq.key / duckpgq.fk.* table properties —
+            # resolved at DDL validation, catalog.PropertyGraph.validate)
             self.expect_kw("SOURCE")
-            self.expect_kw("KEY")
-            t.source_fk = self._paren_name_list()
-            self.expect_kw("REFERENCES")
-            t.source_reference = self.qualified_name()
-            t.source_pk = self._paren_name_list()
+            if self.match_kw("KEY"):
+                t.source_fk = self._paren_name_list()
+                self.expect_kw("REFERENCES")
+                t.source_reference = self.qualified_name()
+                t.source_pk = self._paren_name_list()
+            else:
+                t.source_reference = self.qualified_name()
             self.expect_kw("DESTINATION")
-            self.expect_kw("KEY")
-            t.destination_fk = self._paren_name_list()
-            self.expect_kw("REFERENCES")
-            t.destination_reference = self.qualified_name()
-            t.destination_pk = self._paren_name_list()
+            if self.match_kw("KEY"):
+                t.destination_fk = self._paren_name_list()
+                self.expect_kw("REFERENCES")
+                t.destination_reference = self.qualified_name()
+                t.destination_pk = self._paren_name_list()
+            else:
+                t.destination_reference = self.qualified_name()
             # Spark extension: designate a unique edge-id column (the analog
             # of the reference's implicit rowid in path output).  Optional;
             # without it path edge-ids are per-query artifacts.
