@@ -558,6 +558,46 @@ O_ACYCLIC_PATHS = _with_e(
 )
 
 
+def q_all_shortest_paths(spark, sf_dir):
+    """ALL SHORTEST enumeration (beyond-reference: the reference rejects it,
+    match.cpp:81-104): EVERY minimal-length path per (src, dst) within the
+    {1,4} window, one row per path, serialized so the driver hashes the
+    actual path sets."""
+    pgq = setup(spark, sf_dir)
+    df = pgq.graph_table(
+        """social MATCH p = ALL SHORTEST (a:Customer WHERE a.c_custkey < 3)-[f:Follows]->{1,4}(b:Customer)
+           COLUMNS (a.c_custkey AS a_key, b.c_custkey AS b_key,
+                    path_length(p) AS plen, element_id(p) AS path_elems)"""
+    )
+    return df.select(
+        "a_key",
+        "b_key",
+        "plen",
+        F.concat_ws(
+            "->", F.transform(F.col("path_elems"), lambda x: x.cast("string"))
+        ).alias("path_str"),
+    )
+
+
+O_ALL_SHORTEST_PATHS = _with_e(
+    """, paths(src, dst, d, path) AS (
+         SELECT c_custkey, c_custkey, 0, [CAST(c_custkey AS BIGINT)]
+         FROM customer WHERE c_custkey < 3
+         UNION
+         SELECT p.src, e.dst, p.d + 1,
+                list_append(list_append(p.path, CAST(e.eid AS BIGINT)),
+                            CAST(e.dst AS BIGINT))
+         FROM paths p JOIN e ON e.src = p.dst WHERE p.d < 4
+       ),
+       best AS (SELECT src, dst, MIN(d) AS d FROM paths GROUP BY src, dst)
+       SELECT p.src AS a_key, p.dst AS b_key, CAST(p.d AS BIGINT) AS plen,
+              array_to_string(p.path, '->') AS path_str
+       FROM paths p JOIN best b ON b.src = p.src AND b.dst = p.dst AND b.d = p.d
+       WHERE p.d BETWEEN 1 AND 4""",
+    recursive=True,
+)
+
+
 def q_cheapest_path(spark, sf_dir):
     setup(spark, sf_dir)
     edges = pathops.edge_frame(
@@ -1702,6 +1742,7 @@ QUERIES = {
     "topk_per_group": q_topk_per_group,
     "asof_join": q_asof_join,
     "acyclic_paths": q_acyclic_paths,
+    "all_shortest_paths": q_all_shortest_paths,
     "interval_join": q_interval_join,
     "window_running_sum": q_window_running_sum,
     "rollup_orders": q_rollup_orders,
@@ -1755,6 +1796,7 @@ ORACLES = {
     "topk_per_group": O_TOPK_PER_GROUP,
     "asof_join": O_ASOF_JOIN,
     "acyclic_paths": O_ACYCLIC_PATHS,
+    "all_shortest_paths": O_ALL_SHORTEST_PATHS,
     "interval_join": O_INTERVAL_JOIN,
     "window_running_sum": O_WINDOW_RUNNING_SUM,
     "rollup_orders": O_ROLLUP_ORDERS,

@@ -169,6 +169,7 @@ def bfs_distances(
     num_partitions: int | None = None,
     checkpoint_every: int = 1,
     k: int = 1,
+    all_shortest: bool = False,
 ) -> DataFrame:
     """All-pairs-from-sources BFS: returns (src, dst, dist [, path]).
 
@@ -197,6 +198,8 @@ def bfs_distances(
     """
     if k > 1 and not track_paths:
         raise ValueError("k > 1 requires track_paths (paths break ties)")
+    if all_shortest and (k > 1 or not track_paths):
+        raise ValueError("all_shortest requires track_paths and k == 1")
     if track_paths and "edge_id" not in edges.columns:
         raise ValueError("track_paths requires an edge_id column (use edge_frame)")
     edges = _prep_edges(edges, num_partitions)
@@ -257,6 +260,18 @@ def bfs_distances(
                     )
                     .drop("__rn", "__cnt")
                 )
+            elif track_paths and all_shortest:
+                # ALL SHORTEST (beyond-reference, rejected by the reference
+                # match.cpp:81-104): keep EVERY distinct path that first
+                # reaches a pair this level — all have dist == level, and
+                # every shortest path's prefix is a shortest path to its
+                # penultimate vertex, so extending the full per-vertex path
+                # set is exhaustive.  One row per path; path count per pair
+                # can grow combinatorially on dense diamond-rich graphs
+                # (inherent to the semantics — bound with quantifier upper
+                # bounds or selective sources).
+                nxt = expanded.dropDuplicates(["src", "dst", "path"])
+                nxt = nxt.join(visited.select("src", "dst"), ["src", "dst"], "left_anti")
             elif track_paths:
                 # deterministic tie-break: lexicographically-smallest path
                 # per (src, dst) this level (see module notes); same shuffle

@@ -55,6 +55,7 @@ class PathPattern:
     elements: list = field(default_factory=list)
     shortest: bool = False
     all_paths: bool = False
+    all_shortest: bool = False  # ALL SHORTEST (beyond-reference; rejected by match.cpp:81-104)
     topk: int | None = None
     path_variable: str | None = None
     path_mode: str = "WALK"  # TRAIL/SIMPLE/ACYCLIC implemented beyond-reference

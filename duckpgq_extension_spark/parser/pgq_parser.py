@@ -375,8 +375,13 @@ class Parser:
             # plain ANY = any walk
         elif self.match_kw("ALL"):
             if self.match_kw("SHORTEST"):
-                raise PGQNotImplementedError("ALL SHORTEST is not supported")
-            pat.all_paths = True
+                # beyond-reference: the reference rejects ALL SHORTEST
+                # (match.cpp:81-104); we enumerate EVERY distinct
+                # minimal-length path per (src, dst) — one row per path
+                pat.shortest = True
+                pat.all_shortest = True
+            else:
+                pat.all_paths = True
         elif self.match_kw("SHORTEST"):
             t = self.peek()
             if t is not None and t.kind == "number":

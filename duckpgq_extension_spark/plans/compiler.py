@@ -623,6 +623,7 @@ class MatchCompiler:
             pattern.shortest
             or pattern.path_variable is not None
             or enumerate_mode is not None
+            or pattern.all_shortest
         )
         edges = pathops.edge_frame(
             edf,
@@ -677,6 +678,7 @@ class MatchCompiler:
                 max_hops=upper,
                 track_paths=need_path or topk > 1,
                 k=topk,
+                all_shortest=pattern.all_shortest,
             )
         # virtual edge table (src, dst, dist [, path])
         self.plan = self.plan if self.plan is not None else None

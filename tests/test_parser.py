@@ -128,10 +128,14 @@ def test_multiple_patterns_shared_binding():
     assert len(expr.patterns) == 2
 
 
-def test_not_implemented_errors():
-    with pytest.raises(PGQNotImplementedError):
-        parse_graph_table_body("pg MATCH ALL SHORTEST (a:P)-[e:K]->*(b:P) COLUMNS (a.id)")
-    # SHORTEST k now parses (beyond-reference top-k walks; the reference
+def test_beyond_reference_modifiers_parse():
+    # ALL SHORTEST now parses (beyond-reference all-minimal-paths
+    # enumeration; the reference rejects it, match.cpp:81-104)
+    expr = parse_graph_table_body(
+        "pg MATCH ALL SHORTEST (a:P)-[e:K]->*(b:P) COLUMNS (a.id)"
+    )
+    assert expr.patterns[0].all_shortest and expr.patterns[0].shortest
+    # SHORTEST k parses too (beyond-reference top-k walks; the reference
     # rejects it, top_k.test:33-49)
     expr = parse_graph_table_body(
         "pg MATCH SHORTEST 3 (a:P)-[e:K]->*(b:P) COLUMNS (a.id)"

@@ -140,3 +140,41 @@ def test_mode_rejects_mixed_segments(pgq):
             """pg MATCH ACYCLIC (a:Person)-[e1:Knows]->(b:Person)-[e2:Knows]->{1,2}(c:Person)
                COLUMNS (a.id AS aid)"""
         )
+
+
+def test_all_shortest_diamond(spark):
+    """Diamond 0->{1,2}->3: ALL SHORTEST enumerates BOTH 2-hop paths to 3
+    where ANY SHORTEST keeps exactly one (the lex-min)."""
+    spark.createDataFrame(
+        [Row(id=i) for i in range(4)], "id long"
+    ).createOrReplaceTempView("dia_v")
+    spark.createDataFrame(
+        [Row(src=a, dst=b, eid=e) for e, (a, b) in enumerate([(0, 1), (0, 2), (1, 3), (2, 3)])],
+        "src long, dst long, eid long",
+    ).createOrReplaceTempView("dia_e")
+    s = PGQSession(spark)
+    s.execute(
+        """CREATE PROPERTY GRAPH dia_pg
+           VERTEX TABLES ( dia_v LABEL V )
+           EDGE TABLES ( dia_e SOURCE KEY (src) REFERENCES dia_v (id)
+                         DESTINATION KEY (dst) REFERENCES dia_v (id)
+                         EDGE ID (eid) LABEL E )"""
+    )
+    q = """dia_pg MATCH p = {mod} (a:V WHERE a.id = 0)-[e:E]->*(b:V WHERE b.id = 3)
+           COLUMNS (path_length(p) AS len, element_id(p) AS elems)"""
+    any_rows = s.graph_table(q.format(mod="ANY SHORTEST")).collect()
+    assert len(any_rows) == 1 and any_rows[0].len == 2
+    all_rows = s.graph_table(q.format(mod="ALL SHORTEST")).collect()
+    paths = sorted(tuple(r.elems) for r in all_rows)
+    assert [r.len for r in all_rows] == [2, 2]
+    assert paths == [(0, 0, 1, 2, 3), (0, 1, 2, 3, 3)]
+
+
+def test_all_shortest_unique_paths_match_any(pgq):
+    """On the fixture graph every (0, dst) shortest path is unique, so
+    ALL SHORTEST from 0 equals ANY SHORTEST from 0 row-for-row."""
+    q = """pg MATCH p = {mod} (a:Person WHERE a.id = 0)-[e:Knows]->*(b:Person)
+           COLUMNS (b.id AS bid, path_length(p) AS len)"""
+    any_rows = rows(pgq.graph_table(q.format(mod="ANY SHORTEST")))
+    all_rows = rows(pgq.graph_table(q.format(mod="ALL SHORTEST")))
+    assert any_rows == all_rows
