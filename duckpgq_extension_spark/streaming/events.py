@@ -160,6 +160,68 @@ def running_user_totals_stream(
     )
 
 
+def running_user_totals_stream_v2(
+    events_stream: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """running_user_totals_stream on the arbitrary-state v2 API
+    (`transformWithStateInPandas`, Spark 4.x): typed per-key ValueState
+    with optional TTL/timers — the recommended successor to
+    applyInPandasWithState for custom incremental operators.  Kept
+    alongside the v1 operator so both templates are covered; identical
+    output contract (per-user running count + value total).
+
+    Requires the `protobuf` package (the v2 state protocol serializes via
+    google.protobuf); raises a clear error when it is absent — use
+    running_user_totals_stream (applyInPandasWithState) there instead.
+    """
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as exc:
+        from ..errors import PGQNotImplementedError
+
+        raise PGQNotImplementedError(
+            "transformWithStateInPandas needs the 'protobuf' package, which "
+            "is not installed in this environment; use "
+            "running_user_totals_stream (applyInPandasWithState) instead"
+        ) from exc
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._totals.exists():
+                n, total = self._totals.get()
+            else:
+                n, total = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            RunningTotals(),
+            "user_id long, n_events long, total_value double",
+            "Update",
+            "None",
+        )
+    )
+
+
 def sessionize_stream(events_stream: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
     """Streaming sessionization via the native session_window (state is
     merged incrementally; watermark bounds it)."""

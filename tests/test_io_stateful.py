@@ -106,3 +106,39 @@ def test_bfs_trusts_prepartitioned_edges(spark):
                pathops.bfs_distances(edges.repartition(4, "src"), sources=srcs,
                                      num_partitions=0).collect()}
     assert base == trusted and base
+
+def test_stateful_streaming_running_totals_v2(spark, tmp_path):
+    """transformWithStateInPandas variant: same totals as the
+    applyInPandasWithState operator and as a batch aggregation.  The v2
+    state protocol needs google.protobuf; without it the operator must
+    raise the documented gate error instead of crashing the stream."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        from duckpgq_extension_spark.errors import PGQNotImplementedError
+
+        with pytest.raises(PGQNotImplementedError, match="protobuf"):
+            ev.running_user_totals_stream_v2(
+                ev.stream_from_parquet(spark, str(tmp_path))
+            )
+        return
+    src = str(tmp_path / "stateful_v2_src")
+    events = load_table(spark, SF, "events").limit(300)
+    events.write.parquet(src)
+    stream = ev.stream_from_parquet(spark, src)
+    q = ev.run_stream_to_memory(
+        ev.running_user_totals_stream_v2(stream), "stateful_v2_out",
+        output_mode="update",
+    )
+    try:
+        got = {r["user_id"]: r for r in spark.table("stateful_v2_out").collect()}
+        batch = (
+            spark.read.parquet(src)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        )
+        for r in batch.collect():
+            assert got[r["user_id"]]["n_events"] == r["n"]
+            assert got[r["user_id"]]["total_value"] == pytest.approx(r["v"])
+    finally:
+        q.stop()
