@@ -247,9 +247,13 @@ def triangle_counts(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     return _triangles_from_nbr(_doubled_neighbors(edges), vertices)
 
 
-def _triangles_from_nbr(nbr: DataFrame, vertices: DataFrame) -> DataFrame:
-    """triangle_counts over an already-doubled distinct neighbor frame."""
-    deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
+def _triangles_from_nbr(
+    nbr: DataFrame, vertices: DataFrame, deg: DataFrame | None = None
+) -> DataFrame:
+    """triangle_counts over an already-doubled distinct neighbor frame;
+    pass a precomputed (src, deg) frame to reuse the caller's degree agg."""
+    if deg is None:
+        deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
     half = _oriented_half_edges(nbr, deg).persist()
     try:
         wedges = (
@@ -302,7 +306,7 @@ def local_clustering_coefficient(edges: DataFrame, vertices: DataFrame) -> DataF
     nbr = _doubled_neighbors(edges).persist()
     try:
         deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
-        tri = _triangles_from_nbr(nbr, vertices)
+        tri = _triangles_from_nbr(nbr, vertices, deg)
         return (
             vertices.alias("vt")
             .join(deg.alias("dg"), F.col("vt.vid") == F.col("dg.src"), "left")

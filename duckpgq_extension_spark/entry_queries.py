@@ -558,6 +558,46 @@ O_ACYCLIC_PATHS = _with_e(
 )
 
 
+def q_trail_paths(spark, sf_dir):
+    """TRAIL path-mode enumeration (beyond-reference): every edge-distinct
+    walk of 1..3 hops from the two lowest-key customers — vertices may
+    repeat, edges may not."""
+    pgq = setup(spark, sf_dir)
+    df = pgq.graph_table(
+        """social MATCH p = TRAIL (a:Customer WHERE a.c_custkey < 2)-[f:Follows]->{1,3}(b:Customer)
+           COLUMNS (a.c_custkey AS a_key, b.c_custkey AS b_key,
+                    path_length(p) AS plen, element_id(p) AS path_elems)"""
+    )
+    return df.select(
+        "a_key",
+        "b_key",
+        "plen",
+        F.concat_ws(
+            "->", F.transform(F.col("path_elems"), lambda x: x.cast("string"))
+        ).alias("path_str"),
+    )
+
+
+O_TRAIL_PATHS = _with_e(
+    """, paths(src, dst, d, path, eseen) AS (
+         SELECT c_custkey, c_custkey, 0, [CAST(c_custkey AS BIGINT)],
+                CAST([] AS BIGINT[])
+         FROM customer WHERE c_custkey < 2
+         UNION ALL
+         SELECT p.src, e.dst, p.d + 1,
+                list_append(list_append(p.path, CAST(e.eid AS BIGINT)),
+                            CAST(e.dst AS BIGINT)),
+                list_append(p.eseen, CAST(e.eid AS BIGINT))
+         FROM paths p JOIN e ON e.src = p.dst
+         WHERE p.d < 3 AND NOT list_contains(p.eseen, CAST(e.eid AS BIGINT))
+       )
+       SELECT src AS a_key, dst AS b_key, CAST(d AS BIGINT) AS plen,
+              array_to_string(path, '->') AS path_str
+       FROM paths WHERE d BETWEEN 1 AND 3""",
+    recursive=True,
+)
+
+
 def q_all_shortest_paths(spark, sf_dir):
     """ALL SHORTEST enumeration (beyond-reference: the reference rejects it,
     match.cpp:81-104): EVERY minimal-length path per (src, dst) within the
@@ -1743,6 +1783,7 @@ QUERIES = {
     "asof_join": q_asof_join,
     "acyclic_paths": q_acyclic_paths,
     "all_shortest_paths": q_all_shortest_paths,
+    "trail_paths": q_trail_paths,
     "interval_join": q_interval_join,
     "window_running_sum": q_window_running_sum,
     "rollup_orders": q_rollup_orders,
@@ -1797,6 +1838,7 @@ ORACLES = {
     "asof_join": O_ASOF_JOIN,
     "acyclic_paths": O_ACYCLIC_PATHS,
     "all_shortest_paths": O_ALL_SHORTEST_PATHS,
+    "trail_paths": O_TRAIL_PATHS,
     "interval_join": O_INTERVAL_JOIN,
     "window_running_sum": O_WINDOW_RUNNING_SUM,
     "rollup_orders": O_ROLLUP_ORDERS,

@@ -76,3 +76,22 @@ def test_fingerprint_detects_shared_prefix(spark):
     fps2 = [r[0] for r in df2.select(TX.doc_fingerprint(F.col("s"), 3)).collect()]
     assert fps2[0] == fps2[1]
     assert len(fps) == 2
+
+
+def test_text_pipeline_plan_compactness(spark):
+    """Regression guard for the r2 Janino 64 KB codegen fallback: tokens
+    are pre-projected once (one split() in the lang_id/text_stats plans)
+    and the language-score CASE stays linear (the old running-max fold
+    plus inline tokenization produced >100 KB plans that dropped the
+    whole stage out of codegen)."""
+    from duckpgq_extension_spark import entry_queries as EQ
+
+    sf = "/root/testdata/sf0.001"
+    for name, max_len, max_split in (
+        ("lang_id", 10_000, 2),
+        ("text_stats", 10_000, 2),
+        ("corpus_clean", 25_000, 60),
+    ):
+        plan = EQ.QUERIES[name](spark, sf)._jdf.queryExecution().optimizedPlan().toString()
+        assert len(plan) < max_len, f"{name} plan grew to {len(plan)} chars"
+        assert plan.count("split(") <= max_split, name
