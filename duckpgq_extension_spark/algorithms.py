@@ -66,27 +66,28 @@ def pagerank(
     sc = edges.sparkSession.sparkContext
     parts = sc.defaultParallelism
     edges = edges.select("src", "dst").repartition(parts, "src").persist()
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg")).persist()
+    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
 
+    # out_deg rides INSIDE the ranks frame (static per vertex), so each
+    # iteration needs no ranks-to-degree join — one join per iteration
+    # removed vs the r2 formulation
     ranks = pathops.materialize(
-        vertices.select("vid", F.lit(1.0 / n).alias("rank"))
+        vertices.alias("v")
+        .join(out_deg.alias("d"), F.col("v.vid") == F.col("d.src"), "left")
+        .select("vid", F.lit(1.0 / n).alias("rank"), "out_deg")
     )
     try:
         for _ in range(max_iter):
-            with_deg = ranks.alias("r").join(
-                out_deg.alias("d"), F.col("r.vid") == F.col("d.src"), "left"
-            )
             # mass from dangling vertices (no out-edges) is spread uniformly;
             # kept as a broadcast 1-row frame so each iteration is ONE job
             # (collecting the scalar would add a driver roundtrip per round)
             dangling = F.broadcast(
-                with_deg.where(F.col("d.out_deg").isNull()).agg(
-                    F.coalesce(F.sum("r.rank"), F.lit(0.0)).alias("__dang")
+                ranks.where(F.col("out_deg").isNull()).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
                 )
             )
-            shares = with_deg.where(F.col("d.out_deg").isNotNull()).select(
-                F.col("r.vid").alias("vid"),
-                (F.col("r.rank") / F.col("d.out_deg")).alias("share"),
+            shares = ranks.where(F.col("out_deg").isNotNull()).select(
+                F.col("vid"), (F.col("rank") / F.col("out_deg")).alias("share")
             )
             contribs = (
                 shares.alias("s")
@@ -112,6 +113,7 @@ def pagerank(
                             + F.col("__dang") / n
                         )
                     ).alias("rank"),
+                    F.col("o.out_deg").alias("out_deg"),
                     F.col("o.rank").alias("__old"),
                 )
             )
@@ -120,18 +122,17 @@ def pagerank(
                 new_full = new_full.observe(
                     obs, F.max(F.abs(F.col("rank") - F.col("__old"))).alias("delta")
                 )
-                ranks = pathops.materialize(new_full.select("vid", "rank"))
+                ranks = pathops.materialize(new_full.select("vid", "rank", "out_deg"))
                 delta = obs.get["delta"]
                 if delta is not None and delta < tol:
                     break
             else:
-                ranks = pathops.materialize(new_full.select("vid", "rank"))
+                ranks = pathops.materialize(new_full.select("vid", "rank", "out_deg"))
         if phantom_vertices:
             ranks = ranks.join(real_vertices.toDF("vid"), "vid", "left_semi")
         return ranks.select("vid", F.col("rank").alias("pagerank"))
     finally:
         edges.unpersist()
-        out_deg.unpersist()
 
 
 def weakly_connected_component(edges: DataFrame, vertices: DataFrame) -> DataFrame:
@@ -155,22 +156,29 @@ def weakly_connected_component(edges: DataFrame, vertices: DataFrame) -> DataFra
     labels = pathops.materialize(vertices.select("vid", F.col("vid").alias("comp")))
     try:
         while True:
+            # the self rows are TAGGED into the same union, so the per-round
+            # old label comes out of the SAME groupBy (min over own rows) —
+            # no separate labels join per round; the changed-row count is
+            # observable during the checkpoint job, one job per round
             prop = (
                 labels.alias("l")
                 .join(und.alias("u"), F.col("l.vid") == F.col("u.src"))
-                .select(F.col("u.dst").alias("vid"), F.col("l.comp").alias("comp"))
-                .unionByName(labels)
+                .select(
+                    F.col("u.dst").alias("vid"),
+                    F.col("l.comp").alias("comp"),
+                    F.lit(0).alias("__own"),
+                )
+                .unionByName(
+                    labels.select("vid", "comp", F.lit(1).alias("__own"))
+                )
                 .groupBy("vid")
-                .agg(F.min("comp").alias("comp"))
-            )
-            # left-join the previous labels back in so the changed-row count
-            # is observable during the checkpoint job — one job per round
-            # instead of a separate isEmpty probe
-            merged = prop.join(
-                labels.select("vid", F.col("comp").alias("__old")), "vid", "left"
+                .agg(
+                    F.min("comp").alias("comp"),
+                    F.min(F.when(F.col("__own") == 1, F.col("comp"))).alias("__old"),
+                )
             )
             obs = Observation(f"__pgq_wcc_{next(pathops._obs_seq)}")
-            merged = merged.observe(
+            merged = prop.observe(
                 obs,
                 F.sum(
                     F.when(
