@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from . import algorithms
 from .api import PGQSession
 from .functions import text as TX
-from .operators import dedup, multimodal, paths as pathops, relational, similarity
+from .operators import corpus, dedup, multimodal, paths as pathops, relational, similarity
 from .operators.dedup import MINHASH_PRIME, minhash_params
 from .sources.tables import load_table, register_all
 from .streaming import events as ev
@@ -1358,6 +1358,48 @@ FROM documents GROUP BY 1 HAVING COUNT(*) > 1
 """
 
 
+def q_chunk_docs(spark, sf_dir):
+    """Overlapping token-window chunking (operators/corpus.py): window 40,
+    overlap 8 — the standard pre-tokenizer step of a training-data
+    pipeline, one row per chunk, pure JVM explode."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    out = corpus.chunk_documents(docs, "doc_id", "text", chunk_tokens=40, overlap=8)
+    return out.select(
+        F.col("id").alias("doc_id"), "chunk_id", "chunk_text", "n_chunk_tok"
+    )
+
+
+O_CHUNK_DOCS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+starts AS (
+  SELECT doc_id, t, unnest(generate_series(1, greatest(len(t), 1), 32)) AS s
+  FROM toks WHERE len(t) > 0
+)
+SELECT doc_id, CAST((s - 1) // 32 AS BIGINT) AS chunk_id,
+       array_to_string(list_slice(t, s, s + 39), ' ') AS chunk_text,
+       CAST(len(list_slice(t, s, s + 39)) AS BIGINT) AS n_chunk_tok
+FROM starts
+"""
+
+
+def q_det_sample(spark, sf_dir):
+    """Deterministic content-hash Bernoulli sample (operators/corpus.py):
+    the same rows are kept on every engine/run — reproducible corpus
+    slicing, expressed as a pushdown-able filter."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    return corpus.deterministic_sample(docs, "doc_id", 0.25, salt="s1").select(
+        "doc_id"
+    )
+
+
+O_DET_SAMPLE = f"""
+SELECT doc_id FROM documents
+WHERE {_MD5L.format(X="CAST(doc_id AS VARCHAR) || 's1'")} % 1000000 < 250000
+"""
+
+
 def q_dedup_fingerprint(spark, sf_dir):
     setup(spark, sf_dir)
     docs = spark.table("documents").withColumn("__toks", TX.tokens(F.col("text")))
@@ -1784,6 +1826,8 @@ QUERIES = {
     "acyclic_paths": q_acyclic_paths,
     "all_shortest_paths": q_all_shortest_paths,
     "trail_paths": q_trail_paths,
+    "chunk_docs": q_chunk_docs,
+    "det_sample": q_det_sample,
     "interval_join": q_interval_join,
     "window_running_sum": q_window_running_sum,
     "rollup_orders": q_rollup_orders,
@@ -1839,6 +1883,8 @@ ORACLES = {
     "acyclic_paths": O_ACYCLIC_PATHS,
     "all_shortest_paths": O_ALL_SHORTEST_PATHS,
     "trail_paths": O_TRAIL_PATHS,
+    "chunk_docs": O_CHUNK_DOCS,
+    "det_sample": O_DET_SAMPLE,
     "interval_join": O_INTERVAL_JOIN,
     "window_running_sum": O_WINDOW_RUNNING_SUM,
     "rollup_orders": O_ROLLUP_ORDERS,

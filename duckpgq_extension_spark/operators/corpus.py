@@ -1,0 +1,82 @@
+"""Corpus-preparation operators for training-data pipelines.
+
+Beyond-reference additions (SURVEY.md §2C): document chunking and
+deterministic sampling — the two standard steps between cleaning/dedup
+(operators/dedup.py, functions/text.py) and tokenizer/training ingestion.
+
+Scale design: both operators are pure JVM column expressions (no Python
+UDFs, no shuffle of their own) — chunking is an explode over per-row token
+windows, sampling is a filter — so they pipeline into whatever
+partitioning the surrounding plan already has, and both are expressible in
+portable SQL for oracle verification (the shared md5-prefix hash of
+functions/text.md5_long).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_long, tokens
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+    toks: Column | None = None,
+) -> DataFrame:
+    """Split documents into overlapping token windows:
+    (id, chunk_id, chunk_text, n_chunk_tok), one row per chunk.
+
+    Window k covers tokens [k*step, k*step + chunk_tokens) with
+    step = chunk_tokens - overlap; the final window may be shorter.
+    Zero-token documents produce no chunks.  The whole operator is a
+    single JVM projection + explode — no shuffle, no Python — so at
+    100 TB it streams through the scan partitioning untouched.
+    """
+    if chunk_tokens <= 0:
+        raise ValueError("chunk_tokens must be positive")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_tokens")
+    step = chunk_tokens - overlap
+    t = tokens(F.col(text_col)) if toks is None else toks
+    base = df.select(
+        F.col(id_col).alias("id"), t.alias("__toks")
+    ).withColumn("__n", F.size("__toks"))
+    starts = F.sequence(F.lit(1), F.greatest(F.col("__n"), F.lit(1)), F.lit(step))
+    chunks = F.transform(starts, lambda s: F.slice(F.col("__toks"), s, chunk_tokens))
+    return (
+        base.where(F.col("__n") > 0)
+        .select("id", F.posexplode(chunks).alias("chunk_id", "__chunk"))
+        .select(
+            "id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+            F.size("__chunk").cast("long").alias("n_chunk_tok"),
+        )
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, rate: float, salt: str = ""
+) -> DataFrame:
+    """Reproducible Bernoulli sample by content hash: keeps a row iff the
+    md5-prefix hash of (key, salt) lands below `rate` of the bucket space.
+
+    Unlike df.sample(), the decision is a pure function of the key — the
+    same rows are kept across runs, engines, partitionings, and cluster
+    sizes (promote/demote a corpus slice deterministically; vary `salt`
+    to draw an independent sample).  A filter expression only: pushes
+    down to the scan like any predicate.
+    """
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError("rate must be in [0, 1]")
+    buckets = 1_000_000
+    b = F.pmod(
+        md5_long(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        F.lit(buckets),
+    )
+    return df.where(b < int(rate * buckets))
