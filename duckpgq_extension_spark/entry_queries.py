@@ -1228,6 +1228,7 @@ def q_text_stats(spark, sf_dir):
         "doc_id",
         TX.token_count(F.col("text"), toks=t).cast("bigint").alias("n_tok"),
         TX.quality_score(F.col("text"), toks=t).alias("quality"),
+        TX.repetition_ratio(F.col("text"), 2, toks=t).alias("rep_ratio"),
         TX.doc_fingerprint(F.col("text"), 5, toks=t).alias("fingerprint"),
     )
 
@@ -1248,13 +1249,20 @@ feat AS (
                      list_transform(generate_series(1, len(t) - 4),
                                     i -> array_to_string(t[i:i+4], ' ')),
                      g -> {_MD5L.format(X='g')}), 'min')
-         END AS min_sh
+         END AS min_sh,
+         CASE WHEN len(t) < 2 THEN 0.0
+              ELSE ROUND(1.0 - CAST(len(list_distinct(list_transform(
+                       generate_series(1, len(t) - 1),
+                       i -> t[i] || ' ' || t[i+1]))) AS DOUBLE)
+                     / (len(t) - 1), 6)
+         END AS rep_ratio
   FROM toks
 )
 SELECT doc_id, n_tok,
        ROUND(0.4 * LEAST(CAST(n_tok AS DOUBLE) / 50.0, 1.0)
            + 0.3 * GREATEST(0.0, 1.0 - 5.0 * (punct_ratio + digit_ratio))
            + 0.3 * LEAST(1.0, stop_ratio * 2.0), 6) AS quality,
+       rep_ratio,
        COALESCE(min_sh, {_MD5L.format(X='text')}) AS fingerprint
 FROM feat
 """

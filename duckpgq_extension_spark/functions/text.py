@@ -159,6 +159,20 @@ def word_ngrams(col: Column, n: int) -> Column:
     return word_ngrams_from_tokens(tokens(col), n)
 
 
+def repetition_ratio(col: Column, n: int = 2, toks: Column | None = None) -> Column:
+    """Fraction of repeated word n-grams (0..1): 1 - distinct/total grams.
+
+    A Gopher-style repetition quality signal — high values flag boilerplate
+    and degenerate generations.  0.0 for documents with fewer than n tokens
+    (no grams).  Pure JVM array expressions; pass a pre-projected token
+    column in hot paths (see lang_id)."""
+    grams = word_ngrams_from_tokens(tokens(col) if toks is None else toks, n)
+    total = F.size(grams)
+    return F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - F.size(F.array_distinct(grams)) / total.cast("double"), 6)
+    )
+
+
 def doc_fingerprint(col: Column, n: int = 5, toks: Column | None = None) -> Column:
     """Winnowing-flavored fingerprint: the minimum shingle hash over word
     n-grams (falls back to the hash of the whole text for short docs).

@@ -95,3 +95,21 @@ def test_text_pipeline_plan_compactness(spark):
         plan = EQ.QUERIES[name](spark, sf)._jdf.queryExecution().optimizedPlan().toString()
         assert len(plan) < max_len, f"{name} plan grew to {len(plan)} chars"
         assert plan.count("split(") <= max_split, name
+
+
+def test_repetition_ratio(spark):
+    from duckpgq_extension_spark.functions.text import repetition_ratio
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),      # bigrams: ab ba ab ba ab -> 2 distinct / 5
+            (2, "all words unique here"),
+            (3, "x"),                # fewer than 2 tokens -> 0.0
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.r for r in df.select("doc_id", repetition_ratio(F.col("text")).alias("r")).collect()}
+    assert got[1] == pytest.approx(1 - 2 / 5)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
