@@ -324,26 +324,36 @@ def embedding_near_duplicates(
     """Near-duplicate vector pairs (cosine >= threshold), LSH-blocked:
     only pairs sharing a sign bucket are compared (near-identical vectors
     share buckets with high probability).  Returns (id_a, id_b, cosine_sim).
+
+    Candidate generation goes through the same adaptive hot-bucket guard
+    as the MinHash LSH band join (dedup._bucket_pairs): a mass-duplicate
+    embedding corpus collapses into ONE sign bucket, which the plain
+    self-join would put on a single reducer; hot buckets are spread over
+    triangle-salted chunk cells instead, with an identical pair set.
     """
     if dim is None:
         first = embeddings.select(F.size(F.col(vec_col))).first()
         if first is None:
             raise ValueError("embeddings DataFrame is empty; pass dim explicitly")
         dim = first[0]
+    from .dedup import _bucket_pairs
+
     planes = hyperplanes(num_planes, dim)
     c = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
+    cands = _bucket_pairs(c.select("id", "bucket"), ["bucket"])
     return (
-        c.alias("l")
-        .join(c.alias("r"), F.col("l.bucket") == F.col("r.bucket"))
-        .where(F.col("l.id") < F.col("r.id"))
+        cands.join(
+            c.select(F.col("id").alias("id_a"), F.col("vec").alias("__va")), "id_a"
+        )
+        .join(c.select(F.col("id").alias("id_b"), F.col("vec").alias("__vb")), "id_b")
         .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.round(cosine(F.col("l.vec"), F.col("r.vec")), 6).alias("cosine_sim"),
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("__va"), F.col("__vb")), 6).alias("cosine_sim"),
         )
         .where(F.col("cosine_sim") >= threshold)
     )

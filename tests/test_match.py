@@ -206,3 +206,20 @@ def test_multiple_patterns_triangle(pgq):
            COLUMNS (a.name as a_name)"""
     )
     assert len(rows(df)) == 6
+
+
+def test_match_plan_shape_guarantees(pgq, spark):
+    """Pin the PERF.md plan claims: a filtered 2-hop match compiles to
+    equi-joins only (no CartesianProduct / BroadcastNestedLoopJoin) and
+    the vertex filter is pushed into the scan."""
+    df = pgq.graph_table(
+        """pg MATCH (a:Person)-[e1:Knows]->(b:Person)-[e2:Knows]->(c:Person)
+           WHERE a.id < 3
+           COLUMNS (a.id AS aid, c.id AS cid)"""
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # the a.id < 3 predicate reaches the a-side relation, not a top filter
+    assert "id#" in optimized and "< 3" in optimized
