@@ -7,14 +7,16 @@ JSON line:
 Query set: one representative per operator class of SURVEY.md §2 —
 fixed-length match (1-3 hops), variable-length {1,2}, ANY SHORTEST,
 pagerank/wcc/lcc, summarize, plus the pipeline operators (dedup,
-similarity, text, as-of, windows).  Each timing is a full execution
-(count() action) of a cold plan; the Spark session and the testdata
-views are warmed once before timing so we measure the operators, not
-session startup.
+similarity, text, as-of, windows).  Each timing is the median of REPS
+full executions (count() actions) per BASELINE.md §B's median-of-N
+protocol; the first (cold) run is reported alongside.  The Spark session
+and the testdata views are warmed once before timing so we measure the
+operators, not session startup.
 """
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -53,19 +55,13 @@ BENCH_QUERIES = [
 ]
 
 
-# Sub-second-oracle queries where a single cold run charges JIT + parquet
-# footer reads to the plan: also report the median of 5 warm re-runs
-# (BASELINE.md's own median-of-5 protocol), so plan quality and fixed
-# session overhead are visible separately.
-WARM_QUERIES = [
-    "match_1hop",
-    "match_2hop",
-    "var_length_1_2",
-    "shortest_len",
-    "reachability",
-    "tpch_q1",
-]
-WARM_RUNS = 5
+# BASELINE.md §B's protocol is median-of-5 wall-clock; a single cold shot
+# per query is hostage to JIT warmup, page-cache state and host noise
+# (measured: identical code, same data, totals 55 s -> 196 s across runs).
+# Median-of-REPS per query keeps the recorded number a property of the
+# PLAN, not of the minute it ran in; REPS=3 keeps the whole bench under
+# ~5 min (set SPARK_GRAFT_BENCH_REPS=5 for the full protocol).
+REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
 
 # LDBC SNB SF0.003 headline queries (BASELINE.md §B; reference
 # test/sql/snb/snb.test:55-130 and bi.test:57-62).  Fixed scale — the SNB
@@ -144,46 +140,52 @@ def main() -> None:
     spark = get_spark(app_name="duckpgq_spark_bench")
     # warm up: register views + build the property graph (not timed)
     EQ.setup(spark, sf_dir)
+    def release_blocks():
+        # release the dropped query's localCheckpoint/persist blocks NOW:
+        # Python gc drops the py4j handles, then a JVM gc lets Spark's
+        # weak-ref ContextCleaner actually free the blocks — otherwise dead
+        # checkpoint blocks accumulate in storage memory and evict live
+        # ones, degrading every later query's timing (measured 3-5x)
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+    def timed(run) -> tuple[float, float, int]:
+        """(median, cold_first_run, rows) over REPS executions."""
+        runs, n = [], 0
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            n = run()
+            runs.append(time.perf_counter() - t0)
+            release_blocks()
+        med = sorted(runs)[len(runs) // 2]
+        return round(med, 3), round(runs[0], 3), n
+
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     total = 0.0
     for name in BENCH_QUERIES:
         fn = EQ.QUERIES[name]
-        t0 = time.perf_counter()
-        n = fn(spark, sf_dir).count()
-        dt = round(time.perf_counter() - t0, 3)
-        timings[name] = dt
-        total += dt
-        print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
+        med, c, n = timed(lambda: fn(spark, sf_dir).count())
+        timings[name], cold[name] = med, c
+        total += med
+        print(f"# {name}: median {med}s / cold {c}s ({n} rows)", file=sys.stderr)
     # SNB SF0.003 headline queries (graph build untimed, like EQ.setup)
     if os.path.isdir(SNB_DIR):
         snb = _snb_setup(spark)
         for name, fn in SNB_QUERIES.items():
-            t0 = time.perf_counter()
-            n = fn(snb).count()
-            dt = round(time.perf_counter() - t0, 3)
-            timings[name] = dt
-            total += dt
-            print(f"# {name}: {dt}s ({n} rows)", file=sys.stderr)
-    # warm protocol: median of 5 re-runs after the cold pass above
-    warm: dict[str, float] = {}
-    for name in WARM_QUERIES:
-        fn = EQ.QUERIES[name]
-        runs = []
-        for _ in range(WARM_RUNS):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).count()
-            runs.append(time.perf_counter() - t0)
-        runs.sort()
-        warm[name] = round(runs[len(runs) // 2], 3)
-        print(f"# warm {name}: {warm[name]}s (median of {WARM_RUNS})", file=sys.stderr)
+            med, c, n = timed(lambda: fn(snb).count())
+            timings[name], cold[name] = med, c
+            total += med
+            print(f"# {name}: median {med}s / cold {c}s ({n} rows)", file=sys.stderr)
     print(
         json.dumps(
             {
                 "metric": "total_bench_wall_clock",
                 "value": round(total, 3),
                 "unit": "sec",
+                "protocol": f"median_of_{REPS}",
                 "queries": timings,
-                "queries_warm": warm,
+                "queries_cold": cold,
                 "sf": sf,
             }
         )

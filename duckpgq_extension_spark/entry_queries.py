@@ -1391,6 +1391,44 @@ FROM starts
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Next-fit sequence packing (operators/corpus.py): documents into
+    512-token training bins across 8 deterministic hash shards — the
+    batch-construction step after chunking/cleaning.  Shards pack in
+    parallel (applyInPandas); the oracle replays the same next-fit scan
+    with a recursive CTE."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents").withColumn("__toks", TX.tokens(F.col("text")))
+    meta = docs.select(
+        "doc_id",
+        TX.token_count(F.col("text"), toks=F.col("__toks")).cast("long").alias("n_tok"),
+    )
+    packed = corpus.pack_sequences(meta, "doc_id", "n_tok", budget=512, num_shards=8)
+    return packed.select(F.col("id").alias("doc_id"), "n_tok", "shard", "bin_id")
+
+
+O_PACK_SEQUENCES = f"""
+WITH RECURSIVE ordered AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+         {_MD5L.format(X="CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         row_number() OVER (
+           PARTITION BY {_MD5L.format(X="CAST(doc_id AS VARCHAR)")} % 8
+           ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT shard, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tok,
+         CASE WHEN p.fill + o.n_tok > 512 THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill + o.n_tok > 512 THEN o.n_tok ELSE p.fill + o.n_tok END
+  FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT doc_id, n_tok, shard, bin_id FROM pack
+"""
+
+
 def q_det_sample(spark, sf_dir):
     """Deterministic content-hash Bernoulli sample (operators/corpus.py):
     the same rows are kept on every engine/run — reproducible corpus
@@ -1836,6 +1874,7 @@ QUERIES = {
     "trail_paths": q_trail_paths,
     "chunk_docs": q_chunk_docs,
     "det_sample": q_det_sample,
+    "pack_sequences": q_pack_sequences,
     "interval_join": q_interval_join,
     "window_running_sum": q_window_running_sum,
     "rollup_orders": q_rollup_orders,
@@ -1893,6 +1932,7 @@ ORACLES = {
     "trail_paths": O_TRAIL_PATHS,
     "chunk_docs": O_CHUNK_DOCS,
     "det_sample": O_DET_SAMPLE,
+    "pack_sequences": O_PACK_SEQUENCES,
     "interval_join": O_INTERVAL_JOIN,
     "window_running_sum": O_WINDOW_RUNNING_SUM,
     "rollup_orders": O_ROLLUP_ORDERS,

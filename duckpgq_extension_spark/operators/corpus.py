@@ -60,6 +60,70 @@ def chunk_documents(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    tok_count_col: str,
+    budget: int = 2048,
+    num_shards: int = 64,
+) -> DataFrame:
+    """Next-fit sequence packing: assign documents to fixed token-budget
+    bins for training-batch construction.  Returns
+    (id, n_tok, shard, bin_id), one row per document.
+
+    Packing is inherently a sequential scan (the current bin's fill is
+    state), so the corpus is first split into `num_shards` deterministic
+    hash shards (md5-prefix of the id — reproducible across runs and
+    engines, like deterministic_sample); each shard then packs its
+    documents independently in id order with the classic next-fit rule:
+
+        a document goes into the current bin if it fits, else it opens a
+        new bin; a document larger than the budget occupies a bin alone.
+
+    Next-fit is a 2-approximation of optimal bin count — the standard
+    trade for a single streaming pass.  Scale design: shards are the
+    parallelism unit (one `applyInPandas` group each, Arrow-batched), so
+    throughput scales with num_shards while each task does an O(rows)
+    local scan; bins never span shards, so the output is stable under any
+    cluster size.  Raise num_shards until a shard's rows fit comfortably
+    in one task (e.g. 100 TB / 10k shards = 10 GB of metadata rows — the
+    pack scan only needs (id, n_tok), not the text).
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if num_shards <= 0:
+        raise ValueError("num_shards must be positive")
+    import pandas as pd
+
+    meta = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(tok_count_col).cast("long").alias("n_tok"),
+        F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(num_shards))
+        .cast("long")
+        .alias("shard"),
+    )
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        bins = []
+        bin_id, fill = 0, 0
+        first = True
+        for n in pdf["n_tok"]:
+            n = int(n)
+            if not first and fill + n > budget:
+                bin_id += 1
+                fill = 0
+            fill += n
+            first = False
+            bins.append(bin_id)
+        pdf["bin_id"] = pd.Series(bins, dtype="int64")
+        return pdf
+
+    return meta.groupBy("shard").applyInPandas(
+        _pack, "id long, n_tok long, shard long, bin_id long"
+    )
+
+
 def deterministic_sample(
     df: DataFrame, key_col: str, rate: float, salt: str = ""
 ) -> DataFrame:

@@ -420,6 +420,164 @@ def reachability(edges: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
+def bidirectional_length(
+    edges: DataFrame,
+    pairs: DataFrame,
+    max_hops: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Point-to-point shortest hop counts via meet-in-the-middle BFS.
+
+    Spark re-expression of the reference's bidirectional perf variant
+    (src/core/functions/scalar/iterativelength_bidirectional.cpp:12-41):
+    expand a forward frontier from the src side and a backward frontier
+    from the dst side, always growing the globally smaller one, and read
+    distances off frontier meets.  On a graph with branching factor B and
+    true distance L this touches O(B^(L/2)) vertices per side instead of
+    O(B^L) — the win the reference's variant exists for, and the reason
+    to prefer this over `iterative_length` for a handful of point queries
+    on a huge graph (the multi-source batched BFS stays the right call
+    when the source set is large).
+
+    Semantics are identical to `iterative_length`: one row (src, dst,
+    dist) per reachable input pair within `max_hops`; unreachable pairs
+    are absent.
+
+    Correctness invariant: after f forward and b backward levels, every
+    path of length d <= f + b has a cut vertex v at position f with
+    fwd_dist(v) <= f and bwd_dist(v) = d - f <= b, so the pair's meet
+    minimum equals its true distance as soon as that minimum is <= f + b.
+    A pair is "resolved" exactly then; searches whose pairs are all
+    resolved are pruned from the frontiers.
+
+    Scale notes: both adjacency orientations are checkpointed
+    hash-partitioned by their join key (forward by src, reversed by dst),
+    so per-level joins shuffle only the frontier side; `best` stays
+    bounded by the input pair count and rides each meet update's
+    checkpoint job via an Observation (no extra count jobs).
+    """
+    pairs = (
+        pairs.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    pairs, n_pairs = checkpoint_with_count(pairs)
+    fwd = _prep_edges(edges.select("src", "dst"), num_partitions)
+    bwd = _prep_edges(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        num_partitions,
+    )
+    try:
+        # visited/frontier schema: (origin, v, dist); forward origins are
+        # pair srcs, backward origins are pair dsts
+        fvis, n_f = checkpoint_with_count(
+            pairs.select(F.col("src").alias("origin")).distinct()
+            .select("origin", F.col("origin").alias("v"), F.lit(0).alias("dist"))
+        )
+        bvis, n_b = checkpoint_with_count(
+            pairs.select(F.col("dst").alias("origin")).distinct()
+            .select("origin", F.col("origin").alias("v"), F.lit(0).alias("dist"))
+        )
+        ffront, bfront = fvis, bvis
+
+        def merge_best(best, new_meets, depth_sum):
+            """Fold new meets into the per-pair minimum; the resolved count
+            (best <= f + b) is observed during the checkpoint job."""
+            if best is not None:
+                new_meets = best.unionByName(new_meets)
+            merged = new_meets.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
+            obs = Observation(f"__pgq_bidir_{next(_obs_seq)}")
+            merged = merged.observe(
+                obs,
+                F.sum((F.col("dist") <= F.lit(depth_sum)).cast("long")).alias("n"),
+            )
+            return materialize(merged), int(obs.get["n"] or 0)
+
+        # seed meets resolve src == dst pairs (dist 0) and nothing else
+        seed_meets = (
+            pairs.where(F.col("src") == F.col("dst"))
+            .select("src", "dst", F.lit(0).alias("dist"))
+        )
+        best, n_resolved = merge_best(None, seed_meets, 0)
+        f = b = 0
+        exhausted = False
+        while n_resolved < n_pairs:
+            if max_hops is not None and f + b >= max_hops:
+                break
+            if n_f == 0 and n_b == 0:
+                # both sides exhausted: every unresolved pair's searches ran
+                # to completion, so its accumulated meet minimum is already
+                # its exact distance (or it is unreachable and has no meet)
+                exhausted = True
+                break
+            # expand the smaller *non-exhausted* frontier (an exhausted
+            # side's searches are complete, so its pairs' bests are final)
+            expand_fwd = n_b == 0 or (n_f != 0 and n_f <= n_b)
+            adj = fwd if expand_fwd else bwd
+            front = ffront if expand_fwd else bfront
+            vis = fvis if expand_fwd else bvis
+            nxt = (
+                front.alias("f")
+                .join(adj.alias("e"), F.col("f.v") == F.col("e.src"))
+                .select(
+                    F.col("f.origin").alias("origin"),
+                    F.col("e.dst").alias("v"),
+                    (F.col("f.dist") + 1).alias("dist"),
+                )
+                .dropDuplicates(["origin", "v"])
+                .join(vis.select("origin", "v"), ["origin", "v"], "left_anti")
+            )
+            nxt, n_new = checkpoint_with_count(nxt)
+            vis = vis.unionByName(nxt)
+            if expand_fwd:
+                f += 1
+                fvis, ffront, n_f = vis, nxt, n_new
+                other_vis, meet_cols = bvis, ("origin", "dst")
+            else:
+                b += 1
+                bvis, bfront, n_b = vis, nxt, n_new
+                other_vis, meet_cols = fvis, ("src", "origin")
+            if n_new == 0:
+                continue  # exhaustion handled at the top of the loop
+            # incremental meets: only the rows added this level can create
+            # new (pair, cut-vertex) combinations
+            meets = (
+                nxt.alias("n")
+                .join(other_vis.alias("o"), F.col("n.v") == F.col("o.v"))
+                .select(
+                    F.col(f"{'n' if expand_fwd else 'o'}.origin").alias("src"),
+                    F.col(f"{'o' if expand_fwd else 'n'}.origin").alias("dst"),
+                    (F.col("n.dist") + F.col("o.dist")).alias("dist"),
+                )
+                .join(pairs, ["src", "dst"], "left_semi")
+            )
+            best, n_resolved = merge_best(best, meets, f + b)
+            if n_resolved < n_pairs:
+                # prune searches whose pairs are all resolved
+                active = pairs.join(
+                    best.where(F.col("dist") <= F.lit(f + b)),
+                    ["src", "dst"],
+                    "left_anti",
+                )
+                ffront = ffront.join(
+                    active.select(F.col("src").alias("origin")).distinct(),
+                    "origin",
+                    "left_semi",
+                )
+                bfront = bfront.join(
+                    active.select(F.col("dst").alias("origin")).distinct(),
+                    "origin",
+                    "left_semi",
+                )
+        out = best if exhausted else best.where(F.col("dist") <= F.lit(f + b))
+        if max_hops is not None:
+            out = out.where(F.col("dist") <= F.lit(max_hops))
+        return out.select("src", "dst", "dist")
+    finally:
+        fwd.unpersist()
+        bwd.unpersist()
+
+
 def cheapest_path_distances(
     edges: DataFrame,
     sources: DataFrame | None = None,

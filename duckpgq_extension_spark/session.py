@@ -34,7 +34,12 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # local mode = one JVM doing executor work for N cores: size the heap
+        # like N executors' worth.  localCheckpoint blocks from the iterative
+        # kernels live in storage memory until the Python-side DataFrame is
+        # GC'd, so a small heap turns long query sequences into GC thrash
+        # (measured: same bench run varies 55 s -> 196 s at 16g).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # testdata events.ts is parquet TIMESTAMP(NANOS); read as long and
@@ -45,6 +50,15 @@ def get_spark(
         # constraint propagation buys little here since every filter is
         # explicit, so trade it for analyzer robustness
         .config("spark.sql.constraintPropagation.enabled", "false")
+        # the iterative kernels localCheckpoint once per level/round; those
+        # blocks are only released after the JVM garbage-collects the RDD
+        # handle (ContextCleaner is weak-ref driven), and with a big heap a
+        # full GC may not happen for ages — dead checkpoint blocks then fill
+        # the storage pool and evict live ones (measured: queries late in a
+        # long session degrade 3-5x).  The stock knob for exactly this is
+        # periodic cleaner GC; default 30min, far too lazy for an engine
+        # that runs many iterative queries per session.
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -57,3 +57,41 @@ def test_deterministic_sample_is_nested_by_rate(spark):
     small = {r.k for r in deterministic_sample(df, "k", 0.1).collect()}
     big = {r.k for r in deterministic_sample(df, "k", 0.3).collect()}
     assert small <= big
+
+
+def test_pack_sequences_next_fit(spark):
+    # one shard so the next-fit scan is easy to enumerate by hand:
+    # budget 10, sizes in id order 4,4,4,12,3,8 ->
+    # bins [4,4]=8 | [4]=4? no: 4+4=8 fits, +4=12 > 10 -> new bin;
+    # 12 oversize joins empty bin 1? 4 opened bin1 (fill 4), +12 > 10 ->
+    # bin2 alone; 3 -> 12+3 > 10 -> bin3; 8 -> 3+8 > 10 -> bin4
+    from duckpgq_extension_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, n) for i, n in enumerate([4, 4, 4, 12, 3, 8])],
+        "doc_id long, n_tok long",
+    )
+    out = pack_sequences(df, "doc_id", "n_tok", budget=10, num_shards=1)
+    got = {r.id: r.bin_id for r in out.collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    # every bin respects the budget unless it holds a single oversize doc
+    bins = {}
+    for r in out.collect():
+        bins.setdefault((r.shard, r.bin_id), []).append(r.n_tok)
+    for sizes in bins.values():
+        assert sum(sizes) <= 10 or len(sizes) == 1
+
+
+def test_pack_sequences_sharded_deterministic(spark):
+    from duckpgq_extension_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, 1 + (i * 7) % 20) for i in range(200)], "doc_id long, n_tok long"
+    )
+    a = sorted(map(tuple, pack_sequences(df, "doc_id", "n_tok", 32, 4).collect()))
+    b = sorted(map(tuple, pack_sequences(df, "doc_id", "n_tok", 32, 4).collect()))
+    assert a == b and len(a) == 200
+    # shard ids are within range and bins never span shards by construction
+    assert {r[2] for r in a} <= set(range(4))
+    with pytest.raises(ValueError):
+        pack_sequences(df, "doc_id", "n_tok", 0, 4)
