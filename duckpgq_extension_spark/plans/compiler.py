@@ -145,6 +145,25 @@ class MatchCompiler:
         self.path_segments: dict[str, list[str]] = {}
         # path variables that already consumed a quantified segment
         self.path_quantified: set[str] = set()
+        # which path functions COLUMNS applies to each path variable: a var
+        # used only through path_length (or not at all) never needs the
+        # interleaved [v,e,v,...] array — the BFS can skip path tracking
+        # (no per-level array concat, no lex-min tie-break shuffle) and
+        # path_length compiles to a sum of per-segment hop counts
+        self.path_fn_uses: dict[str, set[str]] = {}
+        for item in expr.columns:
+            if item.kind == "path_fn" and item.path_var is not None:
+                self.path_fn_uses.setdefault(item.path_var, set()).add(item.fn)
+        # path variable -> list of SQL hop-count exprs (parallel to
+        # path_segments, for length-only vars: "1" per fixed segment, the
+        # BFS dist column per quantified segment)
+        self.path_len_segments: dict[str, list[str]] = {}
+
+    def _len_only(self, path_var: str | None) -> bool:
+        """True when a named path's COLUMNS usage needs lengths only."""
+        return path_var is not None and self.path_fn_uses.get(path_var, set()) <= {
+            "path_length"
+        }
 
     # ------------------------------------------------------------------
     def compile(self) -> DataFrame:
@@ -417,8 +436,9 @@ class MatchCompiler:
         e = edge.binding
         edf = self.pg.element_df(edge.label)
         path_var = pattern.path_variable
+        len_only = self._len_only(path_var)
         eid_col = None
-        if path_var is not None:
+        if path_var is not None and not len_only:
             # this fixed segment will contribute [v, e, v] to the named
             # path; it needs an edge id (the reference uses rowid,
             # match.cpp:602-620)
@@ -511,7 +531,12 @@ class MatchCompiler:
             self.plan = self.plan.join(
                 self.pg.element_df(edge.label).alias(e2), F.expr(rev_cond)
             )
-        if path_var is not None:
+        if path_var is not None and len_only:
+            # length-only named path: a fixed segment is exactly one hop —
+            # no array, no edge id, no integral-key requirement
+            self.path_vars.setdefault(path_var, e)
+            self.path_len_segments.setdefault(path_var, []).append("1")
+        elif path_var is not None:
             # contribute this fixed segment to the named path, in pattern
             # order (direction does not reorder the contribution — the
             # reference appends prev/edge/next rowids as written,
@@ -619,11 +644,19 @@ class MatchCompiler:
             if pattern.path_mode != "WALK" and not pattern.shortest
             else None
         )
+        topk = pattern.topk or 1
+        len_only = self._len_only(pattern.path_variable)
+        # track path arrays only when something observes them: a path
+        # variable used beyond path_length, path-mode enumeration, ALL
+        # SHORTEST multiplicities, or SHORTEST k tie-breaking.  ANY
+        # SHORTEST with length-only (or no) path usage needs just the dist
+        # column — skipping arrays drops the per-level concat + lex-min
+        # groupBy from every BFS level.
         need_path = (
-            pattern.shortest
-            or pattern.path_variable is not None
+            (pattern.path_variable is not None and not len_only)
             or enumerate_mode is not None
             or pattern.all_shortest
+            or topk > 1
         )
         edges = pathops.edge_frame(
             edf,
@@ -665,18 +698,40 @@ class MatchCompiler:
                 "could lead to infinite results. Consider specifying an upper "
                 "bound or path mode other than WALK"
             )
-        topk = pattern.topk or 1
         if enumerate_mode is not None:
             # one row PER distinct non-repeating path (not per pair)
             dist = pathops.bfs_all_paths(
                 edges, sources=sources, mode=enumerate_mode, max_hops=upper
             )
+        elif (
+            pattern.shortest
+            and not need_path
+            and nxt.binding not in self.bound
+            and self._point_eq_where(prev, self._endpoint_pks(pgt, prev_info["pgt"], True))
+            and self._point_eq_where(
+                nxt, self._endpoint_pks(pgt, self._vertex_pgt(nxt), False)
+            )
+        ):
+            # both endpoints pinned to single vertices by key-equality
+            # predicates and only distances observed: meet-in-the-middle
+            # BFS touches O(B^(L/2)) vertices per side instead of O(B^L)
+            # (the reference's iterativelength_bidirectional variant)
+            dst_pgt = self._vertex_pgt(nxt)
+            dst_vdf = self.pg.element_df(nxt.label).alias(nxt.binding)
+            dst_vdf = dst_vdf.where(_expr(nxt.where))
+            dst_key = self._endpoint_key_col(
+                pgt, dst_pgt, prefer_source=False, surrogate=composite
+            )
+            pairs = sources.toDF("src").crossJoin(
+                dst_vdf.select(dst_key).toDF("dst")
+            )
+            dist = pathops.bidirectional_length(edges, pairs, max_hops=upper)
         else:
             dist = pathops.bfs_distances(
                 edges,
                 sources=sources,
                 max_hops=upper,
-                track_paths=need_path or topk > 1,
+                track_paths=need_path,
                 k=topk,
                 all_shortest=pattern.all_shortest,
             )
@@ -720,6 +775,15 @@ class MatchCompiler:
                 )
             self.path_quantified.add(pattern.path_variable)
             self.path_vars.setdefault(pattern.path_variable, e)
+            if len_only:
+                # length-only named path: the BFS dist column IS the
+                # segment's hop count; no array was tracked
+                self.path_len_segments.setdefault(pattern.path_variable, []).append(
+                    f"cast({_q(e)}.`dist` as bigint)"
+                )
+                if nxt.where:
+                    self.filters.append(nxt.where)
+                return
             segs = self.path_segments.setdefault(pattern.path_variable, [])
             p = f"{_q(e)}.`path`"
             if segs:
@@ -879,7 +943,38 @@ class MatchCompiler:
                     f"Property '{prop}' is never registered on binding '{binding}'"
                 )
 
+    _POINT_EQ_RE = re.compile(
+        r"^\s*([A-Za-z_]\w*)\s*\.\s*([A-Za-z_]\w*)\s*=\s*(\d+|'[^']*')\s*$"
+    )
+
+    def _point_eq_where(self, el, pks: list[str]) -> bool:
+        """True when a vertex element's inline WHERE pins it to (at most)
+        one vertex: a single `binding.pk = literal` equality on the vertex
+        key this edge joins on.  The trigger for bidirectional point
+        queries — conservative by design (a non-key equality may still
+        select millions of rows, which the batched multi-source BFS
+        handles better)."""
+        if not el.where or len(pks) != 1:
+            return False
+        m = self._POINT_EQ_RE.match(el.where)
+        return (
+            m is not None
+            and m.group(1).lower() == el.binding.lower()
+            and m.group(2).lower() == pks[0].lower()
+        )
+
     def _path_fn_col(self, item: ColumnItem):
+        if item.path_var in self.path_len_segments:
+            # length-only path: no array exists; path_length is the sum of
+            # per-segment hop counts (1 per fixed segment, dist per
+            # quantified segment)
+            lens = self.path_len_segments[item.path_var]
+            if item.fn != "path_length":  # pragma: no cover — gated upstream
+                raise PGQBinderError(
+                    f"Path variable '{item.path_var}' was compiled length-only"
+                )
+            col = F.expr("cast(" + " + ".join(lens) + " as bigint)")
+            return col.alias(item.alias or item.fn)
         segs = self.path_segments.get(item.path_var)
         if not segs:
             raise PGQBinderError(f"Path variable '{item.path_var}' is not defined")
