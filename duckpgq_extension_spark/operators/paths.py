@@ -469,36 +469,74 @@ def bidirectional_length(
     )
     try:
         # visited/frontier schema: (origin, v, dist); forward origins are
-        # pair srcs, backward origins are pair dsts
-        fvis, n_f = checkpoint_with_count(
-            pairs.select(F.col("src").alias("origin")).distinct()
-            .select("origin", F.col("origin").alias("v"), F.lit(0).alias("dist"))
+        # pair srcs, backward origins are pair dsts.  All three seed frames
+        # (forward, backward, the src==dst zero-distance meets) materialize
+        # in ONE tagged job with three Observations — point queries are
+        # fixed-cost-dominated, so pre-loop jobs matter as much as
+        # per-level jobs.
+        def tag(df, t):
+            return df.select(
+                F.lit(t).alias("__t"), "a", "b", F.lit(0).alias("dist")
+            )
+
+        seeds = (
+            tag(
+                pairs.select(F.col("src").alias("a")).distinct()
+                .withColumn("b", F.col("a")),
+                0,
+            )
+            .unionByName(
+                tag(
+                    pairs.select(F.col("dst").alias("a")).distinct()
+                    .withColumn("b", F.col("a")),
+                    1,
+                )
+            )
+            .unionByName(
+                tag(
+                    pairs.where(F.col("src") == F.col("dst"))
+                    .select(F.col("src").alias("a"), F.col("dst").alias("b")),
+                    2,
+                )
+            )
         )
-        bvis, n_b = checkpoint_with_count(
-            pairs.select(F.col("dst").alias("origin")).distinct()
-            .select("origin", F.col("origin").alias("v"), F.lit(0).alias("dist"))
+        obs = Observation(f"__pgq_bidir_{next(_obs_seq)}")
+        seeds = materialize(
+            seeds.observe(
+                obs,
+                F.sum((F.col("__t") == 0).cast("long")).alias("nf"),
+                F.sum((F.col("__t") == 1).cast("long")).alias("nb"),
+                F.sum((F.col("__t") == 2).cast("long")).alias("nr"),
+            )
         )
+        vals = obs.get
+        n_f, n_b = int(vals["nf"] or 0), int(vals["nb"] or 0)
+        n_resolved = int(vals["nr"] or 0)
+
+        def untag(t, c1, c2):
+            return seeds.where(F.col("__t") == t).select(
+                F.col("a").alias(c1), F.col("b").alias(c2), "dist"
+            )
+
+        fvis = untag(0, "origin", "v")
+        bvis = untag(1, "origin", "v")
+        best = untag(2, "src", "dst")
         ffront, bfront = fvis, bvis
 
         def merge_best(best, new_meets, depth_sum):
             """Fold new meets into the per-pair minimum; the resolved count
             (best <= f + b) is observed during the checkpoint job."""
-            if best is not None:
-                new_meets = best.unionByName(new_meets)
-            merged = new_meets.groupBy("src", "dst").agg(F.min("dist").alias("dist"))
+            merged = (
+                best.unionByName(new_meets)
+                .groupBy("src", "dst")
+                .agg(F.min("dist").alias("dist"))
+            )
             obs = Observation(f"__pgq_bidir_{next(_obs_seq)}")
             merged = merged.observe(
                 obs,
                 F.sum((F.col("dist") <= F.lit(depth_sum)).cast("long")).alias("n"),
             )
             return materialize(merged), int(obs.get["n"] or 0)
-
-        # seed meets resolve src == dst pairs (dist 0) and nothing else
-        seed_meets = (
-            pairs.where(F.col("src") == F.col("dst"))
-            .select("src", "dst", F.lit(0).alias("dist"))
-        )
-        best, n_resolved = merge_best(None, seed_meets, 0)
         f = b = 0
         exhausted = False
         while n_resolved < n_pairs:
