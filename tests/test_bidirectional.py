@@ -111,3 +111,28 @@ def test_agrees_with_bfs_on_sf0001(spark):
         if r["dist"] is not None
     }
     assert bi == uni
+
+
+def test_random_graphs_agree_with_batched_bfs(spark):
+    """Seeded random digraphs: bidirectional must equal the batched BFS on
+    every queried pair, including unreachable ones and max_hops cuts."""
+    import random
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        n = 30
+        edges = _edges(
+            spark,
+            list({(rng.randrange(n), rng.randrange(n)) for _ in range(70)}),
+        )
+        want = _pairs(
+            spark, [(rng.randrange(n), rng.randrange(n)) for _ in range(12)]
+        )
+        for max_hops in (None, 3):
+            bi = _as_dict(P.bidirectional_length(edges, want, max_hops=max_hops))
+            uni = {
+                (r["src"], r["dst"]): r["dist"]
+                for r in P.iterative_length(edges, want, max_hops=max_hops).collect()
+                if r["dist"] is not None
+            }
+            assert bi == uni, (seed, max_hops, bi, uni)

@@ -1,0 +1,84 @@
+"""Physical-plan property guards across the driver query surface.
+
+PERF.md's scale claims ("no CartesianProduct anywhere", "no row-at-a-time
+Python UDFs in hot paths", "filters reach the parquet scan") are enforced
+here instead of trusted: every non-iterative driver query's formatted
+plan is scanned for anti-patterns at sf0.001.  Iterative kernels
+(BFS/pagerank/...) execute eagerly while the query is being BUILT, so
+they are exercised by their own suites; this file covers the one-shot
+relational/match/pipeline plans where a silent plan regression (a lost
+broadcast, a Python fallback, an accidental cross join) would otherwise
+surface only as a 100x slowdown at scale.
+"""
+
+import pytest
+
+from duckpgq_extension_spark import entry_queries as EQ
+
+SF = "/root/testdata/sf0.001"
+
+# queries whose construction does NOT run an iterative driver loop and
+# whose plan is a single Catalyst tree worth auditing
+AUDITED = [
+    "match_1hop",
+    "match_2hop",
+    "match_undirected",
+    "match_reverse",
+    "match_bidirected",
+    "match_triangle",
+    "match_inheritance",
+    "match_composite_key",
+    "tpch_q1",
+    "topk_per_group",
+    "asof_join",
+    "interval_join",
+    "window_running_sum",
+    "rollup_orders",
+    "cube_lineitem",
+    "semi_anti_join",
+    "events_json",
+    "events_daily",
+    "sessionize",
+    "lang_id",
+    "text_stats",
+    "chunk_docs",
+    "det_sample",
+    "dedup_exact",
+    "dedup_fingerprint",
+    "simhash",
+    "embedding_clusters",
+    "ann_lsh",
+]
+
+# row-at-a-time Python evaluation; Arrow-batched variants
+# (ArrowEvalPython / FlatMapGroupsInPandas / MapInPandas) are the
+# sanctioned Python escape hatches and do not match this token
+FORBIDDEN = ["CartesianProduct", "BatchEvalPython"]
+
+
+@pytest.mark.parametrize("name", AUDITED)
+def test_no_plan_antipatterns(spark, name):
+    df = EQ.QUERIES[name](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for tok in FORBIDDEN:
+        assert tok not in plan, f"{name}: {tok} in physical plan\n{plan[:2000]}"
+
+
+def test_match_filter_pushdown(spark):
+    """The MATCH compiler's inline WHERE must reach the parquet scan as a
+    pushed filter, not evaluate post-join."""
+    df = EQ.QUERIES["match_2hop"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    # at least one non-empty pushdown (IsNotNull at minimum, plus the
+    # c_custkey range filter from the query's WHERE)
+    assert "PushedFilters: []" != plan
+
+
+def test_topk_uses_window_group_limit(spark):
+    """Per-group top-k must compile to WindowGroupLimit (partial limit
+    before the full window sort) — the difference between sorting k rows
+    and sorting the world per group."""
+    df = EQ.QUERIES["topk_per_group"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
