@@ -1103,6 +1103,43 @@ FROM agg, wm WHERE end_us <= watermark_us
 # --------------------------------------------------------------------------
 
 
+def q_streaming_join(spark, sf_dir):
+    """Real stream-stream interval join (streaming/events.py
+    join_streams_interval): purchases attributed to the same user's views
+    within 30 minutes, both sides watermarked readStreams over the events
+    parquet, memory sink.  A bounded source processed by availableNow
+    keeps every match in state, so the batch interval join is the exact
+    oracle."""
+    import tempfile
+
+    setup(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="pgq_sjoin_")
+    load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(src)
+    views = ev.stream_from_parquet(spark, src).where("event_type = 'view'")
+    purchases = ev.stream_from_parquet(spark, src).where("event_type = 'purchase'")
+    joined = ev.join_streams_interval(
+        views, purchases, key="user_id", bound="30 minutes"
+    ).select(
+        "user_id",
+        F.col("l_event_id").alias("view_id"),
+        F.col("r_event_id").alias("purchase_id"),
+        (ev.epoch_us(F.col("r_ts")) - ev.epoch_us(F.col("l_ts"))).alias("gap_us"),
+    )
+    q = ev.run_stream_to_memory(joined, "bench_sjoin_out")
+    q.stop()
+    return spark.table("bench_sjoin_out")
+
+
+O_STREAMING_JOIN = """
+SELECT v.user_id AS user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+"""
+
+
 def q_events_json(spark, sf_dir):
     """JSON property extraction from the events.props column."""
     setup(spark, sf_dir)
@@ -1882,6 +1919,7 @@ QUERIES = {
     "semi_anti_join": q_semi_anti_join,
     "streaming_window": q_streaming_window,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_join": q_streaming_join,
     "events_json": q_events_json,
     "events_daily": q_events_daily,
     "sessionize": q_sessionize,
@@ -1954,6 +1992,7 @@ ORACLES = {
     "multimodal_decode": O_MULTIMODAL_DECODE,
     "streaming_window": O_STREAMING_WINDOW,
     "streaming_dedup": O_STREAMING_DEDUP,
+    "streaming_join": O_STREAMING_JOIN,
     "minhash_lsh_pairs": O_MINHASH_LSH_PAIRS,
     "ann_lsh": O_ANN_LSH,
     "ann_ivf": O_ANN_IVF,

@@ -107,6 +107,45 @@ def windowed_stream(
     return tumbling_counts(events_stream.withWatermark("ts", watermark), window)
 
 
+def join_streams_interval(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    bound: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: each left event matched with the right
+    events of the same `key` whose timestamp falls in
+    [left.ts, left.ts + bound] — e.g. purchases attributed to the views
+    that preceded them.
+
+    Both sides are watermarked and the join carries an explicit event-time
+    range condition, which is what lets Structured Streaming BOUND the
+    join state: a buffered row can be evicted once the other side's
+    watermark passes its `ts` + bound (without the range condition the
+    state grows forever).  Output columns are prefixed l_/r_ so the two
+    sides stay distinguishable.
+
+    The same builder works on batch frames (watermark is a no-op there),
+    keeping one code path for oracle checks.
+    """
+    lw = left.withWatermark("ts", watermark).alias("l")
+    rw = right.withWatermark("ts", watermark).alias("r")
+    joined = lw.join(
+        rw,
+        F.expr(
+            f"l.{key} = r.{key} AND r.ts >= l.ts "
+            f"AND r.ts <= l.ts + INTERVAL {bound}"
+        ),
+    )
+    out = [F.col(f"l.{key}").alias(key)]
+    for side in ("l", "r"):
+        for c in left.columns if side == "l" else right.columns:
+            if c != key:
+                out.append(F.col(f"{side}.{c}").alias(f"{side}_{c}"))
+    return joined.select(*out)
+
+
 def run_stream_to_memory(
     agg_stream: DataFrame, query_name: str, output_mode: str = "append"
 ):

@@ -142,3 +142,30 @@ def test_stateful_streaming_running_totals_v2(spark, tmp_path):
             assert got[r["user_id"]]["total_value"] == pytest.approx(r["v"])
     finally:
         q.stop()
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """join_streams_interval on a real two-stream pipeline equals the
+    batch interval join on the same data (bounded source, one state
+    epoch), and the same builder runs unchanged on batch frames."""
+    src = str(tmp_path / "sjoin_src")
+    events = load_table(spark, SF, "events").limit(600)
+    events.write.parquet(src)
+    views_s = ev.stream_from_parquet(spark, src).where("event_type = 'view'")
+    buys_s = ev.stream_from_parquet(spark, src).where("event_type = 'purchase'")
+    q = ev.run_stream_to_memory(
+        ev.join_streams_interval(views_s, buys_s, bound="30 minutes"),
+        "sjoin_out",
+    )
+    q.stop()
+    got = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in spark.table("sjoin_out").collect()
+    }
+    views_b = events.where("event_type = 'view'")
+    buys_b = events.where("event_type = 'purchase'")
+    want = {
+        (r.user_id, r.l_event_id, r.r_event_id)
+        for r in ev.join_streams_interval(views_b, buys_b, bound="30 minutes").collect()
+    }
+    assert got == want and len(want) > 0
