@@ -291,6 +291,100 @@ def ivf_topk(
     return sim.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
+def write_ivf_index(
+    embeddings: DataFrame,
+    path: str,
+    nlist: int = 16,
+    iterations: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF-Flat index on disk: the corpus rewritten
+    PARTITIONED BY its inverted-list id (one directory per list) plus a
+    centroids parquet.  This is the standing-index form of `ivf_topk` —
+    assignment cost is paid once at build time, and every query batch
+    afterwards reads only its probed lists via partition pruning (the
+    scan's PartitionFilters, verified in tests), i.e. nprobe/nlist of a
+    100 TB corpus instead of all of it."""
+    from pyspark.sql import Row
+
+    cents = ivf_centroids(embeddings, nlist, id_col, vec_col, iterations)
+    spark = embeddings.sparkSession
+    spark.createDataFrame(
+        [Row(centroid_id=cid, centroid=list(vec)) for cid, vec in cents],
+        "centroid_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("embedding"),
+        _nearest_centroid(F.col(vec_col), cents).alias("list_id"),
+    ).write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/corpus")
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF top-k against a `write_ivf_index` directory.
+
+    The probed list ids are computed driver-side from the (driver-small)
+    query batch and pushed into the corpus scan as an explicit IN filter
+    on the partition column — static partition pruning, so unprobed list
+    directories are never opened.  Returns (query_id, vec_id, cosine_sim,
+    rank) like ivf_topk.
+    """
+    cents = [
+        (int(r["centroid_id"]), list(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+    cent_rows = F.array(
+        *[
+            F.struct(
+                cosine(
+                    F.col("__qvec"), F.array(*[F.lit(x).cast("double") for x in cvec])
+                ).alias("sim"),
+                F.lit(-cid).alias("ncid"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+        .withColumn("__probe", F.slice(F.sort_array(cent_rows, asc=False), 1, nprobe))
+        .select("query_id", "__qvec", F.explode("__probe.ncid").alias("__ncid"))
+        .select("query_id", "__qvec", (-F.col("__ncid")).alias("list_id"))
+    )
+    probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
+    corpus = (
+        spark.read.parquet(f"{path}/corpus")
+        # IN on the partition column -> PartitionFilters at the scan;
+        # unprobed list directories are never read
+        .where(F.col("list_id").isin(probed))
+        .select("list_id", "vec_id", F.col("embedding").alias("__cvec"))
+    )
+    sim = (
+        F.broadcast(q)
+        .join(corpus, "list_id")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("vec_id")
+    )
+    return sim.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
 def exact_near_duplicates(
     embeddings: DataFrame,
     threshold: float,

@@ -112,3 +112,28 @@ def test_ivf_lloyd_iterations_refine(emb):
     queries = emb.where(F.col("vec_id") < 3)
     got = sim.ivf_topk(emb, queries, k=5, nlist=4, nprobe=2, iterations=2)
     assert got.groupBy("query_id").count().count() == 3
+
+
+def test_ivf_index_roundtrip_and_pruning(spark, tmp_path):
+    """write_ivf_index + ivf_topk_from_index must (a) return exactly what
+    the in-memory ivf_topk returns for the same (nlist, nprobe), and
+    (b) push the probed list ids into the corpus scan as PartitionFilters
+    so unprobed list directories are never read."""
+    from duckpgq_extension_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivf_idx")
+    write_ivf_index(emb, idx, nlist=8)
+    got = ivf_topk_from_index(spark, idx, queries, k=3, nprobe=2)
+    want = ivf_topk(emb, queries, k=3, nlist=8, nprobe=2)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan, plan[:1500]
