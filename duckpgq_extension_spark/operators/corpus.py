@@ -95,8 +95,15 @@ def pack_sequences(
         raise ValueError("num_shards must be positive")
     import pandas as pd
 
+    # ids keep their own domain: integral ids stay long, everything else
+    # (string chunk keys etc.) rides as string — a blind long cast would
+    # NULL non-numeric ids and collapse the deterministic in-shard order
+    integral = df.schema[id_col].dataType.simpleString() in (
+        "tinyint", "smallint", "int", "bigint"
+    )
+    id_type = "long" if integral else "string"
     meta = df.select(
-        F.col(id_col).cast("long").alias("id"),
+        F.col(id_col).cast(id_type).alias("id"),
         F.col(tok_count_col).cast("long").alias("n_tok"),
         F.pmod(md5_long(F.col(id_col).cast("string")), F.lit(num_shards))
         .cast("long")
@@ -120,7 +127,7 @@ def pack_sequences(
         return pdf
 
     return meta.groupBy("shard").applyInPandas(
-        _pack, "id long, n_tok long, shard long, bin_id long"
+        _pack, f"id {id_type}, n_tok long, shard long, bin_id long"
     )
 
 

@@ -570,11 +570,11 @@ def bidirectional_length(
             if expand_fwd:
                 f += 1
                 fvis, ffront, n_f = vis, nxt, n_new
-                other_vis, meet_cols = bvis, ("origin", "dst")
+                other_vis = bvis
             else:
                 b += 1
                 bvis, bfront, n_b = vis, nxt, n_new
-                other_vis, meet_cols = fvis, ("src", "origin")
+                other_vis = fvis
             if n_new == 0:
                 continue  # exhaustion handled at the top of the loop
             # incremental meets: only the rows added this level can create
@@ -591,7 +591,13 @@ def bidirectional_length(
             )
             best, n_resolved = merge_best(best, meets, f + b)
             if n_resolved < n_pairs:
-                # prune searches whose pairs are all resolved
+                # prune searches whose pairs are all resolved.  n_f/n_b
+                # intentionally keep their pre-prune values (recounting the
+                # pruned frontiers would cost a Spark job per iteration);
+                # the smaller-side heuristic may therefore run on stale
+                # sizes for one level after a partial resolve — a latency
+                # trade, never a correctness one (exhaustion is only
+                # declared by an actually-empty expansion)
                 active = pairs.join(
                     best.where(F.col("dist") <= F.lit(f + b)),
                     ["src", "dst"],

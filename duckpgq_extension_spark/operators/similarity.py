@@ -254,21 +254,38 @@ def ivf_topk(
     query_id_col = query_id_col or id_col
     cents = ivf_centroids(embeddings, nlist, id_col, vec_col, iterations)
     corpus = embeddings.select(
+        _nearest_centroid(F.col(vec_col), cents).alias("__cid"),
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("__cvec"),
-        _nearest_centroid(F.col(vec_col), cents).alias("__cid"),
     )
-    # per query: rank all centroids, keep the nprobe nearest lists
+    q = _probe_queries(queries, cents, nprobe, query_id_col, vec_col)
+    return _rank_topk(q, corpus, k)
+
+
+def _probe_queries(
+    queries: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    nprobe: int,
+    query_id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Broadcast query frame exploded to one row per (query, probed list):
+    each query ranks all centroids by cosine and keeps its nprobe nearest
+    lists (negated-id structs give the deterministic lowest-id tie-break).
+    Shared by the in-memory and on-disk IVF paths so probe semantics can
+    never diverge."""
     cent_rows = F.array(
         *[
             F.struct(
-                cosine(F.col("__qvec"), F.array(*[F.lit(x).cast("double") for x in cvec])).alias("sim"),
+                cosine(
+                    F.col("__qvec"), F.array(*[F.lit(x).cast("double") for x in cvec])
+                ).alias("sim"),
                 F.lit(-cid).alias("ncid"),
             )
             for cid, cvec in cents
         ]
     )
-    q = F.broadcast(
+    return F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
         )
@@ -276,6 +293,12 @@ def ivf_topk(
         .select("query_id", "__qvec", F.explode("__probe.ncid").alias("__ncid"))
         .select("query_id", "__qvec", (-F.col("__ncid")).alias("__cid"))
     )
+
+
+def _rank_topk(q: DataFrame, corpus: DataFrame, k: int) -> DataFrame:
+    """Join probed queries to the corpus on list id and keep the k best
+    cosine matches per query (rank ties break toward the lowest vec_id).
+    The corpus frame must expose (__cid, vec_id, __cvec)."""
     sim = (
         q.join(corpus, "__cid")
         .where(F.col("query_id") != F.col("vec_id"))
@@ -342,47 +365,20 @@ def ivf_topk_from_index(
         (int(r["centroid_id"]), list(r["centroid"]))
         for r in spark.read.parquet(f"{path}/centroids").collect()
     ]
-    cent_rows = F.array(
-        *[
-            F.struct(
-                cosine(
-                    F.col("__qvec"), F.array(*[F.lit(x).cast("double") for x in cvec])
-                ).alias("sim"),
-                F.lit(-cid).alias("ncid"),
-            )
-            for cid, cvec in cents
-        ]
-    )
-    q = (
-        queries.select(
-            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
-        )
-        .withColumn("__probe", F.slice(F.sort_array(cent_rows, asc=False), 1, nprobe))
-        .select("query_id", "__qvec", F.explode("__probe.ncid").alias("__ncid"))
-        .select("query_id", "__qvec", (-F.col("__ncid")).alias("list_id"))
-    )
-    probed = sorted({r["list_id"] for r in q.select("list_id").distinct().collect()})
+    q = _probe_queries(queries, cents, nprobe, query_id_col, vec_col)
+    probed = sorted({r["__cid"] for r in q.select("__cid").distinct().collect()})
     corpus = (
         spark.read.parquet(f"{path}/corpus")
         # IN on the partition column -> PartitionFilters at the scan;
         # unprobed list directories are never read
         .where(F.col("list_id").isin(probed))
-        .select("list_id", "vec_id", F.col("embedding").alias("__cvec"))
-    )
-    sim = (
-        F.broadcast(q)
-        .join(corpus, "list_id")
-        .where(F.col("query_id") != F.col("vec_id"))
         .select(
-            "query_id",
+            F.col("list_id").alias("__cid"),
             "vec_id",
-            F.round(cosine(F.col("__qvec"), F.col("__cvec")), 6).alias("cosine_sim"),
+            F.col("embedding").alias("__cvec"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine_sim").desc(), F.col("vec_id")
-    )
-    return sim.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+    return _rank_topk(q, corpus, k)
 
 
 def exact_near_duplicates(

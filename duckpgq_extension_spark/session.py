@@ -17,6 +17,19 @@ from pyspark.sql import SparkSession
 DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 
+def _default_heap() -> str:
+    """min(48g, half of physical RAM), floor 2g; 16g if /proc is absent."""
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total_gb = int(line.split()[1]) // (1024 * 1024)
+                    return f"{max(2, min(48, total_gb // 2))}g"
+    except OSError:
+        pass
+    return "16g"
+
+
 def get_spark(
     app_name: str = "duckpgq_extension_spark",
     cpus: int | None = None,
@@ -35,11 +48,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # local mode = one JVM doing executor work for N cores: size the heap
-        # like N executors' worth.  localCheckpoint blocks from the iterative
-        # kernels live in storage memory until the Python-side DataFrame is
-        # GC'd, so a small heap turns long query sequences into GC thrash
-        # (measured: same bench run varies 55 s -> 196 s at 16g).
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # like N executors' worth, capped at half the host's physical RAM so
+        # a library import can never provoke the OOM killer on small boxes.
+        # localCheckpoint blocks from the iterative kernels live in storage
+        # memory until the Python-side DataFrame is GC'd, so a too-small
+        # heap turns long query sequences into GC thrash (measured: same
+        # bench run varies 55 s -> 196 s at 16g on a 128 GiB host).
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM") or _default_heap())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # testdata events.ts is parquet TIMESTAMP(NANOS); read as long and

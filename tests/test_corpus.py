@@ -95,3 +95,18 @@ def test_pack_sequences_sharded_deterministic(spark):
     assert {r[2] for r in a} <= set(range(4))
     with pytest.raises(ValueError):
         pack_sequences(df, "doc_id", "n_tok", 0, 4)
+
+
+def test_pack_sequences_string_ids(spark):
+    # string chunk keys (e.g. "doc_chunk") must survive untouched and pack
+    # deterministically in lexicographic id order within each shard
+    from duckpgq_extension_spark.operators.corpus import pack_sequences
+
+    df = spark.createDataFrame(
+        [(f"d{i:03d}", 4) for i in range(12)], "doc_id string, n_tok long"
+    )
+    out = pack_sequences(df, "doc_id", "n_tok", budget=10, num_shards=1).collect()
+    assert {r.id for r in out} == {f"d{i:03d}" for i in range(12)}
+    by_id = {r.id: r.bin_id for r in sorted(out, key=lambda r: r.id)}
+    # 2 docs of 4 tokens per 10-token bin, in id order
+    assert list(by_id.values()) == [i // 2 for i in range(12)]

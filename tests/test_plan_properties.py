@@ -66,13 +66,17 @@ def test_no_plan_antipatterns(spark, name):
 
 def test_match_filter_pushdown(spark):
     """The MATCH compiler's inline WHERE must reach the parquet scan as a
-    pushed filter, not evaluate post-join."""
+    pushed filter, not evaluate post-join.  Unfiltered vertex scans may
+    legitimately show an empty list, so the assertion is that at least
+    one scan carries a NON-empty pushed-filter list naming the query's
+    key predicate."""
+    import re
+
     df = EQ.QUERIES["match_2hop"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters: [" in plan
-    # at least one non-empty pushdown (IsNotNull at minimum, plus the
-    # c_custkey range filter from the query's WHERE)
-    assert "PushedFilters: []" != plan
+    m = re.search(r"PushedFilters: \[[^\]]+\]", plan)
+    assert m is not None, plan[:2000]
+    assert "c_custkey" in m.group(0) or "c_custkey" in plan[m.start():m.start() + 500]
 
 
 def test_topk_uses_window_group_limit(spark):
