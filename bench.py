@@ -47,6 +47,11 @@ BENCH_QUERIES = [
     "events_daily",
     "sessionize",
     "text_stats",
+    "corpus_clean",
+    "chunk_docs",
+    "pack_sequences",
+    "interval_join",
+    "ann_ivf",
     "dedup_jaccard",
     "dedup_minhash",
     "simhash",
