@@ -1667,6 +1667,69 @@ SELECT id_a, id_b, est_jaccard FROM scored WHERE est_jaccard >= {threshold}
 O_MINHASH_LSH_PAIRS = _minhash_lsh_oracle(16, 8, 0.5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clusters over the LSH pair graph: transitive closure ->
+    canonical min-id representative (operators/dedup.dedup_clusters).
+    Same fixed LSH params as minhash_lsh_pairs, so the DuckDB oracle
+    closes over the identical pair set with a recursive CTE."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    return dedup.dedup_clusters(
+        docs, "doc_id", "text", n=2, num_perm=16, bands=8, threshold=0.5
+    )
+
+
+O_DEDUP_CLUSTERS = f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_oracle(16, 8, 0.5)}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM reach GROUP BY a)
+SELECT c.doc_id, c.canonical_id, s.cluster_size
+FROM comp c
+JOIN (SELECT canonical_id, COUNT(*) AS cluster_size FROM comp GROUP BY canonical_id) s
+  USING (canonical_id)
+"""
+
+
+def q_contamination(spark, sf_dir):
+    """Eval-decontamination check (operators/corpus.ngram_contamination):
+    distinct word-3-gram overlap of each corpus document against a
+    pseudo-benchmark slice (doc_id % 50 == 0); flag docs sharing >= 2
+    distinct 3-grams."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    corp = docs.where(F.col("doc_id") % 50 != 0)
+    return corpus.ngram_contamination(
+        corp, bench, "doc_id", "text", n=3, min_overlap=2
+    )
+
+
+O_CONTAMINATION = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT DISTINCT doc_id, g FROM toks,
+  UNNEST(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(t) - 2),
+                             i -> array_to_string(t[i:i+2], ' ')) END) AS u(g)
+),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+corp AS (SELECT doc_id, g FROM grams WHERE doc_id % 50 != 0)
+SELECT c.doc_id, COUNT(*) AS overlap_ngrams
+FROM corp c JOIN bench b USING (g)
+GROUP BY c.doc_id
+HAVING COUNT(*) >= 2
+"""
+
+
 # --------------------------------------------------------------------------
 # similarity search (SURVEY §2C)
 # --------------------------------------------------------------------------
@@ -1932,6 +1995,8 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "simhash": q_simhash,
     "minhash_lsh_pairs": q_minhash_lsh_pairs,
+    "dedup_clusters": q_dedup_clusters,
+    "contamination": q_contamination,
     "similarity_topk": q_similarity_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "ann_lsh": q_ann_lsh,
@@ -1994,6 +2059,8 @@ ORACLES = {
     "streaming_dedup": O_STREAMING_DEDUP,
     "streaming_join": O_STREAMING_JOIN,
     "minhash_lsh_pairs": O_MINHASH_LSH_PAIRS,
+    "dedup_clusters": O_DEDUP_CLUSTERS,
+    "contamination": O_CONTAMINATION,
     "ann_lsh": O_ANN_LSH,
     "ann_ivf": O_ANN_IVF,
     "embedding_clusters": O_EMBEDDING_CLUSTERS,

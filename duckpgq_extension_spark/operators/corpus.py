@@ -151,3 +151,52 @@ def deterministic_sample(
         F.lit(buckets),
     )
     return df.where(b < int(rate * buckets))
+
+
+def ngram_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 5,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark-contamination check: for each corpus document, the number
+    of distinct word n-grams it shares with ANY benchmark document.
+
+    This is the standard eval-decontamination step for LLM training
+    corpora (n-gram collision against held-out benchmark sets): a corpus
+    document sharing >= min_overlap n-grams with the benchmark is flagged
+    for removal before training.
+
+    Returns (doc_id, overlap_ngrams) for flagged documents only.
+
+    Scale design: the benchmark n-gram set (eval suites are MBs, not TBs)
+    is reduced to DISTINCT n-gram hashes and broadcast, so the 100 TB
+    corpus side is one scan + one local semi-join per partition — no
+    shuffle of corpus n-grams at all; the only aggregation is the
+    per-document overlap count, partial-aggregated map-side.
+    """
+    from ..functions.text import md5_long, tokens, word_ngrams_from_tokens
+    from pyspark.sql import functions as F
+
+    def grams(df: DataFrame, with_id: bool) -> DataFrame:
+        cols = [F.col(id_col).alias("doc_id")] if with_id else []
+        g = df.select(
+            *cols,
+            F.explode(
+                F.array_distinct(
+                    word_ngrams_from_tokens(tokens(F.col(text_col)), n)
+                )
+            ).alias("g"),
+        ).withColumn("gh", md5_long(F.col("g")))
+        return g.select(*(["doc_id"] if with_id else []), "gh")
+
+    bench = grams(benchmark, with_id=False).distinct()
+    return (
+        grams(corpus, with_id=True)
+        .join(F.broadcast(bench), "gh", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("overlap_ngrams"))
+        .where(F.col("overlap_ngrams") >= min_overlap)
+    )

@@ -403,3 +403,89 @@ def simhash_pairs(
         )
     finally:
         sh.unpersist()
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    num_perm: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """Near-duplicate CLUSTERS: LSH pairs -> connected components ->
+    canonical representative.
+
+    Pairwise near-dup detection alone under-deletes: if A~B and B~C but
+    A!~C (similarity is not transitive), keeping one doc per *pair* still
+    leaves two of the three.  The standard corpus-dedup pipeline
+    (e.g. the MinHash stage of large LLM corpus cleaning) therefore
+    groups pairs into connected components and keeps one representative
+    per component.
+
+    Returns (doc_id, canonical_id, cluster_size) for every document in a
+    cluster of size >= 2; canonical_id is the minimum doc id of the
+    component and cluster_size its member count.  Documents with no
+    near-duplicate are omitted (join back with a left join to tag the
+    full corpus).
+
+    Scale design: connected components run ONLY over the duplicate
+    subgraph (vertices = docs appearing in at least one pair), which is
+    normally orders of magnitude smaller than the corpus; the component
+    step is the batched min-label propagation of
+    `algorithms.weakly_connected_component` (one shuffle per round,
+    O(duplicate-subgraph diameter) rounds — dup clusters are
+    near-cliques, so 2-3 rounds in practice).
+
+    `pairs` lets callers feed pre-computed / differently-sourced pairs
+    (e.g. `ngram_jaccard_pairs` output or a persisted pair table) —
+    any DataFrame with id_a / id_b columns.
+    """
+    from ..algorithms import weakly_connected_component
+
+    if pairs is None:
+        pairs = minhash_lsh_pairs(
+            df, id_col, text_col, n=n, num_perm=num_perm, bands=bands,
+            threshold=threshold, max_doc_freq=max_doc_freq,
+        )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    comp = weakly_connected_component(edges, verts)
+    sizes = comp.groupBy("component_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        comp.join(sizes, "component_id")
+        .select(
+            F.col("vid").alias("doc_id"),
+            F.col("component_id").alias("canonical_id"),
+            "cluster_size",
+        )
+    )
+
+
+def deduplicate_lsh(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    clusters: DataFrame | None = None,
+    **lsh_kwargs,
+) -> DataFrame:
+    """Keep one representative per near-duplicate cluster: drops every row
+    whose id appears in `dedup_clusters` with doc_id != canonical_id.
+    Anti-join against the non-canonical member list; the drop list's size
+    is corpus-dependent (web crawls can be 30-50% duplicates), so the
+    join strategy is left to AQE — broadcast when the list is small,
+    shuffled anti-join when it is not."""
+    if clusters is None:
+        clusters = dedup_clusters(df, id_col, text_col, **lsh_kwargs)
+    drop = (
+        clusters.where(F.col("doc_id") != F.col("canonical_id"))
+        .select(F.col("doc_id").alias(id_col))
+    )
+    return df.join(drop, id_col, "left_anti")

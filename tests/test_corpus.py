@@ -110,3 +110,29 @@ def test_pack_sequences_string_ids(spark):
     by_id = {r.id: r.bin_id for r in sorted(out, key=lambda r: r.id)}
     # 2 docs of 4 tokens per 10-token bin, in id order
     assert list(by_id.values()) == [i // 2 for i in range(12)]
+
+
+def test_ngram_contamination_golden(spark):
+    """Hand-computed 3-gram overlap: corpus doc 10 shares two distinct
+    3-grams with the benchmark, doc 11 shares one (below min_overlap),
+    doc 12 shares none."""
+    from duckpgq_extension_spark.operators.corpus import ngram_contamination
+
+    bench = spark.createDataFrame(
+        [(0, "the quick brown fox jumps high")], "doc_id long, text string"
+    )
+    corpus_df = spark.createDataFrame(
+        [
+            # shares "the quick brown" and "quick brown fox"
+            (10, "said the quick brown fox runs"),
+            # shares only "fox jumps high"
+            (11, "a red fox jumps high today"),
+            (12, "nothing in common with that sentence"),
+        ],
+        "doc_id long, text string",
+    )
+    got = ngram_contamination(corpus_df, bench, "doc_id", "text", n=3, min_overlap=2)
+    assert [tuple(r) for r in got.collect()] == [(10, 2)]
+
+    loose = ngram_contamination(corpus_df, bench, "doc_id", "text", n=3, min_overlap=1)
+    assert sorted(tuple(r) for r in loose.collect()) == [(10, 2), (11, 1)]

@@ -130,3 +130,45 @@ def test_minhash_lsh_mass_duplicate_corpus(spark):
         .count()
     )
     assert cell_sizes.agg(F.max("count")).first()[0] < 1000 / chunks * 2
+
+
+def test_dedup_clusters_transitive(spark):
+    """Similarity is not transitive: A~B and B~C with A!~C must still
+    land in ONE cluster (the whole point of the component step over
+    pairwise dedup).  Pairs are injected directly so the golden is exact."""
+    from pyspark.sql import functions as F
+    from duckpgq_extension_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(7)], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame(
+        # component {1,2,3} via a chain (1-2, 2-3; no 1-3 edge),
+        # component {5,6}; docs 0 and 4 are clean
+        [(1, 2), (2, 3), (5, 6)],
+        "id_a long, id_b long",
+    )
+    got = dedup_clusters(docs, "doc_id", "text", pairs=pairs)
+    rows = {r["doc_id"]: (r["canonical_id"], r["cluster_size"]) for r in got.collect()}
+    assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 5: (5, 2), 6: (5, 2)}
+
+
+def test_deduplicate_lsh_keeps_canonical(spark):
+    """deduplicate_lsh drops exactly the non-canonical cluster members."""
+    from duckpgq_extension_spark.operators.dedup import deduplicate_lsh
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (3, "completely different words nothing shared here at all"),
+        ],
+        "doc_id long, text string",
+    )
+    kept = deduplicate_lsh(
+        docs, "doc_id", "text", n=2, num_perm=16, bands=8, threshold=0.5
+    )
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # 0/1/2 are near-dups -> one cluster, canonical 0 survives; 3 untouched
+    assert ids == [0, 3]
