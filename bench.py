@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "ann_ivf",
     "dedup_jaccard",
     "dedup_minhash",
+    "dedup_clusters",
+    "contamination",
     "simhash",
     "similarity_topk",
     "multimodal_decode",

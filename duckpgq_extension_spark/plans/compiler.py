@@ -191,6 +191,13 @@ class MatchCompiler:
             # beyond-reference (the reference rejects all non-WALK modes,
             # match.cpp:96-99): validate applicability BEFORE any eager BFS
             self._check_path_mode_scope(pattern)
+        # reference parity: vertex labels resolve before edge labels, so an
+        # unknown VERTEX label is the reported error even when an earlier
+        # edge label in the same pattern is also unknown
+        # (create_or_replace_pg.test:24-27 expects 'University', not 'workAt')
+        for v in elems[0::2]:
+            if isinstance(v, VertexElement) and v.label is not None:
+                self.pg.table_for_label(v.label)
         self._bind_vertex(elems[0])
         for i in range(1, len(elems), 2):
             edge, nxt = elems[i], elems[i + 1]

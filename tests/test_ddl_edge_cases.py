@@ -163,3 +163,43 @@ def test_with_statement_joined_cte(ddl_pg):
            ORDER BY src_id"""
     ))
     assert got == [(0, 3, 0.5), (1, 2, pytest.approx(2 / 6)), (2, 1, pytest.approx(1 / 6))]
+
+
+def test_or_replace_makes_new_label_visible(spark, ddl_pg):
+    """Port of create_or_replace_pg.test: querying a label that is not in
+    the graph is a binder error; CREATE OR REPLACE with an inheritance
+    typemask registers it, and the same query then succeeds
+    (/root/reference/test/sql/create_pg/create_or_replace_pg.test:24-46)."""
+    # kind is the inheritance bitmask column: bit 0 = company, bit 1 = university
+    spark.createDataFrame(
+        [Row(id=0, kind=1), Row(id=1, kind=2)],
+        "id long, kind long",
+    ).createOrReplaceTempView("ddl_org")
+    spark.createDataFrame(
+        [Row(pid=0, oid=1), Row(pid=1, oid=1), Row(pid=2, oid=0)],
+        "pid long, oid long",
+    ).createOrReplaceTempView("ddl_workat")
+    ddl_pg.execute(
+        """CREATE OR REPLACE PROPERTY GRAPH ddl_rep
+           VERTEX TABLES (ddl_student LABEL Person)
+           EDGE TABLES (ddl_know SOURCE KEY (src) REFERENCES ddl_student (id)
+                        DESTINATION KEY (dst) REFERENCES ddl_student (id) LABEL Knows)"""
+    )
+    q = ("SELECT * FROM GRAPH_TABLE (ddl_rep MATCH "
+         "(a:Person)-[w:workAt]->(u:University) COLUMNS (a.id AS aid)) t")
+    with pytest.raises(PGQBinderError, match="University"):
+        ddl_pg.sql(q)
+    ddl_pg.execute(
+        """CREATE OR REPLACE PROPERTY GRAPH ddl_rep
+           VERTEX TABLES (
+               ddl_student LABEL Person,
+               ddl_org LABEL Organisation IN kind (company, university))
+           EDGE TABLES (
+               ddl_know SOURCE KEY (src) REFERENCES ddl_student (id)
+                        DESTINATION KEY (dst) REFERENCES ddl_student (id) LABEL Knows,
+               ddl_workat SOURCE KEY (pid) REFERENCES ddl_student (id)
+                          DESTINATION KEY (oid) REFERENCES ddl_org (id) LABEL workAt)"""
+    )
+    got = ddl_pg.sql(q).collect()
+    # persons 0 and 1 work at org 1 (university)
+    assert sorted(r["aid"] for r in got) == [0, 1]
