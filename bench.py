@@ -147,6 +147,17 @@ def main() -> None:
     spark = get_spark(app_name="duckpgq_spark_bench")
     # warm up: register views + build the property graph (not timed)
     EQ.setup(spark, sf_dir)
+    # ...and warm the execution machinery once (not timed): a fixed-hop
+    # match (codegen + broadcast-join paths) and one BFS level (the
+    # checkpoint/Observation kernel).  On a freshly booted host the first
+    # queries otherwise pay JVM JIT + parquet footer reads — measured
+    # match_1hop cold 11.2 s vs 2.5 s median on the same session; without
+    # this the first BENCH_QUERIES entries charge session warmup to their
+    # median while later ones do not.
+    EQ.QUERIES["match_1hop"](spark, sf_dir).count()
+    EQ.QUERIES["var_length_1_2"](
+        spark, os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    ).count()
     def release_blocks():
         # release the dropped query's localCheckpoint/persist blocks NOW:
         # Python gc drops the py4j handles, then a JVM gc lets Spark's

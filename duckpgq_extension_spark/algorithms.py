@@ -39,6 +39,7 @@ def pagerank(
     tol: float = TOLERANCE,
     max_iter: int = 100,
     phantom_vertices: int = 0,
+    sources: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over (src, dst) edges for vertex ids in `vertices(vid)`.
 
@@ -50,7 +51,17 @@ def pagerank(
     iteration and soak up rank mass (pagerank.cpp:27-28 uses csr->vsize).
     Pass 2 to reproduce the reference's numbers bit-for-bit; the default 0
     computes the textbook-correct ranks.
+
+    `sources` (beyond-reference): a one-column DataFrame of vertex ids
+    turns this into PERSONALIZED PageRank — the (1-damping) teleport and
+    the dangling mass return uniformly to the source set instead of to
+    all vertices, so ranks measure proximity to the sources (the random
+    walker restarts there).  Same per-iteration plan: the reset vector
+    rides inside the ranks frame next to out_deg, zero extra joins.
     """
+    if sources is not None and phantom_vertices:
+        raise ValueError("phantom_vertices is a reference-parity mode; "
+                         "it cannot combine with personalized sources")
     vertices = pathops.materialize(vertices.toDF("vid").distinct())
     real_vertices = vertices
     if phantom_vertices:
@@ -68,13 +79,30 @@ def pagerank(
     edges = edges.select("src", "dst").repartition(parts, "src").persist()
     out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
 
-    # out_deg rides INSIDE the ranks frame (static per vertex), so each
-    # iteration needs no ranks-to-degree join — one join per iteration
-    # removed vs the r2 formulation
+    # out_deg (and the teleport/reset weight) ride INSIDE the ranks frame
+    # (static per vertex), so each iteration needs no ranks-to-degree or
+    # ranks-to-sources join — one join per iteration removed vs the r2
+    # formulation
+    if sources is None:
+        with_reset = vertices.select("vid", F.lit(1.0 / n).alias("reset"))
+    else:
+        src_set = sources.toDF("vid").distinct()
+        n_src = src_set.count()
+        if n_src == 0:
+            raise ValueError("personalized pagerank needs a non-empty source set")
+        with_reset = (
+            vertices.alias("v")
+            .join(src_set.alias("s"), "vid", "left_semi")
+            .select("vid", F.lit(1.0 / n_src).alias("reset"))
+            .unionByName(
+                vertices.join(src_set, "vid", "left_anti")
+                .select("vid", F.lit(0.0).alias("reset"))
+            )
+        )
     ranks = pathops.materialize(
-        vertices.alias("v")
+        with_reset.alias("v")
         .join(out_deg.alias("d"), F.col("v.vid") == F.col("d.src"), "left")
-        .select("vid", F.lit(1.0 / n).alias("rank"), "out_deg")
+        .select("vid", F.col("reset").alias("rank"), "out_deg", "reset")
     )
     try:
         for _ in range(max_iter):
@@ -106,14 +134,15 @@ def pagerank(
                 .select(
                     F.col("o.vid").alias("vid"),
                     (
-                        (1.0 - damping) / n
+                        (1.0 - damping) * F.col("o.reset")
                         + damping
                         * (
                             F.coalesce(F.col("c.in_mass"), F.lit(0.0))
-                            + F.col("__dang") / n
+                            + F.col("__dang") * F.col("o.reset")
                         )
                     ).alias("rank"),
                     F.col("o.out_deg").alias("out_deg"),
+                    F.col("o.reset").alias("reset"),
                     F.col("o.rank").alias("__old"),
                 )
             )
@@ -122,12 +151,12 @@ def pagerank(
                 new_full = new_full.observe(
                     obs, F.max(F.abs(F.col("rank") - F.col("__old"))).alias("delta")
                 )
-                ranks = pathops.materialize(new_full.select("vid", "rank", "out_deg"))
+                ranks = pathops.materialize(new_full.select("vid", "rank", "out_deg", "reset"))
                 delta = obs.get["delta"]
                 if delta is not None and delta < tol:
                     break
             else:
-                ranks = pathops.materialize(new_full.select("vid", "rank", "out_deg"))
+                ranks = pathops.materialize(new_full.select("vid", "rank", "out_deg", "reset"))
         if phantom_vertices:
             ranks = ranks.join(real_vertices.toDF("vid"), "vid", "left_semi")
         return ranks.select("vid", F.col("rank").alias("pagerank"))

@@ -684,13 +684,17 @@ def _pagerank_oracle(iters: int = 10) -> str:
     parts = [
         f"verts AS (SELECT c_custkey AS vid FROM customer)",
         "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM customer)",
-        "odeg AS (SELECT src, CAST(count(*) AS DOUBLE) AS cnt FROM e GROUP BY src)",
-        "r0 AS (SELECT vid, 1.0 / n.n AS rank FROM verts CROSS JOIN n)",
+        "odeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS cnt FROM e GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT vid, 1.0 / n.n AS rank FROM verts CROSS JOIN n)",
     ]
     for i in range(1, iters + 1):
         p, c = f"r{i - 1}", f"r{i}"
+        # MATERIALIZED: each iteration references the previous one twice
+        # (dangling sum + contribution join); DuckDB would otherwise inline
+        # the CTE per reference and the plan doubles per iteration --
+        # measured 0.03 s at 2 iterations, 13.9 s at 8 (exponential)
         parts.append(
-            f"""{c} AS (
+            f"""{c} AS MATERIALIZED (
               SELECT v.vid,
                      0.15 / n.n + 0.85 * (COALESCE(m.mass, 0) + d.dang / n.n) AS rank
               FROM verts v
@@ -708,6 +712,53 @@ def _pagerank_oracle(iters: int = 10) -> str:
 
 
 O_PAGERANK = _pagerank_oracle(10)
+
+
+def q_personalized_pagerank(spark, sf_dir):
+    """Personalized PageRank (beyond-reference): teleport + dangling mass
+    return to the source set (every 100th customer) instead of all
+    vertices — proximity-to-sources ranking.  Fixed 10 iterations so the
+    DuckDB oracle can replay them as unrolled CTEs."""
+    setup(spark, sf_dir)
+    edges = pathops.edge_frame(spark.table("c_edges"), "src", "dst")
+    cust = spark.table("customer")
+    vertices = cust.select(F.col("c_custkey").cast("long"))
+    sources = cust.where(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").cast("long")
+    )
+    ranks = algorithms.pagerank(edges, vertices, tol=0.0, max_iter=10, sources=sources)
+    return ranks.select("vid", F.round("pagerank", 6).alias("ppr"))
+
+
+def _ppr_oracle(iters: int = 10) -> str:
+    parts = [
+        "verts AS (SELECT c_custkey AS vid FROM customer)",
+        "ns AS (SELECT CAST(count(*) AS DOUBLE) AS ns FROM customer WHERE c_custkey % 100 = 0)",
+        "rst AS MATERIALIZED (SELECT vid, CASE WHEN vid % 100 = 0 THEN 1.0 / ns.ns ELSE 0.0 END AS reset FROM verts CROSS JOIN ns)",
+        "odeg AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS cnt FROM e GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT vid, reset AS rank FROM rst)",
+    ]
+    for i in range(1, iters + 1):
+        p, c = f"r{i - 1}", f"r{i}"
+        # MATERIALIZED: see _pagerank_oracle -- inlining doubles per iteration
+        parts.append(
+            f"""{c} AS MATERIALIZED (
+              SELECT v.vid,
+                     0.15 * v.reset + 0.85 * (COALESCE(m.mass, 0) + d.dang * v.reset) AS rank
+              FROM rst v
+              CROSS JOIN (SELECT COALESCE(SUM({p}.rank), 0) AS dang
+                          FROM {p} LEFT JOIN odeg ON {p}.vid = odeg.src
+                          WHERE odeg.src IS NULL) d
+              LEFT JOIN (SELECT e.dst AS vid, SUM({p}.rank / odeg.cnt) AS mass
+                         FROM {p} JOIN odeg ON odeg.src = {p}.vid
+                         JOIN e ON e.src = {p}.vid GROUP BY e.dst) m
+                ON m.vid = v.vid)"""
+        )
+    body = ",\n".join(parts)
+    return f"WITH e AS ({EDGES_SQL}),\n{body}\nSELECT vid, ROUND(rank, 6) AS ppr FROM r{iters}"
+
+
+O_PERSONALIZED_PAGERANK = _ppr_oracle(10)
 
 
 def q_wcc(spark, sf_dir):
@@ -1483,6 +1534,46 @@ WHERE {_MD5L.format(X="CAST(doc_id AS VARCHAR) || 's1'")} % 1000000 < 250000
 """
 
 
+def q_stratified_sample(spark, sf_dir):
+    """Per-stratum deterministic sampling (operators/corpus.py):
+    reweight the corpus by language — keep 80% en, 50% de, 0% zh, 25%
+    of everything else — with a pure content-hash draw (reproducible,
+    nested by rate, pushdown-able filter; no join, no shuffle)."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    return corpus.stratified_sample(
+        docs, "doc_id", "lang",
+        {"en": 0.8, "de": 0.5, "zh": 0.0}, default_rate=0.25, salt="s1",
+    ).select("doc_id", "lang")
+
+
+O_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_MD5L.format(X="CAST(doc_id AS VARCHAR) || 's1'")} % 1000000 <
+      CASE lang WHEN 'zh' THEN 0 WHEN 'de' THEN 500000
+                WHEN 'en' THEN 800000 ELSE 250000 END
+"""
+
+
+def q_vocab_stats(spark, sf_dir):
+    """Corpus vocabulary table (operators/corpus.vocab_stats): per token,
+    total occurrences + document frequency via the two-phase (token,doc)
+    -> token aggregation (map-side combine collapses per-doc repeats
+    before the only shuffle)."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    return corpus.vocab_stats(docs, "doc_id", "text")
+
+
+O_VOCAB_STATS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, u.token FROM toks, UNNEST(t) AS u(token)),
+per_doc AS (SELECT token, doc_id, COUNT(*) AS n FROM tok GROUP BY 1, 2)
+SELECT token, CAST(SUM(n) AS BIGINT) AS occurrences, COUNT(*) AS doc_freq
+FROM per_doc GROUP BY token
+"""
+
+
 def q_dedup_fingerprint(spark, sf_dir):
     setup(spark, sf_dir)
     docs = spark.table("documents").withColumn("__toks", TX.tokens(F.col("text")))
@@ -1962,6 +2053,7 @@ QUERIES = {
     "topk_paths": q_topk_paths,
     "cheapest_path": q_cheapest_path,
     "pagerank": q_pagerank,
+    "personalized_pagerank": q_personalized_pagerank,
     "wcc": q_wcc,
     "lcc": q_lcc,
     "summarize": q_summarize,
@@ -1974,6 +2066,8 @@ QUERIES = {
     "trail_paths": q_trail_paths,
     "chunk_docs": q_chunk_docs,
     "det_sample": q_det_sample,
+    "stratified_sample": q_stratified_sample,
+    "vocab_stats": q_vocab_stats,
     "pack_sequences": q_pack_sequences,
     "interval_join": q_interval_join,
     "window_running_sum": q_window_running_sum,
@@ -2023,6 +2117,7 @@ ORACLES = {
     "topk_paths": O_TOPK_PATHS,
     "cheapest_path": O_CHEAPEST_PATH,
     "pagerank": O_PAGERANK,
+    "personalized_pagerank": O_PERSONALIZED_PAGERANK,
     "wcc": O_WCC,
     "lcc": O_LCC,
     "summarize": O_SUMMARIZE,
@@ -2035,6 +2130,8 @@ ORACLES = {
     "trail_paths": O_TRAIL_PATHS,
     "chunk_docs": O_CHUNK_DOCS,
     "det_sample": O_DET_SAMPLE,
+    "stratified_sample": O_STRATIFIED_SAMPLE,
+    "vocab_stats": O_VOCAB_STATS,
     "pack_sequences": O_PACK_SEQUENCES,
     "interval_join": O_INTERVAL_JOIN,
     "window_running_sum": O_WINDOW_RUNNING_SUM,

@@ -200,3 +200,82 @@ def ngram_contamination(
         .agg(F.count("*").alias("overlap_ngrams"))
         .where(F.col("overlap_ngrams") >= min_overlap)
     )
+
+
+def vocab_stats(
+    df: DataFrame, id_col: str, text_col: str, min_occurrences: int = 1
+) -> DataFrame:
+    """Corpus vocabulary statistics: per whitespace token, total
+    occurrence count and document frequency.
+
+    The LLM-pipeline uses: vocabulary coverage checks before tokenizer
+    training, stopword-list induction, and corpus drift monitoring
+    between crawl snapshots.
+
+    Returns (token, occurrences, doc_freq).
+
+    Scale design: two-phase aggregation — (token, doc) partial counts
+    first (map-side combine collapses each document's repeats before any
+    shuffle), then one shuffle on token for the final (sum, count).
+    This avoids count_distinct's expand over raw token rows: on 100 TB
+    the first groupBy reduces the shuffle volume to |vocab x docs-present|
+    and the hot "the"-style tokens arrive pre-collapsed to one row per
+    document rather than one per occurrence.
+    """
+    from ..functions.text import tokens
+
+    per_doc = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    out = per_doc.groupBy("token").agg(
+        F.sum("n").alias("occurrences"),
+        F.count("*").alias("doc_freq"),
+    )
+    if min_occurrences > 1:
+        out = out.where(F.col("occurrences") >= min_occurrences)
+    return out
+
+
+def stratified_sample(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep a row iff the content-hash
+    of (key, salt) lands below its stratum's rate.
+
+    Training-data curation constantly reweights sources ("keep 100% of
+    books, 10% of common-crawl, 0% of spam-domains"); doing it with a
+    pure hash function keeps the draw reproducible across runs, engines
+    and partitionings, and nested by rate (the 10% sample is a superset
+    of the 5% sample at the same salt), unlike df.sampleBy.
+
+    `rates` maps stratum value -> keep rate in [0,1]; unmapped strata get
+    `default_rate`.  A filter of literal CASE arms over broadcast-free
+    column expressions — pushes down to the scan like any predicate, no
+    join, no shuffle.
+    """
+    from ..functions.text import md5_long
+
+    for v, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {v!r} must be in [0, 1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError("default_rate must be in [0, 1]")
+    buckets = 1_000_000
+    b = F.pmod(
+        md5_long(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        F.lit(buckets),
+    )
+    thr = F.lit(int(default_rate * buckets))
+    for v, r in rates.items():
+        thr = F.when(F.col(strata_col) == F.lit(v), F.lit(int(r * buckets))).otherwise(thr)
+    return df.where(b < thr)

@@ -434,7 +434,11 @@ class Parser:
         if self.peek() is not None and self.peek().kind in ("ident", "qident"):
             if not self.is_kw("WHERE"):
                 binding = self.ident()
+        # `:label` or the SQL/PGQ-standard `IS label` spelling
+        # (copy_to_duckpgq.test:57 uses `(a is person ...)`)
         if self.match_op(":"):
+            label = self.ident()
+        elif self.match_kw("IS"):
             label = self.ident()
         if self.match_kw("WHERE"):
             where = self.capture_expr(lambda p: False)  # runs to the closing paren
@@ -477,6 +481,8 @@ class Parser:
                 if not self.is_kw("WHERE"):
                     binding = self.ident()
             if self.match_op(":"):
+                label = self.ident()
+            elif self.match_kw("IS"):
                 label = self.ident()
             if self.match_kw("WHERE"):
                 where = self.capture_expr(lambda p: False)

@@ -201,3 +201,54 @@ def test_lcc_star_graph_wedge_bound(spark):
     out = alg.local_clustering_coefficient(edges, vertices)
     vals = {r[0]: r[1] for r in out.collect()}
     assert len(vals) == n + 1 and all(v == 0.0 for v in vals.values())
+
+
+def test_personalized_pagerank_numpy_golden(spark):
+    """PPR on a 4-vertex chain with source {0}, checked against a numpy
+    power iteration of the same formula (teleport + dangling mass to the
+    source set only)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from duckpgq_extension_spark.algorithms import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(4)], "vid long")
+    sources = spark.createDataFrame([(0,)], "vid long")
+    got = {
+        r["vid"]: r["pagerank"]
+        for r in pagerank(
+            edges, vertices, tol=0.0, max_iter=10, sources=sources
+        ).collect()
+    }
+
+    reset = np.array([1.0, 0.0, 0.0, 0.0])
+    out_deg = np.array([1, 1, 1, 1], dtype=float)
+    adj = [(0, 1), (1, 2), (2, 3), (3, 1)]
+    r = reset.copy()
+    for _ in range(10):
+        mass = np.zeros(4)
+        for s, d in adj:
+            mass[d] += r[s] / out_deg[s]
+        dang = 0.0  # no dangling vertices in this graph
+        r = 0.15 * reset + 0.85 * (mass + dang * reset)
+    for i in range(4):
+        assert abs(got[i] - r[i]) < 1e-12, (i, got[i], r[i])
+    # walker restarts at 0, whose single out-edge feeds 1 (which also
+    # collects the cycle's return mass) — 1 must rank highest
+    assert max(got, key=got.get) == 1
+
+
+def test_personalized_pagerank_guards(spark):
+    from pyspark.sql import functions as F
+    import pytest as _pytest
+    from duckpgq_extension_spark.algorithms import pagerank
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    vertices = spark.createDataFrame([(0,), (1,)], "vid long")
+    empty = spark.createDataFrame([], "vid long")
+    with _pytest.raises(ValueError, match="non-empty"):
+        pagerank(edges, vertices, sources=empty)
+    with _pytest.raises(ValueError, match="phantom"):
+        pagerank(edges, vertices, sources=vertices, phantom_vertices=2)

@@ -136,3 +136,40 @@ def test_ngram_contamination_golden(spark):
 
     loose = ngram_contamination(corpus_df, bench, "doc_id", "text", n=3, min_overlap=1)
     assert sorted(tuple(r) for r in loose.collect()) == [(10, 2), (11, 1)]
+
+
+def test_vocab_stats_golden(spark):
+    from duckpgq_extension_spark.operators.corpus import vocab_stats
+
+    docs = spark.createDataFrame(
+        [(0, "a b a"), (1, "a c"), (2, "c c c")], "doc_id long, text string"
+    )
+    got = {r["token"]: (r["occurrences"], r["doc_freq"]) for r in
+           vocab_stats(docs, "doc_id", "text").collect()}
+    assert got == {"a": (3, 2), "b": (1, 1), "c": (4, 2)}
+
+
+def test_stratified_sample_nested_and_exact(spark):
+    """Rates are honored per stratum; draws are nested (higher rate is a
+    superset of lower at the same salt) and reproducible."""
+    from pyspark.sql import functions as F
+    from duckpgq_extension_spark.operators.corpus import stratified_sample
+
+    df = spark.range(0, 2000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("s"),
+    )
+    lo = stratified_sample(df, "k", "s", {"a": 0.2, "b": 0.0})
+    hi = stratified_sample(df, "k", "s", {"a": 0.6, "b": 0.0})
+    lo_ids = {r["k"] for r in lo.collect()}
+    hi_ids = {r["k"] for r in hi.collect()}
+    assert lo_ids <= hi_ids                      # nested
+    assert all(i % 2 == 0 for i in hi_ids)       # stratum b dropped
+    assert 0.1 < len(lo_ids) / 1000 < 0.3        # ~20% of the 1000 'a' rows
+    assert 0.5 < len(hi_ids) / 1000 < 0.7
+    again = {r["k"] for r in stratified_sample(df, "k", "s", {"a": 0.2, "b": 0.0}).collect()}
+    assert again == lo_ids                       # reproducible
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        stratified_sample(df, "k", "s", {"a": 1.5})

@@ -148,3 +148,17 @@ def test_parse_errors():
         parse_statement("CREATE PROPERTY pg")
     with pytest.raises(PGQParseError):
         parse_graph_table_body("pg MATCH (a:P COLUMNS (a.id)")
+
+
+def test_is_label_spelling():
+    """The SQL/PGQ-standard `IS` label form parses identically to `:`
+    (copy_to_duckpgq.test:57-60 uses `(a is person WHERE ...)`)."""
+    expr = parse_graph_table_body(
+        "pg MATCH (a IS person WHERE a.id = 5)-[k is knows]->(b is Person) "
+        "COLUMNS (a.firstName, b.id AS bid)"
+    )
+    v0, e, v1 = expr.patterns[0].elements
+    assert v0.binding == "a" and v0.label == "person"
+    assert v0.where is not None
+    assert e.binding == "k" and e.label == "knows"
+    assert v1.binding == "b" and v1.label == "Person"
