@@ -37,6 +37,7 @@ BENCH_QUERIES = [
     "reachability",
     "cheapest_path",
     "pagerank",
+    "personalized_pagerank",
     "wcc",
     "lcc",
     "summarize",
@@ -47,6 +48,7 @@ BENCH_QUERIES = [
     "events_daily",
     "sessionize",
     "text_stats",
+    "vocab_stats",
     "corpus_clean",
     "chunk_docs",
     "pack_sequences",

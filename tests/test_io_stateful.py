@@ -169,3 +169,55 @@ def test_stream_stream_interval_join(spark, tmp_path):
         for r in ev.join_streams_interval(views_b, buys_b, bound="30 minutes").collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_graph_export_import_roundtrip(spark, tmp_path):
+    """Export a graph (parquet tables + graph.json), import it under a new
+    name in a fresh session, and get identical MATCH results — the
+    Spark-idiomatic analog of DuckDB's `import database` + CREATE
+    PROPERTY GRAPH bootstrap (snb.test:9-53) and attach_pg resolution."""
+    from pyspark.sql import Row
+    from duckpgq_extension_spark import PGQSession
+    from duckpgq_extension_spark.errors import PGQBinderError
+    from duckpgq_extension_spark.sources.graph_io import (
+        export_property_graph,
+        import_property_graph,
+    )
+
+    spark.createDataFrame(
+        [Row(id=i, name=f"v{i}") for i in range(5)], "id long, name string"
+    ).createOrReplaceTempView("gio_v")
+    spark.createDataFrame(
+        [Row(src=0, dst=1), Row(src=1, dst=2), Row(src=2, dst=0), Row(src=3, dst=4)],
+        "src long, dst long",
+    ).createOrReplaceTempView("gio_e")
+    s = PGQSession(spark)
+    s.execute("DROP PROPERTY GRAPH IF EXISTS gio")
+    s.execute(
+        """CREATE PROPERTY GRAPH gio
+           VERTEX TABLES (gio_v LABEL V)
+           EDGE TABLES (gio_e SOURCE KEY (src) REFERENCES gio_v (id)
+                        DESTINATION KEY (dst) REFERENCES gio_v (id) LABEL E)"""
+    )
+    q = ("SELECT * FROM GRAPH_TABLE ({g} MATCH (a:V)-[e:E]->(b:V) "
+         "COLUMNS (a.id AS aid, b.id AS bid)) t")
+    want = sorted(map(tuple, s.sql(q.format(g="gio")).collect()))
+
+    out = str(tmp_path / "gio_export")
+    meta = export_property_graph(s, "gio", out)
+    assert set(meta["table_dirs"]) == {"gio_v", "gio_e"}
+
+    # fresh session; drop the views to prove import re-registers them
+    s2 = PGQSession(spark)
+    spark.catalog.dropTempView("gio_v")
+    spark.catalog.dropTempView("gio_e")
+    import_property_graph(s2, out, name="gio2")
+    got = sorted(map(tuple, s2.sql(q.format(g="gio2")).collect()))
+    assert got == want
+
+    # missing path and double-create both fail loudly
+    with pytest.raises(PGQBinderError, match="graph.json"):
+        import_property_graph(s2, str(tmp_path / "nope"))
+    with pytest.raises(PGQBinderError, match="already exists"):
+        import_property_graph(s2, out, name="gio2")
+    import_property_graph(s2, out, name="gio2", or_replace=True)
