@@ -1126,6 +1126,38 @@ def q_streaming_dedup(spark, sf_dir):
     )
 
 
+def q_streaming_degree(spark, sf_dir):
+    """Incremental graph degree maintenance (streaming/events.degree_stream):
+    the c_edges edge set replayed as a file stream, running out-/in-degree
+    per vertex in complete mode; deterministic because addition commutes,
+    so the final state equals the batch aggregation (the oracle)."""
+    import tempfile
+
+    setup(spark, sf_dir)
+    src = tempfile.mkdtemp(prefix="pgq_degree_stream_")
+    spark.table("c_edges").select(
+        F.col("src").cast("long"), F.col("dst").cast("long")
+    ).write.mode("overwrite").parquet(src)
+    stream = ev.stream_from_parquet(spark, src, schema="src long, dst long")
+    q = ev.run_stream_to_memory(
+        ev.degree_stream(stream), "bench_degree_stream_out", output_mode="complete"
+    )
+    q.stop()
+    return spark.table("bench_degree_stream_out")
+
+
+O_STREAMING_DEGREE = f"""
+WITH e AS ({EDGES_SQL}),
+inc AS (
+  SELECT src AS vid, 1 AS o, 0 AS i FROM e
+  UNION ALL
+  SELECT dst AS vid, 0 AS o, 1 AS i FROM e
+)
+SELECT vid, CAST(SUM(o) AS BIGINT) AS out_deg, CAST(SUM(i) AS BIGINT) AS in_deg
+FROM inc GROUP BY vid
+"""
+
+
 O_STREAMING_DEDUP = """
 SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
        ROUND(value, 4) AS value
@@ -2076,6 +2108,7 @@ QUERIES = {
     "semi_anti_join": q_semi_anti_join,
     "streaming_window": q_streaming_window,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_degree": q_streaming_degree,
     "streaming_join": q_streaming_join,
     "events_json": q_events_json,
     "events_daily": q_events_daily,
@@ -2154,6 +2187,7 @@ ORACLES = {
     "multimodal_decode": O_MULTIMODAL_DECODE,
     "streaming_window": O_STREAMING_WINDOW,
     "streaming_dedup": O_STREAMING_DEDUP,
+    "streaming_degree": O_STREAMING_DEGREE,
     "streaming_join": O_STREAMING_JOIN,
     "minhash_lsh_pairs": O_MINHASH_LSH_PAIRS,
     "dedup_clusters": O_DEDUP_CLUSTERS,

@@ -309,3 +309,32 @@ def dedup_stream_batch_equivalent(events: DataFrame, key_cols: list[str], ts_col
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def degree_stream(
+    edge_stream: DataFrame, src_col: str = "src", dst_col: str = "dst"
+) -> DataFrame:
+    """Incremental graph maintenance: running out-/in-degree per vertex
+    over an edge STREAM — the first building block of a continuously
+    maintained graph (SUMMARIZE-style stats without re-scanning history).
+
+    Each arriving edge feeds two (vid, out, in) increments through a
+    single streaming aggregation (a union-then-one-groupBy, because two
+    separate keyed aggs cannot be joined in one streaming query).  Run
+    in "complete"/"update" output mode; state is one row per live
+    vertex.  For unbounded vertex churn, put a TTL on vertex ids
+    upstream (watermark + window) — degree state itself has no event
+    time to water-mark.
+    """
+    both = edge_stream.select(
+        F.col(src_col).alias("vid"),
+        F.lit(1).alias("o"),
+        F.lit(0).alias("i"),
+    ).unionByName(
+        edge_stream.select(
+            F.col(dst_col).alias("vid"), F.lit(0).alias("o"), F.lit(1).alias("i")
+        )
+    )
+    return both.groupBy("vid").agg(
+        F.sum("o").alias("out_deg"), F.sum("i").alias("in_deg")
+    )

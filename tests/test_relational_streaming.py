@@ -247,3 +247,24 @@ def test_salted_join_rejects_right_and_full(spark):
     for how in ("right", "full", "right_outer", "full_outer", "outer"):
         with _pytest.raises(ValueError, match="salted_join does not support"):
             salted_join(left, right, "k", salt=4, how=how)
+
+
+def test_streaming_degree_matches_batch(spark, tmp_path):
+    """degree_stream's final complete-mode state equals the batch degree
+    aggregation (addition commutes across micro-batches)."""
+    from pyspark.sql import functions as F
+    from duckpgq_extension_spark.streaming import events as ev
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2), (2, 0), (2, 0)], "src long, dst long"
+    )
+    src = str(tmp_path / "deg_stream")
+    edges.write.mode("overwrite").parquet(src)
+    stream = ev.stream_from_parquet(spark, src, schema="src long, dst long")
+    q = ev.run_stream_to_memory(
+        ev.degree_stream(stream), "t_degree_out", output_mode="complete"
+    )
+    q.stop()
+    got = {r["vid"]: (r["out_deg"], r["in_deg"])
+           for r in spark.table("t_degree_out").collect()}
+    assert got == {0: (2, 2), 1: (1, 1), 2: (2, 2)}
