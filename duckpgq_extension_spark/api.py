@@ -341,65 +341,108 @@ class PGQSession:
         return self.spark.createDataFrame(rows, schema=schema)
 
     def summarize_property_graph(self, graph: str) -> DataFrame:
-        """Graph statistics per edge table: vertex/edge counts, distinct
-        endpoints, isolated vertices, out/in-degree stats — the DataFrame
-        re-expression of the generated SQL in
-        summarize_property_graph.cpp:54-92."""
+        """One row per registered table with the reference's exact
+        22-column schema and semantics (summarize_property_graph.cpp:30-130;
+        golden shape: summarize_property_graph.test:22-27):
+
+        - vertex-table rows carry only (table_name, is_vertex_table,
+          vertex_count); every edge statistic is NULL.
+        - edge-table rows: edge_count, unique source/destination fk
+          counts, isolated sources/destinations (vertices of the
+          referenced table with no edge), and in-/out-degree stats
+          (avg/min/max/q25/q50/q75) computed over the EDGE TABLE's fk
+          occurrences — vertices with zero edges do not participate, so
+          min_* >= 1, exactly like the reference's GROUP-BY-fk CTE.
+        - like the reference, degree/distinct/isolated stats use the
+          first fk/pk column (summarize_property_graph.cpp:72,84 index
+          [0]); quantiles here are exact percentiles where the reference
+          uses approx_quantile (documented determinism choice).
+        """
         pg = self.catalog.get(graph)
+        null_l = F.lit(None).cast("long")
+        null_d = F.lit(None).cast("double")
+        null_s = F.lit(None).cast("string")
+        edge_null_cols = [
+            null_l.alias("edge_count"),
+            null_l.alias("unique_source_count"),
+            null_l.alias("unique_destination_count"),
+            null_l.alias("isolated_sources"),
+            null_l.alias("isolated_destinations"),
+        ] + [
+            null_d.alias(f"{s}_{d}_degree")
+            for d in ("in", "out")
+            for s in ("avg", "min", "max", "q25", "q50", "q75")
+        ]
         out = None
+        for vt in pg.vertex_tables:
+            vdf = table_df(pg.spark, vt.table_name)
+            row = vdf.agg(F.count("*").alias("vertex_count")).select(
+                F.lit(vt.table_name).alias("table_name"),
+                F.lit(True).alias("is_vertex_table"),
+                null_s.alias("source_table"),
+                null_s.alias("destination_table"),
+                F.col("vertex_count"),
+                *edge_null_cols,
+            )
+            out = row if out is None else out.unionByName(row)
         for et in pg.edge_tables:
             edf = table_df(pg.spark, et.table_name)
-            src_fks, dst_fks = list(et.source_fk), list(et.destination_fk)
-            src_vt = et.source_reference
-            vdf = table_df(pg.spark, src_vt)
-            pks = list(et.source_pk)
+            src_fk, dst_fk = et.source_fk[0], et.destination_fk[0]
 
-            def key_cond(fk_cols):
-                cond = None
-                for pk_c, fk_c in zip(pks, fk_cols):
-                    eq = vdf[pk_c] == edf[fk_c]
-                    cond = eq if cond is None else (cond & eq)
-                return cond
-
-            def degree_stats(fk_cols: list, name: str):
-                deg = (
-                    vdf.join(edf, key_cond(fk_cols), "left")
-                    .groupBy(*[vdf[c] for c in pks])
-                    .agg(F.count(edf[fk_cols[0]]).alias("deg"))
-                )
+            def degree_stats(fk: str, name: str):
+                deg = edf.groupBy(fk).agg(F.count("*").alias("deg"))
                 return deg.agg(
-                    F.avg("deg").alias(f"{name}_degree_avg"),
-                    F.min("deg").alias(f"{name}_degree_min"),
-                    F.max("deg").alias(f"{name}_degree_max"),
-                    F.expr("percentile(deg, 0.25)").alias(f"{name}_degree_q25"),
-                    F.expr("percentile(deg, 0.50)").alias(f"{name}_degree_q50"),
-                    F.expr("percentile(deg, 0.75)").alias(f"{name}_degree_q75"),
+                    F.avg("deg").cast("double").alias(f"avg_{name}_degree"),
+                    F.min("deg").cast("double").alias(f"min_{name}_degree"),
+                    F.max("deg").cast("double").alias(f"max_{name}_degree"),
+                    F.expr("percentile(deg, 0.25)").alias(f"q25_{name}_degree"),
+                    F.expr("percentile(deg, 0.50)").alias(f"q50_{name}_degree"),
+                    F.expr("percentile(deg, 0.75)").alias(f"q75_{name}_degree"),
                 )
 
-            base = self.spark.createDataFrame(
-                [Row(edge_table=et.table_name, label=et.main_label)]
-            )
-            counts = edf.agg(
-                F.count("*").alias("edge_count"),
-                F.countDistinct(*src_fks).alias("distinct_src"),
-                F.countDistinct(*dst_fks).alias("distinct_dst"),
-            )
-            vcount = vdf.agg(F.count("*").alias("vertex_count"))
-            isolated = (
-                vdf.join(edf, key_cond(src_fks), "left_anti")
-                .join(edf, key_cond(dst_fks), "left_anti")
-                .agg(F.count("*").alias("isolated_vertices"))
-            )
+            def isolated(ref_table: str, pk: str, fk: str, alias: str):
+                vdf = table_df(pg.spark, ref_table)
+                return (
+                    vdf.join(edf, vdf[pk] == edf[fk], "left_anti")
+                    .agg(F.count("*").alias(alias))
+                )
+
             row = (
-                base.crossJoin(vcount)
-                .crossJoin(counts)
-                .crossJoin(isolated)
-                .crossJoin(degree_stats(src_fks, "out"))
-                .crossJoin(degree_stats(dst_fks, "in"))
+                edf.agg(
+                    F.count("*").alias("edge_count"),
+                    F.countDistinct(src_fk).alias("unique_source_count"),
+                    F.countDistinct(dst_fk).alias("unique_destination_count"),
+                )
+                .crossJoin(
+                    isolated(et.source_reference, et.source_pk[0], src_fk,
+                             "isolated_sources")
+                )
+                .crossJoin(
+                    isolated(et.destination_reference, et.destination_pk[0],
+                             dst_fk, "isolated_destinations")
+                )
+                .crossJoin(degree_stats(dst_fk, "in"))
+                .crossJoin(degree_stats(src_fk, "out"))
+                .select(
+                    F.lit(et.table_name).alias("table_name"),
+                    F.lit(False).alias("is_vertex_table"),
+                    F.lit(et.source_reference).alias("source_table"),
+                    F.lit(et.destination_reference).alias("destination_table"),
+                    null_l.alias("vertex_count"),
+                    "edge_count",
+                    "unique_source_count",
+                    "unique_destination_count",
+                    "isolated_sources",
+                    "isolated_destinations",
+                    "avg_in_degree", "min_in_degree", "max_in_degree",
+                    "q25_in_degree", "q50_in_degree", "q75_in_degree",
+                    "avg_out_degree", "min_out_degree", "max_out_degree",
+                    "q25_out_degree", "q50_out_degree", "q75_out_degree",
+                )
             )
             out = row if out is None else out.unionByName(row)
         if out is None:
-            raise PGQBinderError(f"Property graph '{graph}' has no edge tables")
+            raise PGQBinderError(f"Property graph '{graph}' has no tables")
         return out
 
     # metadata accessors, mirroring get_pg_vtablenames / etablenames /

@@ -809,41 +809,80 @@ O_LCC = _with_e(
 )
 
 
+_SUMMARIZE_DEG_COLS = [
+    f"{s}_{d}_degree"
+    for d in ("in", "out")
+    for s in ("avg", "min", "max", "q25", "q50", "q75")
+]
+
+
 def q_summarize(spark, sf_dir):
+    """SUMMARIZE PROPERTY GRAPH in the reference's exact 22-column
+    one-row-per-table shape (summarize_property_graph.test:22-27);
+    degree doubles rounded to 6 for the cross-engine hash."""
     pgq = setup(spark, sf_dir)
     s = pgq.summarize_property_graph("social")
-    return s.where(F.col("label") == "Follows").select(
-        "edge_table",
-        "vertex_count",
-        "edge_count",
-        "distinct_src",
-        "distinct_dst",
-        "isolated_vertices",
-        F.round("out_degree_avg", 6).alias("out_degree_avg"),
-        F.col("out_degree_max").cast("bigint").alias("out_degree_max"),
-        F.round("in_degree_avg", 6).alias("in_degree_avg"),
+    return s.select(
+        "table_name", "is_vertex_table", "source_table", "destination_table",
+        "vertex_count", "edge_count",
+        "unique_source_count", "unique_destination_count",
+        "isolated_sources", "isolated_destinations",
+        *[F.round(F.col(c), 6).alias(c) for c in _SUMMARIZE_DEG_COLS],
     )
 
 
-O_SUMMARIZE = _with_e(
-    """SELECT 'c_edges' AS edge_table,
-              (SELECT count(*) FROM customer) AS vertex_count,
-              (SELECT count(*) FROM e) AS edge_count,
-              (SELECT count(DISTINCT src) FROM e) AS distinct_src,
-              (SELECT count(DISTINCT dst) FROM e) AS distinct_dst,
-              (SELECT count(*) FROM customer c
-               WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.c_custkey)
-                 AND NOT EXISTS (SELECT 1 FROM e WHERE e.dst = c.c_custkey)) AS isolated_vertices,
-              (SELECT ROUND(AVG(cnt), 6) FROM (
-                 SELECT count(e.src) AS cnt FROM customer c
-                 LEFT JOIN e ON e.src = c.c_custkey GROUP BY c.c_custkey)) AS out_degree_avg,
-              (SELECT CAST(MAX(cnt) AS BIGINT) FROM (
-                 SELECT count(e.src) AS cnt FROM customer c
-                 LEFT JOIN e ON e.src = c.c_custkey GROUP BY c.c_custkey)) AS out_degree_max,
-              (SELECT ROUND(AVG(cnt), 6) FROM (
-                 SELECT count(e.dst) AS cnt FROM customer c
-                 LEFT JOIN e ON e.dst = c.c_custkey GROUP BY c.c_custkey)) AS in_degree_avg"""
-)
+def _summarize_oracle() -> str:
+    deg_nulls = ", ".join(
+        f"CAST(NULL AS DOUBLE) AS {c}" for c in _SUMMARIZE_DEG_COLS
+    )
+    deg_stats = ", ".join(
+        f"ROUND(s_{d}.{s}_{d}, 6) AS {s}_{d}_degree"
+        for d in ("in", "out")
+        for s in ("avg", "min", "max", "q25", "q50", "q75")
+    )
+    stat_cte = (
+        "SELECT CAST(AVG(deg) AS DOUBLE) AS avg_{d}, CAST(MIN(deg) AS DOUBLE) AS min_{d}, "
+        "CAST(MAX(deg) AS DOUBLE) AS max_{d}, quantile_cont(deg, 0.25) AS q25_{d}, "
+        "quantile_cont(deg, 0.50) AS q50_{d}, quantile_cont(deg, 0.75) AS q75_{d} FROM {src}"
+    )
+    vrow = (
+        "SELECT '{t}' AS table_name, TRUE AS is_vertex_table, "
+        "CAST(NULL AS VARCHAR) AS source_table, CAST(NULL AS VARCHAR) AS destination_table, "
+        "(SELECT count(*) FROM customer) AS vertex_count, CAST(NULL AS BIGINT) AS edge_count, "
+        "CAST(NULL AS BIGINT) AS unique_source_count, CAST(NULL AS BIGINT) AS unique_destination_count, "
+        "CAST(NULL AS BIGINT) AS isolated_sources, CAST(NULL AS BIGINT) AS isolated_destinations, "
+        + deg_nulls
+    )
+    erow = (
+        "SELECT 'c_edges' AS table_name, FALSE AS is_vertex_table, "
+        "'{v}' AS source_table, '{v}' AS destination_table, "
+        "CAST(NULL AS BIGINT) AS vertex_count, ec.ec AS edge_count, "
+        "ec.usc AS unique_source_count, ec.udc AS unique_destination_count, "
+        "iso_s.n AS isolated_sources, iso_d.n AS isolated_destinations, "
+        + deg_stats + " FROM ec, iso_s, iso_d, s_in, s_out"
+    )
+    return f"""
+WITH e AS ({EDGES_SQL}),
+ideg AS (SELECT dst, count(*) AS deg FROM e GROUP BY dst),
+odeg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+s_in AS ({stat_cte.format(d='in', src='ideg')}),
+s_out AS ({stat_cte.format(d='out', src='odeg')}),
+ec AS (SELECT count(*) AS ec, count(DISTINCT src) AS usc, count(DISTINCT dst) AS udc FROM e),
+iso_s AS (SELECT count(*) AS n FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.c_custkey)),
+iso_d AS (SELECT count(*) AS n FROM customer c
+          WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.dst = c.c_custkey))
+{vrow.format(t='customer')}
+UNION ALL
+{vrow.format(t='customer_tm')}
+UNION ALL
+{erow.format(v='customer')}
+UNION ALL
+{erow.format(v='customer_tm')}
+"""
+
+
+O_SUMMARIZE = _summarize_oracle()
 
 
 def q_create_vertex_table(spark, sf_dir):

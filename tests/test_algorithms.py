@@ -108,14 +108,31 @@ def test_lcc_empty_graph(spark):
 
 
 def test_summarize(pgq):
+    """Reference-shape SUMMARIZE: one row per table, 22 columns, degree
+    stats over edge-table occurrences only (zero-degree vertices absent,
+    like the GROUP-BY-fk CTE of summarize_property_graph.cpp:54-69).
+    F1 fixture: 5 students, know edges (0,1)(0,2)(0,3)(3,0)(1,2)(1,3)
+    (2,3)(4,3)."""
     df = pgq.summarize_property_graph("pg")
-    got = {r["edge_table"]: r.asDict() for r in df.collect()}
-    know = got["know"]
-    assert know["vertex_count"] == 5
+    rows = {(r["table_name"], r["is_vertex_table"]): r.asDict() for r in df.collect()}
+    stu = rows[("Student", True)]
+    assert stu["vertex_count"] == 5
+    assert stu["edge_count"] is None and stu["avg_in_degree"] is None
+    know = rows[("know", False)]
+    assert know["source_table"] == "Student"
+    assert know["vertex_count"] is None
     assert know["edge_count"] == 8
-    assert know["isolated_vertices"] == 0
-    assert know["out_degree_max"] == 3
-    assert know["out_degree_avg"] == pytest.approx(8 / 5)
+    assert know["unique_source_count"] == 5      # 0,1,2,3,4 all emit edges
+    assert know["unique_destination_count"] == 4  # 0,1,2,3
+    assert know["isolated_sources"] == 0
+    assert know["isolated_destinations"] == 1     # student 4 never a dst
+    # out occurrences per src: [3,2,1,1,1]; in per dst: [4,2,1,1]
+    assert know["avg_out_degree"] == pytest.approx(8 / 5)
+    assert know["min_out_degree"] == 1 and know["max_out_degree"] == 3
+    assert know["q50_out_degree"] == pytest.approx(1.0)
+    assert know["avg_in_degree"] == pytest.approx(2.0)
+    assert know["min_in_degree"] == 1 and know["max_in_degree"] == 4
+    assert know["q50_in_degree"] == pytest.approx(1.5)
 
 
 def test_cheapest_path(spark):
@@ -252,3 +269,53 @@ def test_personalized_pagerank_guards(spark):
         pagerank(edges, vertices, sources=empty)
     with _pytest.raises(ValueError, match="phantom"):
         pagerank(edges, vertices, sources=vertices, phantom_vertices=2)
+
+
+def test_summarize_snb_reference_golden(spark):
+    """summarize_property_graph.test:22-27 golden on the bundled SNB0.003
+    data: Person/Person_knows_person counts and degree stats.  The
+    reference's q25/50/75 use approx_quantile; we use exact percentiles,
+    so quantiles are checked against numpy (linear interpolation), the
+    count/avg/min/max columns against the reference's literal golden."""
+    import numpy as np
+
+    spark.read.parquet(
+        "/root/reference/data/SNB0.003/person.parquet"
+    ).createOrReplaceTempView("snb_sum_person")
+    knows = spark.read.parquet(
+        "/root/reference/data/SNB0.003/person_knows_person.parquet"
+    )
+    knows.createOrReplaceTempView("snb_sum_knows")
+    s = PGQSession(spark)
+    s.execute("DROP PROPERTY GRAPH IF EXISTS snb_sum")
+    s.execute(
+        """CREATE PROPERTY GRAPH snb_sum
+           VERTEX TABLES (snb_sum_person LABEL Person)
+           EDGE TABLES (snb_sum_knows
+               SOURCE KEY (Person1Id) REFERENCES snb_sum_person (id)
+               DESTINATION KEY (Person2Id) REFERENCES snb_sum_person (id)
+               LABEL Knows)"""
+    )
+    got = {r["table_name"]: r.asDict()
+           for r in s.summarize_property_graph("snb_sum").collect()}
+    p = got["snb_sum_person"]
+    assert p["is_vertex_table"] is True and p["vertex_count"] == 50
+    k = got["snb_sum_knows"]
+    # literal golden row: 83 edges, 28/29 unique src/dst, 22/21 isolated
+    assert k["edge_count"] == 83
+    assert k["unique_source_count"] == 28
+    assert k["unique_destination_count"] == 29
+    assert k["isolated_sources"] == 22
+    assert k["isolated_destinations"] == 21
+    assert k["avg_in_degree"] == pytest.approx(2.8620689655172415)
+    assert k["min_in_degree"] == 1 and k["max_in_degree"] == 10
+    assert k["avg_out_degree"] == pytest.approx(2.9642857142857144)
+    assert k["min_out_degree"] == 1 and k["max_out_degree"] == 13
+    pdf = knows.select("Person1Id", "Person2Id").toPandas()
+    in_occ = pdf.groupby("Person2Id").size().to_numpy()
+    out_occ = pdf.groupby("Person1Id").size().to_numpy()
+    for q, col_i, col_o in [(25, "q25_in_degree", "q25_out_degree"),
+                            (50, "q50_in_degree", "q50_out_degree"),
+                            (75, "q75_in_degree", "q75_out_degree")]:
+        assert k[col_i] == pytest.approx(np.percentile(in_occ, q)), col_i
+        assert k[col_o] == pytest.approx(np.percentile(out_occ, q)), col_o
