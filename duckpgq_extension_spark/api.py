@@ -312,13 +312,21 @@ class PGQSession:
 
     # -- introspection ---------------------------------------------------
     def describe_property_graph(self, graph: str) -> DataFrame:
-        """One row per registered table, like DESCRIBE PROPERTY GRAPH
-        (describe_property_graph.cpp:13-160)."""
+        """One row per registered table with the reference's exact
+        14-column schema (describe_property_graph.cpp:34-61; golden shape
+        describe_pg.test): property_graph leads, catalog/schema trail
+        (parsed from a qualified table name; unqualified tables get NULL
+        catalog + empty schema, matching the reference's display of
+        temp-catalog tables)."""
         pg = self.catalog.get(graph)
         rows = []
         for t in pg.vertex_tables + pg.edge_tables:
+            parts = t.table_name.split(".")
+            cat = parts[-3] if len(parts) >= 3 else None
+            sch = parts[-2] if len(parts) >= 2 else ""
             rows.append(
                 Row(
+                    property_graph=pg.name,
                     table_name=t.table_name,
                     label=t.main_label,
                     is_vertex_table=t.is_vertex,
@@ -330,13 +338,17 @@ class PGQSession:
                     destination_fk=t.destination_fk or None,
                     discriminator=t.discriminator,
                     sub_labels=t.sub_labels or None,
+                    catalog=cat,
+                    schema=sch,
                 )
             )
         schema = (
-            "table_name string, label string, is_vertex_table boolean, "
+            "property_graph string, table_name string, label string, "
+            "is_vertex_table boolean, "
             "source_table string, source_pk array<string>, source_fk array<string>, "
             "destination_table string, destination_pk array<string>, "
-            "destination_fk array<string>, discriminator string, sub_labels array<string>"
+            "destination_fk array<string>, discriminator string, "
+            "sub_labels array<string>, catalog string, schema string"
         )
         return self.spark.createDataFrame(rows, schema=schema)
 

@@ -94,6 +94,16 @@ def test_describe_and_show(session):
     got = {r["table_name"]: r for r in d.collect()}
     assert got["cat_e"]["source_fk"] == ["a"]
     assert got["cat_v"]["is_vertex_table"]
+    # reference 14-column shape (describe_property_graph.cpp:34-61):
+    # property_graph leads, catalog/schema trail
+    assert d.columns == [
+        "property_graph", "table_name", "label", "is_vertex_table",
+        "source_table", "source_pk", "source_fk", "destination_table",
+        "destination_pk", "destination_fk", "discriminator", "sub_labels",
+        "catalog", "schema",
+    ]
+    assert got["cat_v"]["property_graph"] == "catpg3"
+    assert got["cat_v"]["catalog"] is None and got["cat_v"]["schema"] == ""
     names = [r["property_graph"] for r in session.show_property_graphs().collect()]
     assert "catpg3" in names
 
