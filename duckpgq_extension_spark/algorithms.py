@@ -23,7 +23,7 @@ truncate lineage.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from .operators import paths as pathops
@@ -362,3 +362,39 @@ def local_clustering_coefficient(edges: DataFrame, vertices: DataFrame) -> DataF
         )
     finally:
         nbr.unpersist()
+
+
+def neighbor_sample(
+    edges: DataFrame, k: int, salt: str = "", by_dst: bool = False
+) -> DataFrame:
+    """Deterministic k-neighbor sampling: keep at most `k` out-edges per
+    source vertex (in-edges per destination with by_dst=True), chosen by
+    a content-hash order — the GraphSAGE-style neighborhood sampling
+    step of GNN training pipelines, and the standard hub-degree cap
+    before neighborhood-explosion-prone joins.
+
+    The draw is a pure function of (src, dst, salt): reproducible across
+    runs, engines and partitionings, and nested like
+    corpus.deterministic_sample (a k=20 sample contains the k=10 sample
+    at the same salt).  Vary `salt` for independent rounds (multi-layer
+    GNN fan-out).
+
+    One window over the edge shuffle on the group key — no joins; at
+    100 TB this is the degree-cap that keeps celebrity vertices from
+    dominating downstream neighborhood joins.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from .functions.text import md5_long
+
+    key = "dst" if by_dst else "src"
+    h = md5_long(
+        F.concat_ws("|", F.col("src").cast("string"),
+                    F.col("dst").cast("string"), F.lit(salt))
+    )
+    w = Window.partitionBy(key).orderBy(h.asc(), F.col("src").asc(), F.col("dst").asc())
+    return (
+        edges.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

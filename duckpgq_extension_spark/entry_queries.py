@@ -761,6 +761,30 @@ def _ppr_oracle(iters: int = 10) -> str:
 O_PERSONALIZED_PAGERANK = _ppr_oracle(10)
 
 
+def q_neighbor_sample(spark, sf_dir):
+    """Deterministic GraphSAGE-style neighborhood sampling
+    (algorithms.neighbor_sample): at most 3 out-edges per vertex chosen
+    by content-hash order — reproducible, so the DuckDB oracle replays
+    the identical md5 ranking."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    return algorithms.neighbor_sample(edges, k=3, salt="ns1").select("src", "dst")
+
+
+O_NEIGHBOR_SAMPLE = _with_e(
+    """, r AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (
+           PARTITION BY src
+           ORDER BY ('0x' || substr(md5(CAST(src AS VARCHAR) || '|' ||
+                     CAST(dst AS VARCHAR) || '|ns1'), 1, 15))::BIGINT ASC,
+                    src ASC, dst ASC
+         ) AS rk
+  FROM e)
+SELECT src, dst FROM r WHERE rk <= 3"""
+)
+
+
 def q_wcc(spark, sf_dir):
     setup(spark, sf_dir)
     edges = pathops.edge_frame(spark.table("c_edges"), "src", "dst")
@@ -2125,6 +2149,7 @@ QUERIES = {
     "cheapest_path": q_cheapest_path,
     "pagerank": q_pagerank,
     "personalized_pagerank": q_personalized_pagerank,
+    "neighbor_sample": q_neighbor_sample,
     "wcc": q_wcc,
     "lcc": q_lcc,
     "summarize": q_summarize,
@@ -2190,6 +2215,7 @@ ORACLES = {
     "cheapest_path": O_CHEAPEST_PATH,
     "pagerank": O_PAGERANK,
     "personalized_pagerank": O_PERSONALIZED_PAGERANK,
+    "neighbor_sample": O_NEIGHBOR_SAMPLE,
     "wcc": O_WCC,
     "lcc": O_LCC,
     "summarize": O_SUMMARIZE,

@@ -194,10 +194,16 @@ class MatchCompiler:
         # reference parity: vertex labels resolve before edge labels, so an
         # unknown VERTEX label is the reported error even when an earlier
         # edge label in the same pattern is also unknown
-        # (create_or_replace_pg.test:24-27 expects 'University', not 'workAt')
+        # (create_or_replace_pg.test:24-27 expects 'University', not 'workAt').
+        # Reused bindings are skipped: `(a:Person)-..->(a)` parses the second
+        # `(a)` with label == binding, and _bind_vertex ignores the label on
+        # the reuse path — pre-resolving it would reject a legal closure.
+        seen = set(self.bound)
         for v in elems[0::2]:
-            if isinstance(v, VertexElement) and v.label is not None:
-                self.pg.table_for_label(v.label)
+            if isinstance(v, VertexElement):
+                if v.label is not None and v.binding not in seen:
+                    self.pg.table_for_label(v.label)
+                seen.add(v.binding)
         self._bind_vertex(elems[0])
         for i in range(1, len(elems), 2):
             edge, nxt = elems[i], elems[i + 1]

@@ -319,3 +319,29 @@ def test_summarize_snb_reference_golden(spark):
                             (75, "q75_in_degree", "q75_out_degree")]:
         assert k[col_i] == pytest.approx(np.percentile(in_occ, q)), col_i
         assert k[col_o] == pytest.approx(np.percentile(out_occ, q)), col_o
+
+
+def test_neighbor_sample_cap_nested_deterministic(spark):
+    from pyspark.sql import functions as F
+    from duckpgq_extension_spark.algorithms import neighbor_sample
+
+    # vertex 0 is a hub with 10 out-edges; 1 has a single edge
+    edges = spark.createDataFrame(
+        [(0, d) for d in range(10, 20)] + [(1, 5)], "src long, dst long"
+    )
+    k2 = neighbor_sample(edges, k=2, salt="s")
+    per_src = {r["src"]: r["count"] for r in k2.groupBy("src").count().collect()}
+    assert per_src == {0: 2, 1: 1}  # hub capped, small vertex untouched
+
+    s2 = {tuple(r) for r in k2.collect()}
+    s5 = {tuple(r) for r in neighbor_sample(edges, k=5, salt="s").collect()}
+    assert s2 <= s5                                      # nested by k
+    assert s2 == {tuple(r) for r in neighbor_sample(edges, k=2, salt="s").collect()}
+    # by_dst caps in-degree instead
+    fan_in = spark.createDataFrame([(s, 99) for s in range(8)], "src long, dst long")
+    got = neighbor_sample(fan_in, k=3, by_dst=True)
+    assert got.count() == 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        neighbor_sample(edges, k=0)

@@ -143,10 +143,15 @@ def test_composite_arity_mismatch_rejected(spark, ck_pg):
 
 
 def test_composite_summarize(ck_pg):
-    row = ck_pg.summarize_property_graph("ck_pg").collect()[0]
-    assert row.vertex_count == 3 and row.edge_count == 3
-    assert row.isolated_vertices == 0
-    assert row.out_degree_avg == 1.0
+    rows_ = ck_pg.summarize_property_graph("ck_pg").collect()
+    vrow = next(r for r in rows_ if r.is_vertex_table)
+    erow = next(r for r in rows_ if not r.is_vertex_table)
+    assert vrow.vertex_count == 3 and erow.edge_count == 3
+    assert erow.isolated_sources == 0 and erow.isolated_destinations == 0
+    # reference parity: degree stats use the FIRST fk column only
+    # (summarize_property_graph.cpp:72 index [0]); sg values over the
+    # cycle's edges are [1, 1, 2] -> occurrences {1: 2, 2: 1}
+    assert erow.avg_out_degree == pytest.approx(1.5)
 
 
 def test_mixed_numeric_key_types_hash_alike(spark):

@@ -48,6 +48,10 @@ AUDITED = [
     "simhash",
     "embedding_clusters",
     "ann_lsh",
+    "neighbor_sample",
+    "contamination",
+    "stratified_sample",
+    "vocab_stats",
 ]
 
 # row-at-a-time Python evaluation; Arrow-batched variants
@@ -86,3 +90,28 @@ def test_topk_uses_window_group_limit(spark):
     df = EQ.QUERIES["topk_per_group"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark n-gram side must broadcast: the corpus side of the
+    semi-join is the 100 TB side and may not shuffle on gram hash."""
+    df = EQ.QUERIES["contamination"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan[:2000]
+
+
+def test_stratified_sample_pushes_filter(spark):
+    """stratified_sample is a pure filter expression — no join, no
+    shuffle (Exchange) anywhere in its plan."""
+    df = EQ.QUERIES["stratified_sample"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan[:2000]
+
+
+def test_neighbor_sample_single_window_no_join(spark):
+    """neighbor_sample is one window over one shuffle on the group key —
+    any Join in the plan means the hash-rank was implemented wrong."""
+    df = EQ.QUERIES["neighbor_sample"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan[:2000]
+    assert "RunningWindowFunction" in plan or "Window" in plan, plan[:2000]

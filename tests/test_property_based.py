@@ -115,3 +115,52 @@ def test_statement_parser_total(s):
         Parser(s).parse_statement()
     except (PGQParseError, PGQNotImplementedError, PGQConstraintError):
         pass
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_dedup_clusters_equals_union_find(spark, pairs):
+    """dedup_clusters over an arbitrary injected pair graph always equals a
+    plain union-find closure: same membership, canonical = min member,
+    cluster_size = component size, singletons absent."""
+    from duckpgq_extension_spark.operators.dedup import dedup_clusters
+
+    # union-find reference
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for a, b in pairs:
+        union(a, b)
+    comp = {}
+    for v in list(parent):
+        comp.setdefault(find(v), set()).add(v)
+    want = {}
+    for members in comp.values():
+        if len(members) >= 2:
+            mn = min(members)
+            for v in members:
+                want[v] = (mn, len(members))
+
+    ids = sorted({x for p in pairs for x in p})
+    docs = spark.createDataFrame([(i, f"d{i}") for i in ids], "doc_id long, text string")
+    pdf = spark.createDataFrame([(a, b) for a, b in pairs], "id_a long, id_b long")
+    got = {r["doc_id"]: (r["canonical_id"], r["cluster_size"])
+           for r in dedup_clusters(docs, "doc_id", "text", pairs=pdf).collect()}
+    assert got == want

@@ -122,8 +122,10 @@ def test_quoted_pagerank(quoted_pg):
 
 
 def test_quoted_summarize(quoted_pg):
-    row = quoted_pg.summarize_property_graph("pg_quoted").collect()[0]
-    assert row.edge_count == 3 and row.vertex_count == 3
+    rows_ = quoted_pg.summarize_property_graph("pg_quoted").collect()
+    vrow = next(r for r in rows_ if r.is_vertex_table)
+    erow = next(r for r in rows_ if not r.is_vertex_table)
+    assert vrow.vertex_count == 3 and erow.edge_count == 3
 
 
 def test_quoted_where_and_unaliased(quoted_pg):
