@@ -205,3 +205,23 @@ def test_ctas_over_graph_table(pgq, spark):
         """
     )
     assert spark.table("knows_pairs").count() == 8
+
+
+def test_graph_table_under_insert_into(spark, pgq):
+    """GRAPH_TABLE inside INSERT INTO ... SELECT (copy_to_duckpgq.test:69-77
+    inserts a GRAPH_TABLE result into an existing table) and the IS-label
+    spelling through the SQL frontend."""
+    spark.sql("DROP TABLE IF EXISTS ins_result_t")
+    spark.sql("CREATE TABLE ins_result_t (an STRING, bn STRING) USING parquet")
+    try:
+        pgq.sql(
+            """INSERT INTO ins_result_t
+               SELECT * FROM GRAPH_TABLE (pg
+                 MATCH (a IS Person)-[k is Knows]->(b is Person)
+                 WHERE a.name = 'Daniel'
+                 COLUMNS (a.name AS an, b.name AS bn)) t"""
+        )
+        got = sorted(map(tuple, spark.table("ins_result_t").collect()))
+        assert got == [("Daniel", "Gabor"), ("Daniel", "Peter"), ("Daniel", "Tavneet")]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ins_result_t")
