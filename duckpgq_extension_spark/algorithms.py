@@ -40,6 +40,7 @@ def pagerank(
     max_iter: int = 100,
     phantom_vertices: int = 0,
     sources: DataFrame | None = None,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank over (src, dst) edges for vertex ids in `vertices(vid)`.
 
@@ -58,6 +59,14 @@ def pagerank(
     all vertices, so ranks measure proximity to the sources (the random
     walker restarts there).  Same per-iteration plan: the reset vector
     rides inside the ranks frame next to out_deg, zero extra joins.
+
+    `weight_col` (beyond-reference): an edge-weight column name turns the
+    walk into WEIGHTED PageRank — a vertex's rank is split across its
+    out-edges proportionally to weight (share = rank * w / sum_w(src))
+    instead of uniformly.  Zero/negative total weight at a vertex makes
+    it dangling, like a vertex with no out-edges.  Identical plan shape:
+    out_deg simply becomes the weight sum and each edge carries its
+    weight into the contribution join.
     """
     if sources is not None and phantom_vertices:
         raise ValueError("phantom_vertices is a reference-parity mode; "
@@ -76,8 +85,22 @@ def pagerank(
         return vertices.withColumn("pagerank", F.lit(0.0))
     sc = edges.sparkSession.sparkContext
     parts = sc.defaultParallelism
-    edges = edges.select("src", "dst").repartition(parts, "src").persist()
-    out_deg = edges.groupBy("src").agg(F.count("*").alias("out_deg"))
+    if weight_col is None:
+        edges = edges.select("src", "dst", F.lit(1.0).alias("__w"))
+    else:
+        edges = edges.select(
+            "src", "dst", F.col(weight_col).cast("double").alias("__w")
+        )
+    edges = edges.repartition(parts, "src").persist()
+    # uniform walk: out_deg = edge count; weighted walk: out_deg = sum of
+    # weights (NULLed when <= 0, which makes the vertex dangling below)
+    out_deg = (
+        edges.groupBy("src")
+        .agg(F.sum("__w").alias("out_deg"))
+        .withColumn(
+            "out_deg", F.when(F.col("out_deg") > 0, F.col("out_deg"))
+        )
+    )
 
     # out_deg (and the teleport/reset weight) ride INSIDE the ranks frame
     # (static per vertex), so each iteration needs no ranks-to-degree or
@@ -121,7 +144,7 @@ def pagerank(
                 shares.alias("s")
                 .join(edges.alias("e"), F.col("s.vid") == F.col("e.src"))
                 .groupBy(F.col("e.dst").alias("vid"))
-                .agg(F.sum("share").alias("in_mass"))
+                .agg(F.sum(F.col("share") * F.col("e.__w")).alias("in_mass"))
             )
             # join the OLD ranks (one row per vid, phantoms included) rather
             # than the vertex list, so the convergence delta is computable

@@ -761,6 +761,50 @@ def _ppr_oracle(iters: int = 10) -> str:
 O_PERSONALIZED_PAGERANK = _ppr_oracle(10)
 
 
+def q_weighted_pagerank(spark, sf_dir):
+    """Weighted PageRank (beyond-reference): rank splits across out-edges
+    proportional to the edge weight `w` instead of uniformly.  Fixed 10
+    iterations for the unrolled-CTE oracle."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    vertices = spark.table("customer").select(F.col("c_custkey").cast("long"))
+    ranks = algorithms.pagerank(
+        edges, vertices, tol=0.0, max_iter=10, weight_col="w"
+    )
+    return ranks.select("vid", F.round("pagerank", 6).alias("wpr"))
+
+
+def _wpr_oracle(iters: int = 10) -> str:
+    parts = [
+        "verts AS (SELECT c_custkey AS vid FROM customer)",
+        "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM customer)",
+        "odeg AS MATERIALIZED (SELECT src, CAST(SUM(w) AS DOUBLE) AS cnt FROM e GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT vid, 1.0 / n.n AS rank FROM verts CROSS JOIN n)",
+    ]
+    for i in range(1, iters + 1):
+        p, c = f"r{i - 1}", f"r{i}"
+        # MATERIALIZED: see _pagerank_oracle -- inlining doubles per iteration
+        parts.append(
+            f"""{c} AS MATERIALIZED (
+              SELECT v.vid,
+                     0.15 / n.n + 0.85 * (COALESCE(m.mass, 0) + d.dang / n.n) AS rank
+              FROM verts v
+              CROSS JOIN n
+              CROSS JOIN (SELECT COALESCE(SUM({p}.rank), 0) AS dang
+                          FROM {p} LEFT JOIN odeg ON {p}.vid = odeg.src
+                          WHERE odeg.src IS NULL) d
+              LEFT JOIN (SELECT e.dst AS vid, SUM({p}.rank * e.w / odeg.cnt) AS mass
+                         FROM {p} JOIN odeg ON odeg.src = {p}.vid
+                         JOIN e ON e.src = {p}.vid GROUP BY e.dst) m
+                ON m.vid = v.vid)"""
+        )
+    body = ",\n".join(parts)
+    return f"WITH e AS ({EDGES_SQL}),\n{body}\nSELECT vid, ROUND(rank, 6) AS wpr FROM r{iters}"
+
+
+O_WEIGHTED_PAGERANK = _wpr_oracle(10)
+
+
 def q_neighbor_sample(spark, sf_dir):
     """Deterministic GraphSAGE-style neighborhood sampling
     (algorithms.neighbor_sample): at most 3 out-edges per vertex chosen
@@ -2150,6 +2194,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "personalized_pagerank": q_personalized_pagerank,
     "neighbor_sample": q_neighbor_sample,
+    "weighted_pagerank": q_weighted_pagerank,
     "wcc": q_wcc,
     "lcc": q_lcc,
     "summarize": q_summarize,
@@ -2216,6 +2261,7 @@ ORACLES = {
     "pagerank": O_PAGERANK,
     "personalized_pagerank": O_PERSONALIZED_PAGERANK,
     "neighbor_sample": O_NEIGHBOR_SAMPLE,
+    "weighted_pagerank": O_WEIGHTED_PAGERANK,
     "wcc": O_WCC,
     "lcc": O_LCC,
     "summarize": O_SUMMARIZE,

@@ -345,3 +345,49 @@ def test_neighbor_sample_cap_nested_deterministic(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         neighbor_sample(edges, k=0)
+
+
+def test_weighted_pagerank_numpy_golden(spark):
+    """Weighted PageRank vs numpy power iteration: rank splits across
+    out-edges proportional to weight; vertex 0 favors 2 (weight 9) over
+    1 (weight 1)."""
+    import numpy as np
+    from duckpgq_extension_spark.algorithms import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1, 1.0), (0, 2, 9.0), (1, 0, 1.0), (2, 0, 1.0)],
+        "src long, dst long, w double",
+    )
+    vertices = spark.createDataFrame([(i,) for i in range(3)], "vid long")
+    got = {
+        r["vid"]: r["pagerank"]
+        for r in pagerank(edges, vertices, tol=0.0, max_iter=12, weight_col="w").collect()
+    }
+    n = 3
+    W = np.zeros((n, n))
+    for s, d, w in [(0, 1, 1.0), (0, 2, 9.0), (1, 0, 1.0), (2, 0, 1.0)]:
+        W[s, d] = w
+    r = np.full(n, 1.0 / n)
+    for _ in range(12):
+        shares = np.divide(r, W.sum(axis=1), out=np.zeros(n), where=W.sum(axis=1) > 0)
+        mass = W.T @ shares
+        dang = r[W.sum(axis=1) == 0].sum()
+        r = 0.15 / n + 0.85 * (mass + dang / n)
+    for i in range(n):
+        assert got[i] == pytest.approx(r[i], abs=1e-12), i
+    assert got[2] > got[1]  # the heavy edge wins
+
+
+def test_weighted_pagerank_zero_weight_is_dangling(spark):
+    """A vertex whose out-weights sum to zero behaves like a dangling
+    vertex (its mass spreads uniformly) instead of dividing by zero."""
+    from duckpgq_extension_spark.algorithms import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1, 0.0), (1, 0, 1.0)], "src long, dst long, w double"
+    )
+    vertices = spark.createDataFrame([(0,), (1,)], "vid long")
+    got = {r["vid"]: r["pagerank"]
+           for r in pagerank(edges, vertices, tol=0.0, max_iter=8, weight_col="w").collect()}
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    assert all(v > 0 for v in got.values())
