@@ -421,3 +421,48 @@ def neighbor_sample(
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def k_core(edges: DataFrame, vertices: DataFrame, k: int) -> DataFrame:
+    """The k-core: the maximal vertex set in which every member has >= k
+    distinct neighbors inside the set (undirected, self-loops dropped).
+    Classic peeling: repeatedly remove vertices of degree < k until a
+    fixpoint — the result is unique regardless of removal order, so the
+    output is deterministic.
+
+    Returns a one-column (vid) DataFrame.  Used for community scaffolding
+    and as a denoising filter before expensive per-vertex work (a vertex
+    outside the 2-core can't be in any triangle, etc.).
+
+    Scale design: the doubled adjacency is built once (checkpointed,
+    partitioned by src); each peeling round is one semi-join of the
+    adjacency against the surviving set + one groupBy count — the same
+    one-job-per-round shape as WCC, with the survivor-count change
+    observed during the checkpoint job.  Rounds are bounded by the
+    peeling depth (<= max degeneracy ordering depth, typically tens even
+    on web graphs).
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    und = pathops.materialize(_doubled_neighbors(edges))
+    alive = pathops.materialize(vertices.toDF("vid").distinct())
+    n_alive = alive.count()
+    while True:
+        survivors = (
+            und.join(alive.withColumnRenamed("vid", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+            .groupBy("src")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select(F.col("src").alias("vid"))
+        )
+        obs = Observation(f"__pgq_kcore_{next(pathops._obs_seq)}")
+        alive = pathops.materialize(
+            survivors.observe(obs, F.count("*").alias("n"))
+        )
+        n_new = obs.get["n"] or 0
+        if n_new == n_alive:
+            return alive
+        if n_new == 0:
+            return alive
+        n_alive = n_new

@@ -805,6 +805,41 @@ def _wpr_oracle(iters: int = 10) -> str:
 O_WEIGHTED_PAGERANK = _wpr_oracle(10)
 
 
+def q_k_core(spark, sf_dir):
+    """k-core decomposition (algorithms.k_core, beyond-reference):
+    vertices of the 15-core of the follows graph.  The oracle unrolls 14
+    peeling rounds — the sf0.01 graph reaches its fixpoint in 7 (and
+    peeling is idempotent at the fixpoint, so extra rounds are safe)."""
+    setup(spark, sf_dir)
+    edges = pathops.edge_frame(spark.table("c_edges"), "src", "dst")
+    vertices = spark.table("customer").select(F.col("c_custkey").cast("long"))
+    return algorithms.k_core(edges, vertices, k=15)
+
+
+def _k_core_oracle(k: int = 15, rounds: int = 14) -> str:
+    parts = [
+        """und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e WHERE src <> dst
+    UNION ALL SELECT dst, src FROM e WHERE src <> dst))""",
+        "v0 AS (SELECT c_custkey AS vid FROM customer)",
+    ]
+    for i in range(1, rounds + 1):
+        p, c = f"v{i - 1}", f"v{i}"
+        parts.append(
+            f"""{c} AS MATERIALIZED (
+  SELECT u.src AS vid FROM und u
+  JOIN {p} x ON u.src = x.vid
+  JOIN {p} y ON u.dst = y.vid
+  GROUP BY u.src HAVING count(*) >= {k})"""
+        )
+    body = ",\n".join(parts)
+    return f"WITH e AS ({EDGES_SQL}),\n{body}\nSELECT vid FROM v{rounds}"
+
+
+O_K_CORE = _k_core_oracle()
+
+
 def q_neighbor_sample(spark, sf_dir):
     """Deterministic GraphSAGE-style neighborhood sampling
     (algorithms.neighbor_sample): at most 3 out-edges per vertex chosen
@@ -2194,6 +2229,7 @@ QUERIES = {
     "pagerank": q_pagerank,
     "personalized_pagerank": q_personalized_pagerank,
     "neighbor_sample": q_neighbor_sample,
+    "k_core": q_k_core,
     "weighted_pagerank": q_weighted_pagerank,
     "wcc": q_wcc,
     "lcc": q_lcc,
@@ -2261,6 +2297,7 @@ ORACLES = {
     "pagerank": O_PAGERANK,
     "personalized_pagerank": O_PERSONALIZED_PAGERANK,
     "neighbor_sample": O_NEIGHBOR_SAMPLE,
+    "k_core": O_K_CORE,
     "weighted_pagerank": O_WEIGHTED_PAGERANK,
     "wcc": O_WCC,
     "lcc": O_LCC,

@@ -391,3 +391,25 @@ def test_weighted_pagerank_zero_weight_is_dangling(spark):
            for r in pagerank(edges, vertices, tol=0.0, max_iter=8, weight_col="w").collect()}
     assert abs(sum(got.values()) - 1.0) < 1e-9
     assert all(v > 0 for v in got.values())
+
+
+def test_k_core_peels_tail(spark):
+    """A triangle with a pendant chain: the 2-core is exactly the
+    triangle — removing the leaf cascades down the chain (the order-free
+    fixpoint a single-pass degree filter would miss)."""
+    from pyspark.sql import functions as F
+    from duckpgq_extension_spark.algorithms import k_core
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)], "src long, dst long"
+    )
+    vertices = spark.range(0, 6).select(F.col("id").alias("vid"))  # 5 isolated
+    core2 = sorted(r["vid"] for r in k_core(edges, vertices, k=2).collect())
+    assert core2 == [0, 1, 2]
+    core1 = sorted(r["vid"] for r in k_core(edges, vertices, k=1).collect())
+    assert core1 == [0, 1, 2, 3, 4]          # isolated 5 drops at k=1
+    assert k_core(edges, vertices, k=3).count() == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        k_core(edges, vertices, k=0)
