@@ -310,6 +310,19 @@ class PGQSession:
             ),
         )
 
+    def k_core(
+        self, graph: str, vertex_label: str, edge_label: str, k: int
+    ) -> DataFrame:
+        """(pk...) — the vertices of the undirected k-core
+        (beyond-reference; algorithms.k_core peeling to the unique
+        fixpoint).  Same surrogate-key routing as the other whole-graph
+        algorithms, so composite/string keys work."""
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        core = algorithms.k_core(edges, vertices, k)
+        return vdf.join(core, vkey == core["vid"]).select(*[vdf[c] for c in pks])
+
     # -- introspection ---------------------------------------------------
     def describe_property_graph(self, graph: str) -> DataFrame:
         """One row per registered table with the reference's exact

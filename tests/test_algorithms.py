@@ -413,3 +413,13 @@ def test_k_core_peels_tail(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         k_core(edges, vertices, k=0)
+
+
+def test_k_core_session_wrapper(pgq):
+    """PGQSession.k_core routes through the graph catalog like the other
+    whole-graph algorithms.  F1 know graph (undirected view): every
+    student has >= 2 distinct neighbors except none — 5-cycle-ish; k=5
+    empties it."""
+    got = sorted(r[0] for r in pgq.k_core("pg", "Person", "Knows", k=2).collect())
+    assert got == [0, 1, 2, 3]  # student 4 has only neighbor 3
+    assert pgq.k_core("pg", "Person", "Knows", k=5).count() == 0
