@@ -1748,6 +1748,37 @@ FROM per_doc GROUP BY token
 """
 
 
+def q_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (operators/corpus.tfidf):
+    tf * ln(N/df) over whitespace tokens, WindowGroupLimit top-n,
+    deterministic token tie-break; scores rounded to 6 for the
+    cross-engine hash."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    out = corpus.tfidf(docs, "doc_id", "text", top_n=3)
+    return out.select("doc_id", "token", "tf", F.round("tfidf", 6).alias("tfidf"))
+
+
+O_TFIDF = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, u.token FROM toks, UNNEST(t) AS u(token)),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.token, tf.tf, tf.tf * ln(n.n / dfq.dfreq) AS score
+  FROM tf CROSS JOIN n JOIN dfq USING (token)
+),
+r AS (
+  SELECT doc_id, token, tf, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token ASC) AS rk
+  FROM sc
+)
+SELECT doc_id, token, tf, ROUND(score, 6) AS tfidf FROM r WHERE rk <= 3
+"""
+
+
 def q_dedup_fingerprint(spark, sf_dir):
     setup(spark, sf_dir)
     docs = spark.table("documents").withColumn("__toks", TX.tokens(F.col("text")))
@@ -2245,6 +2276,7 @@ QUERIES = {
     "det_sample": q_det_sample,
     "stratified_sample": q_stratified_sample,
     "vocab_stats": q_vocab_stats,
+    "tfidf": q_tfidf,
     "pack_sequences": q_pack_sequences,
     "interval_join": q_interval_join,
     "window_running_sum": q_window_running_sum,
@@ -2313,6 +2345,7 @@ ORACLES = {
     "det_sample": O_DET_SAMPLE,
     "stratified_sample": O_STRATIFIED_SAMPLE,
     "vocab_stats": O_VOCAB_STATS,
+    "tfidf": O_TFIDF,
     "pack_sequences": O_PACK_SEQUENCES,
     "interval_join": O_INTERVAL_JOIN,
     "window_running_sum": O_WINDOW_RUNNING_SUM,

@@ -279,3 +279,57 @@ def stratified_sample(
     for v, r in rates.items():
         thr = F.when(F.col(strata_col) == F.lit(v), F.lit(int(r * buckets))).otherwise(thr)
     return df.where(b < thr)
+
+
+def tfidf(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_n: int | None = None,
+) -> DataFrame:
+    """TF-IDF scores per (document, token): tf * ln(N / doc_freq) over
+    whitespace tokens — the classic relevance weighting used for
+    keyword extraction, sparse retrieval baselines, and corpus quality
+    signals.
+
+    Returns (doc_id, token, tf, tfidf); with `top_n`, only each
+    document's top-n terms (ties broken by token text, deterministic).
+
+    Scale design: term frequencies aggregate on (doc, token) with
+    map-side combine; document frequencies derive from that frame with
+    one more vocab-sized aggregation that joins back broadcast (a vocab
+    is millions of rows where the corpus is billions).  The corpus count
+    N is a single count() action, like the vertex count in pagerank.
+    With top_n the rank filter compiles to WindowGroupLimit — partial
+    top-n before the full per-document sort.
+    """
+    from ..functions.text import tokens
+
+    n_docs = df.count()
+    tf = (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
+    out = tf.join(F.broadcast(dfreq), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        (F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("dfreq"))).alias("tfidf"),
+    )
+    if top_n is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("doc_id").orderBy(
+            F.col("tfidf").desc(), F.col("token").asc()
+        )
+        out = (
+            out.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= top_n)
+            .drop("__rk")
+        )
+    return out

@@ -173,3 +173,22 @@ def test_stratified_sample_nested_and_exact(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         stratified_sample(df, "k", "s", {"a": 1.5})
+
+
+def test_tfidf_golden(spark):
+    """Hand-computed tf-idf: 'cat' appears in 1 of 2 docs (idf = ln 2),
+    'the' in both (idf = 0).  top_n keeps the informative term."""
+    import math
+    from duckpgq_extension_spark.operators.corpus import tfidf
+
+    docs = spark.createDataFrame(
+        [(0, "the cat the cat"), (1, "the dog")], "doc_id long, text string"
+    )
+    got = {(r["doc_id"], r["token"]): (r["tf"], r["tfidf"])
+           for r in tfidf(docs, "doc_id", "text").collect()}
+    assert got[(0, "cat")] == (2, pytest.approx(2 * math.log(2)))
+    assert got[(0, "the")] == (2, pytest.approx(0.0))
+    assert got[(1, "dog")] == (1, pytest.approx(math.log(2)))
+
+    top = tfidf(docs, "doc_id", "text", top_n=1)
+    assert {(r["doc_id"], r["token"]) for r in top.collect()} == {(0, "cat"), (1, "dog")}

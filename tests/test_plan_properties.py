@@ -115,3 +115,12 @@ def test_neighbor_sample_single_window_no_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan[:2000]
     assert "RunningWindowFunction" in plan or "Window" in plan, plan[:2000]
+
+
+def test_tfidf_topn_plan(spark):
+    """tfidf(top_n): document-frequency side broadcast back onto the tf
+    frame, and the per-document top-n compiles to WindowGroupLimit."""
+    df = EQ.QUERIES["tfidf"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "WindowGroupLimit" in plan, plan[:2000]
