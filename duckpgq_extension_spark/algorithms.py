@@ -109,17 +109,23 @@ def pagerank(
     if sources is None:
         with_reset = vertices.select("vid", F.lit(1.0 / n).alias("reset"))
     else:
-        src_set = sources.toDF("vid").distinct()
+        # restrict to the vertex domain FIRST: out-of-set source ids must
+        # not dilute the teleport weight (a fully out-of-set source list
+        # would otherwise produce silent all-zero ranks)
+        src_set = sources.toDF("vid").distinct().join(vertices, "vid", "left_semi")
         n_src = src_set.count()
         if n_src == 0:
-            raise ValueError("personalized pagerank needs a non-empty source set")
+            raise ValueError(
+                "personalized pagerank needs a non-empty source set that "
+                "intersects the vertex set"
+            )
         with_reset = (
-            vertices.alias("v")
-            .join(src_set.alias("s"), "vid", "left_semi")
-            .select("vid", F.lit(1.0 / n_src).alias("reset"))
-            .unionByName(
-                vertices.join(src_set, "vid", "left_anti")
-                .select("vid", F.lit(0.0).alias("reset"))
+            vertices.join(src_set.withColumn("__s", F.lit(1)), "vid", "left")
+            .select(
+                "vid",
+                F.when(F.col("__s").isNotNull(), F.lit(1.0 / n_src))
+                .otherwise(F.lit(0.0))
+                .alias("reset"),
             )
         )
     ranks = pathops.materialize(

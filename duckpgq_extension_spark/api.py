@@ -207,7 +207,12 @@ class PGQSession:
 
     # -- algorithm table functions --------------------------------------
     def _graph_frames(
-        self, graph: str, vertex_label: str, edge_label: str, undirected: bool
+        self,
+        graph: str,
+        vertex_label: str,
+        edge_label: str,
+        undirected: bool,
+        weight_col: str | None = None,
     ):
         pg = self.catalog.get(graph)
         vt = pg.table_for_label(vertex_label, kind="vertex")
@@ -264,17 +269,56 @@ class PGQSession:
             )
             pathops.require_integral_keys(vdf, pks, f"vertex table '{vt.table_name}'")
             vkey = F.col(pks[0]).cast("long")
-        edges = pathops.edge_frame(edf, src_c, dst_c, undirected=undirected)
+        if weight_col is not None and weight_col not in edf.columns:
+            raise PGQBinderError(
+                f"Weight column '{weight_col}' does not exist on edge table "
+                f"'{et.table_name}' (columns: {edf.columns})"
+            )
+        edges = pathops.edge_frame(
+            edf, src_c, dst_c, undirected=undirected, weight_col=weight_col
+        )
         vertices = vdf.select(vkey)
         return pg, vt, et, pks, vdf, vkey, vertices, edges
 
-    def pagerank(self, graph: str, vertex_label: str, edge_label: str, **kw) -> DataFrame:
+    def pagerank(
+        self,
+        graph: str,
+        vertex_label: str,
+        edge_label: str,
+        weight_col: str | None = None,
+        sources: DataFrame | None = None,
+        **kw,
+    ) -> DataFrame:
         """(pk, pagerank) — directed graph, like the reference table function
-        (src/core/functions/table/pagerank.cpp:10-23)."""
+        (src/core/functions/table/pagerank.cpp:10-23).
+
+        `weight_col` names a column ON THE EDGE TABLE (weighted walk);
+        `sources` is a DataFrame whose columns positionally match the
+        vertex key columns (personalized walk) — key values are routed
+        through the same integral-cast / surrogate-hash translation as
+        the graph itself, so string/composite-key graphs work."""
         _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
-            graph, vertex_label, edge_label, undirected=False
+            graph, vertex_label, edge_label, undirected=False, weight_col=weight_col
         )
-        ranks = algorithms.pagerank(edges, vertices, **kw)
+        if sources is not None:
+            scols = sources.columns
+            if len(scols) != len(pks):
+                raise PGQBinderError(
+                    f"sources must have {len(pks)} column(s) matching the "
+                    f"vertex key {pks}, got {scols}"
+                )
+            cond = None
+            for pk_c, s_c in zip(pks, scols):
+                eq = vdf[pk_c] == sources[s_c]
+                cond = eq if cond is None else cond & eq
+            sources = vdf.join(sources, cond, "left_semi").select(vkey.alias("vid"))
+        ranks = algorithms.pagerank(
+            edges,
+            vertices,
+            sources=sources,
+            weight_col="weight" if weight_col is not None else None,
+            **kw,
+        )
         return vdf.join(ranks, vkey == ranks["vid"]).select(
             *[vdf[c] for c in pks], F.col("pagerank")
         )

@@ -778,7 +778,10 @@ def _wpr_oracle(iters: int = 10) -> str:
     parts = [
         "verts AS (SELECT c_custkey AS vid FROM customer)",
         "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM customer)",
-        "odeg AS MATERIALIZED (SELECT src, CAST(SUM(w) AS DOUBLE) AS cnt FROM e GROUP BY src)",
+        # cnt NULL when the weight sum is <= 0 — such vertices are DANGLING
+        # in the implementation (algorithms.pagerank NULLs out_deg), so the
+        # oracle's dangling test below is cnt IS NULL, never a divide-by-zero
+        "odeg AS MATERIALIZED (SELECT src, CASE WHEN SUM(w) > 0 THEN CAST(SUM(w) AS DOUBLE) END AS cnt FROM e GROUP BY src)",
         "r0 AS MATERIALIZED (SELECT vid, 1.0 / n.n AS rank FROM verts CROSS JOIN n)",
     ]
     for i in range(1, iters + 1):
@@ -791,10 +794,11 @@ def _wpr_oracle(iters: int = 10) -> str:
               FROM verts v
               CROSS JOIN n
               CROSS JOIN (SELECT COALESCE(SUM({p}.rank), 0) AS dang
-                          FROM {p} LEFT JOIN odeg ON {p}.vid = odeg.src
+                          FROM {p} LEFT JOIN odeg
+                            ON {p}.vid = odeg.src AND odeg.cnt IS NOT NULL
                           WHERE odeg.src IS NULL) d
               LEFT JOIN (SELECT e.dst AS vid, SUM({p}.rank * e.w / odeg.cnt) AS mass
-                         FROM {p} JOIN odeg ON odeg.src = {p}.vid
+                         FROM {p} JOIN odeg ON odeg.src = {p}.vid AND odeg.cnt IS NOT NULL
                          JOIN e ON e.src = {p}.vid GROUP BY e.dst) m
                 ON m.vid = v.vid)"""
         )
@@ -807,16 +811,19 @@ O_WEIGHTED_PAGERANK = _wpr_oracle(10)
 
 def q_k_core(spark, sf_dir):
     """k-core decomposition (algorithms.k_core, beyond-reference):
-    vertices of the 15-core of the follows graph.  The oracle unrolls 14
-    peeling rounds — the sf0.01 graph reaches its fixpoint in 7 (and
-    peeling is idempotent at the fixpoint, so extra rounds are safe)."""
+    vertices of the 15-core of the follows graph.  The oracle unrolls 30
+    peeling rounds — the sf0.01 correctness graph reaches its fixpoint in
+    7, peeling is idempotent at the fixpoint, and extra MATERIALIZED
+    rounds over a converged set are near-free; the margin guards against
+    a deeper pendant cascade if the driver ever compares at another
+    scale."""
     setup(spark, sf_dir)
     edges = pathops.edge_frame(spark.table("c_edges"), "src", "dst")
     vertices = spark.table("customer").select(F.col("c_custkey").cast("long"))
     return algorithms.k_core(edges, vertices, k=15)
 
 
-def _k_core_oracle(k: int = 15, rounds: int = 14) -> str:
+def _k_core_oracle(k: int = 15, rounds: int = 30) -> str:
     parts = [
         """und AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (

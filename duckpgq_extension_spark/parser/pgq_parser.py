@@ -432,7 +432,9 @@ class Parser:
         label = None
         where = None
         if self.peek() is not None and self.peek().kind in ("ident", "qident"):
-            if not self.is_kw("WHERE"):
+            # WHERE starts the filter; IS starts an anonymous `(IS label)`
+            # element — neither can be consumed as the binding
+            if not self.is_kw("WHERE") and not self.is_kw("IS"):
                 binding = self.ident()
         # `:label` or the SQL/PGQ-standard `IS label` spelling
         # (copy_to_duckpgq.test:57 uses `(a is person ...)`)
@@ -478,7 +480,7 @@ class Parser:
                     "anonymous edge or name/label the edge inside [...]"
                 )
             if self.peek() is not None and self.peek().kind in ("ident", "qident"):
-                if not self.is_kw("WHERE"):
+                if not self.is_kw("WHERE") and not self.is_kw("IS"):
                     binding = self.ident()
             if self.match_op(":"):
                 label = self.ident()

@@ -100,6 +100,19 @@ def import_property_graph(
         )
     spark: SparkSession = session.spark
     if register_views:
+        # qualified names flatten to their last identifier for the temp
+        # views; two distinct tables sharing that segment would silently
+        # shadow each other (last write wins) — refuse instead
+        flat_names: dict[str, str] = {}
+        for t in meta["table_dirs"]:
+            v = t.split(".")[-1].lower()
+            if v in flat_names and flat_names[v] != t:
+                raise PGQBinderError(
+                    f"Cannot import: tables '{flat_names[v]}' and '{t}' both "
+                    f"flatten to view '{v}'; import with register_views=False "
+                    "and register disambiguated views yourself"
+                )
+            flat_names[v] = t
         for t, d in meta["table_dirs"].items():
             df = spark.read.parquet(os.path.join(path, d))
             # qualified source names land in a flat temp view named by the

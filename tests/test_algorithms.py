@@ -423,3 +423,44 @@ def test_k_core_session_wrapper(pgq):
     got = sorted(r[0] for r in pgq.k_core("pg", "Person", "Knows", k=2).collect())
     assert got == [0, 1, 2, 3]  # student 4 has only neighbor 3
     assert pgq.k_core("pg", "Person", "Knows", k=5).count() == 0
+
+
+def test_ppr_source_validation(spark):
+    """Out-of-set sources must not silently zero the ranks: a fully
+    disjoint source set raises; a partial one renormalizes over the
+    in-set sources (ranks still sum to 1)."""
+    from duckpgq_extension_spark.algorithms import pagerank
+
+    edges = spark.createDataFrame([(0, 1), (1, 0)], "src long, dst long")
+    vertices = spark.createDataFrame([(0,), (1,)], "vid long")
+    outside = spark.createDataFrame([(99,)], "vid long")
+    with pytest.raises(ValueError, match="intersects"):
+        pagerank(edges, vertices, sources=outside)
+    mixed = spark.createDataFrame([(0,), (99,)], "vid long")
+    got = pagerank(edges, vertices, tol=0.0, max_iter=8, sources=mixed).collect()
+    assert sum(r["pagerank"] for r in got) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_wrapper_weighted_and_personalized(pgq):
+    """PGQSession.pagerank routes weight_col through the edge table and
+    translates sources from vertex-key space (F1 fixture; createDate as
+    a positive weight)."""
+    wr = pgq.pagerank("pg", "Person", "Knows", weight_col="createDate")
+    assert sum(r["pagerank"] for r in wr.collect()) == pytest.approx(1.0, abs=1e-9)
+    uw = {r[0]: r[1] for r in pgq.pagerank("pg", "Person", "Knows").collect()}
+    wd = {r[0]: r[1] for r in wr.collect()}
+    assert any(abs(uw[k] - wd[k]) > 1e-6 for k in uw)  # weights change ranks
+
+    src = pgq.spark.createDataFrame([(0,)], "id long")
+    pr = {r[0]: r[1] for r in
+          pgq.pagerank("pg", "Person", "Knows", sources=src, tol=0.0, max_iter=10).collect()}
+    assert sum(pr.values()) == pytest.approx(1.0, abs=1e-9)
+    # teleporting to 0 concentrates rank on 0's out-neighborhood
+    assert pr[4] == min(pr.values())
+
+    from duckpgq_extension_spark.errors import PGQBinderError
+    with pytest.raises(PGQBinderError, match="Weight column"):
+        pgq.pagerank("pg", "Person", "Knows", weight_col="nope")
+    bad = pgq.spark.createDataFrame([(0, 1)], "a long, b long")
+    with pytest.raises(PGQBinderError, match="sources"):
+        pgq.pagerank("pg", "Person", "Knows", sources=bad)

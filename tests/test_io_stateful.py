@@ -221,3 +221,25 @@ def test_graph_export_import_roundtrip(spark, tmp_path):
     with pytest.raises(PGQBinderError, match="already exists"):
         import_property_graph(s2, out, name="gio2")
     import_property_graph(s2, out, name="gio2", or_replace=True)
+
+
+def test_graph_import_rejects_flattened_name_collision(spark, tmp_path):
+    """Two qualified tables sharing a final identifier would silently
+    shadow each other as temp views — import must refuse."""
+    import json
+    from duckpgq_extension_spark import PGQSession
+    from duckpgq_extension_spark.errors import PGQBinderError
+    from duckpgq_extension_spark.sources.graph_io import import_property_graph
+
+    d = tmp_path / "collide"
+    d.mkdir()
+    meta = {
+        "format_version": 1,
+        "name": "g",
+        "vertex_tables": [],
+        "edge_tables": [],
+        "table_dirs": {"cat1.db.t": "tables/t1", "cat2.db.t": "tables/t2"},
+    }
+    (d / "graph.json").write_text(json.dumps(meta))
+    with pytest.raises(PGQBinderError, match="flatten"):
+        import_property_graph(PGQSession(spark), str(d))

@@ -162,3 +162,15 @@ def test_is_label_spelling():
     assert v0.where is not None
     assert e.binding == "k" and e.label == "knows"
     assert v1.binding == "b" and v1.label == "Person"
+
+
+def test_is_label_anonymous_elements():
+    """Anonymous `(IS label)` / `-[IS label]->` forms: IS must not be
+    consumed as the binding."""
+    expr = parse_graph_table_body(
+        "pg MATCH (IS Person)-[is knows]->(b:Person) COLUMNS (b.id)"
+    )
+    v0, e, v1 = expr.patterns[0].elements
+    assert v0.anonymous and v0.label == "Person"
+    assert e.anonymous and e.label == "knows"
+    assert v1.binding == "b"
