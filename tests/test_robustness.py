@@ -123,3 +123,58 @@ def test_graph_over_replaced_view(spark):
         [Row(id=1, name="x"), Row(id=2, name="y")], "id long, name string"
     ).createOrReplaceTempView("alt_v")
     assert s.graph_table("altg MATCH (v:V) COLUMNS (v.name AS n)").count() == 2
+
+
+def test_text_pipeline_degenerate_documents(spark):
+    """NULL text, empty text, whitespace-only, single token, unicode, and
+    a repeated-token document flow through every text-pipeline operator
+    without crashing, and basic invariants hold."""
+    from pyspark.sql import functions as F
+    from duckpgq_extension_spark.operators import corpus as C, dedup as D
+    from duckpgq_extension_spark.functions import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            (0, None),
+            (1, ""),
+            (2, "   "),
+            (3, "solo"),
+            (4, "héllo wörld héllo wörld héllo"),
+            (5, "a a a a a a a a"),
+        ],
+        "doc_id long, text string",
+    )
+
+    # scalar text functions evaluate for every row (None in -> None/0 out)
+    stats = docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).alias("n_tok"),
+        TX.lang_id(F.col("text")).alias("lang"),
+        TX.quality_score(F.col("text")).alias("q"),
+    ).collect()
+    assert len(stats) == 6
+
+    # chunking drops nothing it can't window; no exceptions
+    C.chunk_documents(docs, "doc_id", "text", chunk_tokens=3, overlap=1).collect()
+
+    # vocab stats ignore NULL-text rows, count unicode tokens
+    vocab = {r["token"]: r["occurrences"]
+             for r in C.vocab_stats(docs, "doc_id", "text").collect()}
+    assert vocab.get("héllo") == 3 and vocab.get("a") == 8
+
+    # tfidf and fingerprint/minhash/simhash paths survive the degenerates
+    C.tfidf(docs, "doc_id", "text", top_n=2).collect()
+    D.minhash_lsh_pairs(docs, "doc_id", "text", n=2, num_perm=16, bands=8).collect()
+    D.simhash(docs, "doc_id", "text").collect()
+    D.dedup_clusters(docs, "doc_id", "text", n=2, num_perm=16, bands=8).collect()
+
+    # contamination against a degenerate benchmark
+    bench = spark.createDataFrame([(9, None), (10, "a a a")], "doc_id long, text string")
+    C.ngram_contamination(docs, bench, "doc_id", "text", n=2).collect()
+
+    # exact dedup treats identical NULLs/empties consistently
+    dups = D.exact_duplicates(
+        docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 100)),
+        "doc_id", "text",
+    ).collect()
+    assert all(r["n_copies"] == 2 for r in dups)
