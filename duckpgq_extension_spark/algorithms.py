@@ -472,3 +472,49 @@ def k_core(edges: DataFrame, vertices: DataFrame, k: int) -> DataFrame:
         if n_new == 0:
             return alive
         n_alive = n_new
+
+
+def sampled_neighborhood(
+    edges: DataFrame,
+    seeds: DataFrame,
+    fanouts: list[int],
+    salt: str = "",
+) -> DataFrame:
+    """Layered GraphSAGE-style neighborhood sampling: from the seed
+    vertices, keep at most fanouts[0] out-edges per vertex; from the
+    NEWLY reached vertices, fanouts[1] each; and so on — the sampled
+    computation graph a GNN trainer materializes per mini-batch, as a
+    deterministic DataFrame job.
+
+    Returns the sampled edges tagged with their layer:
+    (src, dst, layer).  Each layer uses an independent hash draw
+    (salt|layer), and already-visited vertices are not re-expanded, so
+    the result is a DAG-ish sample rooted at the seeds whose size is
+    bounded by |seeds| * prod(fanouts).
+
+    Scale design: per layer, one semi-join restricts the edge table to
+    the frontier (frontier-sized, not graph-sized), one hash-ranked
+    window caps the fan-out, and the frontier/visited sets are
+    checkpointed to truncate lineage — the BFS cost model, with the
+    window replacing the full neighbor materialization.
+    """
+    if not fanouts or any(k < 1 for k in fanouts):
+        raise ValueError("fanouts must be a non-empty list of k >= 1")
+    frontier = pathops.materialize(seeds.toDF("vid").distinct())
+    visited = frontier
+    out = None
+    for layer, k in enumerate(fanouts):
+        cand = edges.select("src", "dst").join(
+            frontier.withColumnRenamed("vid", "src"), "src", "left_semi"
+        )
+        samp = neighbor_sample(cand, k, salt=f"{salt}|{layer}").withColumn(
+            "layer", F.lit(layer)
+        )
+        out = samp if out is None else out.unionByName(samp)
+        frontier = pathops.materialize(
+            samp.select(F.col("dst").alias("vid"))
+            .distinct()
+            .join(visited, "vid", "left_anti")
+        )
+        visited = pathops.materialize(visited.unionByName(frontier))
+    return out

@@ -809,6 +809,47 @@ def _wpr_oracle(iters: int = 10) -> str:
 O_WEIGHTED_PAGERANK = _wpr_oracle(10)
 
 
+def q_sampled_neighborhood(spark, sf_dir):
+    """Two-layer GraphSAGE-style sampled neighborhood
+    (algorithms.sampled_neighborhood): fan-out 3 then 2 from every 100th
+    customer; deterministic hash draws, so the DuckDB oracle replays the
+    identical per-layer ranking."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    seeds = spark.table("customer").where(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").cast("long")
+    )
+    return algorithms.sampled_neighborhood(edges, seeds, fanouts=[3, 2], salt="sn")
+
+
+def _sn_rank(salt: str) -> str:
+    return (
+        "ROW_NUMBER() OVER (PARTITION BY e.src ORDER BY "
+        "('0x' || substr(md5(CAST(e.src AS VARCHAR) || '|' || "
+        f"CAST(e.dst AS VARCHAR) || '|{salt}'), 1, 15))::BIGINT ASC, "
+        "e.src ASC, e.dst ASC)"
+    )
+
+
+O_SAMPLED_NEIGHBORHOOD = f"""
+WITH e AS ({EDGES_SQL}),
+f0 AS (SELECT c_custkey AS vid FROM customer WHERE c_custkey % 100 = 0),
+c0 AS (
+  SELECT e.src, e.dst, {_sn_rank('sn|0')} AS rk
+  FROM e WHERE e.src IN (SELECT vid FROM f0)),
+s0 AS (SELECT src, dst, 0 AS layer FROM c0 WHERE rk <= 3),
+v1 AS (SELECT DISTINCT dst AS vid FROM s0
+       WHERE dst NOT IN (SELECT vid FROM f0)),
+c1 AS (
+  SELECT e.src, e.dst, {_sn_rank('sn|1')} AS rk
+  FROM e WHERE e.src IN (SELECT vid FROM v1)),
+s1 AS (SELECT src, dst, 1 AS layer FROM c1 WHERE rk <= 2)
+SELECT src, dst, layer FROM s0
+UNION ALL
+SELECT src, dst, layer FROM s1
+"""
+
+
 def q_k_core(spark, sf_dir):
     """k-core decomposition (algorithms.k_core, beyond-reference):
     vertices of the 15-core of the follows graph.  The oracle unrolls 30
@@ -2268,6 +2309,7 @@ QUERIES = {
     "personalized_pagerank": q_personalized_pagerank,
     "neighbor_sample": q_neighbor_sample,
     "k_core": q_k_core,
+    "sampled_neighborhood": q_sampled_neighborhood,
     "weighted_pagerank": q_weighted_pagerank,
     "wcc": q_wcc,
     "lcc": q_lcc,
@@ -2337,6 +2379,7 @@ ORACLES = {
     "personalized_pagerank": O_PERSONALIZED_PAGERANK,
     "neighbor_sample": O_NEIGHBOR_SAMPLE,
     "k_core": O_K_CORE,
+    "sampled_neighborhood": O_SAMPLED_NEIGHBORHOOD,
     "weighted_pagerank": O_WEIGHTED_PAGERANK,
     "wcc": O_WCC,
     "lcc": O_LCC,

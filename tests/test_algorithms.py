@@ -464,3 +464,33 @@ def test_pagerank_wrapper_weighted_and_personalized(pgq):
     bad = pgq.spark.createDataFrame([(0, 1)], "a long, b long")
     with pytest.raises(PGQBinderError, match="sources"):
         pgq.pagerank("pg", "Person", "Knows", sources=bad)
+
+
+def test_sampled_neighborhood_layers(spark):
+    """Layered fan-out: layer-0 edges originate at seeds only, capped at
+    fanouts[0]; layer-1 at NEWLY reached vertices only (visited are not
+    re-expanded); draws are deterministic."""
+    from pyspark.sql import functions as F
+    from duckpgq_extension_spark.algorithms import sampled_neighborhood
+
+    # seed 0 -> hub of 6; every first-layer dst fans out to 10..12
+    edges = spark.createDataFrame(
+        [(0, d) for d in range(1, 7)]
+        + [(d, t) for d in range(1, 7) for t in (10, 11, 12)]
+        + [(10, 0)],  # back-edge to a visited vertex still counts as an edge
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    got = sampled_neighborhood(edges, seeds, fanouts=[2, 1], salt="t").collect()
+    l0 = [r for r in got if r["layer"] == 0]
+    l1 = [r for r in got if r["layer"] == 1]
+    assert len(l0) == 2 and all(r["src"] == 0 for r in l0)
+    reached = {r["dst"] for r in l0}
+    assert len(l1) == len(reached) and all(r["src"] in reached for r in l1)
+
+    again = sampled_neighborhood(edges, seeds, fanouts=[2, 1], salt="t").collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sampled_neighborhood(edges, seeds, fanouts=[])
