@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "personalized_pagerank",
     "wcc",
     "lcc",
+    "k_core",
     "summarize",
     "tpch_q1",
     "topk_per_group",
@@ -49,6 +50,7 @@ BENCH_QUERIES = [
     "sessionize",
     "text_stats",
     "vocab_stats",
+    "tfidf",
     "corpus_clean",
     "chunk_docs",
     "pack_sequences",
