@@ -163,12 +163,9 @@ def main() -> None:
         spark, os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
     ).count()
     # CRITICAL: the sf0.001 warmup re-pointed every temp view at the small
-    # dataset (setup() registers views via createOrReplaceTempView and then
-    # caches per (session, sf_dir) — the cached sf_dir entry would skip
-    # re-registration).  Evict the cache entry and re-register the bench
-    # scale, or every timed query silently measures sf0.001.
-    EQ._SETUP.pop((id(spark), sf_dir), None)
-    EQ.setup(spark, sf_dir)
+    # dataset (createOrReplaceTempView); re-register the bench scale or
+    # every timed query silently measures sf0.001.
+    EQ.setup(spark, sf_dir, force=True)
     def release_blocks():
         # release the dropped query's localCheckpoint/persist blocks NOW:
         # Python gc drops the py4j handles, then a JVM gc lets Spark's

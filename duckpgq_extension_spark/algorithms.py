@@ -92,6 +92,16 @@ def pagerank(
             "src", "dst", F.col(weight_col).cast("double").alias("__w")
         )
     edges = edges.repartition(parts, "src").persist()
+    if weight_col is not None:
+        # negative per-edge weights would emit negative rank shares and
+        # silently break the probability contract — reject them loudly
+        # (one bounded probe over the persisted edge frame)
+        if edges.where(F.col("__w") < 0).limit(1).count() > 0:
+            edges.unpersist()
+            raise ValueError(
+                f"weight column '{weight_col}' contains negative values; "
+                "weighted pagerank requires non-negative edge weights"
+            )
     # uniform walk: out_deg = edge count; weighted walk: out_deg = sum of
     # weights (NULLed when <= 0, which makes the vertex dangling below)
     out_deg = (
@@ -511,6 +521,9 @@ def sampled_neighborhood(
             "layer", F.lit(layer)
         )
         out = samp if out is None else out.unionByName(samp)
+        if layer == len(fanouts) - 1:
+            break  # the last layer's frontier is never expanded — skip
+            # the two eager jobs that would build and then discard it
         frontier = pathops.materialize(
             samp.select(F.col("dst").alias("vid"))
             .distinct()

@@ -269,7 +269,9 @@ class PGQSession:
             )
             pathops.require_integral_keys(vdf, pks, f"vertex table '{vt.table_name}'")
             vkey = F.col(pks[0]).cast("long")
-        if weight_col is not None and weight_col not in edf.columns:
+        if weight_col is not None and weight_col.lower() not in (
+            c.lower() for c in edf.columns
+        ):
             raise PGQBinderError(
                 f"Weight column '{weight_col}' does not exist on edge table "
                 f"'{et.table_name}' (columns: {edf.columns})"

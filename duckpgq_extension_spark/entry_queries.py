@@ -109,9 +109,14 @@ EDGE TABLES (
 _SETUP: dict = {}
 
 
-def setup(spark: SparkSession, sf_dir: str) -> PGQSession:
+def setup(spark: SparkSession, sf_dir: str, force: bool = False) -> PGQSession:
+    """Register the testdata views + property graphs for `sf_dir`, cached
+    per (session, sf_dir).  `force=True` re-registers even on a cache hit
+    — required after ANY setup() call at a different sf_dir in the same
+    session, because createOrReplaceTempView re-points the shared view
+    names (the bench warmup bug of round 3)."""
     key = (id(spark), sf_dir)
-    if key in _SETUP:
+    if key in _SETUP and not force:
         return _SETUP[key]
     try:  # the driver's session may not carry our session.py configs
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -202,6 +202,24 @@ def ngram_contamination(
     )
 
 
+
+def _doc_token_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, token, n) occurrence counts — the shared first phase of
+    vocab_stats and tfidf (map-side combine collapses per-doc repeats
+    before the shuffle); one definition so tokenization/NULL handling
+    can never drift between the two operators."""
+    from ..functions.text import tokens
+
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+        .groupBy("token", "doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 def vocab_stats(
     df: DataFrame, id_col: str, text_col: str, min_occurrences: int = 1
 ) -> DataFrame:
@@ -222,16 +240,7 @@ def vocab_stats(
     and the hot "the"-style tokens arrive pre-collapsed to one row per
     document rather than one per occurrence.
     """
-    from ..functions.text import tokens
-
-    per_doc = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tokens(F.col(text_col))).alias("token"),
-        )
-        .groupBy("token", "doc_id")
-        .agg(F.count("*").alias("n"))
-    )
+    per_doc = _doc_token_counts(df, id_col, text_col)
     out = per_doc.groupBy("token").agg(
         F.sum("n").alias("occurrences"),
         F.count("*").alias("doc_freq"),
@@ -303,19 +312,14 @@ def tfidf(
     With top_n the rank filter compiles to WindowGroupLimit — partial
     top-n before the full per-document sort.
     """
-    from ..functions.text import tokens
-
     n_docs = df.count()
-    tf = (
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(tokens(F.col(text_col))).alias("token"),
-        )
-        .groupBy("doc_id", "token")
-        .agg(F.count("*").alias("tf"))
-    )
+    tf = _doc_token_counts(df, id_col, text_col).withColumnRenamed("n", "tf")
     dfreq = tf.groupBy("token").agg(F.count("*").alias("dfreq"))
-    out = tf.join(F.broadcast(dfreq), "token").select(
+    # no forced broadcast: a whitespace-token vocabulary is unbounded (a
+    # web-scale corpus easily exceeds the driver's memory); let the
+    # optimizer broadcast when dfreq is actually small and shuffle-join
+    # otherwise
+    out = tf.join(dfreq, "token").select(
         "doc_id",
         "token",
         "tf",

@@ -433,8 +433,11 @@ class Parser:
         where = None
         if self.peek() is not None and self.peek().kind in ("ident", "qident"):
             # WHERE starts the filter; IS starts an anonymous `(IS label)`
-            # element — neither can be consumed as the binding
-            if not self.is_kw("WHERE") and not self.is_kw("IS"):
+            # element ONLY when an identifier follows — `(is:Person)` and
+            # `(is)` keep binding an element literally named `is`
+            nxt = self.peek(1)
+            is_label_kw = (self.is_kw("IS") and nxt is not None and nxt.kind in ("ident", "qident") and not (nxt.kind == "ident" and nxt.value.upper() == "WHERE"))
+            if not self.is_kw("WHERE") and not is_label_kw:
                 binding = self.ident()
         # `:label` or the SQL/PGQ-standard `IS label` spelling
         # (copy_to_duckpgq.test:57 uses `(a is person ...)`)
@@ -480,7 +483,9 @@ class Parser:
                     "anonymous edge or name/label the edge inside [...]"
                 )
             if self.peek() is not None and self.peek().kind in ("ident", "qident"):
-                if not self.is_kw("WHERE") and not self.is_kw("IS"):
+                nxt = self.peek(1)
+                is_label_kw = (self.is_kw("IS") and nxt is not None and nxt.kind in ("ident", "qident") and not (nxt.kind == "ident" and nxt.value.upper() == "WHERE"))
+                if not self.is_kw("WHERE") and not is_label_kw:
                     binding = self.ident()
             if self.match_op(":"):
                 label = self.ident()

@@ -494,3 +494,14 @@ def test_sampled_neighborhood_layers(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sampled_neighborhood(edges, seeds, fanouts=[])
+
+
+def test_weighted_pagerank_rejects_negative_weights(spark):
+    from duckpgq_extension_spark.algorithms import pagerank
+
+    edges = spark.createDataFrame(
+        [(0, 1, -1.0), (0, 2, 3.0), (1, 0, 1.0)], "src long, dst long, w double"
+    )
+    vertices = spark.createDataFrame([(0,), (1,), (2,)], "vid long")
+    with pytest.raises(ValueError, match="negative"):
+        pagerank(edges, vertices, weight_col="w")

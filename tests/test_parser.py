@@ -174,3 +174,19 @@ def test_is_label_anonymous_elements():
     assert v0.anonymous and v0.label == "Person"
     assert e.anonymous and e.label == "knows"
     assert v1.binding == "b"
+
+
+def test_is_binding_name_still_parses():
+    """Regression: elements literally named `is` with an explicit label
+    or alone must keep parsing — IS is a label keyword only when an
+    identifier follows."""
+    expr = parse_graph_table_body(
+        "pg MATCH (is:Person)-[is2:knows]->(is) COLUMNS (is.id)"
+    )
+    v0, e, v1 = expr.patterns[0].elements
+    assert v0.binding == "is" and v0.label == "Person"
+    assert v1.binding == "is"
+    expr2 = parse_graph_table_body(
+        "pg MATCH (is WHERE is.id = 1)-[:knows]->(b:Person) COLUMNS (b.id)"
+    )
+    assert expr2.patterns[0].elements[0].binding == "is"
