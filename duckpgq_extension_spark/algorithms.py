@@ -96,11 +96,13 @@ def pagerank(
         # negative per-edge weights would emit negative rank shares and
         # silently break the probability contract — reject them loudly
         # (one bounded probe over the persisted edge frame)
-        if edges.where(F.col("__w") < 0).limit(1).count() > 0:
+        bad = (F.col("__w") < 0) | F.isnan("__w")
+        if edges.where(bad).limit(1).count() > 0:
             edges.unpersist()
             raise ValueError(
-                f"weight column '{weight_col}' contains negative values; "
-                "weighted pagerank requires non-negative edge weights"
+                f"weight column '{weight_col}' contains negative or NaN "
+                "values; weighted pagerank requires non-negative finite "
+                "edge weights"
             )
     # uniform walk: out_deg = edge count; weighted walk: out_deg = sum of
     # weights (NULLed when <= 0, which makes the vertex dangling below)

@@ -269,8 +269,13 @@ class PGQSession:
             )
             pathops.require_integral_keys(vdf, pks, f"vertex table '{vt.table_name}'")
             vkey = F.col(pks[0]).cast("long")
-        if weight_col is not None and weight_col.lower() not in (
-            c.lower() for c in edf.columns
+        # match Spark's resolver: name comparison follows
+        # spark.sql.caseSensitive so the guard never passes where
+        # resolution would fail (or vice versa)
+        cs = str(self.spark.conf.get("spark.sql.caseSensitive", "false")).lower() == "true"
+        norm = (lambda c: c) if cs else (lambda c: c.lower())
+        if weight_col is not None and norm(weight_col) not in (
+            norm(c) for c in edf.columns
         ):
             raise PGQBinderError(
                 f"Weight column '{weight_col}' does not exist on edge table "

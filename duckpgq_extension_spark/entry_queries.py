@@ -110,14 +110,18 @@ _SETUP: dict = {}
 
 
 def setup(spark: SparkSession, sf_dir: str, force: bool = False) -> PGQSession:
-    """Register the testdata views + property graphs for `sf_dir`, cached
-    per (session, sf_dir).  `force=True` re-registers even on a cache hit
-    — required after ANY setup() call at a different sf_dir in the same
-    session, because createOrReplaceTempView re-points the shared view
-    names (the bench warmup bug of round 3)."""
-    key = (id(spark), sf_dir)
-    if key in _SETUP and not force:
-        return _SETUP[key]
+    """Register the testdata views + property graphs for `sf_dir`.
+
+    Cached PER SESSION with the last-registered sf_dir: a call for a
+    DIFFERENT sf_dir always re-registers, because
+    createOrReplaceTempView re-points the shared view names — keying the
+    cache by (session, sf_dir) let a cross-scale call leave every
+    sibling entry silently stale (the round-3 bench bug).  `force=True`
+    re-registers unconditionally."""
+    key = id(spark)
+    hit = _SETUP.get(key)
+    if hit is not None and hit[0] == sf_dir and not force:
+        return hit[1]
     try:  # the driver's session may not carry our session.py configs
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
@@ -135,7 +139,7 @@ def setup(spark: SparkSession, sf_dir: str, force: bool = False) -> PGQSession:
     pgq.execute(GRAPH_DDL)
     pgq.execute(GRAPH2_DDL)
     pgq.execute(GRAPHS_DDL)
-    _SETUP[key] = pgq
+    _SETUP[key] = (sf_dir, pgq)
     return pgq
 
 

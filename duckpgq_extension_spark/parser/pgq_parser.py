@@ -422,6 +422,19 @@ class Parser:
             pat.elements.append(vertex)
         return pat
 
+
+    def _is_label_keyword(self) -> bool:
+        """True when the current token is IS introducing a label — i.e. an
+        identifier follows that is not WHERE.  `(is:Person)` / `(is)` /
+        `(is WHERE ...)` keep binding an element literally named `is`."""
+        nxt = self.peek(1)
+        return (
+            self.is_kw("IS")
+            and nxt is not None
+            and nxt.kind in ("ident", "qident")
+            and not (nxt.kind == "ident" and nxt.value.upper() == "WHERE")
+        )
+
     def parse_vertex(self) -> VertexElement:
         self.expect_op("(")
         if self.peek() is not None and self.peek().kind == "op" and self.peek().value == "(":
@@ -435,9 +448,7 @@ class Parser:
             # WHERE starts the filter; IS starts an anonymous `(IS label)`
             # element ONLY when an identifier follows — `(is:Person)` and
             # `(is)` keep binding an element literally named `is`
-            nxt = self.peek(1)
-            is_label_kw = (self.is_kw("IS") and nxt is not None and nxt.kind in ("ident", "qident") and not (nxt.kind == "ident" and nxt.value.upper() == "WHERE"))
-            if not self.is_kw("WHERE") and not is_label_kw:
+            if not self.is_kw("WHERE") and not self._is_label_keyword():
                 binding = self.ident()
         # `:label` or the SQL/PGQ-standard `IS label` spelling
         # (copy_to_duckpgq.test:57 uses `(a is person ...)`)
@@ -483,9 +494,7 @@ class Parser:
                     "anonymous edge or name/label the edge inside [...]"
                 )
             if self.peek() is not None and self.peek().kind in ("ident", "qident"):
-                nxt = self.peek(1)
-                is_label_kw = (self.is_kw("IS") and nxt is not None and nxt.kind in ("ident", "qident") and not (nxt.kind == "ident" and nxt.value.upper() == "WHERE"))
-                if not self.is_kw("WHERE") and not is_label_kw:
+                if not self.is_kw("WHERE") and not self._is_label_keyword():
                     binding = self.ident()
             if self.match_op(":"):
                 label = self.ident()
