@@ -533,3 +533,381 @@ def sampled_neighborhood(
         )
         visited = pathops.materialize(visited.unionByName(frontier))
     return out
+
+
+def hits(
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_iter: int = 10,
+    tol: float = 0.0,
+) -> DataFrame:
+    """HITS (Kleinberg hubs & authorities) over directed (src, dst) edges;
+    beyond-reference — the reference stops at pagerank/wcc/lcc
+    (/root/reference/src/core/functions/scalar.hpp:7-19 lists no HITS).
+
+    Per iteration: authority(v) = sum of hub over in-neighbors, then hub(u)
+    = sum of authority over out-neighbors, each L1-normalized (scores sum
+    to 1 — the sum-normalized variant keeps the fixpoint identical to the
+    L2 form up to scale and replays exactly in an unrolled-SQL oracle).
+
+    Returns (vid, hub, authority).  Vertices with no edges keep score 0.
+
+    Scale design: the edge frame is hash-partitioned by src once and both
+    half-steps join against it; the L1 norms ride as broadcast 1-row
+    frames (no driver collect per iteration), and the scores frame is
+    checkpointed per round — two jobs per iteration, mirroring pagerank.
+    """
+    vertices = pathops.materialize(vertices.toDF("vid").distinct())
+    sc = edges.sparkSession.sparkContext
+    edges = edges.select("src", "dst").repartition(
+        sc.defaultParallelism, "src"
+    ).persist()
+    scores = pathops.materialize(
+        vertices.select("vid", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth"))
+    )
+    try:
+        for _ in range(max_iter):
+            prev = scores
+            # authority step: mass flows along edge direction (hub of src)
+            araw = (
+                scores.alias("s")
+                .join(edges.alias("e"), F.col("s.vid") == F.col("e.src"))
+                .groupBy(F.col("e.dst").alias("vid"))
+                .agg(F.sum("s.hub").alias("araw"))
+            )
+            anorm = F.broadcast(
+                araw.agg(F.coalesce(F.sum("araw"), F.lit(0.0)).alias("__an"))
+            )
+            auth = (
+                scores.alias("s")
+                .join(araw.alias("a"), F.col("s.vid") == F.col("a.vid"), "left")
+                .crossJoin(anorm)
+                .select(
+                    F.col("s.vid").alias("vid"),
+                    F.col("s.hub").alias("hub"),
+                    F.when(
+                        F.col("__an") > 0,
+                        F.coalesce(F.col("araw"), F.lit(0.0)) / F.col("__an"),
+                    )
+                    .otherwise(F.lit(0.0))
+                    .alias("auth"),
+                )
+            )
+            auth = pathops.materialize(auth)
+            # hub step: mass flows against edge direction (auth of dst)
+            hraw = (
+                auth.alias("s")
+                .join(edges.alias("e"), F.col("s.vid") == F.col("e.dst"))
+                .groupBy(F.col("e.src").alias("vid"))
+                .agg(F.sum("s.auth").alias("hraw"))
+            )
+            hnorm = F.broadcast(
+                hraw.agg(F.coalesce(F.sum("hraw"), F.lit(0.0)).alias("__hn"))
+            )
+            scores = pathops.materialize(
+                auth.alias("s")
+                .join(hraw.alias("h"), F.col("s.vid") == F.col("h.vid"), "left")
+                .crossJoin(hnorm)
+                .select(
+                    F.col("s.vid").alias("vid"),
+                    F.when(
+                        F.col("__hn") > 0,
+                        F.coalesce(F.col("hraw"), F.lit(0.0)) / F.col("__hn"),
+                    )
+                    .otherwise(F.lit(0.0))
+                    .alias("hub"),
+                    F.col("s.auth").alias("auth"),
+                )
+            )
+            if tol > 0:
+                delta = (
+                    scores.alias("n")
+                    .join(prev.alias("p"), "vid")
+                    .agg(
+                        F.max(
+                            F.greatest(
+                                F.abs(F.col("n.hub") - F.col("p.hub")),
+                                F.abs(F.col("n.auth") - F.col("p.auth")),
+                            )
+                        ).alias("d")
+                    )
+                    .first()[0]
+                )
+                if delta is not None and delta < tol:
+                    break
+        return scores.select("vid", "hub", F.col("auth").alias("authority"))
+    finally:
+        edges.unpersist()
+
+
+def strongly_connected_component(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Strongly connected components over directed (src, dst) edges;
+    beyond-reference (the reference has only the WEAKLY variant,
+    weakly_connected_component.cpp:66-99).  Returns (vid, scc_id) where
+    scc_id is the MINIMUM member id of the component — deterministic, the
+    same representative convention as our WCC.
+
+    Multi-pivot coloring (Orzan's coloring / FW-BW peeling, the standard
+    distributed SCC formulation):
+
+      1. color(v) = max id u in the remaining set with a path u ->* v
+         (forward max-label propagation to fixpoint, one job per round).
+      2. Every color c is a root (c reaches itself); the SCC of c is
+         {v : color(v) = c and v ->* c} — found by ONE batched backward
+         traversal from all roots at once, restricted to same-color
+         vertices (frontier keyed by color, so all pivots peel in the
+         same pass).
+      3. Remove found SCCs; repeat on the remainder.
+
+    Each outer round peels at least every current root's SCC, so rounds
+    are bounded by the longest chain of SCCs whose roots are ordered by
+    id along edges — small in practice (power-law graphs: one giant SCC
+    plus shallow periphery).  All steps are joins/groupBys over frames
+    partitioned by the propagation key; nothing is collected.
+    """
+    vertices = pathops.materialize(vertices.toDF("vid").distinct())
+    sc = edges.sparkSession.sparkContext
+    parts = sc.defaultParallelism
+    all_edges = (
+        edges.select("src", "dst")
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(parts, "src")
+        .persist()
+    )
+    remaining = vertices
+    n_remaining = remaining.count()
+    out = None
+    try:
+        while n_remaining:
+            live = (
+                all_edges.join(
+                    remaining.withColumnRenamed("vid", "src"), "src", "left_semi"
+                )
+                .join(remaining.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+            )
+            live = pathops.materialize(live.repartition(parts, "src"))
+            # -- step 1: forward max-color propagation to fixpoint
+            colors = pathops.materialize(
+                remaining.select("vid", F.col("vid").alias("color"))
+            )
+            while True:
+                prop = (
+                    colors.alias("c")
+                    .join(live.alias("e"), F.col("c.vid") == F.col("e.src"))
+                    .select(
+                        F.col("e.dst").alias("vid"),
+                        F.col("c.color").alias("color"),
+                        F.lit(0).alias("__own"),
+                    )
+                    .unionByName(
+                        colors.select("vid", "color", F.lit(1).alias("__own"))
+                    )
+                    .groupBy("vid")
+                    .agg(
+                        F.max("color").alias("color"),
+                        F.max(F.when(F.col("__own") == 1, F.col("color"))).alias(
+                            "__old"
+                        ),
+                    )
+                )
+                obs = Observation(f"__pgq_scc_{next(pathops._obs_seq)}")
+                merged = prop.observe(
+                    obs,
+                    F.sum(
+                        F.when(F.col("color") != F.col("__old"), 1).otherwise(0)
+                    ).alias("changed"),
+                )
+                colors = pathops.materialize(merged.select("vid", "color"))
+                if not obs.get["changed"]:
+                    break
+            # -- step 2: batched backward reach from every root, same color
+            # member rows are (color, vid): vid reaches its color root
+            members = pathops.materialize(
+                colors.where(F.col("vid") == F.col("color")).select("color", "vid")
+            )
+            frontier = members
+            while True:
+                step = (
+                    frontier.alias("f")
+                    .join(live.alias("e"), F.col("f.vid") == F.col("e.dst"))
+                    .join(
+                        colors.alias("c"),
+                        (F.col("e.src") == F.col("c.vid"))
+                        & (F.col("c.color") == F.col("f.color")),
+                        "left_semi",
+                    )
+                    .select(F.col("f.color").alias("color"), F.col("e.src").alias("vid"))
+                    .dropDuplicates(["color", "vid"])
+                    .join(members, ["color", "vid"], "left_anti")
+                )
+                step, n_new = pathops.checkpoint_with_count(step)
+                if not n_new:
+                    break
+                members = pathops.materialize(members.unionByName(step))
+                frontier = step
+            scc = members.groupBy("color").agg(F.min("vid").alias("scc_id"))
+            found = members.join(scc, "color").select("vid", "scc_id")
+            out = found if out is None else out.unionByName(found)
+            out = pathops.materialize(out)
+            remaining = pathops.materialize(
+                remaining.join(out.select("vid"), "vid", "left_anti")
+            )
+            n_remaining = remaining.count()
+        if out is None:
+            return vertices.select("vid", F.col("vid").alias("scc_id")).limit(0)
+        return out
+    finally:
+        all_edges.unpersist()
+
+
+def global_clustering(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Whole-graph transitivity: one row (triangles, wedges,
+    global_clustering) where triangles counts each undirected triangle
+    once, wedges = sum over vertices of deg*(deg-1)/2 (unordered
+    neighbor pairs), and global_clustering = 3 * triangles / wedges
+    (0.0 on wedge-free graphs).  The graph-level companion of the
+    reference's per-vertex local_clustering_coefficient
+    (local_clustering_coefficient.cpp:11-70), same doubled-edge
+    degree convention.
+
+    Reuses the degree-ordered O(m^1.5) triangle plan; the wedge count is
+    a pure degree aggregate — no wedge materialization anywhere.
+    """
+    vertices = vertices.toDF("vid").distinct()
+    nbr = _doubled_neighbors(edges).persist()
+    try:
+        deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
+        tri_total = (
+            _triangles_from_nbr(nbr, vertices, deg)
+            .agg((F.coalesce(F.sum("triangles"), F.lit(0)) / 3).cast("long").alias("triangles"))
+        )
+        wedge_total = deg.agg(
+            F.coalesce(
+                F.sum(F.col("deg").cast("long") * (F.col("deg") - 1) / 2), F.lit(0)
+            )
+            .cast("long")
+            .alias("wedges")
+        )
+        return tri_total.crossJoin(wedge_total).select(
+            "triangles",
+            "wedges",
+            F.when(F.col("wedges") > 0,
+                   3.0 * F.col("triangles") / F.col("wedges"))
+            .otherwise(F.lit(0.0))
+            .alias("global_clustering"),
+        )
+    finally:
+        nbr.unpersist()
+
+
+def random_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    length: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic random walks: from every seed vertex, take `length`
+    steps, at each step moving to one uniformly-pseudo-chosen out-neighbor.
+    The node2vec/DeepWalk corpus-generation step of graph-embedding
+    pipelines, as a reproducible DataFrame job (beyond-reference).
+
+    The choice at (walk, step, vertex) is a pure function of
+    (walk_id, step, vertex, salt) via the portable md5 hash — identical
+    across runs, partitionings and engines, so an SQL oracle can replay
+    the exact walks.  Walks STOP at dangling vertices (no out-edges);
+    multi-edges collapse (distinct neighbors, uniform over neighbors).
+
+    Returns (walk_id, step, vid) including step 0 at the seed.
+
+    Scale design: the ranked adjacency (src, dst, rk, deg) is built once
+    (one window over the edge shuffle) and checkpointed partitioned by
+    src; each step is ONE equi-join of the walk frontier against it
+    (frontier-sized shuffle), same cost model as BFS — never a per-walk
+    loop, never a collect.
+    """
+    if length < 1:
+        raise ValueError("length must be >= 1")
+    from .functions.text import md5_long
+
+    from pyspark.sql import Window
+
+    sc = edges.sparkSession.sparkContext
+    parts = sc.defaultParallelism
+    nbr = edges.select("src", "dst").distinct()
+    w = Window.partitionBy("src").orderBy(F.col("dst").asc())
+    ranked = pathops.materialize(
+        nbr.select(
+            "src",
+            "dst",
+            F.row_number().over(w).alias("rk"),
+            F.count("*").over(Window.partitionBy("src")).alias("deg"),
+        ).repartition(parts, "src")
+    )
+    frontier = pathops.materialize(
+        seeds.toDF("vid").distinct().select(
+            F.col("vid").alias("walk_id"), F.lit(0).alias("step"),
+            F.col("vid").alias("vid"),
+        )
+    )
+    out = frontier
+    for step in range(1, length + 1):
+        draw = md5_long(
+            F.concat_ws(
+                "|",
+                F.col("f.walk_id").cast("string"),
+                F.lit(str(step)),
+                F.col("f.vid").cast("string"),
+                F.lit(salt),
+            )
+        )
+        frontier = (
+            frontier.alias("f")
+            .join(ranked.alias("r"), F.col("f.vid") == F.col("r.src"))
+            .where(F.col("r.rk") == (draw % F.col("r.deg")) + 1)
+            .select(
+                F.col("f.walk_id").alias("walk_id"),
+                F.lit(step).alias("step"),
+                F.col("r.dst").alias("vid"),
+            )
+        )
+        frontier, n = pathops.checkpoint_with_count(frontier)
+        if not n:
+            break
+        out = out.unionByName(frontier)
+    return out
+
+
+def closeness_centrality(edges: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Out-closeness for each seed vertex: run one batched BFS from all
+    seeds (the reference's multi-source lane trick, iterativelength.cpp
+    :34-143) and fold distances into
+
+        closeness(v) = (reached - 1) / sum(dist)   (0.0 when nothing
+        beyond v itself is reachable)
+
+    where `reached` counts vertices at finite distance INCLUDING v.  The
+    harmonic variant is a one-line change; this is the classic
+    Bavelas/Beauchamp formulation restricted to the reachable set
+    (Wasserman-Faust style), the standard choice on disconnected
+    directed graphs.  Returns (vid, reached, closeness).
+
+    Cost = one multi-source BFS (|seeds| searches batched per level) +
+    one groupBy — seeds scale the frontier width, not the level count.
+    """
+    dists = pathops.bfs_distances(edges.select("src", "dst"), sources=seeds.toDF("vid"))
+    return (
+        dists.groupBy(F.col("src").alias("vid"))
+        .agg(
+            F.count("*").alias("reached"),
+            F.sum("dist").alias("__sum"),
+        )
+        .select(
+            "vid",
+            "reached",
+            F.when(F.col("__sum") > 0,
+                   (F.col("reached") - 1).cast("double") / F.col("__sum"))
+            .otherwise(F.lit(0.0))
+            .alias("closeness"),
+        )
+    )

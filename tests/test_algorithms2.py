@@ -1,0 +1,227 @@
+"""Round-4 beyond-reference algorithms: HITS, SCC, global clustering,
+random walks, closeness centrality.  Goldens are hand-derived or replayed
+with an in-test NumPy / pure-Python oracle."""
+
+import numpy as np
+import pytest
+
+from duckpgq_extension_spark import algorithms as A
+
+
+@pytest.fixture(scope="module")
+def toy(spark):
+    """Cycle 1->2->3->1, bridge 3->4, cycle 4<->5, isolated 6."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, 7)], "vid long")
+    return edges, verts
+
+
+# ---------------------------------------------------------------- SCC
+
+
+def test_scc_toy(toy):
+    edges, verts = toy
+    got = {r.vid: r.scc_id for r in A.strongly_connected_component(edges, verts).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def _tarjan_scc(n, edge_list):
+    """Iterative Tarjan for the cross-check oracle (pure Python)."""
+    adj = {v: [] for v in range(n)}
+    for s, d in edge_list:
+        adj[s].append(d)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+    for root in range(n):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                rep = min(members)
+                for w in members:
+                    comp[w] = rep
+            work.pop()
+            if work:
+                p, _ = work[-1]
+                low[p] = min(low[p], low[v])
+    return comp
+
+
+def test_scc_random_graph_vs_tarjan(spark):
+    """60-vertex pseudo-random digraph cross-checked against an in-test
+    Tarjan implementation (deterministic arithmetic edge generator)."""
+    n = 60
+    edge_list = sorted(
+        {((i * 17 + 5) % n, (i * 31 + j * 13 + 2) % n) for i in range(n) for j in range(3)}
+    )
+    edge_list = [(s, d) for s, d in edge_list if s != d]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "vid long")
+    got = {r.vid: r.scc_id for r in A.strongly_connected_component(edges, verts).collect()}
+    assert got == _tarjan_scc(n, edge_list)
+
+
+def test_scc_empty_graph(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,)], "vid long")
+    got = {r.vid: r.scc_id for r in A.strongly_connected_component(edges, verts).collect()}
+    assert got == {1: 1, 2: 2}
+
+
+# ---------------------------------------------------------------- HITS
+
+
+def _hits_numpy(n, edge_list, iters):
+    hub = np.ones(n)
+    auth = np.zeros(n)
+    A_ = np.zeros((n, n))
+    for s, d in edge_list:
+        A_[s, d] = 1.0
+    for _ in range(iters):
+        araw = A_.T @ hub
+        auth = araw / araw.sum() if araw.sum() > 0 else np.zeros(n)
+        hraw = A_ @ auth
+        hub = hraw / hraw.sum() if hraw.sum() > 0 else np.zeros(n)
+    return hub, auth
+
+
+def test_hits_numpy_golden(toy):
+    edges, verts = toy
+    edge_list = [(s - 1, d - 1) for s, d in [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4)]]
+    hub, auth = _hits_numpy(6, edge_list, 7)
+    got = {r.vid: (r.hub, r.authority) for r in A.hits(edges, verts, max_iter=7).collect()}
+    for v in range(1, 7):
+        assert got[v][0] == pytest.approx(hub[v - 1], abs=1e-12), f"hub {v}"
+        assert got[v][1] == pytest.approx(auth[v - 1], abs=1e-12), f"auth {v}"
+
+
+def test_hits_edgeless(spark):
+    edges = spark.createDataFrame([], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,)], "vid long")
+    got = A.hits(edges, verts, max_iter=3).collect()
+    assert {(r.vid, r.hub, r.authority) for r in got} == {(1, 0.0, 0.0), (2, 0.0, 0.0)}
+
+
+def test_hits_tol_early_exit(toy):
+    """tol large enough to stop after one round == 1-iteration scores."""
+    edges, verts = toy
+    one = {r.vid: (r.hub, r.authority) for r in A.hits(edges, verts, max_iter=1).collect()}
+    tol = {
+        r.vid: (r.hub, r.authority)
+        for r in A.hits(edges, verts, max_iter=50, tol=1e9).collect()
+    }
+    assert one == tol
+
+
+# ------------------------------------------------- global clustering
+
+
+def test_global_clustering_toy(toy):
+    edges, verts = toy
+    row = A.global_clustering(edges, verts).collect()[0]
+    # undirected edges: 1-2 2-3 1-3 3-4 4-5; one triangle {1,2,3};
+    # degrees 2,2,3,2,1 -> wedges 1+1+3+1+0 = 6
+    assert (row.triangles, row.wedges) == (1, 6)
+    assert row.global_clustering == pytest.approx(0.5)
+
+
+def test_global_clustering_star(spark):
+    """Star: hub 0 with 40 spokes — 0 triangles, C(40,2) wedges, gc 0."""
+    edges = spark.createDataFrame([(0, i) for i in range(1, 41)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(41)], "vid long")
+    row = A.global_clustering(edges, verts).collect()[0]
+    assert (row.triangles, row.wedges, row.global_clustering) == (0, 780, 0.0)
+
+
+def test_global_clustering_complete4(spark):
+    """K4: 4 triangles, 12 wedges, transitivity 1.0."""
+    edges = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(4)], "vid long")
+    row = A.global_clustering(edges, verts).collect()[0]
+    assert (row.triangles, row.wedges, row.global_clustering) == (4, 12, 1.0)
+
+
+# ---------------------------------------------------------- random walks
+
+
+def test_random_walks_valid_and_deterministic(toy):
+    edges, verts = toy
+    seeds = edges.sparkSession.createDataFrame([(1,), (3,), (6,)], "vid long")
+    a = sorted(tuple(r) for r in A.random_walks(edges, seeds, 4, salt="s").collect())
+    b = sorted(tuple(r) for r in A.random_walks(edges, seeds, 4, salt="s").collect())
+    assert a == b
+    edge_set = {(s, d) for s, d in [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4)]}
+    by_walk = {}
+    for wid, step, vid in a:
+        by_walk.setdefault(wid, {})[step] = vid
+    for wid, steps in by_walk.items():
+        assert steps[0] == wid
+        for k in range(1, max(steps) + 1):
+            assert (steps[k - 1], steps[k]) in edge_set
+    # walk from isolated 6 stops immediately
+    assert max(by_walk[6]) == 0
+    # walks from 1 and 3 never dangle (every visited vertex has out-edges)
+    assert max(by_walk[1]) == 4 and max(by_walk[3]) == 4
+
+
+def test_random_walks_salt_varies(toy):
+    edges, _ = toy
+    seeds = edges.sparkSession.createDataFrame([(i,) for i in [1, 2, 3, 4, 5]], "vid long")
+    a = sorted(tuple(r) for r in A.random_walks(edges, seeds, 6, salt="a").collect())
+    b = sorted(tuple(r) for r in A.random_walks(edges, seeds, 6, salt="b").collect())
+    assert a != b  # independent draws (overwhelmingly)
+
+
+def test_random_walks_rejects_bad_length(toy):
+    edges, _ = toy
+    seeds = edges.sparkSession.createDataFrame([(1,)], "vid long")
+    with pytest.raises(ValueError):
+        A.random_walks(edges, seeds, 0)
+
+
+# ------------------------------------------------------------- closeness
+
+
+def test_closeness_toy(toy):
+    edges, _ = toy
+    seeds = edges.sparkSession.createDataFrame([(1,), (4,), (6,)], "vid long")
+    got = {r.vid: (r.reached, r.closeness) for r in A.closeness_centrality(edges, seeds).collect()}
+    # 1 reaches {1,2,3,4,5} dists 0,1,2,3,4 -> 4/10
+    assert got[1] == (5, pytest.approx(0.4))
+    # 4 reaches {4,5} dists 0,1 -> 1/1
+    assert got[4] == (2, pytest.approx(1.0))
+    assert got[6] == (1, 0.0)
