@@ -63,6 +63,12 @@ BENCH_QUERIES = [
     "simhash",
     "similarity_topk",
     "multimodal_decode",
+    "hits",
+    "scc",
+    "global_clustering",
+    "random_walks",
+    "closeness",
+    "pii_redact",
 ]
 
 

@@ -2294,6 +2294,272 @@ FROM documents
 
 
 # --------------------------------------------------------------------------
+# round-4 beyond-reference graph analytics + PII scrub
+# --------------------------------------------------------------------------
+
+
+def q_hits(spark, sf_dir):
+    """HITS hubs & authorities (algorithms.hits, beyond-reference), fixed
+    5 iterations so the DuckDB oracle replays them as unrolled CTEs —
+    same protocol as the pagerank family."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    vertices = spark.table("customer").select(F.col("c_custkey").cast("long"))
+    scores = algorithms.hits(edges, vertices, max_iter=5)
+    return scores.select(
+        "vid", F.round("hub", 6).alias("hub"), F.round("authority", 6).alias("authority")
+    )
+
+
+def _hits_oracle(iters: int = 5) -> str:
+    parts = [
+        "verts AS (SELECT c_custkey AS vid FROM customer)",
+        "h0 AS MATERIALIZED (SELECT vid, 1.0 AS hub FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"h{i - 1}"
+        # MATERIALIZED throughout: each normalization references its raw
+        # frame twice (sum + per-vertex lookup); see _pagerank_oracle
+        parts.append(
+            f"""ar{i} AS MATERIALIZED (
+  SELECT e.dst AS vid, SUM(h.hub) AS araw
+  FROM {p} h JOIN e ON e.src = h.vid GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT v.vid,
+         CASE WHEN t.s > 0 THEN COALESCE(m.araw, 0) / t.s ELSE 0 END AS auth
+  FROM verts v
+  CROSS JOIN (SELECT COALESCE(SUM(araw), 0) AS s FROM ar{i}) t
+  LEFT JOIN ar{i} m ON m.vid = v.vid)"""
+        )
+        parts.append(
+            f"""hr{i} AS MATERIALIZED (
+  SELECT e.src AS vid, SUM(a.auth) AS hraw
+  FROM a{i} a JOIN e ON e.dst = a.vid GROUP BY e.src)"""
+        )
+        parts.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT v.vid,
+         CASE WHEN t.s > 0 THEN COALESCE(m.hraw, 0) / t.s ELSE 0 END AS hub
+  FROM verts v
+  CROSS JOIN (SELECT COALESCE(SUM(hraw), 0) AS s FROM hr{i}) t
+  LEFT JOIN hr{i} m ON m.vid = v.vid)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH e AS ({EDGES_SQL}),\n{body}\n"
+        f"SELECT h.vid, ROUND(h.hub, 6) AS hub, ROUND(a.auth, 6) AS authority "
+        f"FROM h{iters} h JOIN a{iters} a ON a.vid = h.vid"
+    )
+
+
+O_HITS = _hits_oracle(5)
+
+
+def q_scc(spark, sf_dir):
+    """Strongly connected components (algorithms
+    .strongly_connected_component, beyond-reference — the reference has
+    only the weakly variant).  Domain restricted to c_custkey < 750 so
+    the oracle's transitive-closure CTE stays bounded (the closure is
+    the SPEC here, not the plan — the engine runs the coloring
+    algorithm, never a closure)."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges").where((F.col("src") < 750) & (F.col("dst") < 750))
+    vertices = (
+        spark.table("customer")
+        .where(F.col("c_custkey") < 750)
+        .select(F.col("c_custkey").cast("long"))
+    )
+    return algorithms.strongly_connected_component(edges, vertices)
+
+
+O_SCC = _with_e(
+    """, e2 AS MATERIALIZED (
+  SELECT src, dst FROM e WHERE src < 750 AND dst < 750 AND src <> dst),
+verts AS (SELECT c_custkey AS vid FROM customer WHERE c_custkey < 750),
+reach(u, v) AS (
+  SELECT src, dst FROM e2
+  UNION
+  SELECT r.u, e2.dst FROM reach r JOIN e2 ON e2.src = r.v),
+mutual AS (
+  SELECT r1.u AS a, r1.v AS b
+  FROM reach r1 JOIN reach r2 ON r2.u = r1.v AND r2.v = r1.u)
+SELECT v.vid, LEAST(v.vid, COALESCE(MIN(m.b), v.vid)) AS scc_id
+FROM verts v LEFT JOIN mutual m ON m.a = v.vid
+GROUP BY v.vid""",
+    recursive=True,
+)
+
+
+def q_global_clustering(spark, sf_dir):
+    """Whole-graph transitivity (algorithms.global_clustering): triangle
+    and wedge totals plus 3T/W, one row.  The Spark plan is the
+    degree-ordered O(m^1.5) half-edge join; the oracle enumerates
+    triangles a<b<c directly over the doubled edge set."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    vertices = spark.table("customer").select(F.col("c_custkey").cast("long"))
+    row = algorithms.global_clustering(edges, vertices)
+    return row.select(
+        "triangles", "wedges", F.round("global_clustering", 6).alias("global_clustering")
+    )
+
+
+O_GLOBAL_CLUSTERING = _with_e(
+    """, und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e WHERE src <> dst
+    UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
+tri AS (
+  SELECT COUNT(*) AS t
+  FROM und ab
+  JOIN und bc ON bc.src = ab.dst AND bc.dst > ab.dst
+  JOIN und ac ON ac.src = ab.src AND ac.dst = bc.dst
+  WHERE ab.src < ab.dst),
+wed AS (SELECT COALESCE(CAST(SUM(deg * (deg - 1) / 2) AS BIGINT), 0) AS w FROM deg)
+SELECT CAST(tri.t AS BIGINT) AS triangles, wed.w AS wedges,
+       ROUND(CASE WHEN wed.w > 0 THEN 3.0 * tri.t / wed.w ELSE 0 END, 6)
+         AS global_clustering
+FROM tri CROSS JOIN wed"""
+)
+
+
+def q_random_walks(spark, sf_dir):
+    """Deterministic node2vec-style random walks
+    (algorithms.random_walks): 4 steps from every 100th customer, md5
+    draws — the oracle replays the identical per-step neighbor choice."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    seeds = spark.table("customer").where(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").cast("long")
+    )
+    return algorithms.random_walks(edges, seeds, length=4, salt="rw")
+
+
+def _walk_oracle(length: int = 4) -> str:
+    parts = [
+        """nbr AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rk,
+         COUNT(*) OVER (PARTITION BY src) AS deg
+  FROM (SELECT DISTINCT src, dst FROM e))""",
+        """s0 AS (SELECT c_custkey AS walk_id, 0 AS step, c_custkey AS vid
+  FROM customer WHERE c_custkey % 100 = 0)""",
+    ]
+    for i in range(1, length + 1):
+        p = f"s{i - 1}"
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT f.walk_id, {i} AS step, n.dst AS vid
+  FROM {p} f JOIN nbr n ON n.src = f.vid
+   AND n.rk = (('0x' || substr(md5(CAST(f.walk_id AS VARCHAR) || '|{i}|' ||
+                CAST(f.vid AS VARCHAR) || '|rw'), 1, 15))::BIGINT % n.deg) + 1)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, step, vid FROM s{i}" for i in range(length + 1)
+    )
+    body = ",\n".join(parts)
+    return f"WITH e AS ({EDGES_SQL}),\n{body}\n{union}"
+
+
+O_RANDOM_WALKS = _walk_oracle(4)
+
+
+def q_closeness(spark, sf_dir):
+    """Seed-set closeness centrality (algorithms.closeness_centrality):
+    one batched BFS from customers 0-7, fold to (reached-1)/sum(dist)."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    seeds = spark.table("customer").where(F.col("c_custkey") < 8).select(
+        F.col("c_custkey").cast("long")
+    )
+    scores = algorithms.closeness_centrality(edges, seeds)
+    return scores.select("vid", "reached", F.round("closeness", 6).alias("closeness"))
+
+
+# the d < 30 cap bounds the recursive CTE on cyclic graphs (dedup is on
+# (src, dst, d), so d would otherwise grow forever); the sf0.01 graph's
+# diameter is ~5, far under the cap, so min(d) is exact
+O_CLOSENESS = _with_e(
+    """, bfs(src, dst, d) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 8
+  UNION
+  SELECT b.src, e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.dst WHERE b.d < 30),
+mind AS (SELECT src, dst, MIN(d) AS d FROM bfs GROUP BY src, dst)
+SELECT src AS vid, COUNT(*) AS reached,
+       ROUND(CASE WHEN SUM(d) > 0
+                  THEN CAST(COUNT(*) - 1 AS DOUBLE) / SUM(d)
+                  ELSE 0 END, 6) AS closeness
+FROM mind GROUP BY src""",
+    recursive=True,
+)
+
+
+# identical augmentation expression on both engines: inject one email, one
+# IPv4 and one phone per document so the scrub has deterministic work
+_PII_AUG_SPARK = None  # built inline in q_pii_redact
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII scrub (functions.text.redact_pii / pii_counts / normalize_text,
+    beyond-reference): augment each document with a synthetic email, IP
+    and phone, then count and redact them and emit md5 digests of the
+    redacted and normalized forms.  All JVM regexp expressions — one scan,
+    no shuffle; the oracle runs the same RE2-compatible patterns."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            (F.col("doc_id") % 97).cast("string"),
+            F.lit("@mail.example.org or 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7, tel 555-010-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    counts = TX.pii_counts(F.col("t"))
+    red = TX.redact_pii(F.col("t"))
+    return aug.select(
+        "doc_id",
+        F.md5(red).alias("red_md5"),
+        F.md5(TX.normalize_text(red)).alias("norm_md5"),
+        counts["n_emails"].cast("long").alias("n_emails"),
+        counts["n_ips"].cast("long").alias("n_ips"),
+        counts["n_phones"].cast("long").alias("n_phones"),
+    )
+
+
+O_PII_REDACT = rf"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id % 97 AS VARCHAR) ||
+         '@mail.example.org or 10.0.' || CAST(doc_id % 200 AS VARCHAR) ||
+         '.7, tel 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+  FROM documents),
+red AS (
+  SELECT doc_id, t,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(t, '{TX.EMAIL_RE}', '<EMAIL>', 'g'),
+             '{TX.IPV4_RE}', '<IP>', 'g'),
+           '{TX.PHONE_RE}', '<PHONE>', 'g') AS r
+  FROM aug)
+SELECT doc_id,
+       md5(r) AS red_md5,
+       md5(trim(regexp_replace(lower(r), '\s+', ' ', 'g'))) AS norm_md5,
+       CAST(len(regexp_extract_all(t, '{TX.EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{TX.IPV4_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(regexp_extract_all(t, '{TX.PHONE_RE}')) AS BIGINT) AS n_phones
+FROM red
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2365,6 +2631,12 @@ QUERIES = {
     "ann_ivf": q_ann_ivf,
     "embedding_clusters": q_embedding_clusters,
     "multimodal_decode": q_multimodal_decode,
+    "hits": q_hits,
+    "scc": q_scc,
+    "global_clustering": q_global_clustering,
+    "random_walks": q_random_walks,
+    "closeness": q_closeness,
+    "pii_redact": q_pii_redact,
 }
 
 ORACLES = {
@@ -2435,4 +2707,10 @@ ORACLES = {
     "ann_lsh": O_ANN_LSH,
     "ann_ivf": O_ANN_IVF,
     "embedding_clusters": O_EMBEDDING_CLUSTERS,
+    "hits": O_HITS,
+    "scc": O_SCC,
+    "global_clustering": O_GLOBAL_CLUSTERING,
+    "random_walks": O_RANDOM_WALKS,
+    "closeness": O_CLOSENESS,
+    "pii_redact": O_PII_REDACT,
 }

@@ -180,3 +180,43 @@ def doc_fingerprint(col: Column, n: int = 5, toks: Column | None = None) -> Colu
     grams = word_ngrams_from_tokens(tokens(col) if toks is None else toks, n)
     min_hash = F.array_min(F.transform(grams, md5_long))
     return F.coalesce(min_hash, md5_long(col))
+
+
+# --- PII detection / redaction (round 4; beyond-reference) -----------------
+# Patterns are deliberately RE2-compatible (no backrefs, no lookaround) so
+# the identical regex string runs in Spark (java.util.regex) and the DuckDB
+# oracle (RE2) with the same matches.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b"
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for dedup/fingerprinting: lowercase, collapse
+    all whitespace runs to single spaces, trim.  Pure JVM expression
+    (lower + regexp_replace + trim) — stays inside codegen; the identical
+    expression chain exists in any SQL engine, so results are portable."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails, IPv4 addresses and phone-shaped numbers with typed
+    placeholder tags — the standard pre-training scrub pass.  Order
+    matters: emails first (their domains contain dot-runs an IPv4 pattern
+    could nibble), then IPs, then phones.  Chained regexp_replace, all
+    JVM-side; Spark replaces every occurrence (DuckDB needs the 'g'
+    flag for the same semantics)."""
+    out = F.regexp_replace(col, EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, IPV4_RE, "<IP>")
+    out = F.regexp_replace(out, PHONE_RE, "<PHONE>")
+    return out
+
+
+def pii_counts(col: Column) -> dict[str, Column]:
+    """Per-document PII hit counts by type (before redaction) — the audit
+    metric that decides whether a source needs the scrub at all."""
+    return {
+        "n_emails": F.regexp_count(col, F.lit(EMAIL_RE)),
+        "n_ips": F.regexp_count(col, F.lit(IPV4_RE)),
+        "n_phones": F.regexp_count(col, F.lit(PHONE_RE)),
+    }

@@ -113,3 +113,45 @@ def test_repetition_ratio(spark):
     assert got[1] == pytest.approx(1 - 2 / 5)
     assert got[2] == 0.0
     assert got[3] == 0.0
+
+
+# --- round 4: normalization + PII scrub ------------------------------------
+
+
+def test_normalize_text(spark):
+    from duckpgq_extension_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("  Hello\t WORLD\n\nfoo  ",)], "t string")
+    assert df.select(T.normalize_text(F.col("t")).alias("n")).first().n == "hello world foo"
+
+
+def test_redact_pii_and_counts(spark):
+    from duckpgq_extension_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    raw = (
+        "mail a.b-c_d@sub.example.co.uk and bob@x.io, "
+        "server 192.168.0.1 backup 10.0.200.7, call 555-010-1234 now"
+    )
+    df = spark.createDataFrame([(raw,)], "t string")
+    row = df.select(
+        T.redact_pii(F.col("t")).alias("r"),
+        *[v.alias(k) for k, v in T.pii_counts(F.col("t")).items()],
+    ).first()
+    assert row.n_emails == 2 and row.n_ips == 2 and row.n_phones == 1
+    assert "<EMAIL>" in row.r and "<IP>" in row.r and "<PHONE>" in row.r
+    assert "@" not in row.r and "192.168" not in row.r and "555-010" not in row.r
+
+
+def test_redact_pii_clean_text_unchanged(spark):
+    from duckpgq_extension_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("no pii here, just words and 42 numbers",)], "t string")
+    row = df.select(
+        T.redact_pii(F.col("t")).alias("r"),
+        *[v.alias(k) for k, v in T.pii_counts(F.col("t")).items()],
+    ).first()
+    assert row.r == "no pii here, just words and 42 numbers"
+    assert (row.n_emails, row.n_ips, row.n_phones) == (0, 0, 0)
