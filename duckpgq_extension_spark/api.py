@@ -374,6 +374,71 @@ class PGQSession:
         core = algorithms.k_core(edges, vertices, k)
         return vdf.join(core, vkey == core["vid"]).select(*[vdf[c] for c in pks])
 
+    def hits(
+        self, graph: str, vertex_label: str, edge_label: str, **kw
+    ) -> DataFrame:
+        """(pk..., hub, authority) — Kleinberg HITS on the directed edge
+        table (beyond-reference; algorithms.hits, L1-normalized)."""
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        scores = algorithms.hits(edges, vertices, **kw)
+        return vdf.join(scores, vkey == scores["vid"]).select(
+            *[vdf[c] for c in pks], F.col("hub"), F.col("authority")
+        )
+
+    def strongly_connected_component(
+        self, graph: str, vertex_label: str, edge_label: str
+    ) -> DataFrame:
+        """(pk..., componentId) — strongly connected components on the
+        DIRECTED edge table (beyond-reference; the reference only ships
+        the weakly variant).  Min-member representative; when keys are
+        non-integral the representative is the min SURROGATE id, a
+        deterministic but opaque label (compare up to relabeling)."""
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        comp = algorithms.strongly_connected_component(edges, vertices)
+        return vdf.join(comp, vkey == comp["vid"]).select(
+            *[vdf[c] for c in pks], F.col("scc_id").alias("componentId")
+        )
+
+    def global_clustering(
+        self, graph: str, vertex_label: str, edge_label: str
+    ) -> DataFrame:
+        """One row (triangles, wedges, global_clustering) — whole-graph
+        transitivity (beyond-reference; algorithms.global_clustering)."""
+        _, _, _, _, _, _, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        return algorithms.global_clustering(edges, vertices)
+
+    def closeness_centrality(
+        self, graph: str, vertex_label: str, edge_label: str, seeds: DataFrame
+    ) -> DataFrame:
+        """(pk..., reached, closeness) for each seed vertex — out-closeness
+        over the directed edge table (beyond-reference).  `seeds` columns
+        positionally match the vertex key columns, like pagerank's
+        `sources`."""
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        scols = seeds.columns
+        if len(scols) != len(pks):
+            raise PGQBinderError(
+                f"seeds must have {len(pks)} column(s) matching the "
+                f"vertex key {pks}, got {scols}"
+            )
+        cond = None
+        for pk_c, s_c in zip(pks, scols):
+            eq = vdf[pk_c] == seeds[s_c]
+            cond = eq if cond is None else cond & eq
+        seed_ids = vdf.join(seeds, cond, "left_semi").select(vkey.alias("vid"))
+        scores = algorithms.closeness_centrality(edges, seed_ids)
+        return vdf.join(scores, vkey == scores["vid"]).select(
+            *[vdf[c] for c in pks], F.col("reached"), F.col("closeness")
+        )
+
     # -- introspection ---------------------------------------------------
     def describe_property_graph(self, graph: str) -> DataFrame:
         """One row per registered table with the reference's exact

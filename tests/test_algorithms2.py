@@ -225,3 +225,27 @@ def test_closeness_toy(toy):
     # 4 reaches {4,5} dists 0,1 -> 1/1
     assert got[4] == (2, pytest.approx(1.0))
     assert got[6] == (1, 0.0)
+
+
+# ------------------------------------------- PGQSession table functions
+
+
+def test_session_hits_scc_gc_closeness(pgq, spark):
+    """The F1 know graph: 0->1,0->2,0->3,3->0,1->2,1->3,2->3,4->3.
+    3->0 closes cycles through every one of 0,1,2 (e.g. 1->3->0->1), so
+    {0,1,2,3} is one SCC; 4 only points in.  Wrappers surface natural keys."""
+    scc = {r[0]: r[1] for r in pgq.strongly_connected_component("pg", "Person", "Knows").collect()}
+    assert scc == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4}
+    h = pgq.hits("pg", "Person", "Knows", max_iter=4).collect()
+    assert {r[0] for r in h} == {0, 1, 2, 3, 4}
+    assert all(r.hub >= 0 and r.authority >= 0 for r in h)
+    assert sum(r.authority for r in h) == pytest.approx(1.0)
+    gc_row = pgq.global_clustering("pg", "Person", "Knows").collect()[0]
+    # undirected edges: 01 02 03 12 13 23 34 -> triangles {012 013 023 123};
+    # degrees 3,3,3,4,1 -> wedges 3+3+3+6+0 = 15
+    assert (gc_row.triangles, gc_row.wedges) == (4, 15)
+    seeds = spark.createDataFrame([(4,)], "id long")
+    close = {r[0]: (r.reached, r.closeness) for r in
+             pgq.closeness_centrality("pg", "Person", "Knows", seeds).collect()}
+    # 4 -> 3 -> 0 -> {1, 2}: dists 0,1,2,3,3 -> reached 5, 4/9
+    assert close == {4: (5, pytest.approx(4 / 9))}
