@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "random_walks",
     "closeness",
     "pii_redact",
+    "communities",
+    "assortativity",
+    "doc_logprob",
 ]
 
 

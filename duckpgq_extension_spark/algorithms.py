@@ -911,3 +911,86 @@ def closeness_centrality(edges: DataFrame, seeds: DataFrame) -> DataFrame:
             .alias("closeness"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame, vertices: DataFrame, max_iter: int = 5
+) -> DataFrame:
+    """Deterministic synchronous label propagation (community detection,
+    beyond-reference): labels start as the vertex id; each round every
+    vertex adopts the most frequent label among its undirected neighbors,
+    ties broken by the SMALLEST label; isolated vertices keep their own.
+    Returns (vid, label) after `max_iter` rounds.
+
+    Synchronous LPA has no convergence guarantee (bipartite-ish regions
+    can oscillate), so the round budget IS the spec — the standard
+    formulation for replayable results, and what makes an unrolled SQL
+    oracle possible.  Every step is deterministic, so communities are
+    stable across runs/partitionings.
+
+    Scale design: per round, one join of the label frame against the
+    doubled adjacency (partitioned by src once), one (vid, label) count
+    aggregate — map-side combine collapses repeats — and one window
+    rank on the counts; labels are checkpointed per round.
+    """
+    vertices = pathops.materialize(vertices.toDF("vid").distinct())
+    und = pathops.materialize(_doubled_neighbors(edges))
+    labels = pathops.materialize(
+        vertices.select("vid", F.col("vid").alias("label"))
+    )
+    w = Window.partitionBy("vid").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(max_iter):
+        cnt = (
+            labels.alias("l")
+            .join(und.alias("u"), F.col("l.vid") == F.col("u.src"))
+            .groupBy(F.col("u.dst").alias("vid"), F.col("l.label").alias("label"))
+            .agg(F.count("*").alias("c"))
+        )
+        pick = (
+            cnt.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("vid", F.col("label").alias("__new"))
+        )
+        labels = pathops.materialize(
+            labels.join(pick, "vid", "left").select(
+                "vid", F.coalesce(F.col("__new"), F.col("label")).alias("label")
+            )
+        )
+    return labels
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the doubled undirected edge
+    list — one row (assortativity), NULL on degree-constant graphs
+    (zero variance).  Positive: hubs link to hubs (social nets);
+    negative: hubs link to leaves (the web, biology).
+
+    One degree aggregate + two broadcast-able joins + one corr() —
+    everything stays in JVM aggregates; nothing is materialized
+    per-wedge or per-pair.
+    """
+    nbr = _doubled_neighbors(edges).persist()
+    try:
+        deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
+        pairs = (
+            nbr.alias("e")
+            .join(deg.alias("ds"), F.col("e.src") == F.col("ds.src"))
+            .join(deg.alias("dd"), F.col("e.dst") == F.col("dd.src"))
+            .select(
+                F.col("ds.deg").alias("sdeg"), F.col("dd.deg").alias("ddeg")
+            )
+        )
+        # corr() composed from moments with try_divide: a degree-constant
+        # graph has zero variance, where ANSI-mode corr() raises
+        # DIVIDE_BY_ZERO — NULL (SQL corr semantics) is the contract here
+        return pathops.materialize(
+            pairs.agg(
+                F.try_divide(
+                    F.covar_pop("sdeg", "ddeg"),
+                    F.stddev_pop("sdeg") * F.stddev_pop("ddeg"),
+                ).alias("assortativity")
+            )
+        )
+    finally:
+        nbr.unpersist()

@@ -2559,6 +2559,101 @@ FROM red
 """
 
 
+def q_communities(spark, sf_dir):
+    """Deterministic synchronous label propagation
+    (algorithms.label_propagation, beyond-reference): 5 rounds on the
+    follows graph — the round budget is the spec, so the oracle replays
+    each round as an unrolled CTE with the identical count-desc /
+    label-asc tie-break."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    vertices = spark.table("customer").select(F.col("c_custkey").cast("long"))
+    return algorithms.label_propagation(edges, vertices, max_iter=5)
+
+
+def _lpa_oracle(rounds: int = 5) -> str:
+    parts = [
+        """und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e WHERE src <> dst
+    UNION ALL SELECT dst, src FROM e WHERE src <> dst))""",
+        "l0 AS (SELECT c_custkey AS vid, c_custkey AS label FROM customer)",
+    ]
+    for i in range(1, rounds + 1):
+        p = f"l{i - 1}"
+        parts.append(
+            f"""c{i} AS MATERIALIZED (
+  SELECT u.dst AS vid, l.label, COUNT(*) AS c
+  FROM und u JOIN {p} l ON l.vid = u.src GROUP BY u.dst, l.label)"""
+        )
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+  SELECT vid, label FROM (
+    SELECT vid, label,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY c DESC, label ASC) AS rn
+    FROM c{i}) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""l{i} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(p.label, v.label) AS label
+  FROM {p} v LEFT JOIN p{i} p ON p.vid = v.vid)"""
+        )
+    body = ",\n".join(parts)
+    return f"WITH e AS ({EDGES_SQL}),\n{body}\nSELECT vid, label FROM l{rounds}"
+
+
+O_COMMUNITIES = _lpa_oracle(5)
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity (algorithms.degree_assortativity,
+    beyond-reference): Pearson correlation of endpoint degrees over the
+    doubled undirected edge list, one row."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    row = algorithms.degree_assortativity(edges)
+    return row.select(F.round("assortativity", 6).alias("assortativity"))
+
+
+O_ASSORTATIVITY = _with_e(
+    """, und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e WHERE src <> dst
+    UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY src)
+SELECT ROUND(corr(ds.deg, dd.deg), 6) AS assortativity
+FROM und u
+JOIN deg ds ON ds.src = u.src
+JOIN deg dd ON dd.src = u.dst"""
+)
+
+
+def q_doc_logprob(spark, sf_dir):
+    """Unigram log-probability quality scoring
+    (operators/corpus.unigram_logprob): per-document mean ln p(token)
+    under the corpus's own MLE unigram model — the perplexity-proxy
+    filter of LLM data pipelines."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    out = corpus.unigram_logprob(docs, "doc_id", "text")
+    return out.select(
+        "doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob")
+    )
+
+
+O_DOC_LOGPROB = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, u.token FROM toks, UNNEST(t) AS u(token)),
+per_doc AS (SELECT doc_id, token, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+model AS MATERIALIZED (SELECT token, SUM(n) AS cf FROM per_doc GROUP BY token),
+tot AS (SELECT CAST(SUM(cf) AS DOUBLE) AS t FROM model)
+SELECT d.doc_id, CAST(SUM(d.n) AS BIGINT) AS n_tokens,
+       ROUND(SUM(d.n * ln(c.cf / tot.t)) / SUM(d.n), 6) AS avg_logprob
+FROM per_doc d JOIN model c USING (token) CROSS JOIN tot
+GROUP BY d.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2637,6 +2732,9 @@ QUERIES = {
     "random_walks": q_random_walks,
     "closeness": q_closeness,
     "pii_redact": q_pii_redact,
+    "communities": q_communities,
+    "assortativity": q_assortativity,
+    "doc_logprob": q_doc_logprob,
 }
 
 ORACLES = {
@@ -2713,4 +2811,7 @@ ORACLES = {
     "random_walks": O_RANDOM_WALKS,
     "closeness": O_CLOSENESS,
     "pii_redact": O_PII_REDACT,
+    "communities": O_COMMUNITIES,
+    "assortativity": O_ASSORTATIVITY,
+    "doc_logprob": O_DOC_LOGPROB,
 }

@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_long, tokens
+from .paths import materialize as pathops_materialize
 
 
 def chunk_documents(
@@ -337,3 +338,39 @@ def tfidf(
             .drop("__rk")
         )
     return out
+
+
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    MLE unigram language model — the classic cheap perplexity proxy for
+    quality filtering (documents of rare/garbled tokens score low,
+    repetitive common-token spam scores suspiciously high; both tails
+    get cut).  No smoothing needed: every scored token is in the model
+    by construction.
+
+    Returns (id_col, n_tokens, avg_logprob) with
+    avg_logprob = sum_t n_t * ln(cf_t / T) / sum_t n_t, where cf_t is
+    the corpus frequency of token t and T the total token count.
+
+    Scale design: reuses the two-phase (token, doc) partial counts of
+    vocab_stats — one shuffle builds the model, one token-keyed join
+    scores the documents, and the corpus total rides as a broadcast
+    1-row frame (no driver collect)."""
+    per_doc = _doc_token_counts(df, id_col, text_col).persist()
+    try:
+        model = per_doc.groupBy("token").agg(F.sum("n").alias("cf"))
+        total = F.broadcast(model.agg(F.sum("cf").alias("__t")))
+        return pathops_materialize(
+            per_doc.join(model, "token")
+            .crossJoin(total)
+            .groupBy("doc_id")
+            .agg(
+                F.sum("n").alias("n_tokens"),
+                (
+                    F.sum(F.col("n") * F.log(F.col("cf") / F.col("__t")))
+                    / F.sum("n")
+                ).alias("avg_logprob"),
+            )
+        )
+    finally:
+        per_doc.unpersist()

@@ -249,3 +249,52 @@ def test_session_hits_scc_gc_closeness(pgq, spark):
              pgq.closeness_centrality("pg", "Person", "Knows", seeds).collect()}
     # 4 -> 3 -> 0 -> {1, 2}: dists 0,1,2,3,3 -> reached 5, 4/9
     assert close == {4: (5, pytest.approx(4 / 9))}
+
+
+# ------------------------------------------------------- LPA communities
+
+
+def test_label_propagation_two_cliques(spark):
+    """Two 4-cliques joined by one bridge resolve to two communities
+    labeled by each clique's min vertex."""
+    cl1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    cl2 = [(a + 10, b + 10) for a, b in cl1]
+    edges = spark.createDataFrame(cl1 + cl2 + [(3, 10)], "src long, dst long")
+    verts = spark.createDataFrame(
+        [(i,) for i in list(range(4)) + list(range(10, 14))], "vid long"
+    )
+    got = {r.vid: r.label for r in A.label_propagation(edges, verts, 5).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 10: 10, 11: 10, 12: 10, 13: 10}
+
+
+def test_label_propagation_isolated_keeps_own(spark):
+    """Isolated vertices keep their label; a lone edge OSCILLATES under
+    synchronous LPA (each endpoint adopts the other's label every round)
+    — pinning that documented semantic: after 3 (odd) rounds the labels
+    are swapped, after 4 (even) they are back."""
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,), (9,)], "vid long")
+    odd = {r.vid: r.label for r in A.label_propagation(edges, verts, 3).collect()}
+    assert odd == {1: 2, 2: 1, 9: 9}
+    even = {r.vid: r.label for r in A.label_propagation(edges, verts, 4).collect()}
+    assert even == {1: 1, 2: 2, 9: 9}
+
+
+# ------------------------------------------------------- assortativity
+
+
+def test_assortativity_star_negative(spark):
+    """A star is maximally disassortative: hub(deg n) only meets leaves
+    (deg 1) -> r = -1."""
+    edges = spark.createDataFrame([(0, i) for i in range(1, 11)], "src long, dst long")
+    r = A.degree_assortativity(edges).collect()[0].assortativity
+    assert r == pytest.approx(-1.0)
+
+
+def test_assortativity_regular_graph_null(spark):
+    """Degree-constant graph (cycle): zero variance -> corr undefined."""
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 5) for i in range(5)], "src long, dst long"
+    )
+    r = A.degree_assortativity(edges).collect()[0].assortativity
+    assert r is None or (r != r)  # NULL or NaN, both mean undefined

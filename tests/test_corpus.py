@@ -192,3 +192,28 @@ def test_tfidf_golden(spark):
 
     top = tfidf(docs, "doc_id", "text", top_n=1)
     assert {(r["doc_id"], r["token"]) for r in top.collect()} == {(0, "cat"), (1, "dog")}
+
+
+def test_unigram_logprob_golden(spark):
+    """Hand-derived model: corpus a:2 b:2 c:1, T=5."""
+    import math
+
+    from duckpgq_extension_spark.operators.corpus import unigram_logprob
+
+    docs = spark.createDataFrame([(1, "a a b"), (2, "b c")], "doc_id long, text string")
+    got = {r.doc_id: (r.n_tokens, r.avg_logprob) for r in
+           unigram_logprob(docs, "doc_id", "text").collect()}
+    assert got[1][0] == 3 and got[2][0] == 2
+    assert got[1][1] == pytest.approx(math.log(0.4), abs=1e-12)
+    assert got[2][1] == pytest.approx((math.log(0.4) + math.log(0.2)) / 2, abs=1e-12)
+
+
+def test_unigram_logprob_rare_tokens_score_low(spark):
+    from duckpgq_extension_spark.operators.corpus import unigram_logprob
+
+    rows = [(i, "common words repeated here") for i in range(20)]
+    rows.append((99, "zxqv gibberish unseen tokenz"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.avg_logprob for r in
+           unigram_logprob(docs, "doc_id", "text").collect()}
+    assert got[99] < got[0]
