@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "communities",
     "assortativity",
     "doc_logprob",
+    "katz",
+    "link_pred",
 ]
 
 

@@ -994,3 +994,120 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         )
     finally:
         nbr.unpersist()
+
+
+def katz_centrality(
+    edges: DataFrame,
+    vertices: DataFrame,
+    alpha: float = 0.05,
+    beta: float = 1.0,
+    max_iter: int = 5,
+) -> DataFrame:
+    """Katz centrality (beyond-reference): x = alpha * A^T x + beta
+    iterated `max_iter` times from x = beta — counts incoming walks of
+    every length, geometrically damped by alpha (keep alpha below the
+    reciprocal spectral radius for a convergent series; the fixed round
+    budget makes results replayable either way).  Returns (vid, katz),
+    un-normalized (the raw damped-walk count, like networkx with
+    normalized=False before the final scaling).
+
+    One contribution join + one aggregate per iteration against the
+    src-partitioned edge frame — the pagerank cost model without the
+    normalization step.
+    """
+    vertices = pathops.materialize(vertices.toDF("vid").distinct())
+    sc = edges.sparkSession.sparkContext
+    edges = edges.select("src", "dst").repartition(
+        sc.defaultParallelism, "src"
+    ).persist()
+    x = pathops.materialize(vertices.select("vid", F.lit(beta).alias("katz")))
+    try:
+        for _ in range(max_iter):
+            contrib = (
+                x.alias("s")
+                .join(edges.alias("e"), F.col("s.vid") == F.col("e.src"))
+                .groupBy(F.col("e.dst").alias("vid"))
+                .agg(F.sum("s.katz").alias("w"))
+            )
+            x = pathops.materialize(
+                x.alias("o")
+                .join(contrib.alias("c"), F.col("o.vid") == F.col("c.vid"), "left")
+                .select(
+                    F.col("o.vid").alias("vid"),
+                    (
+                        F.lit(beta)
+                        + F.lit(alpha) * F.coalesce(F.col("c.w"), F.lit(0.0))
+                    ).alias("katz"),
+                )
+            )
+        return x
+    finally:
+        edges.unpersist()
+
+
+def link_prediction(
+    edges: DataFrame,
+    max_center_degree: int | None = None,
+    min_common: int = 1,
+) -> DataFrame:
+    """Link-prediction scores for every non-adjacent vertex pair sharing
+    at least `min_common` neighbors (beyond-reference — the standard
+    graph-ML feature/candidate-generation step):
+
+        (u, v, common_neighbors, adamic_adar, jaccard)   with u < v,
+        adamic_adar = sum over shared neighbors w of 1/ln(deg(w)),
+        jaccard     = common / (deg(u) + deg(v) - common).
+
+    Candidate pairs come from the wedge join (two half-edges sharing
+    their center), which generates sum(deg(w)^2) rows — unbounded on
+    power-law hubs.  `max_center_degree` is the standard mitigation:
+    centers above the cap are skipped as wedge generators (a celebrity
+    shared neighbor contributes only 1/ln(10^6) ~ 0.07 to Adamic-Adar
+    and pure noise to candidate quality, so capping is also the
+    better-scoring choice, not just the cheaper one).  Pairs already
+    connected are anti-joined out.
+    """
+    if min_common < 1:
+        raise ValueError("min_common must be >= 1")
+    nbr = pathops.materialize(_doubled_neighbors(edges))
+    deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
+    centers = nbr.alias("n").join(deg.alias("d"), F.col("n.src") == F.col("d.src"))
+    if max_center_degree is not None:
+        centers = centers.where(F.col("d.deg") <= max_center_degree)
+    half = centers.select(
+        F.col("n.src").alias("w"), F.col("n.dst").alias("u"), F.col("d.deg").alias("wdeg")
+    )
+    pairs = (
+        half.alias("a")
+        .join(half.alias("b"), F.col("a.w") == F.col("b.w"))
+        .where(F.col("a.u") < F.col("b.u"))
+        .groupBy(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
+        .agg(
+            F.count("*").alias("common_neighbors"),
+            F.sum(1.0 / F.log(F.col("a.wdeg"))).alias("adamic_adar"),
+        )
+        .where(F.col("common_neighbors") >= min_common)
+    )
+    # drop already-adjacent pairs (u < v, so one orientation suffices on
+    # the doubled frame)
+    pairs = pairs.join(
+        nbr.select(F.col("src").alias("u"), F.col("dst").alias("v")),
+        ["u", "v"],
+        "left_anti",
+    )
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("__du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("__dv"))
+    return (
+        pairs.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            "adamic_adar",
+            (
+                F.col("common_neighbors").cast("double")
+                / (F.col("__du") + F.col("__dv") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+        )
+    )

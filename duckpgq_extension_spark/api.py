@@ -439,6 +439,115 @@ class PGQSession:
             *[vdf[c] for c in pks], F.col("reached"), F.col("closeness")
         )
 
+    def label_propagation(
+        self, graph: str, vertex_label: str, edge_label: str, max_iter: int = 5
+    ) -> DataFrame:
+        """(pk..., label) — deterministic synchronous LPA communities
+        (beyond-reference; algorithms.label_propagation).  Labels are
+        vertex ids on integral-key graphs, surrogate ids otherwise
+        (compare up to relabeling)."""
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        labels = algorithms.label_propagation(edges, vertices, max_iter=max_iter)
+        return vdf.join(labels, vkey == labels["vid"]).select(
+            *[vdf[c] for c in pks], F.col("label")
+        )
+
+    def degree_assortativity(
+        self, graph: str, vertex_label: str, edge_label: str
+    ) -> DataFrame:
+        """One row (assortativity) — Newman degree correlation over the
+        undirected edge set (beyond-reference)."""
+        _, _, _, _, _, _, _, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        return algorithms.degree_assortativity(edges)
+
+    def random_walks(
+        self,
+        graph: str,
+        vertex_label: str,
+        edge_label: str,
+        seeds: DataFrame,
+        length: int,
+        salt: str = "",
+    ) -> DataFrame:
+        """Deterministic random walks from `seeds` (columns positionally
+        match the vertex key), `length` steps along the directed edge
+        table (beyond-reference; algorithms.random_walks).  Returns
+        (walk-id key columns..., step, vid key columns...) with natural
+        keys on both ends."""
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        scols = seeds.columns
+        if len(scols) != len(pks):
+            raise PGQBinderError(
+                f"seeds must have {len(pks)} column(s) matching the "
+                f"vertex key {pks}, got {scols}"
+            )
+        cond = None
+        for pk_c, s_c in zip(pks, scols):
+            eq = vdf[pk_c] == seeds[s_c]
+            cond = eq if cond is None else cond & eq
+        seed_ids = vdf.join(seeds, cond, "left_semi").select(vkey.alias("vid"))
+        walks = algorithms.random_walks(edges, seed_ids, length, salt=salt)
+        # one key->vid map built from the SAME vkey expression (so the
+        # surrogate hash and its canonicalization flags can never drift),
+        # aliased twice to decode both walk endpoints to natural keys
+        vmap = vdf.select(*[vdf[c] for c in pks], vkey.alias("__vid"))
+        out = (
+            walks.alias("w")
+            .join(vmap.alias("wv"), F.col("w.walk_id") == F.col("wv.__vid"))
+            .join(vmap.alias("cv"), F.col("w.vid") == F.col("cv.__vid"))
+            .select(
+                *[F.col(f"wv.{c}").alias(f"walk_{c}") for c in pks],
+                F.col("w.step").alias("step"),
+                *[F.col(f"cv.{c}").alias(f"at_{c}") for c in pks],
+            )
+        )
+        return out
+
+    def katz_centrality(
+        self, graph: str, vertex_label: str, edge_label: str, **kw
+    ) -> DataFrame:
+        """(pk..., katz) — damped-walk Katz centrality over the directed
+        edge table (beyond-reference; algorithms.katz_centrality)."""
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        x = algorithms.katz_centrality(edges, vertices, **kw)
+        return vdf.join(x, vkey == x["vid"]).select(
+            *[vdf[c] for c in pks], F.col("katz")
+        )
+
+    def link_prediction(
+        self, graph: str, vertex_label: str, edge_label: str, **kw
+    ) -> DataFrame:
+        """(u key columns..., v key columns..., common_neighbors,
+        adamic_adar, jaccard) — link-prediction scores for non-adjacent
+        pairs sharing neighbors (beyond-reference;
+        algorithms.link_prediction; pass max_center_degree to cap hub
+        wedge generators)."""
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        out = algorithms.link_prediction(edges, **kw)
+        vmap = vdf.select(*[vdf[c] for c in pks], vkey.alias("__vid"))
+        return (
+            out.alias("p")
+            .join(vmap.alias("uv"), F.col("p.u") == F.col("uv.__vid"))
+            .join(vmap.alias("vv"), F.col("p.v") == F.col("vv.__vid"))
+            .select(
+                *[F.col(f"uv.{c}").alias(f"u_{c}") for c in pks],
+                *[F.col(f"vv.{c}").alias(f"v_{c}") for c in pks],
+                F.col("p.common_neighbors"),
+                F.col("p.adamic_adar"),
+                F.col("p.jaccard"),
+            )
+        )
+
     # -- introspection ---------------------------------------------------
     def describe_property_graph(self, graph: str) -> DataFrame:
         """One row per registered table with the reference's exact

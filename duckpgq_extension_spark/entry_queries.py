@@ -2654,6 +2654,87 @@ GROUP BY d.doc_id
 """
 
 
+def q_katz(spark, sf_dir):
+    """Katz centrality (algorithms.katz_centrality, beyond-reference):
+    5 damped-walk iterations, alpha 0.05, beta 1 — unrolled-CTE oracle
+    like the pagerank family."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    vertices = spark.table("customer").select(F.col("c_custkey").cast("long"))
+    x = algorithms.katz_centrality(edges, vertices, alpha=0.05, beta=1.0, max_iter=5)
+    return x.select("vid", F.round("katz", 6).alias("katz"))
+
+
+def _katz_oracle(iters: int = 5) -> str:
+    parts = [
+        "verts AS (SELECT c_custkey AS vid FROM customer)",
+        "x0 AS MATERIALIZED (SELECT vid, CAST(1.0 AS DOUBLE) AS katz FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        p = f"x{i - 1}"
+        parts.append(
+            f"""x{i} AS MATERIALIZED (
+  SELECT v.vid, CAST(1.0 + 0.05 * COALESCE(m.w, 0) AS DOUBLE) AS katz
+  FROM verts v
+  LEFT JOIN (SELECT e.dst AS vid, SUM(x.katz) AS w
+             FROM {p} x JOIN e ON e.src = x.vid GROUP BY e.dst) m
+    ON m.vid = v.vid)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH e AS ({EDGES_SQL}),\n{body}\n"
+        f"SELECT vid, ROUND(katz, 6) AS katz FROM x{iters}"
+    )
+
+
+O_KATZ = _katz_oracle(5)
+
+
+def q_link_pred(spark, sf_dir):
+    """Link-prediction candidate scoring (algorithms.link_prediction,
+    beyond-reference): common-neighbors / Adamic-Adar / Jaccard for
+    non-adjacent pairs sharing >= 3 neighbors, center-degree cap 60,
+    output restricted to u, v < 300 to bound the compared set."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    out = algorithms.link_prediction(edges, max_center_degree=60, min_common=3)
+    return out.where((F.col("u") < 300) & (F.col("v") < 300)).select(
+        "u",
+        "v",
+        "common_neighbors",
+        F.round("adamic_adar", 6).alias("adamic_adar"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )
+
+
+O_LINK_PRED = _with_e(
+    """, und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e WHERE src <> dst
+    UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
+half AS MATERIALIZED (
+  SELECT n.src AS w, n.dst AS u, d.deg AS wdeg
+  FROM und n JOIN deg d ON d.src = n.src WHERE d.deg <= 60),
+pairs AS MATERIALIZED (
+  SELECT a.u AS u, b.u AS v, COUNT(*) AS common_neighbors,
+         SUM(1.0 / ln(a.wdeg)) AS aa
+  FROM half a JOIN half b ON a.w = b.w AND a.u < b.u
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+nonadj AS (
+  SELECT p.* FROM pairs p
+  LEFT JOIN und n ON n.src = p.u AND n.dst = p.v
+  WHERE n.src IS NULL)
+SELECT p.u, p.v, p.common_neighbors, ROUND(p.aa, 6) AS adamic_adar,
+       ROUND(CAST(p.common_neighbors AS DOUBLE)
+             / (du.deg + dv.deg - p.common_neighbors), 6) AS jaccard
+FROM nonadj p
+JOIN deg du ON du.src = p.u
+JOIN deg dv ON dv.src = p.v
+WHERE p.u < 300 AND p.v < 300"""
+)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2735,6 +2816,8 @@ QUERIES = {
     "communities": q_communities,
     "assortativity": q_assortativity,
     "doc_logprob": q_doc_logprob,
+    "katz": q_katz,
+    "link_pred": q_link_pred,
 }
 
 ORACLES = {
@@ -2814,4 +2897,6 @@ ORACLES = {
     "communities": O_COMMUNITIES,
     "assortativity": O_ASSORTATIVITY,
     "doc_logprob": O_DOC_LOGPROB,
+    "katz": O_KATZ,
+    "link_pred": O_LINK_PRED,
 }

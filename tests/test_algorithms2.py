@@ -298,3 +298,82 @@ def test_assortativity_regular_graph_null(spark):
     )
     r = A.degree_assortativity(edges).collect()[0].assortativity
     assert r is None or (r != r)  # NULL or NaN, both mean undefined
+
+
+def test_session_lpa_assortativity_walks(pgq, spark):
+    lpa = {r[0]: r[1] for r in pgq.label_propagation("pg", "Person", "Knows", max_iter=4).collect()}
+    assert set(lpa) == {0, 1, 2, 3, 4}
+    r = pgq.degree_assortativity("pg", "Person", "Knows").collect()[0].assortativity
+    assert r is not None and -1.0 <= r <= 1.0
+    seeds = spark.createDataFrame([(4,)], "id long")
+    walks = sorted(
+        (r.walk_id, r.step, r.at_id)
+        for r in pgq.random_walks("pg", "Person", "Knows", seeds, 3, salt="t").collect()
+    )
+    # 4's only out-edge is ->3; steps follow real edges, natural keys out
+    assert walks[0] == (4, 0, 4) and walks[1] == (4, 1, 3)
+    know = {(0, 1), (0, 2), (0, 3), (3, 0), (1, 2), (1, 3), (2, 3), (4, 3)}
+    for (w1, s1, v1), (w2, s2, v2) in zip(walks, walks[1:]):
+        if w1 == w2 and s2 == s1 + 1:
+            assert (v1, v2) in know
+
+
+# ----------------------------------------------------------------- katz
+
+
+def test_katz_numpy_golden(toy):
+    edges, verts = toy
+    el = [(s - 1, d - 1) for s, d in [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4)]]
+    M = np.zeros((6, 6))
+    for s, d in el:
+        M[s, d] = 1.0
+    x = np.ones(6)
+    for _ in range(4):
+        x = 1.0 + 0.1 * (M.T @ x)
+    got = {r.vid: r.katz for r in
+           A.katz_centrality(edges, verts, alpha=0.1, beta=1.0, max_iter=4).collect()}
+    for v in range(1, 7):
+        assert got[v] == pytest.approx(x[v - 1], abs=1e-12), v
+
+
+# -------------------------------------------------------- link prediction
+
+
+def test_link_prediction_square(spark):
+    """4-cycle 1-2-3-4-1: the two diagonals (1,3) and (2,4) each share
+    both cycle corners; every adjacent pair is filtered out."""
+    import math
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "src long, dst long"
+    )
+    got = {(r.u, r.v): r for r in A.link_prediction(edges).collect()}
+    assert set(got) == {(1, 3), (2, 4)}
+    r = got[(1, 3)]
+    assert r.common_neighbors == 2
+    assert r.adamic_adar == pytest.approx(2 / math.log(2))
+    assert r.jaccard == pytest.approx(1.0)  # identical neighborhoods
+
+
+def test_link_prediction_center_cap(spark):
+    """A high-degree hub center is skipped as a wedge generator under the
+    cap, removing the pair it would have suggested."""
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 8)] + [(20, 1), (21, 1), (20, 2), (21, 2)],
+        "src long, dst long",
+    )
+    uncapped = {(r.u, r.v) for r in A.link_prediction(edges).collect()}
+    capped = {(r.u, r.v) for r in A.link_prediction(edges, max_center_degree=3).collect()}
+    assert (1, 2) in uncapped and (1, 2) in capped  # via small centers 20/21
+    assert (3, 4) in uncapped and (3, 4) not in capped  # only via hub 0
+
+
+def test_session_katz_link_prediction(pgq):
+    k = {r[0]: r.katz for r in pgq.katz_centrality("pg", "Person", "Knows", max_iter=3).collect()}
+    assert set(k) == {0, 1, 2, 3, 4} and all(v >= 1.0 for v in k.values())
+    # 3 has in-edges from 0,1,2,4 -> highest damped in-walk count
+    assert max(k, key=k.get) == 3
+    lp = pgq.link_prediction("pg", "Person", "Knows").collect()
+    # natural keys on both pair sides; scores well-formed
+    for r in lp:
+        assert r.u_id < r.v_id and r.common_neighbors >= 1 and 0 < r.jaccard <= 1
