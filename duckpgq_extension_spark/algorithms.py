@@ -938,7 +938,6 @@ def label_propagation(
     labels = pathops.materialize(
         vertices.select("vid", F.col("vid").alias("label"))
     )
-    w = Window.partitionBy("vid").orderBy(F.col("c").desc(), F.col("label").asc())
     for _ in range(max_iter):
         cnt = (
             labels.alias("l")
@@ -946,10 +945,16 @@ def label_propagation(
             .groupBy(F.col("u.dst").alias("vid"), F.col("l.label").alias("label"))
             .agg(F.count("*").alias("c"))
         )
-        pick = (
-            cnt.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1)
-            .select("vid", F.col("label").alias("__new"))
+        # the mode is a min_by over (-count, label) — same tie-break as a
+        # (count DESC, label ASC) rank, without the per-round window SORT
+        # shuffle (both groupBys hash-partition by vid and combine
+        # map-side; warm medians at sf0.1 sit within host noise of the
+        # window plan, but the sort stage is gone from the explain and
+        # that scales with |V| where the noise does not)
+        pick = cnt.groupBy("vid").agg(
+            F.min_by(
+                "label", F.struct((-F.col("c")).alias("nc"), F.col("label"))
+            ).alias("__new")
         )
         labels = pathops.materialize(
             labels.join(pick, "vid", "left").select(
