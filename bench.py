@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "doc_logprob",
     "katz",
     "link_pred",
+    "temporal_reach",
 ]
 
 

@@ -2735,6 +2735,34 @@ WHERE p.u < 300 AND p.v < 300"""
 )
 
 
+def q_temporal_reach(spark, sf_dir):
+    """Time-respecting reachability (operators/paths.temporal_reachability,
+    beyond-reference): earliest arrival from customers 0-4 along edges
+    whose pseudo-timestamps (eid % 365) never decrease — the
+    temporal-graph semantics the oracle replays as a recursive CTE over
+    (src, dst, arrival) states."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges").select(
+        "src", "dst", (F.col("eid") % 365).alias("ts")
+    )
+    seeds = spark.table("customer").where(F.col("c_custkey") < 5).select(
+        F.col("c_custkey").cast("long")
+    )
+    return pathops.temporal_reachability(edges, seeds, ts_col="ts")
+
+
+O_TEMPORAL_REACH = _with_e(
+    """, et AS (SELECT src, dst, CAST(eid % 365 AS BIGINT) AS ts FROM e),
+walk(src, dst, arrival) AS (
+  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer WHERE c_custkey < 5
+  UNION
+  SELECT w.src, et.dst, et.ts FROM walk w
+  JOIN et ON et.src = w.dst AND et.ts >= w.arrival)
+SELECT src, dst, MIN(arrival) AS arrival FROM walk GROUP BY src, dst""",
+    recursive=True,
+)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2818,6 +2846,7 @@ QUERIES = {
     "doc_logprob": q_doc_logprob,
     "katz": q_katz,
     "link_pred": q_link_pred,
+    "temporal_reach": q_temporal_reach,
 }
 
 ORACLES = {
@@ -2899,4 +2928,5 @@ ORACLES = {
     "doc_logprob": O_DOC_LOGPROB,
     "katz": O_KATZ,
     "link_pred": O_LINK_PRED,
+    "temporal_reach": O_TEMPORAL_REACH,
 }

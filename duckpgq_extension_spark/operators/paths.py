@@ -728,3 +728,91 @@ def integral_keys(df: DataFrame, cols: list[str]) -> bool:
     supports arbitrary key types, csr_creation.cpp)."""
     types = {f.name.lower(): f.dataType.simpleString() for f in df.schema.fields}
     return all(types.get(c.lower()) in _INTEGRAL_TYPES for c in cols)
+
+
+def temporal_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    ts_col: str = "ts",
+    start_ts: int | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Time-respecting reachability (beyond-reference): earliest arrival
+    time at every vertex reachable from each seed along edges whose
+    timestamps never decrease — the temporal-graph semantics where an
+    edge can only be taken AFTER reaching its source (information/
+    contagion spread, payment-flow tracing, event-causality queries).
+
+    Returns (src, dst, arrival): seed, reached vertex, and the earliest
+    time the walk can sit on `dst` (the seed itself arrives at
+    `start_ts`, or the epoch if unset; unreachable pairs are absent,
+    like bfs_distances).
+
+    Label-correcting relaxation on earliest-arrival (arrival times are
+    monotone along a walk, so the fixpoint is unique and order-free,
+    Bellman-Ford-style): each round relaxes the CURRENT improvements
+    against the adjacency — one frontier-to-edges join per round with
+    the `edge.ts >= arrival(u)` condition, improvements merged by
+    per-pair min.  Rounds are bounded by the longest time-respecting
+    path's hop count.  Same scale shape as cheapest_path: adjacency
+    checkpointed hash-partitioned by src, frontier-only shuffle, the
+    improvement count observed during the checkpoint job.
+    """
+    sc = edges.sparkSession.sparkContext
+    parts = num_partitions or sc.defaultParallelism
+    adj = materialize(
+        edges.select(
+            "src", "dst", F.col(ts_col).cast("long").alias("__ts")
+        ).repartition(parts, "src")
+    )
+    t0 = F.lit(int(start_ts)) if start_ts is not None else F.lit(0)
+    best = materialize(
+        seeds.toDF("vid").distinct().select(
+            F.col("vid").alias("src"),
+            F.col("vid").alias("dst"),
+            t0.cast("long").alias("arrival"),
+        )
+    )
+    frontier = best
+    while True:
+        relaxed = (
+            frontier.alias("f")
+            .join(adj.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .where(F.col("e.__ts") >= F.col("f.arrival"))
+            .select(
+                F.col("f.src").alias("src"),
+                F.col("e.dst").alias("dst"),
+                F.col("e.__ts").alias("arrival"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.min("arrival").alias("arrival"))
+        )
+        # keep only genuine improvements vs the accumulated best
+        improved = (
+            relaxed.alias("r")
+            .join(
+                best.alias("b"),
+                (F.col("r.src") == F.col("b.src"))
+                & (F.col("r.dst") == F.col("b.dst")),
+                "left",
+            )
+            .where(
+                F.col("b.arrival").isNull()
+                | (F.col("r.arrival") < F.col("b.arrival"))
+            )
+            .select(F.col("r.src"), F.col("r.dst"), F.col("r.arrival"))
+        )
+        improved, n_new = checkpoint_with_count(improved)
+        if not n_new:
+            return best
+        best = materialize(
+            best.alias("b")
+            .join(
+                improved.alias("i"),
+                (F.col("b.src") == F.col("i.src"))
+                & (F.col("b.dst") == F.col("i.dst")),
+                "left_anti",
+            )
+            .unionByName(improved)
+        )
+        frontier = improved

@@ -212,3 +212,34 @@ def test_undirected_var_length(pgq):
            COLUMNS (b.name AS b_name)"""
     )
     assert rows(df) == [("Daniel",), ("Gabor",), ("Peter",), ("Tavneet",)]
+
+
+def test_temporal_reachability_respects_time(spark):
+    """1->2@5, 2->3@3: from 1 the 2->3 edge is in the past on arrival, so
+    3 is unreachable; from 2 it is fine.  A later parallel edge 2->3@7
+    re-opens the path and the EARLIEST valid arrival wins."""
+    from duckpgq_extension_spark.operators.paths import temporal_reachability
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 3)], "src long, dst long, ts long"
+    )
+    seeds = spark.createDataFrame([(1,), (2,)], "vid long")
+    got = {(r.src, r.dst): r.arrival for r in
+           temporal_reachability(edges, seeds).collect()}
+    assert got == {(1, 1): 0, (1, 2): 5, (2, 2): 0, (2, 3): 3}
+    edges2 = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 3), (2, 3, 7)], "src long, dst long, ts long"
+    )
+    got2 = {(r.src, r.dst): r.arrival for r in
+            temporal_reachability(edges2, seeds).collect()}
+    assert got2[(1, 3)] == 7 and got2[(2, 3)] == 3
+
+
+def test_temporal_reachability_start_ts(spark):
+    from duckpgq_extension_spark.operators.paths import temporal_reachability
+
+    edges = spark.createDataFrame([(1, 2, 5)], "src long, dst long, ts long")
+    seeds = spark.createDataFrame([(1,)], "vid long")
+    got = {(r.src, r.dst): r.arrival for r in
+           temporal_reachability(edges, seeds, start_ts=6).collect()}
+    assert got == {(1, 1): 6}  # the only edge departs before we start
