@@ -67,6 +67,13 @@ def _next_word(text: str, pos: int) -> str:
     return (m.group(1) or "").lower() if m else ""
 
 
+def _prev_word(text: str, pos: int) -> str:
+    """The word (or ',') immediately before `pos`, lowercased — table
+    position test for FROM-clause function substitution."""
+    m = re.search(r"([A-Za-z_][\w$]*|,)\s*$", text[:pos])
+    return m.group(1).lower() if m else ""
+
+
 class PGQSession:
     """Wraps a SparkSession with property-graph state, like the reference's
     connection-local DuckPGQState (src/duckpgq_state.cpp:133-186)."""
@@ -198,12 +205,69 @@ class PGQSession:
             if _next_word(query, i) in _CLAUSE_KEYWORDS:
                 out.append(" AS unnamed_subquery")
             pos = i
-        rewritten = "".join(out)
+        rewritten = self._substitute_algorithm_calls("".join(out))
         # DuckDB's FROM-first shorthand (`FROM t LIMIT 10`,
         # unnamed_subquery.test) — Spark requires an explicit SELECT
         if re.match(r"\s*FROM\b", rewritten, re.IGNORECASE):
             rewritten = "SELECT * " + rewritten
         return self.spark.sql(rewritten)
+
+    def _substitute_algorithm_calls(self, query: str) -> str:
+        """Rewrite FROM-clause algorithm table functions —
+        `SELECT id, pagerank FROM pagerank(pg, student, know)` — into
+        temp views, the reference's bind-replace surface for its
+        algorithm wrappers (src/core/functions/table/pagerank.cpp:10-23,
+        weakly_connected_component.cpp:10-25,
+        local_clustering_coefficient.cpp:17-32; golden syntax
+        test/sql/scalar/pagerank.test:24).  Our beyond-reference
+        algorithms with the same (pg, vertex, edge) shape dispatch too.
+        Only calls in table position (after FROM / JOIN / a FROM-list
+        comma) are rewritten; like DuckDB, the aliasless result is
+        referenceable by the function's own name."""
+        dispatch = {
+            "pagerank": self.pagerank,
+            "weakly_connected_component": self.weakly_connected_component,
+            "local_clustering_coefficient": self.local_clustering_coefficient,
+            "strongly_connected_component": self.strongly_connected_component,
+            "hits": self.hits,
+            "katz_centrality": self.katz_centrality,
+            "global_clustering": self.global_clustering,
+            "degree_assortativity": self.degree_assortativity,
+            "label_propagation": self.label_propagation,
+        }
+        call_re = re.compile(
+            r"\b(" + "|".join(dispatch) + r")\s*\(\s*"
+            r"(\"[^\"]+\"|\w+)\s*,\s*(\"[^\"]+\"|\w+)\s*,\s*(\"[^\"]+\"|\w+)\s*\)",
+            re.IGNORECASE,
+        )
+        out, pos, n = [], 0, len(query)
+        while True:
+            m = None
+            j = pos
+            while j < n:
+                skip = _skip_special(query, j)
+                if skip is not None:
+                    j = skip
+                    continue
+                mm = call_re.match(query, j)
+                if mm and _prev_word(query, j) in ("from", "join", ","):
+                    m = mm
+                    break
+                j += 1
+            if not m:
+                out.append(query[pos:])
+                return "".join(out)
+            fname = m.group(1).lower()
+            args = [a.strip().strip('"') for a in m.groups()[1:]]
+            df = dispatch[fname](*args)
+            self._view_counter += 1
+            view = f"__pgq_algo_{self._view_counter}"
+            df.createOrReplaceTempView(view)
+            out.append(query[pos : m.start()])
+            out.append(view)
+            if _next_word(query, m.end()) in _CLAUSE_KEYWORDS:
+                out.append(f" AS {fname}")
+            pos = m.end()
 
     # -- algorithm table functions --------------------------------------
     def _graph_frames(

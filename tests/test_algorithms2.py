@@ -377,3 +377,26 @@ def test_session_katz_link_prediction(pgq):
     # natural keys on both pair sides; scores well-formed
     for r in lp:
         assert r.u_id < r.v_id and r.common_neighbors >= 1 and 0 < r.jaccard <= 1
+
+
+def test_sql_algorithm_table_functions(pgq):
+    """Reference surface: SELECT id, pagerank FROM pagerank(pg, v, e)
+    (pagerank.test:24) — and the result table is referenceable by the
+    function name like DuckDB's aliasless derived tables."""
+    api = {r[0]: r[1] for r in pgq.pagerank("pg", "Person", "Knows").collect()}
+    via_sql = {r[0]: r[1] for r in
+               pgq.sql("SELECT id, pagerank FROM pagerank(pg, Person, Knows)").collect()}
+    assert via_sql == api
+    named = pgq.sql(
+        "SELECT pagerank.id FROM pagerank(pg, Person, Knows) WHERE pagerank.pagerank > 0"
+    ).collect()
+    assert {r[0] for r in named} == set(api)
+    wcc = {r[0]: r[1] for r in
+           pgq.sql("SELECT * FROM weakly_connected_component(pg, Person, Knows) ORDER BY id").collect()}
+    assert set(wcc) == {0, 1, 2, 3, 4}
+    scc = {r[0]: r[1] for r in
+           pgq.sql("SELECT * FROM strongly_connected_component(pg, Person, Knows)").collect()}
+    assert scc == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4}
+    # scalar mention of the name must NOT rewrite (not table position)
+    lit = pgq.sql("SELECT 'pagerank(pg, a, b)' AS s").collect()
+    assert lit[0].s == "pagerank(pg, a, b)"
