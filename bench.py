@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "katz",
     "link_pred",
     "temporal_reach",
+    "nbr_features",
+    "ego_net",
 ]
 
 

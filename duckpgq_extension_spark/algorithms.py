@@ -1116,3 +1116,80 @@ def link_prediction(
             ).alias("jaccard"),
         )
     )
+
+
+def neighbor_agg(
+    edges: DataFrame,
+    features: DataFrame,
+    aggs: list[str] = ("mean",),
+    direction: str = "out",
+) -> DataFrame:
+    """Neighborhood feature aggregation (beyond-reference): for every
+    vertex, aggregate a numeric feature over its neighbors — the
+    message-passing precompute of GNN pipelines ("SIGN"-style, and the
+    classic graph feature-engineering step: mean neighbor account
+    balance, max neighbor risk score, ...).
+
+    `features` is (vid, value); `direction` 'out' aggregates over each
+    vertex's out-neighbors' values, 'in' over in-neighbors, 'both' over
+    the doubled undirected neighbor set.  `aggs` from
+    {mean, sum, min, max, count}.  Returns (vid, nbr_<agg>...), one row
+    per feature-bearing vertex with >= 1 neighbor.
+
+    One equi-join (feature value onto the neighbor end) + one groupBy —
+    both shuffle on vertex ids; at 100 TB this is the standard
+    two-shuffle aggregation with map-side partial combine.
+    """
+    fns = {"mean": F.avg, "sum": F.sum, "min": F.min, "max": F.max,
+           "count": F.count}
+    bad = [a for a in aggs if a not in fns]
+    if bad:
+        raise ValueError(f"unsupported aggs {bad}; pick from {sorted(fns)}")
+    feats = features.toDF("vid", "value")
+    if direction == "out":
+        nbr = edges.select("src", "dst")
+    elif direction == "in":
+        nbr = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    elif direction == "both":
+        nbr = _doubled_neighbors(edges)
+    else:
+        raise ValueError("direction must be 'out', 'in' or 'both'")
+    return (
+        nbr.alias("e")
+        .join(feats.alias("f"), F.col("e.dst") == F.col("f.vid"))
+        .groupBy(F.col("e.src").alias("vid"))
+        .agg(*[fns[a](F.col("f.value")).alias(f"nbr_{a}") for a in aggs])
+    )
+
+
+def ego_network(
+    edges: DataFrame, seeds: DataFrame, radius: int
+) -> DataFrame:
+    """Ego-network extraction (beyond-reference): the edges of the
+    subgraph induced by everything within `radius` directed hops of the
+    seed set — the subgraph-sampling step before local analysis or
+    visualization.  Returns the (src, dst) edge rows where BOTH
+    endpoints are in the ball (seed vertices are in at distance 0).
+
+    One batched multi-source BFS bounded at `radius` builds the ball,
+    then two semi-joins restrict the edge table — frontier-scaled work,
+    never a full-graph materialization beyond the single edge scan.
+    """
+    if radius < 0:
+        raise ValueError("radius must be >= 0")
+    ball = (
+        pathops.bfs_distances(
+            edges.select("src", "dst"), sources=seeds.toDF("vid"),
+            max_hops=radius,
+        )
+        .select("dst")
+        .distinct()
+        .withColumnRenamed("dst", "vid")
+    )
+    ball = pathops.materialize(ball)
+    return (
+        edges.select("src", "dst")
+        .join(ball.withColumnRenamed("vid", "src"), "src", "left_semi")
+        .join(ball.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+        .select("src", "dst")
+    )

@@ -2763,6 +2763,65 @@ SELECT src, dst, MIN(arrival) AS arrival FROM walk GROUP BY src, dst""",
 )
 
 
+def q_nbr_features(spark, sf_dir):
+    """Neighborhood feature aggregation (algorithms.neighbor_agg,
+    beyond-reference): mean/max/count of neighbor account balance over
+    the undirected neighbor set — the GNN/feature-engineering
+    message-passing precompute."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    feats = spark.table("customer").select(
+        F.col("c_custkey").cast("long"), F.col("c_acctbal").cast("double")
+    )
+    out = algorithms.neighbor_agg(
+        edges, feats, aggs=["mean", "max", "count"], direction="both"
+    )
+    return out.select(
+        "vid",
+        F.round("nbr_mean", 6).alias("nbr_mean"),
+        F.round("nbr_max", 6).alias("nbr_max"),
+        F.col("nbr_count"),
+    )
+
+
+O_NBR_FEATURES = _with_e(
+    """, und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e WHERE src <> dst
+    UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+f AS (SELECT c_custkey AS vid, CAST(c_acctbal AS DOUBLE) AS val FROM customer)
+SELECT u.src AS vid, ROUND(AVG(f.val), 6) AS nbr_mean,
+       ROUND(MAX(f.val), 6) AS nbr_max, COUNT(*) AS nbr_count
+FROM und u JOIN f ON f.vid = u.dst
+GROUP BY u.src"""
+)
+
+
+def q_ego_net(spark, sf_dir):
+    """Ego-network extraction (algorithms.ego_network, beyond-reference):
+    the edge multiset of the subgraph within 2 directed hops of
+    customers 0-2."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    seeds = spark.table("customer").where(F.col("c_custkey") < 3).select(
+        F.col("c_custkey").cast("long")
+    )
+    return algorithms.ego_network(edges, seeds, radius=2)
+
+
+O_EGO_NET = _with_e(
+    """, ball(vid, d) AS (
+  SELECT c_custkey, 0 FROM customer WHERE c_custkey < 3
+  UNION
+  SELECT e.dst, b.d + 1 FROM ball b JOIN e ON e.src = b.vid WHERE b.d < 2),
+bs AS (SELECT DISTINCT vid FROM ball)
+SELECT e.src, e.dst FROM e
+JOIN bs s ON s.vid = e.src
+JOIN bs t ON t.vid = e.dst""",
+    recursive=True,
+)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2847,6 +2906,8 @@ QUERIES = {
     "katz": q_katz,
     "link_pred": q_link_pred,
     "temporal_reach": q_temporal_reach,
+    "nbr_features": q_nbr_features,
+    "ego_net": q_ego_net,
 }
 
 ORACLES = {
@@ -2929,4 +2990,6 @@ ORACLES = {
     "katz": O_KATZ,
     "link_pred": O_LINK_PRED,
     "temporal_reach": O_TEMPORAL_REACH,
+    "nbr_features": O_NBR_FEATURES,
+    "ego_net": O_EGO_NET,
 }

@@ -400,3 +400,37 @@ def test_sql_algorithm_table_functions(pgq):
     # scalar mention of the name must NOT rewrite (not table position)
     lit = pgq.sql("SELECT 'pagerank(pg, a, b)' AS s").collect()
     assert lit[0].s == "pagerank(pg, a, b)"
+
+
+# ----------------------------------------- neighbor_agg / ego_network
+
+
+def test_neighbor_agg_directions(spark):
+    edges = spark.createDataFrame([(1, 2), (1, 3), (3, 1)], "src long, dst long")
+    feats = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "vid long, value double"
+    )
+    out_ = {r.vid: (r.nbr_mean, r.nbr_count) for r in
+            A.neighbor_agg(edges, feats, ["mean", "count"], "out").collect()}
+    assert out_[1] == (25.0, 2) and out_[3] == (10.0, 1)
+    in_ = {r.vid: r.nbr_mean for r in
+           A.neighbor_agg(edges, feats, ["mean"], "in").collect()}
+    assert in_[2] == 10.0 and in_[1] == 30.0
+    both = {r.vid: r.nbr_count for r in
+            A.neighbor_agg(edges, feats, ["count"], "both").collect()}
+    assert both == {1: 2, 2: 1, 3: 1}  # 1-3 counted once undirected
+    with pytest.raises(ValueError):
+        A.neighbor_agg(edges, feats, ["median"])
+
+
+def test_ego_network_radius(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (9, 1)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "vid long")
+    r1 = sorted(tuple(r) for r in A.ego_network(edges, seeds, 1).collect())
+    assert r1 == [(1, 2)]  # ball {1,2}; 9->1 excluded (9 outside ball)
+    r2 = sorted(tuple(r) for r in A.ego_network(edges, seeds, 2).collect())
+    assert r2 == [(1, 2), (2, 3)]
+    r0 = A.ego_network(edges, seeds, 0).collect()
+    assert r0 == []
