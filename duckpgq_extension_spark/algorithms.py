@@ -551,17 +551,28 @@ def hits(
     L2 form up to scale and replays exactly in an unrolled-SQL oracle).
 
     Returns (vid, hub, authority).  Vertices with no edges keep score 0.
+    Edges with an endpoint outside `vertices` are dropped up front (the
+    graph induced on the vertex domain) — otherwise mass would flow to
+    out-of-domain endpoints, be counted by the L1 norm, then silently
+    discarded, breaking the sum-to-1 contract.
 
-    Scale design: the edge frame is hash-partitioned by src once and both
-    half-steps join against it; the L1 norms ride as broadcast 1-row
-    frames (no driver collect per iteration), and the scores frame is
-    checkpointed per round — two jobs per iteration, mirroring pagerank.
+    Scale design: the induced edge frame is persisted twice — once
+    hash-partitioned by src (authority half-step) and once by dst (hub
+    half-step), so neither per-iteration join reshuffles the edges; the
+    L1 norms ride as broadcast 1-row frames (no driver collect per
+    iteration), and the scores frame is checkpointed per round — two
+    jobs per iteration, mirroring pagerank.
     """
     vertices = pathops.materialize(vertices.toDF("vid").distinct())
     sc = edges.sparkSession.sparkContext
-    edges = edges.select("src", "dst").repartition(
-        sc.defaultParallelism, "src"
-    ).persist()
+    parts = sc.defaultParallelism
+    induced = (
+        edges.select("src", "dst")
+        .join(vertices.withColumnRenamed("vid", "src"), "src", "left_semi")
+        .join(vertices.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+    )
+    edges = induced.repartition(parts, "src").persist()
+    edges_by_dst = induced.repartition(parts, "dst").persist()
     scores = pathops.materialize(
         vertices.select("vid", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth"))
     )
@@ -597,7 +608,7 @@ def hits(
             # hub step: mass flows against edge direction (auth of dst)
             hraw = (
                 auth.alias("s")
-                .join(edges.alias("e"), F.col("s.vid") == F.col("e.dst"))
+                .join(edges_by_dst.alias("e"), F.col("s.vid") == F.col("e.dst"))
                 .groupBy(F.col("e.src").alias("vid"))
                 .agg(F.sum("s.auth").alias("hraw"))
             )
@@ -638,6 +649,7 @@ def hits(
         return scores.select("vid", "hub", F.col("auth").alias("authority"))
     finally:
         edges.unpersist()
+        edges_by_dst.unpersist()
 
 
 def strongly_connected_component(edges: DataFrame, vertices: DataFrame) -> DataFrame:
@@ -773,8 +785,19 @@ def global_clustering(edges: DataFrame, vertices: DataFrame) -> DataFrame:
 
     Reuses the degree-ordered O(m^1.5) triangle plan; the wedge count is
     a pure degree aggregate — no wedge materialization anywhere.
+
+    Edges with an endpoint outside `vertices` are dropped first, so
+    triangles and wedges are measured over the SAME induced subgraph —
+    counting wedges graph-wide while crediting triangles only to
+    in-domain corners would fractionally undercount triangles (sum/3
+    truncates) and skew the coefficient.
     """
     vertices = vertices.toDF("vid").distinct()
+    edges = (
+        edges.select("src", "dst")
+        .join(vertices.withColumnRenamed("vid", "src"), "src", "left_semi")
+        .join(vertices.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+    )
     nbr = _doubled_neighbors(edges).persist()
     try:
         deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
@@ -1132,9 +1155,11 @@ def neighbor_agg(
 
     `features` is (vid, value); `direction` 'out' aggregates over each
     vertex's out-neighbors' values, 'in' over in-neighbors, 'both' over
-    the doubled undirected neighbor set.  `aggs` from
-    {mean, sum, min, max, count}.  Returns (vid, nbr_<agg>...), one row
-    per feature-bearing vertex with >= 1 neighbor.
+    the undirected neighbor set.  All three directions aggregate over
+    the DISTINCT neighbor set with self-loops dropped (multi-edges do
+    not double-count a neighbor's value — same convention for every
+    direction).  `aggs` from {mean, sum, min, max, count}.  Returns
+    (vid, nbr_<agg>...), one row per vertex with >= 1 neighbor.
 
     One equi-join (feature value onto the neighbor end) + one groupBy —
     both shuffle on vertex ids; at 100 TB this is the standard
@@ -1146,10 +1171,13 @@ def neighbor_agg(
     if bad:
         raise ValueError(f"unsupported aggs {bad}; pick from {sorted(fns)}")
     feats = features.toDF("vid", "value")
+    base = edges.select("src", "dst").where(F.col("src") != F.col("dst"))
     if direction == "out":
-        nbr = edges.select("src", "dst")
+        nbr = base.distinct()
     elif direction == "in":
-        nbr = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        nbr = base.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst")
+        ).distinct()
     elif direction == "both":
         nbr = _doubled_neighbors(edges)
     else:

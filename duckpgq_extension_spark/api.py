@@ -249,8 +249,12 @@ class PGQSession:
                 if skip is not None:
                     j = skip
                     continue
+                # FROM/JOIN only — a ',' would also match SELECT-list or
+                # argument positions, rewriting a same-named scalar call
+                # into a view name (comma-style FROM lists are not
+                # supported for table functions; use JOIN)
                 mm = call_re.match(query, j)
-                if mm and _prev_word(query, j) in ("from", "join", ","):
+                if mm and _prev_word(query, j) in ("from", "join"):
                     m = mm
                     break
                 j += 1
@@ -351,6 +355,24 @@ class PGQSession:
         vertices = vdf.select(vkey)
         return pg, vt, et, pks, vdf, vkey, vertices, edges
 
+    @staticmethod
+    def _seed_vids(vdf, vkey, pks, seeds, what: str):
+        """Translate a natural-key seed DataFrame (columns positionally
+        matching the vertex key) to internal vertex ids through the SAME
+        vkey expression as the graph — one definition so the surrogate
+        hash / canonicalization can never drift between callers."""
+        scols = seeds.columns
+        if len(scols) != len(pks):
+            raise PGQBinderError(
+                f"{what} must have {len(pks)} column(s) matching the "
+                f"vertex key {pks}, got {scols}"
+            )
+        cond = None
+        for pk_c, s_c in zip(pks, scols):
+            eq = vdf[pk_c] == seeds[s_c]
+            cond = eq if cond is None else cond & eq
+        return vdf.join(seeds, cond, "left_semi").select(vkey.alias("vid"))
+
     def pagerank(
         self,
         graph: str,
@@ -372,17 +394,7 @@ class PGQSession:
             graph, vertex_label, edge_label, undirected=False, weight_col=weight_col
         )
         if sources is not None:
-            scols = sources.columns
-            if len(scols) != len(pks):
-                raise PGQBinderError(
-                    f"sources must have {len(pks)} column(s) matching the "
-                    f"vertex key {pks}, got {scols}"
-                )
-            cond = None
-            for pk_c, s_c in zip(pks, scols):
-                eq = vdf[pk_c] == sources[s_c]
-                cond = eq if cond is None else cond & eq
-            sources = vdf.join(sources, cond, "left_semi").select(vkey.alias("vid"))
+            sources = self._seed_vids(vdf, vkey, pks, sources, "sources")
         ranks = algorithms.pagerank(
             edges,
             vertices,
@@ -487,17 +499,7 @@ class PGQSession:
         _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
             graph, vertex_label, edge_label, undirected=False
         )
-        scols = seeds.columns
-        if len(scols) != len(pks):
-            raise PGQBinderError(
-                f"seeds must have {len(pks)} column(s) matching the "
-                f"vertex key {pks}, got {scols}"
-            )
-        cond = None
-        for pk_c, s_c in zip(pks, scols):
-            eq = vdf[pk_c] == seeds[s_c]
-            cond = eq if cond is None else cond & eq
-        seed_ids = vdf.join(seeds, cond, "left_semi").select(vkey.alias("vid"))
+        seed_ids = self._seed_vids(vdf, vkey, pks, seeds, "seeds")
         scores = algorithms.closeness_centrality(edges, seed_ids)
         return vdf.join(scores, vkey == scores["vid"]).select(
             *[vdf[c] for c in pks], F.col("reached"), F.col("closeness")
@@ -545,17 +547,7 @@ class PGQSession:
         _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
             graph, vertex_label, edge_label, undirected=False
         )
-        scols = seeds.columns
-        if len(scols) != len(pks):
-            raise PGQBinderError(
-                f"seeds must have {len(pks)} column(s) matching the "
-                f"vertex key {pks}, got {scols}"
-            )
-        cond = None
-        for pk_c, s_c in zip(pks, scols):
-            eq = vdf[pk_c] == seeds[s_c]
-            cond = eq if cond is None else cond & eq
-        seed_ids = vdf.join(seeds, cond, "left_semi").select(vkey.alias("vid"))
+        seed_ids = self._seed_vids(vdf, vkey, pks, seeds, "seeds")
         walks = algorithms.random_walks(edges, seed_ids, length, salt=salt)
         # one key->vid map built from the SAME vkey expression (so the
         # surrogate hash and its canonicalization flags can never drift),

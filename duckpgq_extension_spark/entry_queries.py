@@ -2497,11 +2497,6 @@ FROM mind GROUP BY src""",
 )
 
 
-# identical augmentation expression on both engines: inject one email, one
-# IPv4 and one phone per document so the scrub has deterministic work
-_PII_AUG_SPARK = None  # built inline in q_pii_redact
-
-
 def q_pii_redact(spark, sf_dir):
     """PII scrub (functions.text.redact_pii / pii_counts / normalize_text,
     beyond-reference): augment each document with a synthetic email, IP
