@@ -671,11 +671,20 @@ def strongly_connected_component(edges: DataFrame, vertices: DataFrame) -> DataF
          same pass).
       3. Remove found SCCs; repeat on the remainder.
 
-    Each outer round peels at least every current root's SCC, so rounds
-    are bounded by the longest chain of SCCs whose roots are ordered by
-    id along edges — small in practice (power-law graphs: one giant SCC
-    plus shallow periphery).  All steps are joins/groupBys over frames
-    partitioned by the propagation key; nothing is collected.
+    Before each coloring pass, the standard TRIM step bulk-removes
+    trivial SCCs: a remaining vertex with no live in-edges or no live
+    out-edges cannot sit on any cycle, so it is its own component.
+    Trimming iterates to fixpoint (each pass is one job) — dangling
+    trees and chain periphery fall out in a few passes instead of
+    costing one full color+peel round EACH (a descending id chain is
+    the worst case of plain coloring: one peeled root per round).
+
+    Each outer round then peels at least every current root's SCC, so
+    rounds are bounded by the longest chain of non-trivial SCCs whose
+    roots are ordered by id along edges — small in practice (power-law
+    graphs: one giant SCC plus shallow periphery).  All steps are
+    joins/groupBys over frames partitioned by the propagation key;
+    nothing is collected.
     """
     vertices = pathops.materialize(vertices.toDF("vid").distinct())
     sc = edges.sparkSession.sparkContext
@@ -692,13 +701,42 @@ def strongly_connected_component(edges: DataFrame, vertices: DataFrame) -> DataF
     out = None
     try:
         while n_remaining:
-            live = (
-                all_edges.join(
-                    remaining.withColumnRenamed("vid", "src"), "src", "left_semi"
+            # -- trim: peel vertices that can't be on a cycle, to fixpoint
+            while True:
+                live = (
+                    all_edges.join(
+                        remaining.withColumnRenamed("vid", "src"), "src", "left_semi"
+                    )
+                    .join(
+                        remaining.withColumnRenamed("vid", "dst"), "dst", "left_semi"
+                    )
                 )
-                .join(remaining.withColumnRenamed("vid", "dst"), "dst", "left_semi")
-            )
-            live = pathops.materialize(live.repartition(parts, "src"))
+                live = pathops.materialize(live.repartition(parts, "src"))
+                cyclic = (
+                    remaining.join(
+                        live.select("src").withColumnRenamed("src", "vid"),
+                        "vid",
+                        "left_semi",
+                    ).join(
+                        live.select("dst").withColumnRenamed("dst", "vid"),
+                        "vid",
+                        "left_semi",
+                    )
+                )
+                trivial = remaining.join(cyclic, "vid", "left_anti").select(
+                    "vid", F.col("vid").alias("scc_id")
+                )
+                trivial, n_triv = pathops.checkpoint_with_count(trivial)
+                if not n_triv:
+                    break
+                out = trivial if out is None else out.unionByName(trivial)
+                out = pathops.materialize(out)
+                remaining = pathops.materialize(
+                    remaining.join(trivial.select("vid"), "vid", "left_anti")
+                )
+                n_remaining -= n_triv
+            if not n_remaining:
+                break
             # -- step 1: forward max-color propagation to fixpoint
             colors = pathops.materialize(
                 remaining.select("vid", F.col("vid").alias("color"))

@@ -434,3 +434,15 @@ def test_ego_network_radius(spark):
     assert r2 == [(1, 2), (2, 3)]
     r0 = A.ego_network(edges, seeds, 0).collect()
     assert r0 == []
+
+
+def test_scc_descending_chain_all_singletons(spark):
+    """Descending-id chain 60->59->...->1 — the worst case of plain
+    multi-pivot coloring (every round would peel exactly one root); the
+    trim step resolves the whole chain as trivial SCCs up front."""
+    edges = spark.createDataFrame(
+        [(i, i - 1) for i in range(60, 1, -1)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, 61)], "vid long")
+    got = {r.vid: r.scc_id for r in A.strongly_connected_component(edges, verts).collect()}
+    assert got == {i: i for i in range(1, 61)}
