@@ -1007,11 +1007,11 @@ def label_propagation(
             .agg(F.count("*").alias("c"))
         )
         # the mode is a min_by over (-count, label) — same tie-break as a
-        # (count DESC, label ASC) rank, without the per-round window SORT
-        # shuffle (both groupBys hash-partition by vid and combine
-        # map-side; warm medians at sf0.1 sit within host noise of the
-        # window plan, but the sort stage is gone from the explain and
-        # that scales with |V| where the noise does not)
+        # (count DESC, label ASC) rank, but as an AGGREGATE it partial-
+        # combines map-side (one candidate per vid per mapper reaches the
+        # shuffle) where a window rank ships and sorts every count row;
+        # min_by(struct) lowers to SortAggregate (key-only sort), pinned
+        # by a plan-guard test
         pick = cnt.groupBy("vid").agg(
             F.min_by(
                 "label", F.struct((-F.col("c")).alias("nc"), F.col("label"))

@@ -52,6 +52,12 @@ AUDITED = [
     "contamination",
     "stratified_sample",
     "vocab_stats",
+    "link_pred",
+    "nbr_features",
+    "doc_logprob",
+    "pii_redact",
+    "assortativity",
+    "global_clustering",
 ]
 
 # row-at-a-time Python evaluation; Arrow-batched variants
@@ -124,3 +130,45 @@ def test_tfidf_topn_plan(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_pii_redact_no_shuffle(spark):
+    """PII scrub is a single-scan projection: no Join, no Exchange —
+    it must pipeline through whatever partitioning the scan has."""
+    df = EQ.QUERIES["pii_redact"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Exchange" not in plan, plan[:2000]
+
+
+def test_lpa_pick_has_no_window_sort(spark):
+    """The LPA mode must be a min_by AGGREGATE, not a window rank — the
+    aggregate partial-combines map-side (one row per (vid, label) before
+    the shuffle) where a window rank ships every count row."""
+    from duckpgq_extension_spark import algorithms as A
+    from pyspark.sql import functions as F
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    verts = spark.createDataFrame([(1,), (2,), (3,)], "vid long")
+    out = A.label_propagation(edges, verts, max_iter=1)
+    # the returned frame is checkpointed; audit the in-flight round plan
+    # instead by rebuilding one pick step the way the loop does
+    und = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = verts.select("vid", F.col("vid").alias("label"))
+    cnt = (
+        labels.alias("l")
+        .join(und.alias("u"), F.col("l.vid") == F.col("u.src"))
+        .groupBy(F.col("u.dst").alias("vid"), F.col("l.label").alias("label"))
+        .agg(F.count("*").alias("c"))
+    )
+    pick = cnt.groupBy("vid").agg(
+        F.min_by("label", F.struct((-F.col("c")).alias("nc"), F.col("label"))).alias("n")
+    )
+    plan = pick._jdf.queryExecution().executedPlan().toString()
+    # min_by(struct) compiles to SortAggregate (key-only sort) WITH a
+    # map-side partial_min_by — the point is the partial combine before
+    # the shuffle, which a Window rank cannot do
+    assert "Window" not in plan, plan[:2000]
+    assert "partial_min_by" in plan, plan[:2000]
+    assert out.count() == 3
