@@ -164,3 +164,86 @@ def test_dedup_clusters_equals_union_find(spark, pairs):
     got = {r["doc_id"]: (r["canonical_id"], r["cluster_size"])
            for r in dedup_clusters(docs, "doc_id", "text", pairs=pdf).collect()}
     assert got == want
+
+
+# ---- round-4 algorithm cross-checks vs pure-Python oracles ----------------
+
+
+def _gen_digraph(seed: int, n: int = 24, m: int = 60):
+    """Deterministic pseudo-random digraph from an arithmetic generator."""
+    edges = set()
+    x = seed * 2654435761 % (2**31)
+    for _ in range(m):
+        x = (1103515245 * x + 12345) % (2**31)
+        s = x % n
+        x = (1103515245 * x + 12345) % (2**31)
+        d = x % n
+        if s != d:
+            edges.add((s, d))
+    return sorted(edges)
+
+
+@pytest.mark.parametrize("seed", [3, 17, 99])
+def test_scc_random_seeds_vs_tarjan(spark, seed):
+    from .test_algorithms2 import _tarjan_scc
+    from duckpgq_extension_spark import algorithms as A
+
+    el = _gen_digraph(seed)
+    edges = spark.createDataFrame(el, "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(24)], "vid long")
+    got = {r.vid: r.scc_id for r in A.strongly_connected_component(edges, verts).collect()}
+    assert got == _tarjan_scc(24, el), seed
+
+
+@pytest.mark.parametrize("seed", [5, 42])
+def test_closeness_vs_python_bfs(spark, seed):
+    from collections import deque
+
+    from duckpgq_extension_spark import algorithms as A
+
+    el = _gen_digraph(seed)
+    adj = {}
+    for s, d in el:
+        adj.setdefault(s, []).append(d)
+    edges = spark.createDataFrame(el, "src long, dst long")
+    seeds = spark.createDataFrame([(0,), (7,)], "vid long")
+    got = {r.vid: (r.reached, r.closeness) for r in
+           A.closeness_centrality(edges, seeds).collect()}
+    for s in (0, 7):
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            u = q.popleft()
+            for v in adj.get(u, []):
+                if v not in dist:
+                    dist[v] = dist[u] + 1
+                    q.append(v)
+        total = sum(dist.values())
+        expect = ((len(dist) - 1) / total) if total else 0.0
+        assert got[s][0] == len(dist) and got[s][1] == pytest.approx(expect), seed
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_temporal_reach_vs_python(spark, seed):
+    """Earliest arrival cross-checked against an exhaustive Python
+    label-correcting relaxation over timestamped edges."""
+    from duckpgq_extension_spark.operators.paths import temporal_reachability
+
+    el = _gen_digraph(seed, n=16, m=40)
+    tel = [(s, d, (s * 7 + d * 13 + seed) % 20) for s, d in el]
+    edges = spark.createDataFrame(tel, "src long, dst long, ts long")
+    seeds = spark.createDataFrame([(1,), (2,)], "vid long")
+    got = {(r.src, r.dst): r.arrival for r in
+           temporal_reachability(edges, seeds).collect()}
+    for s in (1, 2):
+        best = {s: 0}
+        changed = True
+        while changed:
+            changed = False
+            for u, v, ts in tel:
+                if u in best and ts >= best[u] and ts < best.get(v, 10**9):
+                    best[v] = ts
+                    changed = True
+        for v, a in best.items():
+            assert got.get((s, v)) == a, (seed, s, v)
+        assert {d for (ss, d) in got if ss == s} == set(best), (seed, s)
