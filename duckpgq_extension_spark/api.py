@@ -604,6 +604,135 @@ class PGQSession:
             )
         )
 
+    def temporal_reachability(
+        self,
+        graph: str,
+        vertex_label: str,
+        edge_label: str,
+        seeds: DataFrame,
+        ts_col: str,
+        start_ts: int | None = None,
+    ) -> DataFrame:
+        """(seed key columns..., reached key columns..., arrival) —
+        earliest time-respecting arrival from each seed along edges whose
+        `ts_col` timestamps never decrease (beyond-reference;
+        operators.paths.temporal_reachability).  `seeds` columns
+        positionally match the vertex key."""
+        _, _, et, pks, vdf, vkey, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        cs = str(self.spark.conf.get("spark.sql.caseSensitive", "false")).lower() == "true"
+        norm = (lambda c: c) if cs else (lambda c: c.lower())
+        edf = self.catalog.get(graph).element_df(edge_label)
+        if norm(ts_col) not in (norm(c) for c in edf.columns):
+            raise PGQBinderError(
+                f"Timestamp column '{ts_col}' does not exist on edge table "
+                f"'{et.table_name}' (columns: {edf.columns})"
+            )
+        # rebuild the edge frame with the timestamp column carried along
+        # (the _graph_frames edge frame drops non-key columns)
+        tedges = self._edges_with_col(graph, vertex_label, edge_label, ts_col)
+        seed_ids = self._seed_vids(vdf, vkey, pks, seeds, "seeds")
+        reach = pathops.temporal_reachability(
+            tedges, seed_ids, ts_col="__ts", start_ts=start_ts
+        )
+        vmap = vdf.select(*[vdf[c] for c in pks], vkey.alias("__vid"))
+        return (
+            reach.alias("r")
+            .join(vmap.alias("sv"), F.col("r.src") == F.col("sv.__vid"))
+            .join(vmap.alias("tv"), F.col("r.dst") == F.col("tv.__vid"))
+            .select(
+                *[F.col(f"sv.{c}").alias(f"seed_{c}") for c in pks],
+                *[F.col(f"tv.{c}").alias(f"at_{c}") for c in pks],
+                F.col("r.arrival"),
+            )
+        )
+
+    def _edges_with_col(
+        self, graph: str, vertex_label: str, edge_label: str, extra_col: str
+    ) -> DataFrame:
+        """The (src, dst, __ts) edge frame with an extra edge-table column
+        carried along, keyed the same way as _graph_frames (surrogate
+        hashing included)."""
+        pg = self.catalog.get(graph)
+        et = pg.table_for_label(edge_label, kind="edge")
+        vt = pg.table_for_label(vertex_label, kind="vertex")
+        edf = pg.element_df(edge_label)
+        pks = list(et.source_pk)
+        vdf = pg.element_df(vertex_label)
+        surrogate = (
+            len(pks) > 1
+            or not pathops.integral_keys(vdf, pks)
+            or not pathops.integral_keys(
+                edf, list(et.source_fk) + list(et.destination_fk)
+            )
+        )
+        if surrogate:
+            canon = _key_canon_flags(
+                vdf,
+                [pks, list(et.destination_pk)],
+                edf,
+                [list(et.source_fk), list(et.destination_fk)],
+            )
+            return edf.select(
+                _key_hash([F.col(c) for c in et.source_fk], canon).alias("src"),
+                _key_hash([F.col(c) for c in et.destination_fk], canon).alias("dst"),
+                F.col(extra_col).alias("__ts"),
+            )
+        return edf.select(
+            F.col(et.source_fk[0]).cast("long").alias("src"),
+            F.col(et.destination_fk[0]).cast("long").alias("dst"),
+            F.col(extra_col).alias("__ts"),
+        )
+
+    def neighbor_agg(
+        self,
+        graph: str,
+        vertex_label: str,
+        edge_label: str,
+        feature_col: str,
+        aggs: list[str] = ("mean",),
+        direction: str = "out",
+    ) -> DataFrame:
+        """(pk..., nbr_<agg>...) — aggregate a vertex property over each
+        vertex's neighbors (beyond-reference; algorithms.neighbor_agg)."""
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        feats = vdf.select(vkey.alias("vid"), F.col(feature_col).alias("value"))
+        out = algorithms.neighbor_agg(edges, feats, aggs=list(aggs), direction=direction)
+        return vdf.join(out, vkey == out["vid"]).select(
+            *[vdf[c] for c in pks],
+            *[F.col(f"nbr_{a}") for a in aggs],
+        )
+
+    def ego_network(
+        self,
+        graph: str,
+        vertex_label: str,
+        edge_label: str,
+        seeds: DataFrame,
+        radius: int,
+    ) -> DataFrame:
+        """(src key columns..., dst key columns...) — the edge multiset of
+        the subgraph within `radius` directed hops of `seeds`
+        (beyond-reference; algorithms.ego_network)."""
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        seed_ids = self._seed_vids(vdf, vkey, pks, seeds, "seeds")
+        sub = algorithms.ego_network(edges, seed_ids, radius)
+        vmap = vdf.select(*[vdf[c] for c in pks], vkey.alias("__vid"))
+        return (
+            sub.alias("e")
+            .join(vmap.alias("sv"), F.col("e.src") == F.col("sv.__vid"))
+            .join(vmap.alias("tv"), F.col("e.dst") == F.col("tv.__vid"))
+            .select(
+                *[F.col(f"sv.{c}").alias(f"src_{c}") for c in pks],
+                *[F.col(f"tv.{c}").alias(f"dst_{c}") for c in pks],
+            )
+        )
+
     # -- introspection ---------------------------------------------------
     def describe_property_graph(self, graph: str) -> DataFrame:
         """One row per registered table with the reference's exact

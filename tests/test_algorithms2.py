@@ -446,3 +446,38 @@ def test_scc_descending_chain_all_singletons(spark):
     verts = spark.createDataFrame([(i,) for i in range(1, 61)], "vid long")
     got = {r.vid: r.scc_id for r in A.strongly_connected_component(edges, verts).collect()}
     assert got == {i: i for i in range(1, 61)}
+
+
+def test_session_temporal_nbr_ego(pgq, spark):
+    """Natural-key wrappers for temporal reachability, neighbor_agg and
+    ego_network on the F1 graph (know edges carry createDate 10-17)."""
+    seeds = spark.createDataFrame([(0,)], "id long")
+    tr = {(r.seed_id, r.at_id): r.arrival for r in
+          pgq.temporal_reachability("pg", "Person", "Knows", seeds, "createDate").collect()}
+    # 0 departs at >=0: 0->1@10, 0->2@11, 0->3@12; then 1->3@15 (>=10) but
+    # 12 via direct is earlier; 1->2@14 later than direct 11; 3->0@13
+    # returns but 0 already at 0
+    assert tr[(0, 0)] == 0 and tr[(0, 1)] == 10 and tr[(0, 2)] == 11 and tr[(0, 3)] == 12
+    na = {r[0]: r.nbr_count for r in
+          pgq.neighbor_agg("pg", "Person", "Knows", "id", ["count"], "out").collect()}
+    assert na[0] == 3 and na[4] == 1
+    ego = {tuple(r) for r in
+           pgq.ego_network("pg", "Person", "Knows", seeds, 1).collect()}
+    # ball {0,1,2,3}: all know-edges among them (4->3 excluded)
+    assert ego == {(0, 1), (0, 2), (0, 3), (3, 0), (1, 2), (1, 3), (2, 3)}
+    with pgq_raises():
+        pgq.temporal_reachability("pg", "Person", "Knows", seeds, "nope")
+
+
+from contextlib import contextmanager
+
+
+@contextmanager
+def pgq_raises():
+    from duckpgq_extension_spark.errors import PGQBinderError
+
+    try:
+        yield
+        raise AssertionError("expected PGQBinderError")
+    except PGQBinderError:
+        pass
