@@ -481,3 +481,22 @@ def pgq_raises():
         raise AssertionError("expected PGQBinderError")
     except PGQBinderError:
         pass
+
+
+def test_sql_algorithm_call_in_literal_and_comment_untouched(pgq):
+    r = pgq.sql("SELECT 'from pagerank(pg, a, b)' AS s -- pagerank(pg, x, y)\n").collect()
+    assert r[0].s == "from pagerank(pg, a, b)"
+    r2 = pgq.sql("SELECT /* pagerank(pg, a, b) */ 1 AS one").collect()
+    assert r2[0].one == 1
+
+
+def test_sql_algorithm_call_select_position_not_rewritten(pgq):
+    """A same-named call in SELECT position must NOT dispatch — it should
+    reach Spark unresolved and raise Spark's own analysis error, not run
+    a graph algorithm."""
+    import pytest as _pt
+
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    with _pt.raises(AnalysisException):
+        pgq.sql("SELECT a, hits(x, y, z) FROM (SELECT 1 a, 2 x, 3 y, 4 z)").collect()

@@ -268,3 +268,39 @@ def test_streaming_degree_matches_batch(spark, tmp_path):
     got = {r["vid"]: (r["out_deg"], r["in_deg"])
            for r in spark.table("t_degree_out").collect()}
     assert got == {0: (2, 2), 1: (1, 1), 2: (2, 2)}
+
+
+def test_streaming_text_pipeline_matches_batch(spark, tmp_path):
+    """The text-analysis expressions (quality, lang-id, PII scrub) are
+    stateless column expressions, so the SAME code runs under Structured
+    Streaming: a file-source stream filtered+redacted must equal the
+    batch run row for row."""
+    from duckpgq_extension_spark.functions import text as TX
+
+    src = str(tmp_path / "docs_src")
+    docs = load_table(spark, SF, "documents").limit(200).select("doc_id", "text")
+    docs.coalesce(1).write.parquet(src)
+
+    def pipeline(df):
+        toks = TX.tokens(F.col("text"))
+        return (
+            df.withColumn("__toks", toks)
+            .select(
+                "doc_id",
+                TX.lang_id(F.col("text"), F.col("__toks")).alias("lang"),
+                F.round(TX.quality_score(F.col("text"), F.col("__toks")), 6).alias("q"),
+                F.md5(TX.redact_pii(F.col("text"))).alias("red"),
+            )
+            .where(F.col("q") > 0.2)
+        )
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = ev.run_stream_to_memory(pipeline(stream), "text_stream_out")
+    try:
+        got = sorted(
+            tuple(r) for r in spark.sql("SELECT * FROM text_stream_out").collect()
+        )
+        want = sorted(tuple(r) for r in pipeline(spark.read.parquet(src)).collect())
+        assert got == want and len(want) > 0
+    finally:
+        q.stop()
