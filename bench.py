@@ -77,6 +77,8 @@ BENCH_QUERIES = [
     "temporal_reach",
     "nbr_features",
     "ego_net",
+    "funnel",
+    "cohort_retention",
 ]
 
 

@@ -2817,6 +2817,64 @@ JOIN bs t ON t.vid = e.dst""",
 )
 
 
+def q_funnel(spark, sf_dir):
+    """Conversion-funnel analysis (streaming.events.funnel,
+    beyond-reference): earliest strictly-ordered view -> click ->
+    purchase completion per user over the events table."""
+    setup(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    return ev.funnel(events, ["view", "click", "purchase"])
+
+
+O_FUNNEL = """
+WITH s0 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t0 FROM events
+  WHERE event_type = 'view' GROUP BY user_id),
+s1 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t1
+  FROM events e JOIN s0 ON s0.user_id = e.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > s0.t0
+  GROUP BY e.user_id),
+s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 ON s1.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s1.t1
+  GROUP BY e.user_id)
+SELECT s0.user_id,
+       CAST(CASE WHEN s2.t2 IS NOT NULL THEN 3
+                 WHEN s1.t1 IS NOT NULL THEN 2
+                 ELSE 1 END AS BIGINT) AS steps_completed,
+       s0.t0 AS first_us,
+       COALESCE(s2.t2, s1.t1, s0.t0) AS last_us
+FROM s0
+LEFT JOIN s1 ON s1.user_id = s0.user_id
+LEFT JOIN s2 ON s2.user_id = s0.user_id
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention (streaming.events.cohort_retention,
+    beyond-reference): distinct active users per (first-event cohort
+    week, week offset)."""
+    setup(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    return ev.cohort_retention(events)
+
+
+O_COHORT_RETENTION = """
+WITH act AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events),
+first AS (
+  SELECT user_id, MIN(wk) AS cohort FROM act GROUP BY user_id)
+SELECT epoch_us(f.cohort) AS cohort_us,
+       CAST((epoch_us(a.wk) - epoch_us(f.cohort)) / 604800000000 AS BIGINT)
+         AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM act a JOIN first f ON f.user_id = a.user_id
+GROUP BY 1, 2
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2903,6 +2961,8 @@ QUERIES = {
     "temporal_reach": q_temporal_reach,
     "nbr_features": q_nbr_features,
     "ego_net": q_ego_net,
+    "funnel": q_funnel,
+    "cohort_retention": q_cohort_retention,
 }
 
 ORACLES = {
@@ -2987,4 +3047,6 @@ ORACLES = {
     "temporal_reach": O_TEMPORAL_REACH,
     "nbr_features": O_NBR_FEATURES,
     "ego_net": O_EGO_NET,
+    "funnel": O_FUNNEL,
+    "cohort_retention": O_COHORT_RETENTION,
 }

@@ -338,3 +338,100 @@ def degree_stream(
     return both.groupBy("vid").agg(
         F.sum("o").alias("out_deg"), F.sum("i").alias("in_deg")
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    within_us: int | None = None,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Funnel analysis (beyond-reference): for every user who performed
+    steps[0], the earliest strictly-ordered completion of the step
+    sequence — step k's timestamp is the MINIMUM event time of type
+    steps[k] that falls after the user's step k-1 time (and, with
+    `within_us`, no later than step0 + within).
+
+    Returns (user_col, steps_completed, first_us, last_us): the depth
+    reached and the entry/deepest timestamps in epoch microseconds —
+    the standard conversion-funnel metric (aggregate with
+    groupBy(steps_completed).count() for the funnel chart).
+
+    Scale design: one filtered groupBy per step over the events scan,
+    each joined user-keyed to the accumulated frame — k shuffles on the
+    user key for a k-step funnel, no windows, no per-user state; the
+    per-step filter pushes to the scan.
+    """
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    ts_us = epoch_us(F.col(ts_col))
+    acc = (
+        events.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_us).alias("t0"))
+    )
+    for k, step in enumerate(steps[1:], start=1):
+        cand = events.where(F.col(type_col) == step).select(
+            F.col(user_col), ts_us.alias("__ts")
+        )
+        cond = F.col("__ts") > F.col(f"t{k - 1}")
+        if within_us is not None:
+            cond = cond & (F.col("__ts") <= F.col("t0") + F.lit(int(within_us)))
+        nxt = (
+            cand.join(acc, user_col)
+            .where(cond)
+            .groupBy(user_col)
+            .agg(F.min("__ts").alias(f"t{k}"))
+        )
+        acc = acc.join(nxt, user_col, "left")
+    depth = None
+    last = None
+    for k in range(len(steps) - 1, 0, -1):
+        c = F.col(f"t{k}")
+        depth = F.when(c.isNotNull(), k + 1) if depth is None else depth.when(c.isNotNull(), k + 1)
+        last = F.coalesce(last, c) if last is not None else F.coalesce(c)
+    depth = (depth.otherwise(1) if depth is not None else F.lit(1)).cast("long")
+    last = F.coalesce(last, F.col("t0")) if last is not None else F.col("t0")
+    return acc.select(
+        F.col(user_col),
+        depth.alias("steps_completed"),
+        F.col("t0").alias("first_us"),
+        last.alias("last_us"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Weekly cohort retention (beyond-reference): users are cohorted by
+    the week of their first event; for every (cohort week, week offset)
+    the number of distinct cohort users active that week.  The standard
+    retention-triangle input.
+
+    Returns (cohort_us, week_offset, n_users) with the cohort week as
+    epoch microseconds of its Monday (date_trunc('week') agrees between
+    Spark and DuckDB).
+
+    Scale design: per-user-week activity is deduplicated FIRST (map-side
+    combine collapses each user's events within a week), then one
+    user-keyed join against the first-week frame and one final
+    aggregate — no windows, nothing user-sequential.
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    act = events.select(F.col(user_col), wk.alias("__wk")).distinct()
+    first = act.groupBy(user_col).agg(F.min("__wk").alias("__cohort"))
+    return (
+        act.join(first, user_col)
+        .select(
+            epoch_us(F.col("__cohort")).alias("cohort_us"),
+            ((epoch_us(F.col("__wk")) - epoch_us(F.col("__cohort")))
+             / F.lit(604800000000)).cast("long").alias("week_offset"),
+            F.col(user_col),
+        )
+        .groupBy("cohort_us", "week_offset")
+        .agg(F.countDistinct(user_col).alias("n_users"))
+    )

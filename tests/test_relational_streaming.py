@@ -304,3 +304,59 @@ def test_streaming_text_pipeline_matches_batch(spark, tmp_path):
         assert got == want and len(want) > 0
     finally:
         q.stop()
+
+
+def test_funnel_golden(spark):
+    from datetime import datetime
+
+    from duckpgq_extension_spark.streaming.events import funnel
+
+    def t(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    rows = [
+        # user 1 completes view -> click -> purchase in order
+        (1, t(1), "view"), (1, t(2), "click"), (1, t(3), "purchase"),
+        # user 2: click BEFORE view never counts; stops at depth 1
+        (2, t(5), "click"), (2, t(6), "view"),
+        # user 3: view then purchase without click -> depth 1
+        (3, t(1), "view"), (3, t(2), "purchase"),
+        # user 4 never views -> absent
+        (4, t(1), "purchase"),
+        # user 5: two views; funnel starts at the EARLIEST view
+        (5, t(4), "view"), (5, t(1), "view"), (5, t(2), "click"),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    got = {r.user_id: (r.steps_completed, r.first_us, r.last_us)
+           for r in funnel(events, ["view", "click", "purchase"]).collect()}
+    base = 1704067200000000
+    assert set(got) == {1, 2, 3, 5}
+    assert got[1] == (3, base + 1_000_000, base + 3_000_000)
+    assert got[2][0] == 1 and got[3][0] == 1
+    assert got[5] == (2, base + 1_000_000, base + 2_000_000)
+    # within: user 1 capped at 1us window completes only step 1
+    tight = {r.user_id: r.steps_completed
+             for r in funnel(events, ["view", "click", "purchase"], within_us=500_000).collect()}
+    assert tight[1] == 1
+
+
+def test_cohort_retention_golden(spark):
+    from datetime import datetime
+
+    from duckpgq_extension_spark.streaming.events import cohort_retention
+
+    rows = [
+        (1, datetime(2024, 1, 1)), (1, datetime(2024, 1, 9)),   # wk0, wk1
+        (2, datetime(2024, 1, 2)), (2, datetime(2024, 1, 16)),  # wk0, wk2
+        (3, datetime(2024, 1, 10)),                              # cohort wk1
+        (1, datetime(2024, 1, 3)),                               # same wk0, dedup
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {(r.cohort_us, r.week_offset): r.n_users for r in cohort_retention(events).collect()}
+    wk0 = 1704067200000000  # Mon 2024-01-01
+    wk1 = wk0 + 7 * 86400 * 1000000
+    assert got[(wk0, 0)] == 2
+    assert got[(wk0, 1)] == 1
+    assert got[(wk0, 2)] == 1
+    assert got[(wk1, 0)] == 1
+    assert len(got) == 4
