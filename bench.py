@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "ego_net",
     "funnel",
     "cohort_retention",
+    "session_paths",
 ]
 
 

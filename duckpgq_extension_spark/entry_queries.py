@@ -2875,6 +2875,39 @@ GROUP BY 1, 2
 """
 
 
+def q_session_paths(spark, sf_dir):
+    """Top user-journey paths (streaming.events.session_paths,
+    beyond-reference): most frequent per-session event-type sequences,
+    gap 60 min, top 10 — built by sort-free array_agg + in-row
+    array_sort, deterministic under timestamp ties via (ts, event_id)."""
+    setup(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    return ev.session_paths(events, gap_minutes=60, top_n=10)
+
+
+O_SESSION_PATHS = """
+WITH flagged AS (
+  SELECT *,
+         CASE WHEN COALESCE(epoch_us(ts) - LAG(epoch_us(ts)) OVER w, 3600000001)
+                   > 3600000000 THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sessions AS (
+  SELECT *, SUM(new_session) OVER (
+    PARTITION BY user_id ORDER BY ts
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+), paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY epoch_us(ts), event_id) AS path
+  FROM sessions GROUP BY user_id, session_id
+)
+SELECT path, COUNT(*) AS n_sessions, COUNT(DISTINCT user_id) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path ASC LIMIT 10
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2963,6 +2996,7 @@ QUERIES = {
     "ego_net": q_ego_net,
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
+    "session_paths": q_session_paths,
 }
 
 ORACLES = {
@@ -3049,4 +3083,5 @@ ORACLES = {
     "ego_net": O_EGO_NET,
     "funnel": O_FUNNEL,
     "cohort_retention": O_COHORT_RETENTION,
+    "session_paths": O_SESSION_PATHS,
 }

@@ -435,3 +435,55 @@ def cohort_retention(
         .groupBy("cohort_us", "week_offset")
         .agg(F.countDistinct(user_col).alias("n_users"))
     )
+
+
+def session_paths(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    top_n: int = 10,
+) -> DataFrame:
+    """Top event-type paths (beyond-reference): sessionize, concatenate
+    each session's event types in (ts, event_id) order into a path
+    string like 'view>click>purchase', and return the `top_n` most
+    frequent paths — the classic click-path / user-journey report.
+
+    Returns (path, n_sessions, n_users), ordered by (n_sessions DESC,
+    path ASC) and limited to top_n; the (ts, event_id) sort key makes
+    the concatenation deterministic under timestamp ties.
+
+    Scale design: the per-session path is built by sort-free
+    aggregation — array_agg of (ts, event_id, type) structs per session
+    (map-side combined) sorted IN-ROW with array_sort, never a global
+    or per-partition sort of raw events; then one count aggregate over
+    path strings and a single top-n limit.
+    """
+    s = sessionize(events, gap_minutes=gap_minutes)
+    per_session = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        epoch_us(F.col("ts")).alias("u"),
+                        F.col("event_id").alias("e"),
+                        F.col("event_type").alias("t"),
+                    )
+                )
+            ).alias("__evs")
+        )
+        .select(
+            "user_id",
+            F.array_join(F.transform(F.col("__evs"), lambda x: x["t"]), ">").alias(
+                "path"
+            ),
+        )
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(top_n)
+    )

@@ -360,3 +360,26 @@ def test_cohort_retention_golden(spark):
     assert got[(wk0, 2)] == 1
     assert got[(wk1, 0)] == 1
     assert len(got) == 4
+
+
+def test_session_paths_golden(spark):
+    from datetime import datetime
+
+    from duckpgq_extension_spark.streaming.events import session_paths
+
+    def t(m):
+        return datetime(2024, 1, 1, 0, m)
+
+    rows = [
+        (1, 1, t(0), "view"), (1, 2, t(1), "click"),          # session A
+        (1, 3, t(50), "view"), (1, 4, t(51), "click"),        # >30m gap: B
+        (2, 5, t(0), "view"), (2, 6, t(1), "click"),          # same path
+        (3, 7, t(0), "error"),                                 # singleton
+    ]
+    events = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp, event_type string"
+    )
+    got = [(r.path, r.n_sessions, r.n_users)
+           for r in session_paths(events, gap_minutes=30, top_n=5).collect()]
+    assert got[0] == ("view>click", 3, 2)
+    assert ("error", 1, 1) in got
