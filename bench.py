@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "funnel",
     "cohort_retention",
     "session_paths",
+    "cheapest_path_vertices",
 ]
 
 

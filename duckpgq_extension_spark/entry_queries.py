@@ -2908,6 +2908,66 @@ ORDER BY n_sessions DESC, path ASC LIMIT 10
 """
 
 
+def q_cheapest_path_vertices(spark, sf_dir):
+    """Weighted cheapest path WITH the vertex array (beyond-reference —
+    the reference's cheapest_path_length returns only the cost,
+    cheapest_path_length.cpp): Bellman-Ford carrying (cost, path) with
+    lexicographic tie-break; weights are integral so tie-break equality
+    is exact on both engines."""
+    setup(spark, sf_dir)
+    edges = pathops.edge_frame(spark.table("c_edges"), "src", "dst", weight_col="w")
+    sources = spark.table("customer").where("c_custkey < 3").select(
+        F.col("c_custkey").cast("long")
+    )
+    dist = pathops.cheapest_path_distances(edges, sources=sources, track_paths=True)
+    return dist.select(
+        F.col("src").alias("a_key"),
+        F.col("dst").alias("b_key"),
+        F.col("cost").cast("bigint").alias("cost"),
+        F.col("path"),
+    )
+
+
+def _cpv_oracle(rounds: int = 30) -> str:
+    parts = [
+        """d0 AS MATERIALIZED (
+  SELECT c_custkey AS src, c_custkey AS dst, CAST(0 AS DOUBLE) AS cost,
+         [CAST(c_custkey AS BIGINT)] AS path
+  FROM customer WHERE c_custkey < 3)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = f"d{r - 1}"
+        # two-step min: cheapest cost per pair, then the lexicographically
+        # smallest path among the cost-minimal candidates — the (cost,
+        # path) relaxation order of cheapest_path_distances(track_paths)
+        parts.append(
+            f"""c{r} AS (
+  SELECT src, dst, cost, path FROM {p}
+  UNION ALL
+  SELECT d.src, e.dst, d.cost + e.w, list_append(d.path, CAST(e.dst AS BIGINT))
+  FROM {p} d JOIN e ON e.src = d.dst)"""
+        )
+        parts.append(
+            f"""mc{r} AS (SELECT src, dst, MIN(cost) AS cost FROM c{r} GROUP BY 1, 2)"""
+        )
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT c.src, c.dst, c.cost, MIN(c.path) AS path
+  FROM c{r} c JOIN mc{r} m
+    ON m.src = c.src AND m.dst = c.dst AND m.cost = c.cost
+  GROUP BY 1, 2, 3)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH e AS ({EDGES_SQL}),\n{body}\n"
+        f"SELECT src AS a_key, dst AS b_key, CAST(cost AS BIGINT) AS cost, path "
+        f"FROM d{rounds}"
+    )
+
+
+O_CHEAPEST_PATH_VERTICES = _cpv_oracle(30)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2997,6 +3057,7 @@ QUERIES = {
     "funnel": q_funnel,
     "cohort_retention": q_cohort_retention,
     "session_paths": q_session_paths,
+    "cheapest_path_vertices": q_cheapest_path_vertices,
 }
 
 ORACLES = {
@@ -3084,4 +3145,5 @@ ORACLES = {
     "funnel": O_FUNNEL,
     "cohort_retention": O_COHORT_RETENTION,
     "session_paths": O_SESSION_PATHS,
+    "cheapest_path_vertices": O_CHEAPEST_PATH_VERTICES,
 }

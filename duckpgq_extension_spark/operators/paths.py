@@ -627,13 +627,26 @@ def cheapest_path_distances(
     sources: DataFrame | None = None,
     max_iters: int | None = None,
     num_partitions: int | None = None,
+    track_paths: bool = False,
 ) -> DataFrame:
-    """Weighted SSSP from every source: (src, dst, cost).
+    """Weighted SSSP from every source: (src, dst, cost[, path]).
 
     Batched Bellman-Ford relaxation — all sources relax together in one
     join per round, converging in at most |V|-1 rounds (the reference's
     multi-lane Bellman-Ford, cheapest_path_length.cpp:52-136).  Weights are
     assumed non-negative (the reference makes the same assumption).
+
+    track_paths=True (beyond-reference — the reference only returns the
+    LENGTH, cheapest_path_length.cpp) additionally returns the vertex
+    array of one cheapest path, ties broken to the lexicographically
+    smallest array.  The (cost, path) pair is the relaxation order; with
+    strictly positive weights this order has optimal substructure (two
+    equal-cost candidates to the same vertex are never prefix-related,
+    so extension preserves their lexicographic order), making the
+    tie-break deterministic and engine-independent.  NOTE: exact
+    tie-breaking relies on exact cost equality — use integer-valued
+    weights (float summation order can perturb equal costs by 1 ulp and
+    flip which path is 'the' minimum).
     """
     if "weight" not in edges.columns:
         raise ValueError("cheapest_path_distances requires a weight column")
@@ -661,6 +674,7 @@ def cheapest_path_distances(
             F.col("src"),
             F.col("src").alias("dst"),
             F.lit(0.0).cast("double").alias("cost"),
+            *([F.array(F.col("src")).alias("path")] if track_paths else []),
             F.lit(True).alias("__improved"),
         )
         rounds = 0
@@ -672,23 +686,67 @@ def cheapest_path_distances(
             # zero-cost FILTER over the checkpointed dist, not a separate
             # materialization)
             frontier = dist.where(F.col("__improved"))
-            cand = (
-                frontier.alias("f")
-                .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
-                .select(
-                    F.col("f.src").alias("src"),
-                    F.col("e.dst").alias("dst"),
-                    (F.col("f.cost") + F.col("e.weight").cast("double")).alias("cost"),
-                )
-                .groupBy("src", "dst")
-                .agg(F.min("cost").alias("cost"))
+            relaxed = frontier.alias("f").join(
+                edges.alias("e"), F.col("f.dst") == F.col("e.src")
             )
+            if track_paths:
+                cand = (
+                    relaxed.select(
+                        F.col("f.src").alias("src"),
+                        F.col("e.dst").alias("dst"),
+                        F.struct(
+                            (F.col("f.cost") + F.col("e.weight").cast("double")).alias(
+                                "cost"
+                            ),
+                            F.concat(F.col("f.path"), F.array(F.col("e.dst"))).alias(
+                                "path"
+                            ),
+                        ).alias("cp"),
+                    )
+                    .groupBy("src", "dst")
+                    # struct min = (cost, path) lexicographic — the order with
+                    # optimal substructure (see docstring)
+                    .agg(F.min("cp").alias("cp"))
+                    .select(
+                        "src", "dst", F.col("cp.cost").alias("cost"),
+                        F.col("cp.path").alias("path"),
+                    )
+                )
+            else:
+                cand = (
+                    relaxed.select(
+                        F.col("f.src").alias("src"),
+                        F.col("e.dst").alias("dst"),
+                        (F.col("f.cost") + F.col("e.weight").cast("double")).alias("cost"),
+                    )
+                    .groupBy("src", "dst")
+                    .agg(F.min("cost").alias("cost"))
+                )
             # single full-outer merge keeps the best cost per (src, dst) and
             # flags improvements; the improvement count is observed during
             # the checkpoint job -> exactly ONE Spark job per round (vs.
             # candidate-materialize + dist-rebuild before)
+            if track_paths:
+                # NOT a struct comparison: Spark's struct `<` follows SORT
+                # ordering (NULL fields compare smallest) rather than SQL
+                # NULL propagation, so an unmatched full-outer side (all
+                # NULLs) would spuriously win — guard the candidate side
+                # explicitly and compare fields pairwise
+                better = F.col("c.cost").isNotNull() & (
+                    F.col("o.cost").isNull()
+                    | (F.col("c.cost") < F.col("o.cost"))
+                    | (
+                        (F.col("c.cost") == F.col("o.cost"))
+                        & (F.col("c.path") < F.col("o.path"))
+                    )
+                )
+            else:
+                better = F.col("o.cost").isNull() | (F.col("c.cost") < F.col("o.cost"))
             merged = (
-                dist.select("src", "dst", F.col("cost").alias("__old")).alias("o")
+                dist.select(
+                    "src", "dst", "cost",
+                    *(["path"] if track_paths else []),
+                ).alias("o")
                 .join(
                     cand.alias("c"),
                     (F.col("o.src") == F.col("c.src")) & (F.col("o.dst") == F.col("c.dst")),
@@ -697,16 +755,19 @@ def cheapest_path_distances(
                 .select(
                     F.coalesce(F.col("o.src"), F.col("c.src")).alias("src"),
                     F.coalesce(F.col("o.dst"), F.col("c.dst")).alias("dst"),
-                    F.when(
-                        F.col("__old").isNull() | (F.col("c.cost") < F.col("__old")),
-                        F.col("c.cost"),
-                    )
-                    .otherwise(F.col("__old"))
+                    F.when(better, F.col("c.cost"))
+                    .otherwise(F.col("o.cost"))
                     .alias("cost"),
-                    (
-                        F.col("__old").isNull()
-                        | (F.col("c.cost") < F.col("__old"))
-                    ).alias("__improved"),
+                    *(
+                        [
+                            F.when(better, F.col("c.path"))
+                            .otherwise(F.col("o.path"))
+                            .alias("path")
+                        ]
+                        if track_paths
+                        else []
+                    ),
+                    better.alias("__improved"),
                 )
             )
             obs = Observation(f"__pgq_bf_{next(_obs_seq)}")
@@ -716,7 +777,9 @@ def cheapest_path_distances(
             dist = materialize(merged)
             if not obs.get["n"]:
                 break
-        return dist.select("src", "dst", "cost")
+        return dist.select(
+            "src", "dst", "cost", *(["path"] if track_paths else [])
+        )
     finally:
         edges.unpersist()
 

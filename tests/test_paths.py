@@ -243,3 +243,42 @@ def test_temporal_reachability_start_ts(spark):
     got = {(r.src, r.dst): r.arrival for r in
            temporal_reachability(edges, seeds, start_ts=6).collect()}
     assert got == {(1, 1): 6}  # the only edge departs before we start
+
+
+def test_cheapest_path_tracked_golden(spark):
+    """Diamond with equal-cost branches: cost-2 paths [1,2,4] and [1,3,4]
+    tie — the lexicographically smaller array wins; the direct w=5 edge
+    loses.  Unreachable-from and the zero-cost self row behave like the
+    length-only variant."""
+    from duckpgq_extension_spark.operators.paths import cheapest_path_distances
+
+    edges = spark.createDataFrame(
+        [(1, 2, 1), (2, 4, 1), (1, 3, 1), (3, 4, 1), (1, 4, 5)],
+        "src long, dst long, weight long",
+    )
+    seeds = spark.createDataFrame([(1,)], "src long")
+    got = {(r.src, r.dst): (r.cost, r.path) for r in
+           cheapest_path_distances(edges, sources=seeds, track_paths=True).collect()}
+    assert got[(1, 1)] == (0.0, [1])
+    assert got[(1, 4)] == (2.0, [1, 2, 4])
+    assert got[(1, 2)] == (1.0, [1, 2]) and got[(1, 3)] == (1.0, [1, 3])
+    # tracked costs == length-only costs on a larger pseudo-random graph
+    el = [((i * 13 + 3) % 30, (i * 7 + j) % 30, (i + j) % 5 + 1)
+          for i in range(40) for j in range(2)]
+    el = [(s, d, w) for s, d, w in el if s != d]
+    edges2 = spark.createDataFrame(el, "src long, dst long, weight long")
+    seeds2 = spark.createDataFrame([(0,), (1,)], "src long")
+    plain = {(r.src, r.dst): r.cost for r in
+             cheapest_path_distances(edges2, sources=seeds2).collect()}
+    tracked = {(r.src, r.dst): (r.cost, r.path) for r in
+               cheapest_path_distances(edges2, sources=seeds2, track_paths=True).collect()}
+    assert set(plain) == set(tracked)
+    wmap = {}
+    for s, d, w in el:
+        wmap[(s, d)] = min(w, wmap.get((s, d), 99))
+    for k, c in plain.items():
+        cost, path = tracked[k]
+        assert cost == c, k
+        # the reported path must exist and sum to the reported cost
+        assert path[0] == k[0] and path[-1] == k[1]
+        assert sum(wmap[(a, b)] for a, b in zip(path, path[1:])) == cost, k
