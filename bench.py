@@ -81,6 +81,7 @@ BENCH_QUERIES = [
     "cohort_retention",
     "session_paths",
     "cheapest_path_vertices",
+    "match_cheapest",
 ]
 
 

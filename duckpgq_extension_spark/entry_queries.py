@@ -2968,6 +2968,66 @@ def _cpv_oracle(rounds: int = 30) -> str:
 O_CHEAPEST_PATH_VERTICES = _cpv_oracle(30)
 
 
+def q_match_cheapest(spark, sf_dir):
+    """ANY CHEAPEST in the MATCH language itself (beyond-reference,
+    GQL-style): cheapest weighted walk with COST w, full path functions.
+    Tie-break is the lexicographically-smallest INTERLEAVED [v,e,v,...]
+    array, so the oracle relaxes the identical (cost, interleaved-path)
+    order."""
+    pgq = setup(spark, sf_dir)
+    return pgq.graph_table(
+        """social MATCH p = ANY CHEAPEST (a:Customer WHERE a.c_custkey < 3)-[f:Follows COST w]->*(b:Customer)
+           COLUMNS (a.c_custkey AS a_key, b.c_custkey AS b_key,
+                    path_cost(p) AS cost, path_length(p) AS hops,
+                    vertices(p) AS vpath)"""
+    ).select(
+        "a_key", "b_key", F.col("cost").cast("bigint").alias("cost"),
+        "hops", "vpath",
+    )
+
+
+def _match_cheapest_oracle(rounds: int = 30) -> str:
+    parts = [
+        """d0 AS MATERIALIZED (
+  SELECT c_custkey AS src, c_custkey AS dst, CAST(0 AS DOUBLE) AS cost,
+         [CAST(c_custkey AS BIGINT)] AS path
+  FROM customer WHERE c_custkey < 3)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = f"d{r - 1}"
+        parts.append(
+            f"""c{r} AS (
+  SELECT src, dst, cost, path FROM {p}
+  UNION ALL
+  SELECT d.src, e.dst, d.cost + e.w,
+         list_append(list_append(d.path, CAST(e.eid AS BIGINT)),
+                     CAST(e.dst AS BIGINT))
+  FROM {p} d JOIN e ON e.src = d.dst)"""
+        )
+        parts.append(
+            f"mc{r} AS (SELECT src, dst, MIN(cost) AS cost FROM c{r} GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"""d{r} AS MATERIALIZED (
+  SELECT c.src, c.dst, c.cost, MIN(c.path) AS path
+  FROM c{r} c JOIN mc{r} m
+    ON m.src = c.src AND m.dst = c.dst AND m.cost = c.cost
+  GROUP BY 1, 2, 3)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH e AS ({EDGES_SQL}),\n{body}\n"
+        f"SELECT src AS a_key, dst AS b_key, CAST(cost AS BIGINT) AS cost,\n"
+        f"       CAST(len(path) // 2 AS BIGINT) AS hops,\n"
+        f"       list_select(path, list_filter(generate_series(1, len(path)),"
+        f" i -> i % 2 = 1)) AS vpath\n"
+        f"FROM d{rounds}"
+    )
+
+
+O_MATCH_CHEAPEST = _match_cheapest_oracle(30)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3058,6 +3118,7 @@ QUERIES = {
     "cohort_retention": q_cohort_retention,
     "session_paths": q_session_paths,
     "cheapest_path_vertices": q_cheapest_path_vertices,
+    "match_cheapest": q_match_cheapest,
 }
 
 ORACLES = {
@@ -3146,4 +3207,5 @@ ORACLES = {
     "cohort_retention": O_COHORT_RETENTION,
     "session_paths": O_SESSION_PATHS,
     "cheapest_path_vertices": O_CHEAPEST_PATH_VERTICES,
+    "match_cheapest": O_MATCH_CHEAPEST,
 }

@@ -637,9 +637,12 @@ def cheapest_path_distances(
     assumed non-negative (the reference makes the same assumption).
 
     track_paths=True (beyond-reference — the reference only returns the
-    LENGTH, cheapest_path_length.cpp) additionally returns the vertex
+    LENGTH, cheapest_path_length.cpp) additionally returns the path
     array of one cheapest path, ties broken to the lexicographically
-    smallest array.  The (cost, path) pair is the relaxation order; with
+    smallest array.  With an `edge_id` column on the edge frame the
+    array is interleaved [v, e, v, ..., v] like bfs_distances (so the
+    MATCH compiler's vertices()/edges()/path_length() slicing applies
+    unchanged); otherwise it is vertex-only.  The (cost, path) pair is the relaxation order; with
     strictly positive weights this order has optimal substructure (two
     equal-cost candidates to the same vertex are never prefix-related,
     so extension preserves their lexicographic order), making the
@@ -690,6 +693,11 @@ def cheapest_path_distances(
                 edges.alias("e"), F.col("f.dst") == F.col("e.src")
             )
             if track_paths:
+                step = (
+                    F.array(F.col("e.edge_id"), F.col("e.dst"))
+                    if "edge_id" in edges.columns
+                    else F.array(F.col("e.dst"))
+                )
                 cand = (
                     relaxed.select(
                         F.col("f.src").alias("src"),
@@ -698,9 +706,7 @@ def cheapest_path_distances(
                             (F.col("f.cost") + F.col("e.weight").cast("double")).alias(
                                 "cost"
                             ),
-                            F.concat(F.col("f.path"), F.array(F.col("e.dst"))).alias(
-                                "path"
-                            ),
+                            F.concat(F.col("f.path"), step).alias("path"),
                         ).alias("cp"),
                     )
                     .groupBy("src", "dst")

@@ -46,6 +46,7 @@ class EdgeElement:
     lower: int = 1
     upper: int | None = 1
     anonymous: bool = False
+    cost_col: str | None = None  # COST <column> (ANY CHEAPEST, beyond-reference)
 
 
 @dataclass
@@ -57,6 +58,7 @@ class PathPattern:
     all_paths: bool = False
     all_shortest: bool = False  # ALL SHORTEST (beyond-reference; rejected by match.cpp:81-104)
     topk: int | None = None
+    cheapest: bool = False  # ANY CHEAPEST (beyond-reference, GQL-style)
     path_variable: str | None = None
     path_mode: str = "WALK"  # TRAIL/SIMPLE/ACYCLIC implemented beyond-reference
 

@@ -52,7 +52,7 @@ _TOKEN_RE = re.compile(
     re.VERBOSE,
 )
 
-PATH_FNS = {"element_id", "path_length", "vertices", "edges"}
+PATH_FNS = {"element_id", "path_length", "vertices", "edges", "path_cost"}
 
 
 class Token:
@@ -372,6 +372,10 @@ class Parser:
                     # count after ANY SHORTEST (top_k.test:24-31,51-56)
                     raise PGQParseError(f"syntax error at or near \"{t.value}\"")
                 pat.shortest = True
+            elif self.match_kw("CHEAPEST"):
+                # beyond-reference (GQL-style): cheapest weighted walk;
+                # the quantified edge names its weight via COST <column>
+                pat.cheapest = True
             # plain ANY = any walk
         elif self.match_kw("ALL"):
             if self.match_kw("SHORTEST"):
@@ -485,6 +489,7 @@ class Parser:
         binding = None
         label = None
         where = None
+        cost_col = None
         if self.match_op("["):
             if self.is_op("]"):
                 # reference PEG grammar requires a binding or label inside
@@ -500,6 +505,8 @@ class Parser:
                 label = self.ident()
             elif self.match_kw("IS"):
                 label = self.ident()
+            if self.match_kw("COST"):
+                cost_col = self.ident().lower()
             if self.match_kw("WHERE"):
                 where = self.capture_expr(lambda p: False)
             self.expect_op("]")
@@ -522,6 +529,7 @@ class Parser:
             where=where,
             direction=direction,
             anonymous=anonymous,
+            cost_col=cost_col,
         )
         self._parse_quantifier(edge)
         return edge

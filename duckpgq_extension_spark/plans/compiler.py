@@ -158,6 +158,8 @@ class MatchCompiler:
         # path_segments, for length-only vars: "1" per fixed segment, the
         # BFS dist column per quantified segment)
         self.path_len_segments: dict[str, list[str]] = {}
+        # path variable -> SQL expr of its ANY CHEAPEST cost column
+        self.path_cost_cols: dict[str, str] = {}
 
     def _len_only(self, path_var: str | None) -> bool:
         """True when a named path's COLUMNS usage needs lengths only."""
@@ -658,7 +660,32 @@ class MatchCompiler:
             else None
         )
         topk = pattern.topk or 1
-        len_only = self._len_only(pattern.path_variable)
+        if pattern.cheapest:
+            # beyond-reference (GQL-style ANY CHEAPEST): weighted cheapest
+            # walk via the Bellman-Ford kernel; only unbounded quantifiers
+            # make sense (the unconstrained optimum may exceed any hop cap,
+            # so a bounded {l,u} cannot be answered by filtering it)
+            if pattern.path_mode != "WALK":
+                raise PGQNotImplementedError(
+                    "ANY CHEAPEST does not combine with TRAIL/ACYCLIC/SIMPLE"
+                )
+            if edge.upper is not None or edge.lower not in (0, 1):
+                raise PGQNotImplementedError(
+                    "ANY CHEAPEST supports only the * and + quantifiers"
+                )
+            if edge.cost_col is None:
+                raise PGQBinderError(
+                    "ANY CHEAPEST requires COST <column> inside the "
+                    "quantified edge, e.g. -[e:Label COST w]->*"
+                )
+            cost_lookup = {c.lower(): c for c in edf.columns}
+            if edge.cost_col not in cost_lookup:
+                raise PGQBinderError(
+                    f"COST column '{edge.cost_col}' does not exist on edge "
+                    f"table '{pgt.table_name}' (columns: {edf.columns})"
+                )
+            edge_cost_col = cost_lookup[edge.cost_col]
+        len_only = self._len_only(pattern.path_variable) and not pattern.cheapest
         # track path arrays only when something observes them: a path
         # variable used beyond path_length, path-mode enumeration, ALL
         # SHORTEST multiplicities, or SHORTEST k tie-breaking.  ANY
@@ -670,6 +697,9 @@ class MatchCompiler:
             or enumerate_mode is not None
             or pattern.all_shortest
             or topk > 1
+            # `+` under CHEAPEST excludes the zero-hop self row, detected
+            # from the path array length — so the array must exist
+            or (pattern.cheapest and edge.lower == 1)
         )
         edges = pathops.edge_frame(
             edf,
@@ -678,6 +708,7 @@ class MatchCompiler:
             undirected=edge.direction == EDGE_ANY,
             edge_id_col=pgt.edge_id_col,
             with_edge_ids=need_path,
+            weight_col=edge_cost_col if pattern.cheapest else None,
         )
         # restrict the BFS to sources actually joinable from the left vertex;
         # an inline WHERE on the source element prunes the source set BEFORE
@@ -700,7 +731,7 @@ class MatchCompiler:
 
         if upper is not None and lower > upper:
             raise PGQConstraintError("Lower bound greater than upper bound")
-        if upper is None and not pattern.shortest and enumerate_mode is None:
+        if upper is None and not pattern.shortest and not pattern.cheapest and enumerate_mode is None:
             # reference parity (match.cpp:100-104): plain (ALL-walks)
             # unbounded quantifiers are rejected — only ANY SHORTEST may
             # traverse without an upper bound.  Non-WALK modes consume a
@@ -711,7 +742,11 @@ class MatchCompiler:
                 "could lead to infinite results. Consider specifying an upper "
                 "bound or path mode other than WALK"
             )
-        if enumerate_mode is not None:
+        if pattern.cheapest:
+            dist = pathops.cheapest_path_distances(
+                edges, sources=sources, track_paths=need_path
+            )
+        elif enumerate_mode is not None:
             # one row PER distinct non-repeating path (not per pair)
             dist = pathops.bfs_all_paths(
                 edges, sources=sources, mode=enumerate_mode, max_hops=upper
@@ -775,7 +810,12 @@ class MatchCompiler:
         self.bound[e] = {"kind": "path", "pgt": pgt, "label": edge.label}
 
         # quantifier bounds filter (BETWEEN semantics of match.cpp:657-671)
-        if upper is not None:
+        if pattern.cheapest:
+            # no dist column — `+` excludes the zero-hop self row via the
+            # interleaved array length ([v] alone = 0 hops)
+            if lower == 1:
+                self.filters.append(f"size({_q(e)}.`path`) >= 3")
+        elif upper is not None:
             self.filters.append(f"{_q(e)}.`dist` BETWEEN {lower} AND {upper}")
         elif lower > 0:
             self.filters.append(f"{_q(e)}.`dist` >= {lower}")
@@ -788,6 +828,10 @@ class MatchCompiler:
                 )
             self.path_quantified.add(pattern.path_variable)
             self.path_vars.setdefault(pattern.path_variable, e)
+            if pattern.cheapest:
+                self.path_cost_cols[pattern.path_variable] = (
+                    f"cast({_q(e)}.`cost` as double)"
+                )
             if len_only:
                 # length-only named path: the BFS dist column IS the
                 # segment's hop count; no array was tracked
@@ -977,6 +1021,14 @@ class MatchCompiler:
         )
 
     def _path_fn_col(self, item: ColumnItem):
+        if item.fn == "path_cost":
+            src = self.path_cost_cols.get(item.path_var)
+            if not src:
+                raise PGQBinderError(
+                    f"path_cost() requires an ANY CHEAPEST path; "
+                    f"'{item.path_var}' carries no cost"
+                )
+            return F.expr(src).alias(item.alias or item.fn)
         if item.path_var in self.path_len_segments:
             # length-only path: no array exists; path_length is the sum of
             # per-segment hop counts (1 per fixed segment, dist per

@@ -178,3 +178,66 @@ def test_all_shortest_unique_paths_match_any(pgq):
     any_rows = rows(pgq.graph_table(q.format(mod="ANY SHORTEST")))
     all_rows = rows(pgq.graph_table(q.format(mod="ALL SHORTEST")))
     assert any_rows == all_rows
+
+
+# ---------------------------------------------------- ANY CHEAPEST
+
+
+@pytest.fixture(scope="module")
+def weighted_pg(spark):
+    from duckpgq_extension_spark import PGQSession
+
+    spark.createDataFrame([(i,) for i in range(1, 6)], "id long").createOrReplaceTempView("WV")
+    spark.createDataFrame(
+        [(1, 2, 1, 10), (2, 4, 1, 11), (1, 3, 1, 12), (3, 4, 1, 13), (1, 4, 5, 14)],
+        "s long, d long, w long, eid long",
+    ).createOrReplaceTempView("WE")
+    s = PGQSession(spark)
+    s.execute(
+        """CREATE OR REPLACE PROPERTY GRAPH wg
+        VERTEX TABLES (WV PROPERTIES (id) LABEL N)
+        EDGE TABLES (WE SOURCE KEY (s) REFERENCES WV (id)
+                     DESTINATION KEY (d) REFERENCES WV (id)
+                     EDGE ID (eid) LABEL L)"""
+    )
+    return s
+
+
+def test_any_cheapest_star(weighted_pg):
+    """ANY CHEAPEST ...->* : cheapest weighted walk with full path
+    functions; the diamond's cost-2 route beats the direct w=5 edge and
+    the lex-min interleaved tie-break picks [1,e10,2,e11,4]."""
+    df = weighted_pg.graph_table(
+        """wg MATCH p = ANY CHEAPEST (a:N WHERE a.id = 1)-[e:L COST w]->*(b:N)
+           COLUMNS (a.id AS a_id, b.id AS b_id, path_cost(p) AS pc,
+                    path_length(p) AS plen, vertices(p) AS vs, edges(p) AS es)"""
+    )
+    got = {r.b_id: (r.pc, r.plen, r.vs, r.es) for r in df.collect()}
+    assert got[1] == (0.0, 0, [1], [])
+    assert got[2] == (1.0, 1, [1, 2], [10])
+    assert got[4] == (2.0, 2, [1, 2, 4], [10, 11])
+
+
+def test_any_cheapest_plus_excludes_self(weighted_pg):
+    df = weighted_pg.graph_table(
+        """wg MATCH ANY CHEAPEST (a:N WHERE a.id = 1)-[e:L COST w]->+(b:N)
+           COLUMNS (a.id AS a_id, b.id AS b_id)"""
+    )
+    assert sorted((r.a_id, r.b_id) for r in df.collect()) == [(1, 2), (1, 3), (1, 4)]
+
+
+def test_any_cheapest_errors(weighted_pg):
+    from duckpgq_extension_spark.errors import PGQBinderError, PGQNotImplementedError
+
+    with pytest.raises(PGQNotImplementedError, match="only the \\* and \\+"):
+        weighted_pg.graph_table(
+            "wg MATCH ANY CHEAPEST (a:N)-[e:L COST w]->{1,3}(b:N) COLUMNS (a.id AS x)"
+        )
+    with pytest.raises(PGQBinderError, match="requires COST"):
+        weighted_pg.graph_table(
+            "wg MATCH ANY CHEAPEST (a:N)-[e:L]->*(b:N) COLUMNS (a.id AS x)"
+        )
+    with pytest.raises(PGQBinderError, match="does not exist"):
+        weighted_pg.graph_table(
+            "wg MATCH ANY CHEAPEST (a:N)-[e:L COST nope]->*(b:N) COLUMNS (a.id AS x)"
+        )
