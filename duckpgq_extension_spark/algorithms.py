@@ -701,7 +701,12 @@ def strongly_connected_component(edges: DataFrame, vertices: DataFrame) -> DataF
     out = None
     try:
         while n_remaining:
-            # -- trim: peel vertices that can't be on a cycle, to fixpoint
+            # -- trim: peel vertices that can't be on a cycle, to fixpoint.
+            # Trivial frames are BUFFERED and union'd into `out` once per
+            # outer round — re-materializing the growing result every trim
+            # pass would be O(passes * peeled) on chain periphery, the
+            # exact workload trim exists to make cheap.
+            trivia = []
             while True:
                 live = (
                     all_edges.join(
@@ -723,18 +728,23 @@ def strongly_connected_component(edges: DataFrame, vertices: DataFrame) -> DataF
                         "left_semi",
                     )
                 )
-                trivial = remaining.join(cyclic, "vid", "left_anti").select(
-                    "vid", F.col("vid").alias("scc_id")
-                )
-                trivial, n_triv = pathops.checkpoint_with_count(trivial)
+                cyclic, n_cyc = pathops.checkpoint_with_count(cyclic)
+                n_triv = n_remaining - n_cyc
                 if not n_triv:
                     break
-                out = trivial if out is None else out.unionByName(trivial)
-                out = pathops.materialize(out)
-                remaining = pathops.materialize(
-                    remaining.join(trivial.select("vid"), "vid", "left_anti")
+                trivia.append(
+                    remaining.join(cyclic, "vid", "left_anti").select(
+                        "vid", F.col("vid").alias("scc_id")
+                    )
                 )
-                n_remaining -= n_triv
+                remaining = cyclic
+                n_remaining = n_cyc
+            if trivia:
+                found0 = trivia[0]
+                for t in trivia[1:]:
+                    found0 = found0.unionByName(t)
+                out = found0 if out is None else out.unionByName(found0)
+                out = pathops.materialize(out)
             if not n_remaining:
                 break
             # -- step 1: forward max-color propagation to fixpoint

@@ -290,10 +290,8 @@ class PGQSession:
         pks = list(et.source_pk)
         vdf = pg.element_df(vertex_label)
         edf = pg.element_df(edge_label)
-        surrogate = (
-            len(pks) > 1
-            or not pathops.integral_keys(vdf, pks)
-            or not pathops.integral_keys(edf, list(et.source_fk) + list(et.destination_fk))
+        src_expr, dst_expr, surrogate, canon = self._edge_vid_exprs(
+            pg, vt, et, vdf, edf
         )
         if surrogate:
             # composite or non-integral (e.g. VARCHAR) keys: xxhash64
@@ -302,12 +300,6 @@ class PGQSession:
             # collision-checked against the actual vertex set before any
             # iteration runs; NULL-key rows excluded from both counts so
             # xxhash64's NULL-skipping can't fake a collision
-            canon = _key_canon_flags(
-                vdf,
-                [pks, list(et.destination_pk)],
-                edf,
-                [list(et.source_fk), list(et.destination_fk)],
-            )
             nn = vdf
             for c in pks:
                 nn = nn.where(F.col(c).isNotNull())
@@ -323,10 +315,8 @@ class PGQSession:
                     f"'{vt.table_name}' key {pks}; whole-graph "
                     "algorithms need an explicit integral key column"
                 )
-            edf = edf.withColumn(
-                "__pgq_src_h", _key_hash([F.col(c) for c in et.source_fk], canon)
-            ).withColumn(
-                "__pgq_dst_h", _key_hash([F.col(c) for c in et.destination_fk], canon)
+            edf = edf.withColumn("__pgq_src_h", src_expr).withColumn(
+                "__pgq_dst_h", dst_expr
             )
             src_c, dst_c = "__pgq_src_h", "__pgq_dst_h"
             vkey = _key_hash([F.col(c) for c in pks], canon)
@@ -648,18 +638,13 @@ class PGQSession:
             )
         )
 
-    def _edges_with_col(
-        self, graph: str, vertex_label: str, edge_label: str, extra_col: str
-    ) -> DataFrame:
-        """The (src, dst, __ts) edge frame with an extra edge-table column
-        carried along, keyed the same way as _graph_frames (surrogate
-        hashing included)."""
-        pg = self.catalog.get(graph)
-        et = pg.table_for_label(edge_label, kind="edge")
-        vt = pg.table_for_label(vertex_label, kind="vertex")
-        edf = pg.element_df(edge_label)
+    @staticmethod
+    def _edge_vid_exprs(pg, vt, et, vdf, edf):
+        """(src_expr, dst_expr, surrogate, canon): the vertex-id
+        expressions for an edge frame, via the SAME surrogate decision
+        and canonicalization as _graph_frames — one definition so the
+        two can never drift."""
         pks = list(et.source_pk)
-        vdf = pg.element_df(vertex_label)
         surrogate = (
             len(pks) > 1
             or not pathops.integral_keys(vdf, pks)
@@ -674,15 +659,33 @@ class PGQSession:
                 edf,
                 [list(et.source_fk), list(et.destination_fk)],
             )
-            return edf.select(
-                _key_hash([F.col(c) for c in et.source_fk], canon).alias("src"),
-                _key_hash([F.col(c) for c in et.destination_fk], canon).alias("dst"),
-                F.col(extra_col).alias("__ts"),
+            return (
+                _key_hash([F.col(c) for c in et.source_fk], canon),
+                _key_hash([F.col(c) for c in et.destination_fk], canon),
+                True,
+                canon,
             )
+        return (
+            F.col(et.source_fk[0]).cast("long"),
+            F.col(et.destination_fk[0]).cast("long"),
+            False,
+            None,
+        )
+
+    def _edges_with_col(
+        self, graph: str, vertex_label: str, edge_label: str, extra_col: str
+    ) -> DataFrame:
+        """The (src, dst, __ts) edge frame with an extra edge-table column
+        carried along, keyed through _edge_vid_exprs (the shared
+        surrogate/canonicalization route of _graph_frames)."""
+        pg = self.catalog.get(graph)
+        et = pg.table_for_label(edge_label, kind="edge")
+        vt = pg.table_for_label(vertex_label, kind="vertex")
+        edf = pg.element_df(edge_label)
+        vdf = pg.element_df(vertex_label)
+        src_e, dst_e, _, _ = self._edge_vid_exprs(pg, vt, et, vdf, edf)
         return edf.select(
-            F.col(et.source_fk[0]).cast("long").alias("src"),
-            F.col(et.destination_fk[0]).cast("long").alias("dst"),
-            F.col(extra_col).alias("__ts"),
+            src_e.alias("src"), dst_e.alias("dst"), F.col(extra_col).alias("__ts")
         )
 
     def neighbor_agg(
@@ -696,9 +699,16 @@ class PGQSession:
     ) -> DataFrame:
         """(pk..., nbr_<agg>...) — aggregate a vertex property over each
         vertex's neighbors (beyond-reference; algorithms.neighbor_agg)."""
-        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
+        _, vt, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
             graph, vertex_label, edge_label, undirected=False
         )
+        cs = str(self.spark.conf.get("spark.sql.caseSensitive", "false")).lower() == "true"
+        norm = (lambda c: c) if cs else (lambda c: c.lower())
+        if norm(feature_col) not in (norm(c) for c in vdf.columns):
+            raise PGQBinderError(
+                f"Feature column '{feature_col}' does not exist on vertex "
+                f"table '{vt.table_name}' (columns: {vdf.columns})"
+            )
         feats = vdf.select(vkey.alias("vid"), F.col(feature_col).alias("value"))
         out = algorithms.neighbor_agg(edges, feats, aggs=list(aggs), direction=direction)
         return vdf.join(out, vkey == out["vid"]).select(

@@ -2867,8 +2867,7 @@ WITH act AS (
 first AS (
   SELECT user_id, MIN(wk) AS cohort FROM act GROUP BY user_id)
 SELECT epoch_us(f.cohort) AS cohort_us,
-       CAST((epoch_us(a.wk) - epoch_us(f.cohort)) / 604800000000 AS BIGINT)
-         AS week_offset,
+       CAST(date_diff('day', f.cohort, a.wk) / 7 AS BIGINT) AS week_offset,
        COUNT(DISTINCT a.user_id) AS n_users
 FROM act a JOIN first f ON f.user_id = a.user_id
 GROUP BY 1, 2

@@ -167,6 +167,15 @@ class MatchCompiler:
             "path_length"
         }
 
+    def _cost_only(self, path_var: str | None) -> bool:
+        """True when an ANY CHEAPEST path's COLUMNS usage needs only
+        path_cost — the cost column exists without array tracking, so the
+        Bellman-Ford rounds can skip per-row concat + lexicographic
+        min entirely (the cheapest analog of length-only compilation)."""
+        return path_var is not None and self.path_fn_uses.get(path_var, set()) <= {
+            "path_cost"
+        }
+
     # ------------------------------------------------------------------
     def compile(self) -> DataFrame:
         for pattern in self.expr.patterns:
@@ -219,6 +228,20 @@ class MatchCompiler:
             # matching the reference's CreatePathFindingFunction, which
             # list_value's fixed segments and only calls shortestpath for
             # subpaths with upper > 1 (match.cpp:497-620).
+            if pattern.cheapest and not edge.quantified:
+                # without a quantifier there is nothing to optimize over —
+                # a plain edge would silently bind as an ordinary join and
+                # return EVERY parallel edge, not the cheapest
+                raise PGQNotImplementedError(
+                    "ANY CHEAPEST requires a quantified edge (* or +)"
+                )
+            if edge.cost_col is not None and not (
+                pattern.cheapest and edge.quantified
+            ):
+                raise PGQBinderError(
+                    "COST is only valid on the quantified edge of an "
+                    "ANY CHEAPEST pattern"
+                )
             if edge.quantified:
                 self._bind_path_edge(pattern, elems[i - 1], edge, nxt)
             else:
@@ -692,8 +715,13 @@ class MatchCompiler:
         # SHORTEST with length-only (or no) path usage needs just the dist
         # column — skipping arrays drops the per-level concat + lex-min
         # groupBy from every BFS level.
+        cost_only = pattern.cheapest and self._cost_only(pattern.path_variable)
         need_path = (
-            (pattern.path_variable is not None and not len_only)
+            (
+                pattern.path_variable is not None
+                and not len_only
+                and not cost_only
+            )
             or enumerate_mode is not None
             or pattern.all_shortest
             or topk > 1
@@ -812,7 +840,11 @@ class MatchCompiler:
         # quantifier bounds filter (BETWEEN semantics of match.cpp:657-671)
         if pattern.cheapest:
             # no dist column — `+` excludes the zero-hop self row via the
-            # interleaved array length ([v] alone = 0 hops)
+            # interleaved array length ([v] alone = 0 hops).  Like ANY
+            # SHORTEST with `+`, (a, a) pairs then disappear entirely even
+            # on cyclic graphs: the per-pair optimum is the 0-hop row, and
+            # the cheapest CLOSED walk is a different query (house
+            # semantics, shared with the shortest route's dist >= 1)
             if lower == 1:
                 self.filters.append(f"size({_q(e)}.`path`) >= 3")
         elif upper is not None:
@@ -832,6 +864,11 @@ class MatchCompiler:
                 self.path_cost_cols[pattern.path_variable] = (
                     f"cast({_q(e)}.`cost` as double)"
                 )
+                if not need_path:
+                    # cost-only compilation: no array exists to register
+                    if nxt.where:
+                        self.filters.append(nxt.where)
+                    return
             if len_only:
                 # length-only named path: the BFS dist column IS the
                 # segment's hop count; no array was tracked

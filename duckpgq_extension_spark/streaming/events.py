@@ -386,14 +386,12 @@ def funnel(
             .agg(F.min("__ts").alias(f"t{k}"))
         )
         acc = acc.join(nxt, user_col, "left")
-    depth = None
-    last = None
-    for k in range(len(steps) - 1, 0, -1):
-        c = F.col(f"t{k}")
-        depth = F.when(c.isNotNull(), k + 1) if depth is None else depth.when(c.isNotNull(), k + 1)
-        last = F.coalesce(last, c) if last is not None else F.coalesce(c)
-    depth = (depth.otherwise(1) if depth is not None else F.lit(1)).cast("long")
-    last = F.coalesce(last, F.col("t0")) if last is not None else F.col("t0")
+    # t_k non-null implies t_{k-1} non-null, so the depth is simply one
+    # plus the count of completed later steps, and the deepest timestamp
+    # is the first non-null from the end
+    later = [F.col(f"t{k}") for k in range(len(steps) - 1, 0, -1)]
+    depth = sum((c.isNotNull().cast("long") for c in later), F.lit(1).cast("long"))
+    last = F.coalesce(*later, F.col("t0")) if later else F.col("t0")
     return acc.select(
         F.col(user_col),
         depth.alias("steps_completed"),
@@ -414,7 +412,10 @@ def cohort_retention(
 
     Returns (cohort_us, week_offset, n_users) with the cohort week as
     epoch microseconds of its Monday (date_trunc('week') agrees between
-    Spark and DuckDB).
+    Spark and DuckDB).  The offset is a calendar DAY difference / 7 —
+    not an epoch-microsecond division, which would truncate wrongly in
+    DST timezones where adjacent week boundaries are not exactly 168
+    hours apart.
 
     Scale design: per-user-week activity is deduplicated FIRST (map-side
     combine collapses each user's events within a week), then one
@@ -428,8 +429,9 @@ def cohort_retention(
         act.join(first, user_col)
         .select(
             epoch_us(F.col("__cohort")).alias("cohort_us"),
-            ((epoch_us(F.col("__wk")) - epoch_us(F.col("__cohort")))
-             / F.lit(604800000000)).cast("long").alias("week_offset"),
+            (F.datediff(F.col("__wk"), F.col("__cohort")) / 7)
+            .cast("long")
+            .alias("week_offset"),
             F.col(user_col),
         )
         .groupBy("cohort_us", "week_offset")
