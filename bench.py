@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "session_paths",
     "cheapest_path_vertices",
     "match_cheapest",
+    "group_sample",
 ]
 
 

@@ -3027,6 +3027,30 @@ def _match_cheapest_oracle(rounds: int = 30) -> str:
 O_MATCH_CHEAPEST = _match_cheapest_oracle(30)
 
 
+def q_group_sample(spark, sf_dir):
+    """Per-source document cap (operators/corpus.per_group_sample,
+    beyond-reference): at most 10 documents per source (sources carry 25
+    each, so the cap genuinely cuts) by deterministic content-hash order
+    — the corpus-mixing balance step."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    out = corpus.per_group_sample(docs, ["source"], "doc_id", 10, salt="gs")
+    return out.select("doc_id", "source")
+
+
+O_GROUP_SAMPLE = """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|gs'), 1, 15))::BIGINT ASC,
+                    doc_id ASC
+         ) AS rk
+  FROM documents)
+SELECT doc_id, source FROM r WHERE rk <= 10
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3118,6 +3142,7 @@ QUERIES = {
     "session_paths": q_session_paths,
     "cheapest_path_vertices": q_cheapest_path_vertices,
     "match_cheapest": q_match_cheapest,
+    "group_sample": q_group_sample,
 }
 
 ORACLES = {
@@ -3207,4 +3232,5 @@ ORACLES = {
     "session_paths": O_SESSION_PATHS,
     "cheapest_path_vertices": O_CHEAPEST_PATH_VERTICES,
     "match_cheapest": O_MATCH_CHEAPEST,
+    "group_sample": O_GROUP_SAMPLE,
 }

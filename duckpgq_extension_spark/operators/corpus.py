@@ -374,3 +374,36 @@ def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
     finally:
         per_doc.unpersist()
+
+
+def per_group_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    k: int,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-group cap: keep at most `k` rows per group,
+    chosen by the portable content-hash order of (key, salt) — the
+    generic form of the per-source / per-domain document cap every
+    corpus-mixing pipeline applies before training (and of
+    algorithms.neighbor_sample, which is this with group = src).
+
+    Reproducible across runs, engines and partitionings; nested (the
+    k=20 sample contains the k=10 sample at the same salt); vary `salt`
+    for an independent draw.  One window over one shuffle on the group
+    key — no joins.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if not group_cols:
+        raise ValueError("group_cols must be non-empty")
+    h = md5_long(F.concat_ws("|", F.col(key_col).cast("string"), F.lit(salt)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(h.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

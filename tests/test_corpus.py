@@ -217,3 +217,25 @@ def test_unigram_logprob_rare_tokens_score_low(spark):
     got = {r.doc_id: r.avg_logprob for r in
            unigram_logprob(docs, "doc_id", "text").collect()}
     assert got[99] < got[0]
+
+
+def test_per_group_sample_cap_nested_deterministic(spark):
+    from duckpgq_extension_spark.operators.corpus import per_group_sample
+
+    rows = [(g, i) for g in ["a", "b", "c"] for i in range(g != "c" and 20 or 2)]
+    df = spark.createDataFrame([(g, f"{g}{i}") for g, i in rows], "grp string, id string")
+    s10 = {tuple(r) for r in per_group_sample(df, ["grp"], "id", 10, "s").collect()}
+    s5 = {tuple(r) for r in per_group_sample(df, ["grp"], "id", 5, "s").collect()}
+    again = {tuple(r) for r in per_group_sample(df, ["grp"], "id", 10, "s").collect()}
+    assert s10 == again
+    assert s5 <= s10  # nested
+    from collections import Counter
+
+    cnt = Counter(g for g, _ in s10)
+    assert cnt == {"a": 10, "b": 10, "c": 2}  # capped; small groups intact
+    other = {tuple(r) for r in per_group_sample(df, ["grp"], "id", 10, "t").collect()}
+    assert other != s10  # independent draw under a different salt
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        per_group_sample(df, [], "id", 3)
