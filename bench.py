@@ -83,6 +83,8 @@ BENCH_QUERIES = [
     "cheapest_path_vertices",
     "match_cheapest",
     "group_sample",
+    "eccentricity",
+    "path_counts",
 ]
 
 

@@ -1269,3 +1269,72 @@ def ego_network(
         .join(ball.withColumnRenamed("vid", "dst"), "dst", "left_semi")
         .select("src", "dst")
     )
+
+
+def eccentricity(edges: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Out-eccentricity of each seed vertex: the maximum finite BFS
+    distance to any reachable vertex (beyond-reference) — seeds sampled
+    across the graph give the standard diameter/radius estimate
+    (diameter >= max eccentricity over the sample, radius <= min).
+    Returns (vid, eccentricity, reached); one batched multi-source BFS
+    + one aggregate, like closeness_centrality.
+    """
+    dists = pathops.bfs_distances(edges.select("src", "dst"), sources=seeds.toDF("vid"))
+    return dists.groupBy(F.col("src").alias("vid")).agg(
+        F.max("dist").cast("long").alias("eccentricity"),
+        F.count("*").alias("reached"),
+    )
+
+
+def shortest_path_counts(
+    edges: DataFrame, seeds: DataFrame, max_hops: int | None = None
+) -> DataFrame:
+    """Shortest-path counting (sigma): for each seed s and reachable
+    vertex v, the NUMBER of distinct shortest s->v paths — the forward
+    pass of Brandes' betweenness and a centrality signal by itself
+    (vertices reached by many geodesics are traffic concentrators).
+
+    Returns (src, dst, dist, sigma).  Level-synchronous BFS where the
+    frontier carries sigma: a vertex first reached at level L has
+    sigma = sum of the sigma of its level-(L-1) predecessors — one
+    frontier-to-adjacency join + one sum aggregate per level, the
+    standard distributed formulation (sigma can grow combinatorially on
+    diamond-rich graphs; it is exact path multiplicity, not a bound).
+    """
+    edges = pathops.materialize(
+        edges.select("src", "dst").repartition(
+            edges.sparkSession.sparkContext.defaultParallelism, "src"
+        )
+    )
+    frontier = pathops.materialize(
+        seeds.toDF("vid").distinct().select(
+            F.col("vid").alias("src"),
+            F.col("vid").alias("dst"),
+            F.lit(0).alias("dist"),
+            F.lit(1.0).alias("sigma"),
+        )
+    )
+    visited = frontier
+    level = 0
+    while True:
+        if max_hops is not None and level >= max_hops:
+            break
+        level += 1
+        nxt = (
+            frontier.alias("f")
+            .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
+            .groupBy(F.col("f.src").alias("src"), F.col("e.dst").alias("dst"))
+            .agg(F.sum("f.sigma").alias("sigma"))
+            .join(visited.select("src", "dst"), ["src", "dst"], "left_anti")
+            .select("src", "dst", F.lit(level).alias("dist"), "sigma")
+        )
+        nxt, n_new = pathops.checkpoint_with_count(nxt)
+        if not n_new:
+            break
+        visited = visited.unionByName(nxt)
+        if level % 10 == 0:
+            visited = pathops.materialize(visited)
+        frontier = nxt
+    return visited.select(
+        "src", "dst", "dist", F.col("sigma").cast("long").alias("sigma")
+    )

@@ -3051,6 +3051,78 @@ SELECT doc_id, source FROM r WHERE rk <= 10
 """
 
 
+def q_eccentricity(spark, sf_dir):
+    """Seed-set eccentricity (algorithms.eccentricity, beyond-reference):
+    max finite BFS distance from customers 100-107 — the sampled
+    diameter/radius estimator."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    seeds = spark.table("customer").where(
+        (F.col("c_custkey") >= 100) & (F.col("c_custkey") < 108)
+    ).select(F.col("c_custkey").cast("long"))
+    return algorithms.eccentricity(edges, seeds)
+
+
+O_ECCENTRICITY = _with_e(
+    """, bfs(src, dst, d) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  WHERE c_custkey >= 100 AND c_custkey < 108
+  UNION
+  SELECT b.src, e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.dst WHERE b.d < 30),
+mind AS (SELECT src, dst, MIN(d) AS d FROM bfs GROUP BY src, dst)
+SELECT src AS vid, CAST(MAX(d) AS BIGINT) AS eccentricity,
+       COUNT(*) AS reached
+FROM mind GROUP BY src""",
+    recursive=True,
+)
+
+
+def q_path_counts(spark, sf_dir):
+    """Shortest-path counting (algorithms.shortest_path_counts,
+    beyond-reference — Brandes' sigma forward pass): distinct geodesic
+    multiplicities from customers 0-4, replayed by the oracle as
+    unrolled level-synchronous CTEs with the identical
+    sum-over-predecessors recurrence."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    seeds = spark.table("customer").where(F.col("c_custkey") < 5).select(
+        F.col("c_custkey").cast("long")
+    )
+    return algorithms.shortest_path_counts(edges, seeds)
+
+
+def _sigma_oracle(rounds: int = 10) -> str:
+    parts = [
+        """f0 AS MATERIALIZED (
+  SELECT c_custkey AS src, c_custkey AS dst, 0 AS dist,
+         CAST(1 AS DOUBLE) AS sigma
+  FROM customer WHERE c_custkey < 5)""",
+        "vis0 AS MATERIALIZED (SELECT * FROM f0)",
+    ]
+    for L in range(1, rounds + 1):
+        p, v = f"f{L - 1}", f"vis{L - 1}"
+        parts.append(
+            f"""f{L} AS MATERIALIZED (
+  SELECT t.src, t.dst, {L} AS dist, t.sigma FROM (
+    SELECT f.src, e.dst, SUM(f.sigma) AS sigma
+    FROM {p} f JOIN e ON e.src = f.dst GROUP BY f.src, e.dst) t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {v} x WHERE x.src = t.src AND x.dst = t.dst))"""
+        )
+        parts.append(
+            f"""vis{L} AS MATERIALIZED (
+  SELECT * FROM {v} UNION ALL SELECT * FROM f{L})"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH e AS ({EDGES_SQL}),\n{body}\n"
+        f"SELECT src, dst, dist, CAST(sigma AS BIGINT) AS sigma FROM vis{rounds}"
+    )
+
+
+O_PATH_COUNTS = _sigma_oracle(10)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3143,6 +3215,8 @@ QUERIES = {
     "cheapest_path_vertices": q_cheapest_path_vertices,
     "match_cheapest": q_match_cheapest,
     "group_sample": q_group_sample,
+    "eccentricity": q_eccentricity,
+    "path_counts": q_path_counts,
 }
 
 ORACLES = {
@@ -3233,4 +3307,6 @@ ORACLES = {
     "cheapest_path_vertices": O_CHEAPEST_PATH_VERTICES,
     "match_cheapest": O_MATCH_CHEAPEST,
     "group_sample": O_GROUP_SAMPLE,
+    "eccentricity": O_ECCENTRICITY,
+    "path_counts": O_PATH_COUNTS,
 }

@@ -500,3 +500,28 @@ def test_sql_algorithm_call_select_position_not_rewritten(pgq):
 
     with _pt.raises(AnalysisException):
         pgq.sql("SELECT a, hits(x, y, z) FROM (SELECT 1 a, 2 x, 3 y, 4 z)").collect()
+
+
+def test_eccentricity_toy(toy):
+    edges, _ = toy
+    seeds = edges.sparkSession.createDataFrame([(1,), (4,), (6,)], "vid long")
+    got = {r.vid: (r.eccentricity, r.reached) for r in
+           A.eccentricity(edges, seeds).collect()}
+    # 1 reaches 2@1 3@2 4@3 5@4; 4 reaches 5@1; 6 reaches nothing
+    assert got[1] == (4, 5) and got[4] == (1, 2) and got[6] == (0, 1)
+
+
+def test_shortest_path_counts_diamond(spark):
+    """1->2->4, 1->3->4 and 4->5: two geodesics reach 4, both continue
+    to 5; direct 1->4 edge would change nothing (longer paths don't
+    count)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 4), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "vid long")
+    got = {(r.src, r.dst): (r.dist, r.sigma) for r in
+           A.shortest_path_counts(edges, seeds).collect()}
+    assert got[(1, 1)] == (0, 1)
+    assert got[(1, 2)] == (1, 1) and got[(1, 3)] == (1, 1)
+    assert got[(1, 4)] == (2, 2)
+    assert got[(1, 5)] == (3, 2)
