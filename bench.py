@@ -85,6 +85,7 @@ BENCH_QUERIES = [
     "group_sample",
     "eccentricity",
     "path_counts",
+    "betweenness",
 ]
 
 

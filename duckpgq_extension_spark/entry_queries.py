@@ -3123,6 +3123,75 @@ def _sigma_oracle(rounds: int = 10) -> str:
 O_PATH_COUNTS = _sigma_oracle(10)
 
 
+def q_betweenness(spark, sf_dir):
+    """Source-sampled Brandes betweenness (algorithms
+    .betweenness_centrality, beyond-reference): dependency accumulation
+    from customers 0-4, depth-bounded at 8 so the oracle can replay both
+    passes as unrolled level CTEs."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    seeds = spark.table("customer").where(F.col("c_custkey") < 5).select(
+        F.col("c_custkey").cast("long")
+    )
+    bc = algorithms.betweenness_centrality(edges, seeds, max_hops=8)
+    return bc.select("vid", F.round("betweenness", 6).alias("betweenness"))
+
+
+def _betweenness_oracle(depth: int = 8) -> str:
+    parts = [
+        """f0 AS MATERIALIZED (
+  SELECT c_custkey AS src, c_custkey AS dst, CAST(1 AS DOUBLE) AS sigma
+  FROM customer WHERE c_custkey < 5)""",
+        "vis0 AS MATERIALIZED (SELECT src, dst FROM f0)",
+    ]
+    for L in range(1, depth + 1):
+        p, v = f"f{L - 1}", f"vis{L - 1}"
+        parts.append(
+            f"""f{L} AS MATERIALIZED (
+  SELECT t.src, t.dst, t.sigma FROM (
+    SELECT f.src, e.dst, SUM(f.sigma) AS sigma
+    FROM {p} f JOIN e ON e.src = f.dst GROUP BY f.src, e.dst) t
+  WHERE NOT EXISTS (
+    SELECT 1 FROM {v} x WHERE x.src = t.src AND x.dst = t.dst))"""
+        )
+        parts.append(
+            f"""vis{L} AS MATERIALIZED (
+  SELECT src, dst FROM {v} UNION ALL SELECT src, dst FROM f{L})"""
+        )
+    parts.append(
+        f"dl{depth} AS MATERIALIZED (SELECT src, dst AS vid, "
+        f"CAST(0 AS DOUBLE) AS delta FROM f{depth})"
+    )
+    for L in range(depth - 1, -1, -1):
+        parts.append(
+            f"""dl{L} AS MATERIALIZED (
+  SELECT v.src, v.dst AS vid, COALESCE(a.acc, 0) AS delta
+  FROM f{L} v
+  LEFT JOIN (
+    SELECT vv.src, vv.dst AS vid,
+           SUM(vv.sigma / w.sigma * (1 + d.delta)) AS acc
+    FROM f{L} vv
+    JOIN e ON e.src = vv.dst
+    JOIN f{L + 1} w ON w.src = vv.src AND w.dst = e.dst
+    JOIN dl{L + 1} d ON d.src = vv.src AND d.vid = e.dst
+    GROUP BY vv.src, vv.dst) a
+  ON a.src = v.src AND a.vid = v.dst)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT src, vid, delta FROM dl{L}" for L in range(depth + 1)
+    )
+    body = ",\n".join(parts)
+    return (
+        f"WITH e AS ({EDGES_SQL}),\n{body},\n"
+        f"alld AS ({union})\n"
+        f"SELECT vid, ROUND(SUM(delta), 6) AS betweenness\n"
+        f"FROM alld WHERE vid <> src GROUP BY vid"
+    )
+
+
+O_BETWEENNESS = _betweenness_oracle(8)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3217,6 +3286,7 @@ QUERIES = {
     "group_sample": q_group_sample,
     "eccentricity": q_eccentricity,
     "path_counts": q_path_counts,
+    "betweenness": q_betweenness,
 }
 
 ORACLES = {
@@ -3309,4 +3379,5 @@ ORACLES = {
     "group_sample": O_GROUP_SAMPLE,
     "eccentricity": O_ECCENTRICITY,
     "path_counts": O_PATH_COUNTS,
+    "betweenness": O_BETWEENNESS,
 }

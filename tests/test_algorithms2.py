@@ -525,3 +525,65 @@ def test_shortest_path_counts_diamond(spark):
     assert got[(1, 2)] == (1, 1) and got[(1, 3)] == (1, 1)
     assert got[(1, 4)] == (2, 2)
     assert got[(1, 5)] == (3, 2)
+
+
+def _brandes_python(n, edge_list, sources):
+    """Reference Brandes (directed, unnormalized) for the cross-check."""
+    from collections import deque
+
+    adj = {}
+    for s, d in edge_list:
+        adj.setdefault(s, []).append(d)
+    bc = {v: 0.0 for v in range(n)}
+    for s in sources:
+        stack, preds = [], {v: [] for v in range(n)}
+        sigma = {v: 0.0 for v in range(n)}
+        dist = {v: -1 for v in range(n)}
+        sigma[s], dist[s] = 1.0, 0
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            stack.append(v)
+            for w in adj.get(v, []):
+                if dist[w] < 0:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = {v: 0.0 for v in range(n)}
+        while stack:
+            w = stack.pop()
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_vs_python_brandes(spark):
+    n = 30
+    edge_list = sorted(
+        {((i * 11 + 3) % n, (i * 17 + j * 7 + 1) % n) for i in range(50) for j in range(2)}
+    )
+    edge_list = [(s, d) for s, d in edge_list if s != d]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    sources = [0, 5, 10, 15]
+    seeds = spark.createDataFrame([(s,) for s in sources], "vid long")
+    got = {r.vid: r.betweenness for r in
+           A.betweenness_centrality(edges, seeds).collect()}
+    want = _brandes_python(n, edge_list, sources)
+    for v, bc in want.items():
+        if bc > 0 or v in got:
+            assert got.get(v, 0.0) == pytest.approx(bc, abs=1e-9), v
+
+
+def test_betweenness_path_graph(spark):
+    """Path 1->2->3->4 from seed 1: middle vertices carry 2 and 1
+    dependencies respectively."""
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "vid long")
+    got = {r.vid: r.betweenness for r in
+           A.betweenness_centrality(edges, seeds).collect()}
+    assert got[2] == pytest.approx(2.0) and got[3] == pytest.approx(1.0)
+    assert got[4] == pytest.approx(0.0)

@@ -121,3 +121,55 @@ def test_len_only_on_string_keys(spark, spy):
         )
     )
     assert got == [("a", 0), ("b", 1), ("c", 2), ("d", 3)]
+
+
+@pytest.fixture()
+def cheap_spy(monkeypatch):
+    calls = []
+    real = C.pathops.cheapest_path_distances
+
+    def spy(*a, **kw):
+        calls.append(kw)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(C.pathops, "cheapest_path_distances", spy)
+    return calls
+
+
+@pytest.fixture()
+def wg_session(spark):
+    spark.createDataFrame([(i,) for i in range(1, 6)], "id long").createOrReplaceTempView("PCV")
+    spark.createDataFrame(
+        [(1, 2, 1, 10), (2, 4, 1, 11), (1, 3, 1, 12), (3, 4, 1, 13), (1, 4, 5, 14)],
+        "s long, d long, w long, eid long",
+    ).createOrReplaceTempView("PCE")
+    s = PGQSession(spark)
+    s.execute(
+        """CREATE OR REPLACE PROPERTY GRAPH pcg
+        VERTEX TABLES (PCV PROPERTIES (id) LABEL N)
+        EDGE TABLES (PCE SOURCE KEY (s) REFERENCES PCV (id)
+                     DESTINATION KEY (d) REFERENCES PCV (id)
+                     EDGE ID (eid) LABEL L)"""
+    )
+    return s
+
+
+def test_cheapest_cost_only_skips_tracking(cheap_spy, wg_session):
+    """A path variable observed only through path_cost() compiles with
+    track_paths=False — the cheapest analog of length-only paths."""
+    df = wg_session.graph_table(
+        """pcg MATCH p = ANY CHEAPEST (a:N WHERE a.id = 1)-[e:L COST w]->*(b:N)
+           COLUMNS (a.id AS a_id, b.id AS b_id, path_cost(p) AS pc)"""
+    )
+    got = {r.b_id: r.pc for r in df.collect()}
+    assert got == {1: 0.0, 2: 1.0, 3: 1.0, 4: 2.0}
+    assert len(cheap_spy) == 1 and cheap_spy[0].get("track_paths") is False
+
+
+def test_cheapest_vertices_tracks(cheap_spy, wg_session):
+    df = wg_session.graph_table(
+        """pcg MATCH p = ANY CHEAPEST (a:N WHERE a.id = 1)-[e:L COST w]->*(b:N)
+           COLUMNS (b.id AS b_id, vertices(p) AS vs)"""
+    )
+    assert df.count() == 4
+    assert len(cheap_spy) == 1 and cheap_spy[0].get("track_paths") is True
