@@ -86,6 +86,8 @@ BENCH_QUERIES = [
     "eccentricity",
     "path_counts",
     "betweenness",
+    "harmonic",
+    "k_truss",
 ]
 
 

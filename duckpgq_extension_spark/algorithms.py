@@ -1446,3 +1446,111 @@ def betweenness_centrality(
         .groupBy("vid")
         .agg(F.sum("delta").alias("betweenness"))
     )
+
+
+def harmonic_centrality(edges: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Harmonic centrality of each seed: sum of 1/d(s, v) over reachable
+    v != s (beyond-reference) — the disconnected-robust cousin of
+    closeness (unreachable vertices contribute 0 instead of poisoning a
+    mean).  Returns (vid, harmonic, reached); one batched multi-source
+    BFS + one aggregate, like closeness_centrality.
+    """
+    dists = pathops.bfs_distances(edges.select("src", "dst"), sources=seeds.toDF("vid"))
+    return dists.groupBy(F.col("src").alias("vid")).agg(
+        F.coalesce(
+            F.sum(F.when(F.col("dist") > 0, 1.0 / F.col("dist"))), F.lit(0.0)
+        ).alias("harmonic"),
+        F.count("*").alias("reached"),
+    )
+
+
+def k_truss(edges: DataFrame, k: int) -> DataFrame:
+    """The k-truss: the maximal subgraph in which every (undirected,
+    deduplicated) edge participates in at least k-2 triangles WITHIN the
+    subgraph (beyond-reference).  Classic edge peeling to the unique
+    fixpoint — the edge-level analog of k_core, and a stronger
+    community-core filter (a (k)-truss is contained in the (k-1)-core).
+
+    Returns the surviving canonical edges (src < dst).
+
+    Scale design: per round, edge support is computed by crediting each
+    triangle of the degree-ordered half-edge enumeration (O(m^1.5)
+    wedge candidates — the same plan as triangle_counts, never the
+    sum(deg^2) wedge join) to its three edges; peeling is a join +
+    filter, and the survivor-count change is observed during the
+    checkpoint job — rounds are bounded by the peel depth.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2")
+    need = k - 2
+    cur = pathops.materialize(
+        _doubled_neighbors(edges).where(F.col("src") < F.col("dst"))
+    )
+    n_cur = cur.count()
+    while n_cur:
+        nbr = cur.unionByName(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
+        half = _oriented_half_edges(nbr, deg).persist()
+        try:
+            wedges = (
+                half.alias("h1")
+                .join(half.alias("h2"), F.col("h1.src") == F.col("h2.src"))
+                .where(
+                    (F.col("h1.ddst") < F.col("h2.ddst"))
+                    | (
+                        (F.col("h1.ddst") == F.col("h2.ddst"))
+                        & (F.col("h1.dst") < F.col("h2.dst"))
+                    )
+                )
+                .select(
+                    F.col("h1.src").alias("a"),
+                    F.col("h1.dst").alias("b"),
+                    F.col("h2.dst").alias("c"),
+                )
+            )
+            closed = wedges.alias("w").join(
+                half.alias("h3"),
+                (F.col("w.b") == F.col("h3.src")) & (F.col("w.c") == F.col("h3.dst")),
+                "left_semi",
+            )
+            sup = (
+                closed.select(
+                    F.explode(
+                        F.array(
+                            F.struct(
+                                F.least("a", "b").alias("src"),
+                                F.greatest("a", "b").alias("dst"),
+                            ),
+                            F.struct(
+                                F.least("a", "c").alias("src"),
+                                F.greatest("a", "c").alias("dst"),
+                            ),
+                            F.struct(
+                                F.least("b", "c").alias("src"),
+                                F.greatest("b", "c").alias("dst"),
+                            ),
+                        )
+                    ).alias("e")
+                )
+                .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+                .groupBy("src", "dst")
+                .agg(F.count("*").alias("__sup"))
+            )
+            survivors = (
+                cur.join(sup, ["src", "dst"])
+                .where(F.col("__sup") >= need)
+                .select("src", "dst")
+                if need > 0
+                else cur
+            )
+            if need == 0:
+                return cur
+            survivors, n_new = pathops.checkpoint_with_count(survivors)
+            if n_new == n_cur:
+                return survivors
+            cur, n_cur = survivors, n_new
+        finally:
+            half.unpersist()
+    return cur

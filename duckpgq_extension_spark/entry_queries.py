@@ -3192,6 +3192,76 @@ def _betweenness_oracle(depth: int = 8) -> str:
 O_BETWEENNESS = _betweenness_oracle(8)
 
 
+def q_harmonic(spark, sf_dir):
+    """Harmonic centrality over a seed set
+    (algorithms.harmonic_centrality, beyond-reference): sum of inverse
+    BFS distances from customers 0-7."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    seeds = spark.table("customer").where(F.col("c_custkey") < 8).select(
+        F.col("c_custkey").cast("long")
+    )
+    h = algorithms.harmonic_centrality(edges, seeds)
+    return h.select("vid", F.round("harmonic", 6).alias("harmonic"), "reached")
+
+
+O_HARMONIC = _with_e(
+    """, bfs(src, dst, d) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 8
+  UNION
+  SELECT b.src, e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.dst WHERE b.d < 30),
+mind AS (SELECT src, dst, MIN(d) AS d FROM bfs GROUP BY src, dst)
+SELECT src AS vid,
+       ROUND(COALESCE(SUM(CASE WHEN d > 0 THEN 1.0 / d END), 0), 6) AS harmonic,
+       COUNT(*) AS reached
+FROM mind GROUP BY src""",
+    recursive=True,
+)
+
+
+def q_k_truss(spark, sf_dir):
+    """3-truss of the follows graph (algorithms.k_truss,
+    beyond-reference): peel edges outside any triangle to the fixpoint
+    — the oracle unrolls 12 peel rounds (idempotent past convergence,
+    like the k_core oracle's margin)."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    return algorithms.k_truss(edges, k=3)
+
+
+def _k_truss_oracle(need: int = 1, rounds: int = 12) -> str:
+    parts = [
+        """c0 AS MATERIALIZED (
+  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+  FROM e WHERE src <> dst)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = f"c{r - 1}"
+        parts.append(
+            f"""adj{r} AS MATERIALIZED (
+  SELECT src, dst FROM {p} UNION ALL SELECT dst, src FROM {p})"""
+        )
+        parts.append(
+            f"""sup{r} AS MATERIALIZED (
+  SELECT c.src, c.dst, COUNT(*) AS s
+  FROM {p} c
+  JOIN adj{r} a ON a.src = c.src
+  JOIN adj{r} b ON b.src = c.dst AND b.dst = a.dst
+  GROUP BY c.src, c.dst)"""
+        )
+        parts.append(
+            f"""c{r} AS MATERIALIZED (
+  SELECT c.src, c.dst FROM {p} c
+  JOIN sup{r} s ON s.src = c.src AND s.dst = c.dst
+  WHERE s.s >= {need})"""
+        )
+    body = ",\n".join(parts)
+    return f"WITH e AS ({EDGES_SQL}),\n{body}\nSELECT src, dst FROM c{rounds}"
+
+
+O_K_TRUSS = _k_truss_oracle(1, 12)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3287,6 +3357,8 @@ QUERIES = {
     "eccentricity": q_eccentricity,
     "path_counts": q_path_counts,
     "betweenness": q_betweenness,
+    "harmonic": q_harmonic,
+    "k_truss": q_k_truss,
 }
 
 ORACLES = {
@@ -3380,4 +3452,6 @@ ORACLES = {
     "eccentricity": O_ECCENTRICITY,
     "path_counts": O_PATH_COUNTS,
     "betweenness": O_BETWEENNESS,
+    "harmonic": O_HARMONIC,
+    "k_truss": O_K_TRUSS,
 }

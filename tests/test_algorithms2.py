@@ -587,3 +587,42 @@ def test_betweenness_path_graph(spark):
            A.betweenness_centrality(edges, seeds).collect()}
     assert got[2] == pytest.approx(2.0) and got[3] == pytest.approx(1.0)
     assert got[4] == pytest.approx(0.0)
+
+
+def test_harmonic_toy(toy):
+    edges, _ = toy
+    seeds = edges.sparkSession.createDataFrame([(1,), (6,)], "vid long")
+    got = {r.vid: (r.harmonic, r.reached) for r in
+           A.harmonic_centrality(edges, seeds).collect()}
+    # 1: dists 1,2,3,4 -> 1 + 1/2 + 1/3 + 1/4
+    assert got[1][0] == pytest.approx(1 + 0.5 + 1 / 3 + 0.25) and got[1][1] == 5
+    assert got[6] == (0.0, 1)
+
+
+def test_k_truss_peeling(spark):
+    """K4 plus a pendant triangle sharing one vertex: the 4-truss keeps
+    exactly the K4 (each K4 edge sits in 2 triangles; the pendant
+    triangle's edges have support 1 and peel)."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    extra = [(3, 10), (3, 11), (10, 11)]
+    edges = spark.createDataFrame(k4 + extra, "src long, dst long")
+    got = sorted(tuple(r) for r in A.k_truss(edges, 4).collect())
+    assert got == sorted(k4)
+    # 3-truss (support >= 1) keeps both cliques' edges
+    got3 = sorted(tuple(r) for r in A.k_truss(edges, 3).collect())
+    assert got3 == sorted(k4 + extra)
+    # 5-truss of K4 is empty (needs support 3)
+    assert A.k_truss(edges, 5).count() == 0
+    with pytest.raises(ValueError):
+        A.k_truss(edges, 1)
+
+
+def test_k_truss_cascade(spark):
+    """Peeling cascades: a triangle chained to a K4 by one shared edge
+    survives round 1 (support 1) but its closing vertex depends on the
+    shared edge's survival — 4-truss drops the chained triangle."""
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    chained = [(2, 20), (3, 20)]  # triangle (2,3,20) shares edge (2,3)
+    edges = spark.createDataFrame(k4 + chained, "src long, dst long")
+    got = sorted(tuple(r) for r in A.k_truss(edges, 4).collect())
+    assert got == sorted(k4)
