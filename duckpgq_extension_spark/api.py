@@ -743,6 +743,78 @@ class PGQSession:
             )
         )
 
+    def _seeded_scores(
+        self, graph, vertex_label, edge_label, seeds, fn, out_cols, **kw
+    ) -> DataFrame:
+        """Shared wrapper shape for seed-set algorithms (closeness,
+        harmonic, eccentricity, betweenness, path counting): translate
+        natural-key seeds, run, decode vids back to natural keys."""
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        seed_ids = self._seed_vids(vdf, vkey, pks, seeds, "seeds")
+        scores = fn(edges, seed_ids, **kw)
+        return vdf.join(scores, vkey == scores["vid"]).select(
+            *[vdf[c] for c in pks], *[F.col(c) for c in out_cols]
+        )
+
+    def harmonic_centrality(
+        self, graph: str, vertex_label: str, edge_label: str, seeds: DataFrame
+    ) -> DataFrame:
+        """(pk..., harmonic, reached) — inverse-distance centrality of the
+        seed vertices (beyond-reference)."""
+        return self._seeded_scores(
+            graph, vertex_label, edge_label, seeds,
+            algorithms.harmonic_centrality, ["harmonic", "reached"],
+        )
+
+    def eccentricity(
+        self, graph: str, vertex_label: str, edge_label: str, seeds: DataFrame
+    ) -> DataFrame:
+        """(pk..., eccentricity, reached) — max finite BFS distance from
+        each seed (beyond-reference; sampled diameter estimator)."""
+        return self._seeded_scores(
+            graph, vertex_label, edge_label, seeds,
+            algorithms.eccentricity, ["eccentricity", "reached"],
+        )
+
+    def betweenness_centrality(
+        self,
+        graph: str,
+        vertex_label: str,
+        edge_label: str,
+        seeds: DataFrame,
+        max_hops: int | None = None,
+    ) -> DataFrame:
+        """(pk..., betweenness) — source-sampled Brandes betweenness
+        (beyond-reference); `seeds` are the sources."""
+        return self._seeded_scores(
+            graph, vertex_label, edge_label, seeds,
+            algorithms.betweenness_centrality, ["betweenness"],
+            max_hops=max_hops,
+        )
+
+    def k_truss(
+        self, graph: str, vertex_label: str, edge_label: str, k: int
+    ) -> DataFrame:
+        """(src key columns..., dst key columns...) — the canonical edges
+        of the undirected k-truss (beyond-reference; algorithms.k_truss),
+        decoded to natural keys."""
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        sub = algorithms.k_truss(edges, k)
+        vmap = vdf.select(*[vdf[c] for c in pks], vkey.alias("__vid"))
+        return (
+            sub.alias("e")
+            .join(vmap.alias("sv"), F.col("e.src") == F.col("sv.__vid"))
+            .join(vmap.alias("tv"), F.col("e.dst") == F.col("tv.__vid"))
+            .select(
+                *[F.col(f"sv.{c}").alias(f"src_{c}") for c in pks],
+                *[F.col(f"tv.{c}").alias(f"dst_{c}") for c in pks],
+            )
+        )
+
     # -- introspection ---------------------------------------------------
     def describe_property_graph(self, graph: str) -> DataFrame:
         """One row per registered table with the reference's exact

@@ -626,3 +626,25 @@ def test_k_truss_cascade(spark):
     edges = spark.createDataFrame(k4 + chained, "src long, dst long")
     got = sorted(tuple(r) for r in A.k_truss(edges, 4).collect())
     assert got == sorted(k4)
+
+
+def test_session_seeded_wrappers(pgq, spark):
+    """harmonic/eccentricity/betweenness/k_truss wrappers surface natural
+    keys on the F1 graph (0->1,0->2,0->3,3->0,1->2,1->3,2->3,4->3)."""
+    seeds = spark.createDataFrame([(4,)], "id long")
+    h = {r[0]: (r.harmonic, r.reached) for r in
+         pgq.harmonic_centrality("pg", "Person", "Knows", seeds).collect()}
+    # 4: dists to 3@1, 0@2, 1@3, 2@3 -> 1 + 1/2 + 1/3 + 1/3
+    assert h[4][0] == pytest.approx(1 + 0.5 + 1 / 3 + 1 / 3) and h[4][1] == 5
+    ecc = {r[0]: r.eccentricity for r in
+           pgq.eccentricity("pg", "Person", "Knows", seeds).collect()}
+    assert ecc[4] == 3
+    bc = {r[0]: r.betweenness for r in
+          pgq.betweenness_centrality("pg", "Person", "Knows", seeds).collect()}
+    # from 4: 3@1, 0@2, 1@3, 2@3 (all sigma 1); leaves 1,2 have delta 0,
+    # delta(0) = 2, delta(3) = 1 + delta(0) = 3
+    assert bc[3] == pytest.approx(3.0) and bc[0] == pytest.approx(2.0)
+    # k_truss: undirected F1 graph has triangles among {0,1,2,3};
+    # edge 4-3 has support 0 and peels at k=3
+    tr = sorted(tuple(r) for r in pgq.k_truss("pg", "Person", "Knows", 3).collect())
+    assert (4, 3) not in tr and (3, 4) not in tr and len(tr) > 0
