@@ -228,19 +228,33 @@ def main() -> None:
             timings[name], cold[name] = med, c
             total += med
             print(f"# {name}: median {med}s / cold {c}s ({n} rows)", file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "total_bench_wall_clock",
-                "value": round(total, 3),
-                "unit": "sec",
-                "protocol": f"median_of_{REPS}",
-                "queries": timings,
-                "queries_cold": cold,
-                "sf": sf,
-            }
+    full = {
+        "metric": "total_bench_wall_clock",
+        "value": round(total, 3),
+        "unit": "sec",
+        "protocol": f"median_of_{REPS}",
+        "queries": timings,
+        "queries_cold": cold,
+        "sf": sf,
+    }
+    # Full record (incl. cold timings) to stderr for PERF.md bookkeeping.
+    print(json.dumps(full), file=sys.stderr)
+    # The driver records only a 2000-char TAIL of stdout (BENCH_r4.parsed
+    # was null because the 63-query + cold dict blew past it and the JSON
+    # got front-truncated).  Emit a compact line as the LAST stdout line:
+    # medians at 2 decimals, no cold dict; if still too long, keep only the
+    # slowest queries so the line always fits whole in the tail.
+    compact = dict(full, queries={k: round(v, 2) for k, v in timings.items()})
+    compact.pop("queries_cold")
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:40]
         )
-    )
+        compact["queries"] = {k: round(v, 2) for k, v in slowest.items()}
+        compact["queries_truncated_to_slowest"] = len(slowest)
+        line = json.dumps(compact, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

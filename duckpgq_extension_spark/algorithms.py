@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
+from .errors import PGQCapacityError
 from .operators import paths as pathops
 
 DAMPING = 0.85
@@ -83,8 +84,7 @@ def pagerank(
     n = vertices.count()
     if n == 0:
         return vertices.withColumn("pagerank", F.lit(0.0))
-    sc = edges.sparkSession.sparkContext
-    parts = sc.defaultParallelism
+    parts = pathops.default_parallelism(edges.sparkSession)
     if weight_col is None:
         edges = edges.select("src", "dst", F.lit(1.0).alias("__w"))
     else:
@@ -214,7 +214,7 @@ def weakly_connected_component(edges: DataFrame, vertices: DataFrame) -> DataFra
     high-diameter graphs — not needed at current scales; noted for later.)
     """
     vertices = vertices.toDF("vid").distinct()
-    parts = edges.sparkSession.sparkContext.defaultParallelism
+    parts = pathops.default_parallelism(edges.sparkSession)
     und = (
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -273,7 +273,7 @@ def weakly_connected_component(edges: DataFrame, vertices: DataFrame) -> DataFra
 def _doubled_neighbors(edges: DataFrame) -> DataFrame:
     """Distinct both-direction neighbor pairs (src, dst), self-loops dropped
     — the undirected adjacency every triangle/clustering step works over."""
-    parts = edges.sparkSession.sparkContext.defaultParallelism
+    parts = pathops.default_parallelism(edges.sparkSession)
     return (
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
@@ -564,8 +564,7 @@ def hits(
     jobs per iteration, mirroring pagerank.
     """
     vertices = pathops.materialize(vertices.toDF("vid").distinct())
-    sc = edges.sparkSession.sparkContext
-    parts = sc.defaultParallelism
+    parts = pathops.default_parallelism(edges.sparkSession)
     induced = (
         edges.select("src", "dst")
         .join(vertices.withColumnRenamed("vid", "src"), "src", "left_semi")
@@ -578,7 +577,6 @@ def hits(
     )
     try:
         for _ in range(max_iter):
-            prev = scores
             # authority step: mass flows along edge direction (hub of src)
             araw = (
                 scores.alias("s")
@@ -602,6 +600,10 @@ def hits(
                     )
                     .otherwise(F.lit(0.0))
                     .alias("auth"),
+                    # carry the round-start authority through the half-step so
+                    # the convergence delta can be computed inside the hub
+                    # step's checkpoint job (no extra driver action)
+                    *([F.col("s.auth").alias("__prev_auth")] if tol > 0 else []),
                 )
             )
             auth = pathops.materialize(auth)
@@ -615,35 +617,46 @@ def hits(
             hnorm = F.broadcast(
                 hraw.agg(F.coalesce(F.sum("hraw"), F.lit(0.0)).alias("__hn"))
             )
-            scores = pathops.materialize(
+            new_hub = (
+                F.when(
+                    F.col("__hn") > 0,
+                    F.coalesce(F.col("hraw"), F.lit(0.0)) / F.col("__hn"),
+                )
+                .otherwise(F.lit(0.0))
+            )
+            merged = (
                 auth.alias("s")
                 .join(hraw.alias("h"), F.col("s.vid") == F.col("h.vid"), "left")
                 .crossJoin(hnorm)
                 .select(
                     F.col("s.vid").alias("vid"),
-                    F.when(
-                        F.col("__hn") > 0,
-                        F.coalesce(F.col("hraw"), F.lit(0.0)) / F.col("__hn"),
-                    )
-                    .otherwise(F.lit(0.0))
-                    .alias("hub"),
+                    new_hub.alias("hub"),
                     F.col("s.auth").alias("auth"),
+                    # s.hub is the ROUND-START hub (copied through the
+                    # authority half-step), so both deltas are expressible
+                    # on this one frame
+                    *(
+                        [
+                            F.greatest(
+                                F.abs(new_hub - F.col("s.hub")),
+                                F.abs(F.col("s.auth") - F.col("__prev_auth")),
+                            ).alias("__delta")
+                        ]
+                        if tol > 0
+                        else []
+                    ),
                 )
             )
             if tol > 0:
-                delta = (
-                    scores.alias("n")
-                    .join(prev.alias("p"), "vid")
-                    .agg(
-                        F.max(
-                            F.greatest(
-                                F.abs(F.col("n.hub") - F.col("p.hub")),
-                                F.abs(F.col("n.auth") - F.col("p.auth")),
-                            )
-                        ).alias("d")
-                    )
-                    .first()[0]
-                )
+                # convergence delta observed DURING the checkpoint job — two
+                # jobs per iteration stay two, matching the docstring's
+                # 'no driver collect per iteration' (pagerank's pattern)
+                obs = Observation(f"__pgq_hits_{next(pathops._obs_seq)}")
+                merged = merged.observe(obs, F.max("__delta").alias("d"))
+            scores = pathops.materialize(merged)
+            if tol > 0:
+                delta = obs.get["d"]
+                scores = scores.drop("__delta")
                 if delta is not None and delta < tol:
                     break
         return scores.select("vid", "hub", F.col("auth").alias("authority"))
@@ -687,8 +700,7 @@ def strongly_connected_component(edges: DataFrame, vertices: DataFrame) -> DataF
     nothing is collected.
     """
     vertices = pathops.materialize(vertices.toDF("vid").distinct())
-    sc = edges.sparkSession.sparkContext
-    parts = sc.defaultParallelism
+    parts = pathops.default_parallelism(edges.sparkSession)
     all_edges = (
         edges.select("src", "dst")
         .where(F.col("src") != F.col("dst"))
@@ -903,8 +915,7 @@ def random_walks(
 
     from pyspark.sql import Window
 
-    sc = edges.sparkSession.sparkContext
-    parts = sc.defaultParallelism
+    parts = pathops.default_parallelism(edges.sparkSession)
     nbr = edges.select("src", "dst").distinct()
     w = Window.partitionBy("src").orderBy(F.col("dst").asc())
     ranked = pathops.materialize(
@@ -1092,9 +1103,8 @@ def katz_centrality(
     normalization step.
     """
     vertices = pathops.materialize(vertices.toDF("vid").distinct())
-    sc = edges.sparkSession.sparkContext
     edges = edges.select("src", "dst").repartition(
-        sc.defaultParallelism, "src"
+        pathops.default_parallelism(edges.sparkSession), "src"
     ).persist()
     x = pathops.materialize(vertices.select("vid", F.lit(beta).alias("katz")))
     try:
@@ -1300,10 +1310,16 @@ def shortest_path_counts(
     frontier-to-adjacency join + one sum aggregate per level, the
     standard distributed formulation (sigma can grow combinatorially on
     diamond-rich graphs; it is exact path multiplicity, not a bound).
+
+    Exactness: sigma is accumulated in decimal(38,0) (exact to 10^38 —
+    a double accumulator would silently lose integer precision past
+    2^53, exactly the regime diamond-rich growth reaches) and returned
+    as long; a count beyond 2^63-1 fails the final cast loudly under
+    ANSI mode rather than returning a wrong number.
     """
     edges = pathops.materialize(
         edges.select("src", "dst").repartition(
-            edges.sparkSession.sparkContext.defaultParallelism, "src"
+            pathops.default_parallelism(edges.sparkSession), "src"
         )
     )
     frontier = pathops.materialize(
@@ -1311,7 +1327,7 @@ def shortest_path_counts(
             F.col("vid").alias("src"),
             F.col("vid").alias("dst"),
             F.lit(0).alias("dist"),
-            F.lit(1.0).alias("sigma"),
+            F.lit(1).cast("decimal(38,0)").alias("sigma"),
         )
     )
     visited = frontier
@@ -1341,7 +1357,10 @@ def shortest_path_counts(
 
 
 def betweenness_centrality(
-    edges: DataFrame, seeds: DataFrame, max_hops: int | None = None
+    edges: DataFrame,
+    seeds: DataFrame,
+    max_hops: int | None = None,
+    max_state_rows: int | None = 100_000_000,
 ) -> DataFrame:
     """Betweenness centrality, Brandes' algorithm over a seed (source)
     set (beyond-reference): forward level-synchronous BFS accumulating
@@ -1351,10 +1370,19 @@ def betweenness_centrality(
 
     and betweenness(v) = sum over sources s != v of delta_s(v).  With
     seeds = all vertices this is exact directed betweenness (times 1;
-    halve for the undirected convention); with a sampled seed set it is
-    the standard source-sampled estimator.  `max_hops` bounds the
-    traversal (k-bounded betweenness) — also what lets a SQL oracle
-    replay it with a fixed unrolling.
+    halve for the undirected convention) — but that is O(|seeds| * |V|)
+    state, quadratic in |V|, and NOT the scale route: on large graphs
+    use a SAMPLED seed set (the standard source-sampled estimator;
+    error shrinks as 1/sqrt(|seeds|)).  `max_hops` bounds the traversal
+    (k-bounded betweenness) — also what lets a SQL oracle replay it with
+    a fixed unrolling.
+
+    `max_state_rows` guards exactly that misuse: the forward pass
+    accumulates one (source, vertex) state row per reached pair, the
+    per-level checkpoint already counts them, and crossing the cap
+    raises PGQCapacityError naming the sampling escape hatch instead of
+    letting executors OOM mid-stage.  Pass None to disable (e.g. a
+    cluster sized for exact betweenness).
 
     Returns (vid, betweenness) for every vertex reached by some seed.
 
@@ -1363,9 +1391,10 @@ def betweenness_centrality(
     (source, vertex) and checkpointed per level; sigma/delta ride the
     frames — nothing is collected.
     """
-    sc = edges.sparkSession.sparkContext
     edges = pathops.materialize(
-        edges.select("src", "dst").repartition(sc.defaultParallelism, "src")
+        edges.select("src", "dst").repartition(
+            pathops.default_parallelism(edges.sparkSession), "src"
+        )
     )
     frontier = pathops.materialize(
         seeds.toDF("vid").distinct().select(
@@ -1377,6 +1406,7 @@ def betweenness_centrality(
     levels = [frontier]
     visited = frontier.select("src", "dst")
     level = 0
+    state_rows = 0
     while True:
         if max_hops is not None and level >= max_hops:
             break
@@ -1391,6 +1421,16 @@ def betweenness_centrality(
         nxt, n_new = pathops.checkpoint_with_count(nxt)
         if not n_new:
             break
+        state_rows += n_new
+        if max_state_rows is not None and state_rows > max_state_rows:
+            raise PGQCapacityError(
+                f"betweenness_centrality exceeded max_state_rows="
+                f"{max_state_rows} at level {level} ({state_rows} "
+                "(source, vertex) state rows): the seed set is too large "
+                "for this graph.  Use a SAMPLED seed set (source-sampled "
+                "Brandes estimator), bound the traversal with max_hops, "
+                "or pass max_state_rows=None on a cluster sized for it."
+            )
         visited = visited.unionByName(nxt.select("src", "dst"))
         if level % 10 == 0:
             visited = pathops.materialize(visited)

@@ -94,7 +94,12 @@ class PGQSession:
         if path is None:
             self.spark.conf.set(RELIABLE_CHECKPOINT_CONF, "false")
         else:
-            self.spark.sparkContext.setCheckpointDir(path)
+            try:
+                self.spark.sparkContext.setCheckpointDir(path)
+            except Exception:  # noqa: BLE001 - Spark Connect session
+                # no sparkContext on Connect; Dataset.checkpoint reads the
+                # server-side conf instead
+                self.spark.conf.set("spark.checkpoint.dir", path)
             self.spark.conf.set(RELIABLE_CHECKPOINT_CONF, "true")
 
     # -- DDL ------------------------------------------------------------
@@ -154,6 +159,7 @@ class PGQSession:
         out = []
         pos = 0
         n = len(query)
+        created: list[str] = []
         while True:
             # linear scan for the next GRAPH_TABLE( that is OUTSIDE quoted
             # strings / identifiers / comments — `SELECT 'graph_table('`
@@ -197,6 +203,7 @@ class PGQSession:
             self._view_counter += 1
             view = f"__pgq_graph_table_{self._view_counter}"
             df.createOrReplaceTempView(view)
+            created.append(view)
             out.append(view)
             # DuckDB names an aliasless derived table `unnamed_subquery`
             # and lets queries reference its columns through that name
@@ -205,17 +212,56 @@ class PGQSession:
             if _next_word(query, i) in _CLAUSE_KEYWORDS:
                 out.append(" AS unnamed_subquery")
             pos = i
-        rewritten = self._substitute_algorithm_calls("".join(out))
+        rewritten, pending = self._substitute_algorithm_calls("".join(out))
         # DuckDB's FROM-first shorthand (`FROM t LIMIT 10`,
         # unnamed_subquery.test) — Spark requires an explicit SELECT
         if re.match(r"\s*FROM\b", rewritten, re.IGNORECASE):
             rewritten = "SELECT * " + rewritten
-        return self.spark.sql(rewritten)
+        try:
+            if pending:
+                # Algorithm table functions run driver-side iteration (SCC,
+                # k-truss) the moment they're invoked — gate that on the
+                # rewritten query actually PARSING, so a syntax error
+                # elsewhere in the statement costs a parse, not a full
+                # algorithm run.
+                self._assert_parses(rewritten)
+            for view, fn, args in pending:
+                fn(*args).createOrReplaceTempView(view)
+                created.append(view)
+            return self.spark.sql(rewritten)
+        except Exception:
+            # don't leak half-registered __pgq_* temp views on failure
+            for view in created:
+                try:
+                    self.spark.catalog.dropTempView(view)
+                except Exception:  # noqa: BLE001 - best-effort cleanup
+                    pass
+            raise
 
-    def _substitute_algorithm_calls(self, query: str) -> str:
+    def _assert_parses(self, sql: str) -> None:
+        """Syntax-check `sql` without resolving views or running anything.
+
+        Uses the JVM session parser when reachable (classic py4j session);
+        on Spark Connect the handle is absent and we skip — spark.sql will
+        still surface the error, just after the algorithm ran.
+        """
+        try:
+            parser = self.spark._jsparkSession.sessionState().sqlParser()
+        except Exception:  # noqa: BLE001 - Connect / no py4j access
+            return
+        try:
+            parser.parsePlan(sql)
+        except Exception:
+            # surface Spark's canonical captured ParseException (parse fails
+            # before any view resolution, so the missing __pgq_algo views
+            # are never reached)
+            self.spark.sql(sql)
+            raise  # defensive: parsers disagreed — surface the JVM error
+
+    def _substitute_algorithm_calls(self, query: str):
         """Rewrite FROM-clause algorithm table functions —
         `SELECT id, pagerank FROM pagerank(pg, student, know)` — into
-        temp views, the reference's bind-replace surface for its
+        temp-view references, the reference's bind-replace surface for its
         algorithm wrappers (src/core/functions/table/pagerank.cpp:10-23,
         weakly_connected_component.cpp:10-25,
         local_clustering_coefficient.cpp:17-32; golden syntax
@@ -223,7 +269,14 @@ class PGQSession:
         algorithms with the same (pg, vertex, edge) shape dispatch too.
         Only calls in table position (after FROM / JOIN / a FROM-list
         comma) are rewritten; like DuckDB, the aliasless result is
-        referenceable by the function's own name."""
+        referenceable by the function's own name.
+
+        Returns (rewritten, pending) where pending is a list of
+        (view_name, bound_method, args) — the algorithms are NOT invoked
+        here (several run driver-side iteration eagerly); the caller
+        validates the rewritten statement first, then registers the
+        views, so a syntax error elsewhere never pays an algorithm run
+        and failed statements leave no temp views behind."""
         dispatch = {
             "pagerank": self.pagerank,
             "weakly_connected_component": self.weakly_connected_component,
@@ -241,6 +294,7 @@ class PGQSession:
             re.IGNORECASE,
         )
         out, pos, n = [], 0, len(query)
+        pending: list[tuple[str, object, list[str]]] = []
         while True:
             m = None
             j = pos
@@ -260,13 +314,12 @@ class PGQSession:
                 j += 1
             if not m:
                 out.append(query[pos:])
-                return "".join(out)
+                return "".join(out), pending
             fname = m.group(1).lower()
             args = [a.strip().strip('"') for a in m.groups()[1:]]
-            df = dispatch[fname](*args)
             self._view_counter += 1
             view = f"__pgq_algo_{self._view_counter}"
-            df.createOrReplaceTempView(view)
+            pending.append((view, dispatch[fname], args))
             out.append(query[pos : m.start()])
             out.append(view)
             if _next_word(query, m.end()) in _CLAUSE_KEYWORDS:

@@ -3455,3 +3455,43 @@ ORACLES = {
     "harmonic": O_HARMONIC,
     "k_truss": O_K_TRUSS,
 }
+
+
+# --------------------------------------------------------------------------
+# driver-window ordering (round 5)
+# --------------------------------------------------------------------------
+# The driver's CORRECTNESS gate verifies only the first 50 ``queries()``
+# entries in insertion order.  Rounds 3-4 added 42 operators past that
+# window, so they never received a driver-recorded correctness row (they
+# are judge-verified only, VERDICT r4 §"What's missing" #1).  Lead with
+# those 42, keep 8 sentinels from the long-green round-2 set so a
+# regression in the old surface would still be caught, and append the
+# rest unchanged.  All 92 keys remain present; only the order changes.
+
+_R5_FRONT = [
+    # 42 never-driver-checked keys (dedup/ANN/text/centralities/pipeline)
+    "lang_id", "text_stats", "corpus_clean", "dedup_exact",
+    "dedup_fingerprint", "dedup_jaccard", "dedup_minhash", "simhash",
+    "minhash_lsh_pairs", "dedup_clusters", "contamination",
+    "similarity_topk", "embedding_near_dup", "ann_lsh", "ann_ivf",
+    "embedding_clusters", "multimodal_decode", "hits", "scc",
+    "global_clustering", "random_walks", "closeness", "pii_redact",
+    "communities", "assortativity", "doc_logprob", "katz", "link_pred",
+    "temporal_reach", "nbr_features", "ego_net", "funnel",
+    "cohort_retention", "session_paths", "cheapest_path_vertices",
+    "match_cheapest", "group_sample", "eccentricity", "path_counts",
+    "betweenness", "harmonic", "k_truss",
+    # 8 sentinels spanning the round-2 families (MATCH, paths, kernels,
+    # relational, streaming-as-batch)
+    "match_2hop", "var_length_1_2", "shortest_len", "cheapest_path",
+    "pagerank", "wcc", "tpch_q1", "streaming_window",
+]
+
+QUERIES = {
+    **{k: QUERIES[k] for k in _R5_FRONT},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R5_FRONT)},
+}
+ORACLES = {
+    **{k: ORACLES[k] for k in _R5_FRONT if k in ORACLES},
+    **{k: v for k, v in ORACLES.items() if k not in set(_R5_FRONT)},
+}

@@ -35,3 +35,14 @@ class PGQConstraintError(PGQError):
 
 class PGQNotImplementedError(PGQError):
     """Feature intentionally not (yet) supported."""
+
+
+class PGQCapacityError(PGQError):
+    """A combinatorial enumeration exceeded its configured row cap.
+
+    Raised by bfs_distances(all_shortest=True) and bfs_all_paths when
+    `max_rows` is set and the accumulated path count crosses it — a loud,
+    recoverable failure instead of an executor OOM deep inside a stage.
+    The message tells the caller which levers bound the blow-up
+    (max_hops, selective sources, a larger cap).
+    """

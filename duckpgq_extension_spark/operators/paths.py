@@ -48,7 +48,7 @@ import itertools
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from ..errors import PGQNotImplementedError
+from ..errors import PGQCapacityError, PGQNotImplementedError
 
 _INTEGRAL_TYPES = {"tinyint", "smallint", "int", "bigint"}
 
@@ -71,7 +71,30 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     spark = df.sparkSession
     if spark.conf.get(RELIABLE_CHECKPOINT_CONF, "false").lower() == "true":
         return df.checkpoint(eager=eager)
-    return df.localCheckpoint(eager=eager)
+    try:
+        return df.localCheckpoint(eager=eager)
+    except Exception:
+        if hasattr(df, "_jdf"):
+            raise  # classic py4j session: a real execution error, don't mask
+        # Spark Connect build without localCheckpoint support (it became
+        # server-side API in 4.0; older Connect clients lack it): persist +
+        # count is the API-portable materialization.  It does NOT cut
+        # lineage, so prefer the reliable-checkpoint conf (+ a checkpoint
+        # dir) on Connect for deeply iterative workloads.
+        out = df.persist()
+        if eager:
+            out.count()
+        return out
+
+
+def default_parallelism(spark) -> int:
+    """Kernel repartition width.  `sparkContext` does not exist on Spark
+    Connect sessions — fall back to the shuffle-partition conf there (the
+    same knob a cluster operator tunes for us)."""
+    try:
+        return spark.sparkContext.defaultParallelism
+    except Exception:  # noqa: BLE001 - Connect session
+        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
 
 
 def checkpoint_with_count(df: DataFrame) -> tuple[DataFrame, int]:
@@ -157,7 +180,7 @@ def _prep_edges(edges: DataFrame, num_partitions: int | None) -> DataFrame:
         # bucketed table from sources.io.write_bucketed_edges) — skip the
         # repartition shuffle entirely
         return materialize(edges)
-    n = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
+    n = num_partitions or default_parallelism(edges.sparkSession)
     return materialize(edges.repartition(n, "src"))
 
 
@@ -170,6 +193,7 @@ def bfs_distances(
     checkpoint_every: int = 1,
     k: int = 1,
     all_shortest: bool = False,
+    max_rows: int | None = None,
 ) -> DataFrame:
     """All-pairs-from-sources BFS: returns (src, dst, dist [, path]).
 
@@ -195,6 +219,15 @@ def bfs_distances(
     semantics because the k best walks to a vertex extend the k best walks
     to its predecessors; entries beyond k are pruned permanently, bounding
     state at k rows per pair regardless of cycles.
+
+    max_rows: cap on the ACCUMULATED result rows, intended for
+    all_shortest (the other modes are bounded at k rows per (src, dst)
+    pair by construction, but the cap applies there too if set).
+    ALL-SHORTEST path counts grow combinatorially on diamond-rich
+    graphs; when the cap is crossed the traversal raises PGQCapacityError
+    at the end of the offending level — a loud, catchable failure instead
+    of an executor OOM.  The count rides the per-level checkpoint
+    Observation, so the cap adds no extra Spark job.
     """
     if k > 1 and not track_paths:
         raise ValueError("k > 1 requires track_paths (paths break ties)")
@@ -217,6 +250,7 @@ def bfs_distances(
         visited = materialize(frontier)
         frontier = visited
         level = 0
+        total_rows = 0
         while True:
             if max_hops is not None and level >= max_hops:
                 break
@@ -286,6 +320,17 @@ def bfs_distances(
             nxt, n_new = checkpoint_with_count(nxt)
             if n_new == 0:
                 break
+            if max_rows is not None:
+                total_rows = total_rows + n_new
+                if total_rows > max_rows:
+                    raise PGQCapacityError(
+                        f"bfs_distances(all_shortest={all_shortest}) exceeded "
+                        f"max_rows={max_rows} at level {level} "
+                        f"({total_rows} paths accumulated): shortest-path "
+                        "multiplicity is growing combinatorially.  Bound the "
+                        "traversal with max_hops / a quantifier upper bound, "
+                        "restrict the source set, or raise max_rows."
+                    )
             # each level is already materialized, so the accumulated visited
             # set is a cheap union of checkpointed frames — no extra job;
             # re-checkpoint occasionally so deep (high-diameter) graphs don't
@@ -305,6 +350,7 @@ def bfs_all_paths(
     mode: str = "ACYCLIC",
     max_hops: int | None = None,
     num_partitions: int | None = None,
+    max_rows: int | None = None,
 ) -> DataFrame:
     """Enumerate ALL distinct non-repeating paths (one row per path):
     (src, dst, dist, path) with the interleaved [v0, e0, v1, ...] array.
@@ -322,7 +368,10 @@ def bfs_all_paths(
     vertex (ACYCLIC/SIMPLE) or an edge (TRAIL) per step, so depth is
     bounded by |V| / |E|.  Output size can still be combinatorial in
     dense graphs — bound it with quantifier upper bounds or selective
-    sources, like any path-enumeration engine.
+    sources, like any path-enumeration engine; `max_rows` caps the
+    accumulated path count and raises PGQCapacityError at the end of
+    the offending level (piggybacking the per-level checkpoint count —
+    no extra job) instead of letting an executor OOM.
 
     Scale shape: identical to bfs_distances — adjacency checkpointed
     hash-partitioned by src once, one frontier join per level, lineage
@@ -355,6 +404,7 @@ def bfs_all_paths(
         out = materialize(frontier)
         frontier = out
         level = 0
+        total_rows = 0
         while True:
             if max_hops is not None and level >= max_hops:
                 break
@@ -384,6 +434,17 @@ def bfs_all_paths(
             nxt, n_new = checkpoint_with_count(expanded)
             if n_new == 0:
                 break
+            if max_rows is not None:
+                total_rows = total_rows + n_new
+                if total_rows > max_rows:
+                    raise PGQCapacityError(
+                        f"bfs_all_paths(mode={mode!r}) exceeded "
+                        f"max_rows={max_rows} at level {level} "
+                        f"({total_rows} paths accumulated): path enumeration "
+                        "is growing combinatorially.  Bound the traversal "
+                        "with max_hops / a quantifier upper bound, restrict "
+                        "the source set, or raise max_rows."
+                    )
             out = out.unionByName(nxt)
             if level % 10 == 0:
                 out = materialize(out)
@@ -655,6 +716,24 @@ def cheapest_path_distances(
         raise ValueError("cheapest_path_distances requires a weight column")
     edges = _prep_edges(edges, num_partitions)
     try:
+        if track_paths and max_iters is None:
+            # Termination guard: with a ZERO-weight cycle the lexicographic
+            # tie-break can descend forever (each lap through the cycle can
+            # produce an equal-cost, lexicographically smaller path, e.g.
+            # [5,4,9] -> [5,4,2,4,9] -> [5,4,2,4,2,4,9] ...), so __improved
+            # never reaches 0.  Strictly positive weights restore optimal
+            # substructure (docstring) and bound the loop; verify that up
+            # front — one column-pruned min() over the already-persisted edge
+            # frame — instead of hanging.  Callers that genuinely want the
+            # bounded-lap semantics can pass max_iters explicitly.
+            min_w = edges.agg(F.min(F.col("weight").cast("double"))).first()[0]
+            if min_w is not None and min_w <= 0:
+                raise ValueError(
+                    "cheapest_path_distances(track_paths=True) requires strictly "
+                    f"positive weights (min weight found: {min_w}); a zero-weight "
+                    "cycle makes the equal-cost lexicographic tie-break descend "
+                    "forever.  Pass max_iters to bound the relaxation explicitly."
+                )
         if sources is None:
             srcs = edges.select("src").union(edges.select(F.col("dst").alias("src"))).distinct()
         else:
@@ -827,8 +906,7 @@ def temporal_reachability(
     checkpointed hash-partitioned by src, frontier-only shuffle, the
     improvement count observed during the checkpoint job.
     """
-    sc = edges.sparkSession.sparkContext
-    parts = num_partitions or sc.defaultParallelism
+    parts = num_partitions or default_parallelism(edges.sparkSession)
     adj = materialize(
         edges.select(
             "src", "dst", F.col(ts_col).cast("long").alias("__ts")

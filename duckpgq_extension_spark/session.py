@@ -78,5 +78,8 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    try:
+        spark.sparkContext.setLogLevel("WARN")
+    except Exception:  # noqa: BLE001 - Spark Connect: no sparkContext;
+        pass  # log level is a server-side concern there
     return spark
