@@ -56,7 +56,6 @@ _obs_seq = itertools.count()
 
 RELIABLE_CHECKPOINT_CONF = "spark.duckpgq.reliableCheckpoint"
 
-
 def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
     """Lineage-truncating materialization for iterative loops.
 
@@ -884,6 +883,7 @@ def temporal_reachability(
     ts_col: str = "ts",
     start_ts: int | None = None,
     num_partitions: int | None = None,
+    hops_per_round: int = 2,
 ) -> DataFrame:
     """Time-respecting reachability (beyond-reference): earliest arrival
     time at every vertex reachable from each seed along edges whose
@@ -898,68 +898,99 @@ def temporal_reachability(
 
     Label-correcting relaxation on earliest-arrival (arrival times are
     monotone along a walk, so the fixpoint is unique and order-free,
-    Bellman-Ford-style): each round relaxes the CURRENT improvements
-    against the adjacency — one frontier-to-edges join per round with
-    the `edge.ts >= arrival(u)` condition, improvements merged by
-    per-pair min.  Rounds are bounded by the longest time-respecting
-    path's hop count.  Same scale shape as cheapest_path: adjacency
-    checkpointed hash-partitioned by src, frontier-only shuffle, the
-    improvement count observed during the checkpoint job.
+    Bellman-Ford-style).  Two round-count levers make this the cheapest
+    shape we measured (r5; the r4 version ran TWO jobs per round and one
+    hop per round — 2x17 jobs at sf0.1):
+      - the per-pair min merge, the improvement flag and the convergence
+        count all ride ONE full-outer merge + checkpoint job per round
+        (the Bellman-Ford/Observation template cheapest_path uses);
+      - each round relaxes `hops_per_round` adjacency steps inside that
+        single job (candidates from hop 1 feed hop 2 lazily, each hop
+        min-aggregated to keep the join fan-in bounded), so the round
+        count is ceil(longest time-respecting path / hops_per_round).
+    Rounds remain frontier-driven: only pairs improved last round are
+    re-relaxed.  Same scale shape as cheapest_path: adjacency
+    checkpointed hash-partitioned by src, frontier-only shuffle.
+
+    Adjacency layout: `.persist()` (NOT localCheckpoint) on purpose — a
+    checkpointed frame surfaces as `Scan ExistingRDD UnknownPartitioning`
+    so every round re-shuffles the static edge set, while a persisted
+    InMemoryRelation KEEPS its HashPartitioning(src) and Catalyst skips
+    the adjacency-side exchange in every hop join (only the small
+    frontier side shuffles).  Lineage depth is not a concern here: the
+    adjacency is a one-step projection, not an iterated frame.
+    (Negative result, r5: broadcasting the adjacency instead was 1.5-6x
+    SLOWER at sf0.1 — F.broadcast over a checkpointed frame re-collects
+    and re-ships it on every round's query; do not retry.)
     """
     parts = num_partitions or default_parallelism(edges.sparkSession)
-    adj = materialize(
-        edges.select(
-            "src", "dst", F.col(ts_col).cast("long").alias("__ts")
-        ).repartition(parts, "src")
+    adj = (
+        edges.select("src", "dst", F.col(ts_col).cast("long").alias("__ts"))
+        .repartition(parts, "src")
+        .persist()
     )
     t0 = F.lit(int(start_ts)) if start_ts is not None else F.lit(0)
-    best = materialize(
-        seeds.toDF("vid").distinct().select(
-            F.col("vid").alias("src"),
-            F.col("vid").alias("dst"),
-            t0.cast("long").alias("arrival"),
-        )
+    dist = seeds.toDF("vid").distinct().select(
+        F.col("vid").alias("src"),
+        F.col("vid").alias("dst"),
+        t0.cast("long").alias("arrival"),
+        F.lit(True).alias("__improved"),
     )
-    frontier = best
+    try:
+        return _temporal_fixpoint(adj, dist, hops_per_round)
+    finally:
+        adj.unpersist()
+
+
+def _temporal_fixpoint(adj, dist, hops_per_round):
     while True:
-        relaxed = (
-            frontier.alias("f")
-            .join(adj.alias("e"), F.col("f.dst") == F.col("e.src"))
-            .where(F.col("e.__ts") >= F.col("f.arrival"))
+        frontier = dist.where(F.col("__improved")).select("src", "dst", "arrival")
+        hops = []
+        cur = frontier
+        for _ in range(max(1, hops_per_round)):
+            cur = (
+                cur.alias("f")
+                .join(adj.alias("e"), F.col("f.dst") == F.col("e.src"))
+                .where(F.col("e.__ts") >= F.col("f.arrival"))
+                .select(
+                    F.col("f.src").alias("src"),
+                    F.col("e.dst").alias("dst"),
+                    F.col("e.__ts").alias("arrival"),
+                )
+                .groupBy("src", "dst")
+                .agg(F.min("arrival").alias("arrival"))
+            )
+            hops.append(cur)
+        cand = hops[0]
+        for h in hops[1:]:
+            cand = cand.unionByName(h)
+        if len(hops) > 1:
+            cand = cand.groupBy("src", "dst").agg(F.min("arrival").alias("arrival"))
+        better = F.col("c.arrival").isNotNull() & (
+            F.col("d.arrival").isNull()
+            | (F.col("c.arrival") < F.col("d.arrival"))
+        )
+        merged = (
+            dist.select("src", "dst", "arrival").alias("d")
+            .join(
+                cand.alias("c"),
+                (F.col("d.src") == F.col("c.src"))
+                & (F.col("d.dst") == F.col("c.dst")),
+                "full_outer",
+            )
             .select(
-                F.col("f.src").alias("src"),
-                F.col("e.dst").alias("dst"),
-                F.col("e.__ts").alias("arrival"),
+                F.coalesce(F.col("d.src"), F.col("c.src")).alias("src"),
+                F.coalesce(F.col("d.dst"), F.col("c.dst")).alias("dst"),
+                F.when(better, F.col("c.arrival"))
+                .otherwise(F.col("d.arrival"))
+                .alias("arrival"),
+                better.alias("__improved"),
             )
-            .groupBy("src", "dst")
-            .agg(F.min("arrival").alias("arrival"))
         )
-        # keep only genuine improvements vs the accumulated best
-        improved = (
-            relaxed.alias("r")
-            .join(
-                best.alias("b"),
-                (F.col("r.src") == F.col("b.src"))
-                & (F.col("r.dst") == F.col("b.dst")),
-                "left",
-            )
-            .where(
-                F.col("b.arrival").isNull()
-                | (F.col("r.arrival") < F.col("b.arrival"))
-            )
-            .select(F.col("r.src"), F.col("r.dst"), F.col("r.arrival"))
+        obs = Observation(f"__pgq_tr_{next(_obs_seq)}")
+        merged = merged.observe(
+            obs, F.sum(F.col("__improved").cast("int")).alias("n")
         )
-        improved, n_new = checkpoint_with_count(improved)
-        if not n_new:
-            return best
-        best = materialize(
-            best.alias("b")
-            .join(
-                improved.alias("i"),
-                (F.col("b.src") == F.col("i.src"))
-                & (F.col("b.dst") == F.col("i.dst")),
-                "left_anti",
-            )
-            .unionByName(improved)
-        )
-        frontier = improved
+        dist = materialize(merged)
+        if not obs.get["n"]:
+            return dist.select("src", "dst", "arrival")
