@@ -169,6 +169,32 @@ SNB_QUERIES = {
     "snb_bi_triangle": _snb_bi_triangle,
 }
 
+# Order-of-magnitude scale tier: 10x id-shifted replication of sf0.1
+# written as real parquet (tools/make_scale_tier.py), so the same entry
+# queries run the full path — scan, pushdown, graph DDL — at 10x data.
+# The section reports wall seconds AND the growth factor vs this run's
+# sf0.1 median: sub-linear growth (<10x at 10x data) is the direct
+# evidence that the iterative kernels are floor-bound at sf0.1 and
+# amortize with scale; anything super-linear is a red flag.  Generated
+# on first use (~3 s, 177 MB, gitignored); disable with
+# SPARK_GRAFT_SF1=0.  One timed pass per query (~2 min total): the
+# growth-factor signal tolerates single-run noise, and a median-of-3
+# here would add ~4 min of bench wall for no extra information.
+SF1_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "data", "scale", "sf1")
+SF1_QUERIES = [
+    "tpch_q1",
+    "match_2hop",
+    "var_length_1_2",
+    "shortest_len",
+    "pagerank",
+    "wcc",
+    "dedup_minhash",
+    "dedup_clusters",
+    "ann_ivf",
+    "temporal_reach",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -228,6 +254,29 @@ def main() -> None:
             timings[name], cold[name] = med, c
             total += med
             print(f"# {name}: median {med}s / cold {c}s ({n} rows)", file=sys.stderr)
+    # sf1 scale tier (growth factors vs this run's sf0.1 medians)
+    sf1: dict[str, float] = {}
+    sf1_growth: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and abs(sf - 0.1) < 1e-9:
+        if not os.path.isdir(SF1_DIR):
+            from tools.make_scale_tier import make_scale_tier
+
+            make_scale_tier(10, sf_dir, SF1_DIR)
+        EQ.setup(spark, SF1_DIR, force=True)
+        EQ.QUERIES["match_1hop"](spark, SF1_DIR).count()  # warm the tier
+        for name in SF1_QUERIES:
+            fn = EQ.QUERIES[name]
+            release_blocks()
+            t0 = time.perf_counter()
+            n = fn(spark, SF1_DIR).count()
+            sf1[name] = round(time.perf_counter() - t0, 3)
+            if timings.get(name):
+                sf1_growth[name] = round(sf1[name] / timings[name], 2)
+            print(
+                f"# sf1 {name}: {sf1[name]}s ({n} rows, "
+                f"{sf1_growth.get(name, '?')}x vs sf0.1 median)",
+                file=sys.stderr,
+            )
     full = {
         "metric": "total_bench_wall_clock",
         "value": round(total, 3),
@@ -237,6 +286,9 @@ def main() -> None:
         "queries_cold": cold,
         "sf": sf,
     }
+    if sf1:
+        full["sf1"] = sf1
+        full["sf1_growth_at_10x"] = sf1_growth
     # Full record (incl. cold timings) to stderr for PERF.md bookkeeping.
     print(json.dumps(full), file=sys.stderr)
     # The driver records only a 2000-char TAIL of stdout (BENCH_r4.parsed
@@ -246,6 +298,8 @@ def main() -> None:
     # slowest queries so the line always fits whole in the tail.
     compact = dict(full, queries={k: round(v, 2) for k, v in timings.items()})
     compact.pop("queries_cold")
+    if sf1:
+        compact["sf1"] = {k: round(v, 2) for k, v in sf1.items()}
     line = json.dumps(compact, separators=(",", ":"))
     if len(line) > 1900:
         slowest = dict(

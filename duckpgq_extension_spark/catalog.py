@@ -58,12 +58,128 @@ def _table_properties(spark: SparkSession, name: str) -> dict[str, str]:
         return {}
 
 
+# Per-(session, catalog-prefix) cache of "does information_schema resolve
+# here": the probe costs one failing spark.sql round-trip when absent, and
+# key discovery runs once per short-form edge table in a DDL statement.
+_INFOSCHEMA: dict = {}
+
+
+def _split_table_name(spark: SparkSession, name: str) -> tuple[str, str, str]:
+    """(catalog_prefix, schema, table) for a possibly-qualified name;
+    catalog_prefix is ''  (session catalog) or 'cat.'."""
+    parts = [p.replace("`", "") for p in name.split(".")]
+    if len(parts) >= 3:
+        return parts[0] + ".", parts[1], parts[2]
+    if len(parts) == 2:
+        return "", parts[0], parts[1]
+    try:
+        schema = spark.catalog.currentDatabase()
+    except Exception:
+        schema = "default"
+    return "", schema, parts[0]
+
+
+def _infoschema_available(spark: SparkSession, prefix: str) -> bool:
+    key = (id(spark), prefix)
+    hit = _INFOSCHEMA.get(key)
+    if hit is None:
+        try:
+            spark.sql(
+                f"SELECT 1 FROM {prefix}information_schema.table_constraints "
+                "LIMIT 1"
+            ).collect()
+            hit = True
+        except Exception:
+            hit = False
+        _INFOSCHEMA[key] = hit
+    return hit
+
+
+def constraint_primary_key(spark: SparkSession, name: str) -> list[str]:
+    """PRIMARY KEY columns from the catalog's ANSI information_schema
+    (`table_constraints` + `key_column_usage`) — the surface Unity
+    Catalog and other constraint-bearing V2 catalogs (e.g. Delta tables
+    under Unity) expose informational PK/FK constraints through.  This
+    is the closest Spark analog of the reference reading DuckDB's
+    constraint catalog (create_property_graph.cpp:117-153).  Returns []
+    when the catalog has no information_schema (plain session catalog /
+    temp views) or declares no PK; callers fall back to the duckpgq.*
+    table-property convention."""
+    prefix, schema, tbl = _split_table_name(spark, name)
+    if not _infoschema_available(spark, prefix):
+        return []
+    try:
+        rows = spark.sql(
+            f"""
+            SELECT k.column_name
+            FROM {prefix}information_schema.table_constraints c
+            JOIN {prefix}information_schema.key_column_usage k
+              ON c.constraint_name = k.constraint_name
+             AND c.table_schema = k.table_schema
+            WHERE lower(c.table_name) = lower('{tbl}')
+              AND lower(c.table_schema) = lower('{schema}')
+              AND c.constraint_type = 'PRIMARY KEY'
+            ORDER BY k.ordinal_position
+            """
+        ).collect()
+    except Exception:
+        return []
+    return [r[0] for r in rows]
+
+
+def constraint_foreign_keys(
+    spark: SparkSession, name: str
+) -> list[tuple[list[str], str, list[str]]]:
+    """[(fk_cols, referenced_table, pk_cols)] from the catalog's ANSI
+    information_schema (`referential_constraints` joined back through
+    `key_column_usage` on both the foreign and the unique side, matched
+    by ordinal position).  Same availability contract as
+    constraint_primary_key."""
+    prefix, schema, tbl = _split_table_name(spark, name)
+    if not _infoschema_available(spark, prefix):
+        return []
+    try:
+        rows = spark.sql(
+            f"""
+            SELECT r.constraint_name, k.column_name, uc.table_name,
+                   uk.column_name, k.ordinal_position
+            FROM {prefix}information_schema.referential_constraints r
+            JOIN {prefix}information_schema.table_constraints c
+              ON c.constraint_name = r.constraint_name
+            JOIN {prefix}information_schema.key_column_usage k
+              ON k.constraint_name = r.constraint_name
+            JOIN {prefix}information_schema.table_constraints uc
+              ON uc.constraint_name = r.unique_constraint_name
+            JOIN {prefix}information_schema.key_column_usage uk
+              ON uk.constraint_name = r.unique_constraint_name
+             AND uk.ordinal_position = k.ordinal_position
+            WHERE lower(c.table_name) = lower('{tbl}')
+              AND lower(c.table_schema) = lower('{schema}')
+            ORDER BY r.constraint_name, k.ordinal_position
+            """
+        ).collect()
+    except Exception:
+        return []
+    by_con: dict[str, tuple[list[str], str, list[str]]] = {}
+    for con, fk_col, ref_tbl, pk_col, _pos in rows:
+        entry = by_con.setdefault(con, ([], ref_tbl, []))
+        entry[0].append(fk_col)
+        entry[2].append(pk_col)
+    return list(by_con.values())
+
+
 def declared_primary_key(spark: SparkSession, name: str) -> list[str]:
-    """Primary-key columns declared in table properties ('duckpgq.key',
-    'primaryKey' or 'primary_key', comma-separated).  The Spark analog of
-    the reference's PRIMARY KEY constraint sniffing
-    (create_property_graph.cpp:117-153) — Spark tables carry no enforced
-    constraints, so the convention is an explicit table property."""
+    """Primary-key columns for `name`: the catalog's information_schema
+    PRIMARY KEY constraint when the catalog exposes one (Unity/Delta —
+    see constraint_primary_key), else table properties ('duckpgq.key',
+    'primaryKey' or 'primary_key', comma-separated).  The Spark analog
+    of the reference's PRIMARY KEY constraint sniffing
+    (create_property_graph.cpp:117-153) — session-catalog Spark tables
+    carry no constraints, so the convention there is an explicit table
+    property."""
+    pk = constraint_primary_key(spark, name)
+    if pk:
+        return pk
     props = {k.lower(): v for k, v in _table_properties(spark, name).items()}
     for key in _PK_PROPS:
         v = props.get(key)
@@ -76,8 +192,13 @@ def declared_foreign_keys(
     spark: SparkSession, name: str
 ) -> list[tuple[list[str], str, list[str]]]:
     """[(fk_cols, referenced_table, pk_cols)] declared as table properties:
-    'duckpgq.fk.<col[,col]>' = '<ref_table>' or '<ref_table>(<pk[,pk]>)'.
-    The Spark analog of the reference's FOREIGN KEY constraint discovery."""
+    'duckpgq.fk.<col[,col]>' = '<ref_table>' or '<ref_table>(<pk[,pk]>)',
+    preceded by the catalog's information_schema FOREIGN KEY constraints
+    when the catalog exposes them (constraint_foreign_keys).  The Spark
+    analog of the reference's FOREIGN KEY constraint discovery."""
+    cons = constraint_foreign_keys(spark, name)
+    if cons:
+        return cons
     out = []
     for k, v in _table_properties(spark, name).items():
         if not k.lower().startswith(_FK_PROP_PREFIX):
