@@ -83,6 +83,24 @@ def test_wcc_isolated_vertex(spark):
     assert got == [(0, 0), (1, 0), (2, 0), (3, 0), (4, 4), (5, 5)]
 
 
+def test_wcc_long_chain_pointer_jumping(spark):
+    """512-vertex path graph: plain min-propagation needs 511 rounds
+    (the min label walks one hop per round); the fused pointer-jumping
+    step collapses it in ~log2(512) rounds.  This test is the round-count
+    guard — without compression it times out the suite, with it it runs
+    in seconds — plus the correctness pin (single component, min rep)."""
+    from duckpgq_extension_spark import algorithms as A
+
+    n = 512
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    verts = spark.range(n).toDF("vid")
+    got = rows(A.weakly_connected_component(edges, verts))
+    assert len(got) == n
+    assert {c for _, c in got} == {0}
+
+
 def test_lcc_goldens(pgq):
     # local_clustering_coefficient.test:73-80
     df = pgq.local_clustering_coefficient("pg", "Person", "Knows")
