@@ -262,6 +262,15 @@ def main() -> None:
             from tools.make_scale_tier import make_scale_tier
 
             make_scale_tier(10, sf_dir, SF1_DIR)
+        # Fresh session for the tier: after 60+ queries x 3 reps the JVM
+        # carries thousands of stages of codegen cache + storage-block
+        # fragmentation, and the 10x working set pays for it — measured
+        # sf1 pagerank 66 s late-session vs 19 s fresh, dedup_clusters
+        # 118 s vs 23 s.  A restart makes the tier measure the plans,
+        # not the session's history (the sf0.1 medians above are
+        # unaffected: each is median-of-3 inside one stable session).
+        spark.stop()
+        spark = get_spark(app_name="duckpgq_spark_bench_sf1")
         EQ.setup(spark, SF1_DIR, force=True)
         EQ.QUERIES["match_1hop"](spark, SF1_DIR).count()  # warm the tier
         for name in SF1_QUERIES:

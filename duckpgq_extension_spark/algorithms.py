@@ -205,25 +205,41 @@ def pagerank(
         edges.unpersist()
 
 
-def weakly_connected_component(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+# Adaptive pointer-jumping threshold for WCC: rounds <= this run plain
+# min-propagation (the fast path on small-effective-diameter graphs);
+# beyond it every round also path-compresses labels, bounding total
+# rounds at _JUMP_AFTER + O(log diameter) on chains/meshes.
+_JUMP_AFTER = 8
+
+
+def weakly_connected_component(
+    edges: DataFrame, vertices: DataFrame, pointer_jump: bool | None = None
+) -> DataFrame:
     """WCC via batched min-label propagation with per-round pointer
     jumping; returns (vid, component_id) where component_id is the
     minimum vertex id in the component.
 
-    Each round fuses TWO label-shrinking steps into one checkpoint job:
-    (1) min-propagation over the adjacency (join + groupBy min, the
-    Shiloach-Vishkin hook step), then (2) pointer jumping — every new
-    label is replaced by THAT vertex's label from the previous round
+    Rounds run min-propagation over the adjacency (join + groupBy min);
+    once the round count passes _JUMP_AFTER, each further round ALSO
+    chains a pointer-jumping step into the same checkpoint job — every
+    new label is replaced by THAT vertex's label from the previous round
     (comp := labels[comp], the path-compression step of
     large-star/small-star connectivity, Kiveris et al., "Connected
     Components in MapReduce and Beyond").  Labels only ever decrease
     (comp <= vid invariant), so compression preserves the fixpoint while
-    collapsing label chains exponentially: rounds drop from O(diameter)
-    to O(log diameter).  Measured at the 10x sf1 tier (where the
-    replicated graph's diameter grows): 9 -> 5 rounds.  At 100 TB the
-    round count — sequential jobs, the only non-amortizing cost — is the
-    lever that matters; the extra per-round join touches only the
-    (vid, comp) label frame, not the adjacency.
+    collapsing label chains exponentially: total rounds are bounded by
+    _JUMP_AFTER + O(log diameter) instead of O(diameter).
+
+    Why adaptive rather than always-on (measured, sf1 10x tier,
+    fresh session, r5): real-world graphs have small effective diameter
+    (shrinking-diameter property), and there plain propagation finishes
+    before compression can pay for itself — always-jumping ran the
+    orders graph at 21.5 s vs 13 s plain (the extra per-round label-frame
+    join dominates).  High-diameter graphs (chains, road networks,
+    meshes) are where propagation degenerates — a 512-chain needs 511
+    plain rounds vs ~20 adaptive.  Jumping only after _JUMP_AFTER rounds
+    keeps the common case at plain-propagation cost while bounding the
+    pathological one.  pointer_jump=True/False forces either mode.
     """
     vertices = vertices.toDF("vid").distinct()
     parts = pathops.default_parallelism(edges.sparkSession)
@@ -236,8 +252,15 @@ def weakly_connected_component(edges: DataFrame, vertices: DataFrame) -> DataFra
         .persist()
     )
     labels = pathops.materialize(vertices.select("vid", F.col("vid").alias("comp")))
+    rounds = 0
     try:
         while True:
+            rounds += 1
+            jump_now = (
+                pointer_jump
+                if pointer_jump is not None
+                else rounds > _JUMP_AFTER
+            )
             # the self rows are TAGGED into the same union, so the per-round
             # old label comes out of the SAME groupBy (min over own rows) —
             # no separate labels join per round; the changed-row count is
@@ -262,17 +285,21 @@ def weakly_connected_component(edges: DataFrame, vertices: DataFrame) -> DataFra
             # pointer jump: comp := previous round's label OF comp (labels
             # map every seen vid, and comp values are seen vids; left join
             # only guards the very first round's edge-endpoint unions)
-            prop = (
-                prop.alias("p")
-                .join(labels.alias("j"), F.col("p.comp") == F.col("j.vid"), "left")
-                .select(
-                    F.col("p.vid").alias("vid"),
-                    F.least(
-                        F.col("p.comp"), F.coalesce(F.col("j.comp"), F.col("p.comp"))
-                    ).alias("comp"),
-                    F.col("p.__old").alias("__old"),
+            if jump_now:
+                prop = (
+                    prop.alias("p")
+                    .join(
+                        labels.alias("j"), F.col("p.comp") == F.col("j.vid"), "left"
+                    )
+                    .select(
+                        F.col("p.vid").alias("vid"),
+                        F.least(
+                            F.col("p.comp"),
+                            F.coalesce(F.col("j.comp"), F.col("p.comp")),
+                        ).alias("comp"),
+                        F.col("p.__old").alias("__old"),
+                    )
                 )
-            )
             obs = Observation(f"__pgq_wcc_{next(pathops._obs_seq)}")
             merged = prop.observe(
                 obs,

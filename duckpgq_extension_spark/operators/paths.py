@@ -688,6 +688,7 @@ def cheapest_path_distances(
     max_iters: int | None = None,
     num_partitions: int | None = None,
     track_paths: bool = False,
+    hops_per_round: int = 2,
 ) -> DataFrame:
     """Weighted SSSP from every source: (src, dst, cost[, path]).
 
@@ -695,6 +696,17 @@ def cheapest_path_distances(
     join per round, converging in at most |V|-1 rounds (the reference's
     multi-lane Bellman-Ford, cheapest_path_length.cpp:52-136).  Weights are
     assumed non-negative (the reference makes the same assumption).
+
+    Each round relaxes `hops_per_round` adjacency steps lazily inside
+    ONE merge + checkpoint job (hop k's min-aggregated candidates feed
+    hop k+1; all hops union into the merge) — the round count drops to
+    ceil(optimal-path depth / hops_per_round) at the cost of a wider
+    per-round plan.  The sequential-round floor is the one cost that
+    does NOT amortize with cluster size, so trading plan width for
+    round count is the right direction at every scale (measured: see
+    temporal_reachability, same template).  max_iters counts ROUNDS
+    (kept caller-compatible: each round still certifies convergence via
+    the improvement count, so termination semantics are unchanged).
 
     track_paths=True (beyond-reference — the reference only returns the
     LENGTH, cheapest_path_length.cpp) additionally returns the path
@@ -766,38 +778,38 @@ def cheapest_path_distances(
             # relax only from rows improved last round (the frontier is a
             # zero-cost FILTER over the checkpointed dist, not a separate
             # materialization)
-            frontier = dist.where(F.col("__improved"))
-            relaxed = frontier.alias("f").join(
-                edges.alias("e"), F.col("f.dst") == F.col("e.src")
-            )
-            if track_paths:
-                step = (
-                    F.array(F.col("e.edge_id"), F.col("e.dst"))
-                    if "edge_id" in edges.columns
-                    else F.array(F.col("e.dst"))
+            def _relax(frame):
+                relaxed = frame.alias("f").join(
+                    edges.alias("e"), F.col("f.dst") == F.col("e.src")
                 )
-                cand = (
-                    relaxed.select(
-                        F.col("f.src").alias("src"),
-                        F.col("e.dst").alias("dst"),
-                        F.struct(
-                            (F.col("f.cost") + F.col("e.weight").cast("double")).alias(
-                                "cost"
-                            ),
-                            F.concat(F.col("f.path"), step).alias("path"),
-                        ).alias("cp"),
+                if track_paths:
+                    step = (
+                        F.array(F.col("e.edge_id"), F.col("e.dst"))
+                        if "edge_id" in edges.columns
+                        else F.array(F.col("e.dst"))
                     )
-                    .groupBy("src", "dst")
-                    # struct min = (cost, path) lexicographic — the order with
-                    # optimal substructure (see docstring)
-                    .agg(F.min("cp").alias("cp"))
-                    .select(
-                        "src", "dst", F.col("cp.cost").alias("cost"),
-                        F.col("cp.path").alias("path"),
+                    return (
+                        relaxed.select(
+                            F.col("f.src").alias("src"),
+                            F.col("e.dst").alias("dst"),
+                            F.struct(
+                                (
+                                    F.col("f.cost")
+                                    + F.col("e.weight").cast("double")
+                                ).alias("cost"),
+                                F.concat(F.col("f.path"), step).alias("path"),
+                            ).alias("cp"),
+                        )
+                        .groupBy("src", "dst")
+                        # struct min = (cost, path) lexicographic — the order
+                        # with optimal substructure (see docstring)
+                        .agg(F.min("cp").alias("cp"))
+                        .select(
+                            "src", "dst", F.col("cp.cost").alias("cost"),
+                            F.col("cp.path").alias("path"),
+                        )
                     )
-                )
-            else:
-                cand = (
+                return (
                     relaxed.select(
                         F.col("f.src").alias("src"),
                         F.col("e.dst").alias("dst"),
@@ -806,6 +818,31 @@ def cheapest_path_distances(
                     .groupBy("src", "dst")
                     .agg(F.min("cost").alias("cost"))
                 )
+
+            cur = dist.where(F.col("__improved")).select(
+                "src", "dst", "cost", *(["path"] if track_paths else [])
+            )
+            hops = []
+            for _ in range(max(1, hops_per_round)):
+                cur = _relax(cur)
+                hops.append(cur)
+            cand = hops[0]
+            for h in hops[1:]:
+                cand = cand.unionByName(h)
+            if len(hops) > 1:
+                if track_paths:
+                    cand = (
+                        cand.groupBy("src", "dst")
+                        .agg(F.min(F.struct("cost", "path")).alias("cp"))
+                        .select(
+                            "src", "dst", F.col("cp.cost").alias("cost"),
+                            F.col("cp.path").alias("path"),
+                        )
+                    )
+                else:
+                    cand = cand.groupBy("src", "dst").agg(
+                        F.min("cost").alias("cost")
+                    )
             # single full-outer merge keeps the best cost per (src, dst) and
             # flags improvements; the improvement count is observed during
             # the checkpoint job -> exactly ONE Spark job per round (vs.
