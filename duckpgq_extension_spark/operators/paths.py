@@ -193,6 +193,7 @@ def bfs_distances(
     k: int = 1,
     all_shortest: bool = False,
     max_rows: int | None = None,
+    hops_per_round: int = 2,
 ) -> DataFrame:
     """All-pairs-from-sources BFS: returns (src, dst, dist [, path]).
 
@@ -218,6 +219,21 @@ def bfs_distances(
     semantics because the k best walks to a vertex extend the k best walks
     to its predecessors; entries beyond k are pruned permanently, bounding
     state at k rows per pair regardless of cycles.
+
+    hops_per_round (length-only mode, i.e. track_paths=False/k=1): relax
+    this many adjacency steps lazily inside ONE checkpoint job per round
+    (hop j's min-deduped candidates feed hop j+1; all hops union into the
+    min-dist merge before the visited anti-join).  Round count — the
+    sequential-stage latency floor that does NOT amortize with cluster
+    size — drops to ceil(eccentricity / hops_per_round).  No join work is
+    duplicated across rounds: interior hops' neighborhoods are fully
+    explored within their round, so the next frontier keeps only the
+    max-dist rows.  Correctness: every candidate dist is the length of a
+    real walk (never an underestimate), and any pair first reachable at
+    depth d has a predecessor in the max-dist frontier, so the min-dist
+    merge assigns exact BFS distances; `max_hops` still binds exactly
+    (the last round is clamped).  Tie-break modes (track_paths / k>1 /
+    all_shortest) need per-level candidate sets and stay single-hop.
 
     max_rows: cap on the ACCUMULATED result rows, intended for
     all_shortest (the other modes are bounded at k rows per (src, dst)
@@ -250,9 +266,61 @@ def bfs_distances(
         frontier = visited
         level = 0
         total_rows = 0
+        plain = not track_paths and k == 1 and not all_shortest
+        hpr = max(1, hops_per_round) if plain else 1
         while True:
             if max_hops is not None and level >= max_hops:
                 break
+            if plain and hpr > 1:
+                hops = hpr if max_hops is None else min(hpr, max_hops - level)
+                level += hops
+                cur = frontier.select("src", "dst", "dist")
+                laps = []
+                for _ in range(hops):
+                    cur = (
+                        cur.alias("f")
+                        .join(edges.alias("e"), F.col("f.dst") == F.col("e.src"))
+                        .select(
+                            F.col("f.src").alias("src"),
+                            F.col("e.dst").alias("dst"),
+                            (F.col("f.dist") + 1).alias("dist"),
+                        )
+                        # lazy per-hop min-dedup: stops frontier×edges
+                        # fan-out from compounding across hops (all inside
+                        # this round's one job)
+                        .groupBy("src", "dst")
+                        .agg(F.min("dist").alias("dist"))
+                    )
+                    laps.append(cur)
+                cand = laps[0]
+                for lap in laps[1:]:
+                    cand = cand.unionByName(lap)
+                if len(laps) > 1:
+                    cand = cand.groupBy("src", "dst").agg(
+                        F.min("dist").alias("dist")
+                    )
+                nxt = cand.join(
+                    visited.select("src", "dst"), ["src", "dst"], "left_anti"
+                )
+                nxt, n_new = checkpoint_with_count(nxt)
+                if n_new == 0:
+                    break
+                if max_rows is not None:
+                    total_rows = total_rows + n_new
+                    if total_rows > max_rows:
+                        raise PGQCapacityError(
+                            f"bfs_distances exceeded max_rows={max_rows} at "
+                            f"level {level} ({total_rows} rows accumulated). "
+                            "Bound the traversal with max_hops or restrict "
+                            "the source set."
+                        )
+                visited = visited.unionByName(nxt)
+                if level % 10 in (0, 1):
+                    visited = materialize(visited)
+                # interior hops' neighborhoods were fully explored inside
+                # this round — only the deepest rows can reach anything new
+                frontier = nxt.where(F.col("dist") == F.lit(level))
+                continue
             level += 1
             expanded = (
                 frontier.alias("f")
