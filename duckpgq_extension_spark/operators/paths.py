@@ -193,7 +193,7 @@ def bfs_distances(
     k: int = 1,
     all_shortest: bool = False,
     max_rows: int | None = None,
-    hops_per_round: int = 2,
+    hops_per_round: int = 1,
 ) -> DataFrame:
     """All-pairs-from-sources BFS: returns (src, dst, dist [, path]).
 
@@ -223,17 +223,27 @@ def bfs_distances(
     hops_per_round (length-only mode, i.e. track_paths=False/k=1): relax
     this many adjacency steps lazily inside ONE checkpoint job per round
     (hop j's min-deduped candidates feed hop j+1; all hops union into the
-    min-dist merge before the visited anti-join).  Round count — the
-    sequential-stage latency floor that does NOT amortize with cluster
-    size — drops to ceil(eccentricity / hops_per_round).  No join work is
-    duplicated across rounds: interior hops' neighborhoods are fully
-    explored within their round, so the next frontier keeps only the
-    max-dist rows.  Correctness: every candidate dist is the length of a
-    real walk (never an underestimate), and any pair first reachable at
-    depth d has a predecessor in the max-dist frontier, so the min-dist
-    merge assigns exact BFS distances; `max_hops` still binds exactly
-    (the last round is clamped).  Tie-break modes (track_paths / k>1 /
-    all_shortest) need per-level candidate sets and stay single-hop.
+    min-dist merge before the visited anti-join).  Correctness holds for
+    any value: every candidate dist is the length of a real walk (never
+    an underestimate), any pair first reachable at depth d has a
+    predecessor in the max-dist frontier, and `max_hops` still binds
+    exactly (the last round is clamped).  Tie-break modes (track_paths /
+    k>1 / all_shortest) need per-level candidate sets and stay
+    single-hop.
+
+    Default is 1 — a RECORDED NEGATIVE RESULT (round 5): hops_per_round=2
+    measured SLOWER across every BFS-backed query at sf0.1 (reachability
+    2.63→3.12 s, closeness 2.84→3.49 s, harmonic 2.70→3.47 s,
+    eccentricity 2.89→3.14 s; shortest_len a wash), because hop 2 expands
+    from hop 1's min-deduped candidates BEFORE the visited anti-join — on
+    the dense mid-BFS frontiers of these queries most hop-1 candidates
+    are already visited, so the second join is mostly wasted work, and
+    that waste grows (not shrinks) with data volume.  This differs from
+    temporal_reachability's fused multi-hop (a label-improvement lattice:
+    re-relaxing a label is never wasted if it improves) where the same
+    trick measured ~2× faster.  Keep 1 unless the frontier is known
+    sparse at every level (e.g. long chains), where 2 halves the
+    job-latency floor.
 
     max_rows: cap on the ACCUMULATED result rows, intended for
     all_shortest (the other modes are bounded at k rows per (src, dst)
@@ -756,7 +766,7 @@ def cheapest_path_distances(
     max_iters: int | None = None,
     num_partitions: int | None = None,
     track_paths: bool = False,
-    hops_per_round: int = 2,
+    hops_per_round: int = 1,
 ) -> DataFrame:
     """Weighted SSSP from every source: (src, dst, cost[, path]).
 
@@ -765,16 +775,21 @@ def cheapest_path_distances(
     multi-lane Bellman-Ford, cheapest_path_length.cpp:52-136).  Weights are
     assumed non-negative (the reference makes the same assumption).
 
-    Each round relaxes `hops_per_round` adjacency steps lazily inside
+    hops_per_round > 1 relaxes that many adjacency steps lazily inside
     ONE merge + checkpoint job (hop k's min-aggregated candidates feed
-    hop k+1; all hops union into the merge) — the round count drops to
-    ceil(optimal-path depth / hops_per_round) at the cost of a wider
-    per-round plan.  The sequential-round floor is the one cost that
-    does NOT amortize with cluster size, so trading plan width for
-    round count is the right direction at every scale (measured: see
-    temporal_reachability, same template).  max_iters counts ROUNDS
-    (kept caller-compatible: each round still certifies convergence via
-    the improvement count, so termination semantics are unchanged).
+    hop k+1; all hops union into the merge); semantics are unchanged
+    (each round still certifies convergence via the improvement count,
+    and max_iters counts ROUNDS).  Default is 1 — a RECORDED NEGATIVE
+    RESULT (round 5, fresh-session medians-of-3 at sf0.1):
+    hops_per_round=2 measured cheapest_path_vertices 8.0→11.1 s and
+    match_cheapest 8.1→10.0 s (track_paths: the second hop re-shuffles
+    full path arrays through an extra struct-min groupBy), and
+    length-only cheapest_path 7.96→8.23 s (a wash — the relaxation
+    frontier is dense nearly every round, so hop 2's extra join buys few
+    rounds).  Contrast temporal_reachability's fused multi-hop, which
+    measured ~2× faster — its frontier shrinks to improved labels only.
+    The parameter stays for sparse-frontier graphs (long weighted
+    chains), where 2 halves the job-latency floor.
 
     track_paths=True (beyond-reference — the reference only returns the
     LENGTH, cheapest_path_length.cpp) additionally returns the path
