@@ -240,7 +240,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     total = 0.0
-    for name in BENCH_QUERIES:
+    for i, name in enumerate(BENCH_QUERIES):
+        if i and i % 25 == 0:
+            # Session refresh (untimed), same rationale as the sf1 tier's
+            # fresh session below: after ~25 queries x REPS the JVM's
+            # codegen-cache + storage-block history inflates later
+            # queries 20-50% (measured round 5: k_truss 17.9 s at
+            # position 59 vs 3.9 s fresh-session, harmonic 4.7 vs 2.7).
+            # Restarting every 25 makes each median a property of the
+            # PLAN, not of the query's position in the list.
+            spark.stop()
+            spark = get_spark(app_name=f"duckpgq_spark_bench_{i}")
+            EQ.setup(spark, sf_dir, force=True)
+            EQ.QUERIES["match_1hop"](spark, sf_dir).count()
         fn = EQ.QUERIES[name]
         med, c, n = timed(lambda: fn(spark, sf_dir).count())
         timings[name], cold[name] = med, c
