@@ -282,3 +282,46 @@ def test_cheapest_path_tracked_golden(spark):
         # the reported path must exist and sum to the reported cost
         assert path[0] == k[0] and path[-1] == k[1]
         assert sum(wmap[(a, b)] for a, b in zip(path, path[1:])) == cost, k
+
+
+def test_multi_hop_rounds_match_single_hop(spark):
+    """hops_per_round is an opt-in plan knob, not a semantics knob: BFS
+    distances and Bellman-Ford costs must be identical for any value,
+    including exact max_hops clamping (quantifier upper bounds compile
+    to max_hops, so an off-by-one here corrupts `{l,u}` matches).
+
+    Defaults are 1 — hops_per_round=2 is a recorded NEGATIVE perf result
+    at sf0.1 (see PERF.md round 5) kept for sparse-frontier graphs; this
+    test keeps the opt-in path correct while it is off the hot path.
+    """
+    from duckpgq_extension_spark.operators.paths import (
+        bfs_distances,
+        cheapest_path_distances,
+    )
+
+    # chain + diamond + 2-cycle: exercises deep frontiers, ties, cycles
+    el = [(i, i + 1) for i in range(9)] + [(0, 5), (5, 2), (7, 3), (3, 7)]
+    edges = spark.createDataFrame(el, "src long, dst long")
+    base = {(r.src, r.dst): r.dist for r in bfs_distances(edges).collect()}
+    for hpr in (2, 3):
+        got = {(r.src, r.dst): r.dist
+               for r in bfs_distances(edges, hops_per_round=hpr).collect()}
+        assert got == base, f"hops_per_round={hpr} changed BFS distances"
+    for mh in (1, 2, 3):
+        capped = {k: v for k, v in base.items() if v <= mh}
+        got = {(r.src, r.dst): r.dist
+               for r in bfs_distances(edges, max_hops=mh,
+                                      hops_per_round=2).collect()}
+        assert got == capped, f"max_hops={mh} not exact under multi-hop"
+
+    wedges = spark.createDataFrame(
+        [(s, d, (s + d) % 4 + 1) for s, d in el],
+        "src long, dst long, weight long",
+    )
+    seeds = spark.createDataFrame([(0,), (7,)], "src long")
+    bcost = {(r.src, r.dst): r.cost
+             for r in cheapest_path_distances(wedges, sources=seeds).collect()}
+    got = {(r.src, r.dst): r.cost
+           for r in cheapest_path_distances(wedges, sources=seeds,
+                                            hops_per_round=2).collect()}
+    assert got == bcost, "hops_per_round=2 changed Bellman-Ford costs"
