@@ -193,6 +193,12 @@ SF1_QUERIES = [
     "dedup_clusters",
     "ann_ivf",
     "temporal_reach",
+    # the remaining heavy hitters: weighted paths (the 2-5x-faster-than-
+    # DuckDB family) and the two triangle-bound kernels
+    "cheapest_path",
+    "match_triangle",
+    "k_truss",
+    "betweenness",
 ]
 
 
