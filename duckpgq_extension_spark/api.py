@@ -1040,6 +1040,97 @@ class PGQSession:
             rows, "table string, column string, property string"
         )
 
+    def get_csr_v(
+        self, graph: str, vertex_label: str, edge_label: str
+    ) -> DataFrame:
+        """(dense_id, vid, out_degree, ptr) — the Spark-native analog of
+        the reference's CSR debug dumps `get_csr_v` / `get_csr_ptr`
+        (getpgschema.test:84-117, get_csr_ptr.test:1-40,
+        csr_segfault.test:22-47: an in-memory offsets array built by
+        CREATE_CSR_VERTEX over rowid-dense vertices).  This engine keeps
+        the adjacency as a checkpointed DataFrame rather than a CSR
+        memory object, so the dump is DERIVED: dense_id ranks vertices
+        by internal vid (DataFrames have no insertion rowid — key order
+        is the deterministic analog), out_degree counts outgoing edges,
+        and ptr is the exclusive prefix sum, i.e. exactly the CSR offset
+        array the reference materializes.
+
+        Debug surface, not a scale path: the prefix sum runs in a single
+        unpartitioned window, correct at any size but serialized — the
+        query engine itself never builds this array (BFS joins the edge
+        frame directly).
+        """
+        from pyspark.sql import Window
+
+        *_, vdf, vkey, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        deg = edges.groupBy(F.col("src").alias("vid")).agg(
+            F.count("*").alias("out_degree")
+        )
+        w = Window.orderBy("vid")
+        return (
+            vertices.toDF("vid")
+            .join(deg, "vid", "left")
+            .fillna(0, subset=["out_degree"])
+            .select(
+                (F.row_number().over(w) - 1).alias("dense_id"),
+                "vid",
+                "out_degree",
+                F.coalesce(
+                    F.sum("out_degree").over(
+                        w.rowsBetween(Window.unboundedPreceding, -1)
+                    ),
+                    F.lit(0),
+                ).alias("ptr"),
+            )
+        )
+
+    def get_csr_e(
+        self,
+        graph: str,
+        vertex_label: str,
+        edge_label: str,
+        weight_col: str | None = None,
+    ) -> DataFrame:
+        """(pos, src, dst [, weight]) in CSR order — the analog of the
+        reference's `get_csr_e` / `get_csr_w` dumps (getpgschema.test:
+        84-98, get_csr_w_type.test): the edge array sorted by (source,
+        destination) vertex id with its position index.  Derived from
+        the same edge frame the kernels traverse, so what this dump
+        shows is by construction what the algorithms saw.
+        """
+        from pyspark.sql import Window
+
+        *_, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False,
+            weight_col=weight_col,
+        )
+        cols = ["src", "dst"] + (["weight"] if weight_col is not None else [])
+        w = Window.orderBy("src", "dst")
+        return edges.select(*cols).select(
+            (F.row_number().over(w) - 1).alias("pos"), *cols
+        )
+
+    def csr_get_w_type(
+        self, graph: str, vertex_label: str, edge_label: str,
+        weight_col: str | None = None,
+    ) -> str:
+        """Weight-type introspection, mirroring the reference's
+        `csr_get_w_type` (get_csr_w_type.test:30-45: INTEGER / DOUBLE /
+        'unweighted').  Integral Spark types report INTEGER, fractional
+        report DOUBLE, absent weight reports 'unweighted'."""
+        if weight_col is None:
+            return "unweighted"
+        *_, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False,
+            weight_col=weight_col,
+        )
+        t = dict(edges.dtypes)["weight"]
+        return "DOUBLE" if t in ("double", "float") or t.startswith(
+            "decimal"
+        ) else "INTEGER"
+
     def create_vertex_table(
         self,
         edges_df: DataFrame,
