@@ -334,6 +334,7 @@ class PGQSession:
         edge_label: str,
         undirected: bool,
         weight_col: str | None = None,
+        with_edge_ids: bool = False,
     ):
         pg = self.catalog.get(graph)
         vt = pg.table_for_label(vertex_label, kind="vertex")
@@ -393,7 +394,8 @@ class PGQSession:
                 f"'{et.table_name}' (columns: {edf.columns})"
             )
         edges = pathops.edge_frame(
-            edf, src_c, dst_c, undirected=undirected, weight_col=weight_col
+            edf, src_c, dst_c, undirected=undirected, weight_col=weight_col,
+            edge_id_col=et.edge_id_col, with_edge_ids=with_edge_ids,
         )
         vertices = vdf.select(vkey)
         return pg, vt, et, pks, vdf, vkey, vertices, edges
@@ -1093,21 +1095,31 @@ class PGQSession:
         edge_label: str,
         weight_col: str | None = None,
     ) -> DataFrame:
-        """(pos, src, dst [, weight]) in CSR order — the analog of the
-        reference's `get_csr_e` / `get_csr_w` dumps (getpgschema.test:
-        84-98, get_csr_w_type.test): the edge array sorted by (source,
-        destination) vertex id with its position index.  Derived from
-        the same edge frame the kernels traverse, so what this dump
-        shows is by construction what the algorithms saw.
+        """(pos, src, dst [, edge_id] [, weight]) in CSR order — the
+        analog of the reference's `get_csr_e` / `get_csr_w` dumps
+        (getpgschema.test:84-98, get_csr_w_type.test): the edge array
+        sorted by (source, destination) vertex id with its position
+        index.  When the table declares EDGE ID, the id column is
+        included and breaks (src, dst) ties so `pos` is deterministic
+        on multigraphs — the reference's CSR `edge_ids` lane.  Derived
+        from the same edge frame the kernels traverse, so what this
+        dump shows is by construction what the algorithms saw.
         """
         from pyspark.sql import Window
 
+        has_eid = (
+            self.catalog.get(graph)
+            .table_for_label(edge_label, kind="edge")
+            .edge_id_col
+            is not None
+        )
         *_, edges = self._graph_frames(
             graph, vertex_label, edge_label, undirected=False,
-            weight_col=weight_col,
+            weight_col=weight_col, with_edge_ids=has_eid,
         )
-        cols = ["src", "dst"] + (["weight"] if weight_col is not None else [])
-        w = Window.orderBy("src", "dst")
+        order = ["src", "dst"] + (["edge_id"] if has_eid else [])
+        cols = order + (["weight"] if weight_col is not None else [])
+        w = Window.orderBy(*order)
         return edges.select(*cols).select(
             (F.row_number().over(w) - 1).alias("pos"), *cols
         )

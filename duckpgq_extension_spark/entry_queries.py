@@ -3262,6 +3262,56 @@ def _k_truss_oracle(need: int = 1, rounds: int = 12) -> str:
 O_K_TRUSS = _k_truss_oracle(1, 12)
 
 
+def q_csr_edges(spark, sf_dir):
+    """CSR edge-array debug dump (reference get_csr_e/get_csr_w,
+    getpgschema.test:84-98): the Follows edges in (src, dst, edge_id)
+    CSR order with position index and weight lane."""
+    pgq = setup(spark, sf_dir)
+    df = pgq.get_csr_e("social", "Customer", "Follows", weight_col="w")
+    return df.select(
+        F.col("pos").cast("long").alias("pos"),
+        "src", "dst", "edge_id",
+        F.col("weight").cast("long").alias("weight"),
+    )
+
+
+O_CSR_EDGES = _with_e(
+    """SELECT CAST(row_number() OVER (ORDER BY src, dst, eid) - 1 AS BIGINT)
+                AS pos,
+              src, dst, eid AS edge_id, CAST(w AS BIGINT) AS weight
+       FROM e"""
+)
+
+
+def q_csr_offsets(spark, sf_dir):
+    """CSR offsets debug dump (reference get_csr_v/get_csr_ptr,
+    getpgschema.test:100-107): per-vertex out-degree and the exclusive
+    prefix sum — the reference's v array."""
+    pgq = setup(spark, sf_dir)
+    df = pgq.get_csr_v("social", "Customer", "Follows")
+    return df.select(
+        F.col("dense_id").cast("long").alias("dense_id"),
+        "vid",
+        F.col("out_degree").cast("long").alias("out_degree"),
+        F.col("ptr").cast("long").alias("ptr"),
+    )
+
+
+O_CSR_OFFSETS = _with_e(
+    """SELECT CAST(row_number() OVER (ORDER BY v.c_custkey) - 1 AS BIGINT)
+                AS dense_id,
+              CAST(v.c_custkey AS BIGINT) AS vid,
+              CAST(COALESCE(d.c, 0) AS BIGINT) AS out_degree,
+              CAST(COALESCE(SUM(COALESCE(d.c, 0)) OVER (
+                     ORDER BY v.c_custkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS BIGINT) AS ptr
+       FROM customer v
+       LEFT JOIN (SELECT src, count(*) AS c FROM e GROUP BY src) d
+         ON d.src = v.c_custkey"""
+)
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3359,6 +3409,8 @@ QUERIES = {
     "betweenness": q_betweenness,
     "harmonic": q_harmonic,
     "k_truss": q_k_truss,
+    "csr_edges": q_csr_edges,
+    "csr_offsets": q_csr_offsets,
 }
 
 ORACLES = {
@@ -3454,6 +3506,8 @@ ORACLES = {
     "betweenness": O_BETWEENNESS,
     "harmonic": O_HARMONIC,
     "k_truss": O_K_TRUSS,
+    "csr_edges": O_CSR_EDGES,
+    "csr_offsets": O_CSR_OFFSETS,
 }
 
 

@@ -85,3 +85,31 @@ def test_get_csr_e_with_weights(spark):
     )
     expect = sorted(GOLDEN_EDGES, key=lambda e: (e[0], e[1]))
     assert [(r.src, r.dst, r.weight) for r in rows] == expect
+
+
+def test_get_csr_e_edge_id_breaks_multigraph_ties(spark):
+    """With EDGE ID declared, the dump carries the id lane (the
+    reference CSR's edge_ids array, csr_creation.cpp) and uses it to
+    break (src, dst) ties, so pos is deterministic on multigraphs."""
+    spark.createDataFrame(
+        [Row(id=i) for i in range(3)], "id long"
+    ).createOrReplaceTempView("csr_mv")
+    spark.createDataFrame(
+        [Row(src=s, dst=d, eid=e) for s, d, e in
+         [(0, 1, 7), (0, 1, 3), (0, 1, 5), (1, 2, 1)]],
+        "src long, dst long, eid long",
+    ).createOrReplaceTempView("csr_me")
+    pgq = PGQSession(spark)
+    pgq.execute("""
+        CREATE OR REPLACE PROPERTY GRAPH csr_mpg
+        VERTEX TABLES ( csr_mv PROPERTIES (id) LABEL MV )
+        EDGE TABLES (
+            csr_me SOURCE KEY (src) REFERENCES csr_mv (id)
+                   DESTINATION KEY (dst) REFERENCES csr_mv (id)
+                   EDGE ID (eid) LABEL ME
+        )
+    """)
+    rows = pgq.get_csr_e("csr_mpg", "MV", "ME").orderBy("pos").collect()
+    assert [(r.pos, r.src, r.dst, r.edge_id) for r in rows] == [
+        (0, 0, 1, 3), (1, 0, 1, 5), (2, 0, 1, 7), (3, 1, 2, 1),
+    ]
