@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "betweenness",
     "harmonic",
     "k_truss",
+    "pipeline_corpus",
 ]
 
 

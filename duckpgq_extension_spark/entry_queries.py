@@ -3312,6 +3312,99 @@ O_CSR_OFFSETS = _with_e(
 )
 
 
+def q_pipeline_corpus(spark, sf_dir):
+    """The END-TO-END training-data pipeline in ONE lazy plan — the
+    composition a 100 TB corpus job actually runs, stitched from the
+    individually-verified stages: language filter (en) -> quality gate
+    (q >= 0.5) -> exact dedup (lowest doc_id per text) -> near-dup
+    pair-drop (3-gram Jaccard >= 0.5; the HIGHER id of every pair is
+    dropped — greedy and deterministic, no transitive closure, so the
+    whole step is two shuffles and expressible without recursion) ->
+    next-fit packing into 512-token bins across 4 hash shards ->
+    per-bin stats.  Catalyst sees the full pipeline and prunes
+    `documents` to (doc_id, text) at the scan; only the packing step
+    leaves the JVM (applyInPandas per shard)."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents").withColumn("__toks", TX.tokens(F.col("text")))
+    t = F.col("__toks")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        TX.lang_id(F.col("text"), toks=t).alias("lang"),
+        F.round(TX.quality_score(F.col("text"), toks=t), 6).alias("q"),
+        TX.token_count(F.col("text"), toks=t).cast("long").alias("n_tok"),
+    )
+    kept = scored.where((F.col("lang") == "en") & (F.col("q") >= 0.5))
+    exact = dedup.deduplicate_exact(kept, "doc_id", "text")
+    pairs = dedup.ngram_jaccard_pairs(exact, "doc_id", "text", n=3, threshold=0.5)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    surv = exact.join(drop, "doc_id", "left_anti")
+    packed = corpus.pack_sequences(
+        surv.select("doc_id", "n_tok"), "doc_id", "n_tok",
+        budget=512, num_shards=4,
+    )
+    return packed.groupBy("shard", "bin_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("bin_tokens"),
+    )
+
+
+def _pipeline_corpus_oracle() -> str:
+    stops = " + ".join(
+        f"CAST(list_contains(t, '{w}') AS INT)" for w in TX.LANG_MARKERS["en"]
+    )
+    q = _Q_SQL.format(stops=stops, nstops=len(TX.LANG_MARKERS["en"]))
+    shard = f"{_MD5L.format(X='CAST(doc_id AS VARCHAR)')} % 4"
+    return f"""
+WITH RECURSIVE toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+scored AS MATERIALIZED (
+  SELECT doc_id, text, t, CAST(len(t) AS BIGINT) AS n_tok, {q} AS q
+  FROM toks WHERE ({_lang_case_sql()}) = 'en'
+),
+kept AS (SELECT * FROM scored WHERE q >= 0.5),
+exact AS MATERIALIZED (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1),
+sh AS MATERIALIZED (
+  SELECT DISTINCT doc_id, g FROM exact,
+  UNNEST(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(t) - 2),
+                             i -> array_to_string(t[i:i+2], ' ')) END) AS u(g)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+pairs AS MATERIALIZED (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b
+  FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
+  JOIN sizes sa ON sa.doc_id = l.doc_id
+  JOIN sizes sb ON sb.doc_id = r.doc_id
+  GROUP BY 1, 2, sa.sz, sb.sz
+  HAVING CAST(COUNT(*) AS DOUBLE) / (sa.sz + sb.sz - COUNT(*)) >= 0.5
+),
+surv AS MATERIALIZED (
+  SELECT doc_id, n_tok FROM exact
+  WHERE doc_id NOT IN (SELECT id_b FROM pairs)),
+ordered AS MATERIALIZED (
+  SELECT doc_id, n_tok, {shard} AS shard,
+         row_number() OVER (PARTITION BY {shard} ORDER BY doc_id) AS rn
+  FROM surv),
+pack AS (
+  SELECT shard, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tok,
+         CASE WHEN p.fill + o.n_tok > 512 THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill + o.n_tok > 512 THEN o.n_tok ELSE p.fill + o.n_tok END
+  FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT shard, bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS bin_tokens
+FROM pack GROUP BY 1, 2
+"""
+
+
+O_PIPELINE_CORPUS = _pipeline_corpus_oracle()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3411,6 +3504,7 @@ QUERIES = {
     "k_truss": q_k_truss,
     "csr_edges": q_csr_edges,
     "csr_offsets": q_csr_offsets,
+    "pipeline_corpus": q_pipeline_corpus,
 }
 
 ORACLES = {
@@ -3508,6 +3602,7 @@ ORACLES = {
     "k_truss": O_K_TRUSS,
     "csr_edges": O_CSR_EDGES,
     "csr_offsets": O_CSR_OFFSETS,
+    "pipeline_corpus": O_PIPELINE_CORPUS,
 }
 
 
