@@ -3633,7 +3633,10 @@ _R5_FRONT = [
     # 8 sentinels spanning the round-2 families (MATCH, paths, kernels,
     # relational, streaming-as-batch)
     "match_2hop", "var_length_1_2", "shortest_len", "cheapest_path",
-    "pagerank", "wcc", "tpch_q1", "streaming_window",
+    "pagerank", "wcc", "streaming_window",
+    # the round-5 flagship composition gets the eighth window slot
+    # (tpch_q1 steps out: long-green since round 1 and pytest-pinned)
+    "pipeline_corpus",
 ]
 
 QUERIES = {
