@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "harmonic",
     "k_truss",
     "pipeline_corpus",
+    "graph_report",
 ]
 
 

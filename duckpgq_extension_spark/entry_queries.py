@@ -689,7 +689,10 @@ def q_pagerank(spark, sf_dir):
     return ranks.select("vid", F.round("pagerank", 6).alias("pr"))
 
 
-def _pagerank_oracle(iters: int = 10) -> str:
+def _pagerank_parts(iters: int = 10) -> list[str]:
+    """The pagerank power-iteration as reusable CTE parts (shared by
+    O_PAGERANK and the composed O_GRAPH_REPORT oracle); the final
+    ranks CTE is r{iters}."""
     parts = [
         f"verts AS (SELECT c_custkey AS vid FROM customer)",
         "n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM customer)",
@@ -716,7 +719,11 @@ def _pagerank_oracle(iters: int = 10) -> str:
                          JOIN e ON e.src = {p}.vid GROUP BY e.dst) m
                 ON m.vid = v.vid)"""
         )
-    body = ",\n".join(parts)
+    return parts
+
+
+def _pagerank_oracle(iters: int = 10) -> str:
+    body = ",\n".join(_pagerank_parts(iters))
     return f"WITH e AS ({EDGES_SQL}),\n{body}\nSELECT vid, ROUND(rank, 6) AS pr FROM r{iters}"
 
 
@@ -3405,6 +3412,72 @@ FROM pack GROUP BY 1, 2
 O_PIPELINE_CORPUS = _pipeline_corpus_oracle()
 
 
+def q_graph_report(spark, sf_dir):
+    """Composed graph-analytics report — algorithm outputs are ordinary
+    DataFrames, so pagerank, WCC and out-degree JOIN back to vertex
+    attributes in one plan: top-5 customers by pagerank per weakly
+    connected component, with name and degree.  The CSR-based reference
+    runs each kernel through its own scalar-UDF pipeline into separate
+    results; this composition (two iterative kernels + window + joins,
+    no materialized temp tables) is the Spark-first payoff."""
+    setup(spark, sf_dir)
+    edges = pathops.edge_frame(spark.table("c_edges"), "src", "dst")
+    vertices = spark.table("customer").select(F.col("c_custkey").cast("long"))
+    ranks = algorithms.pagerank(edges, vertices, tol=0.0, max_iter=10)
+    comp = algorithms.weakly_connected_component(edges, vertices)
+    deg = edges.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("out_deg")
+    )
+    joined = (
+        ranks.select("vid", F.round("pagerank", 6).alias("pr"))
+        .join(comp, "vid")
+        .join(deg, "vid", "left")
+        .fillna(0, subset=["out_deg"])
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("component_id").orderBy(F.col("pr").desc(), F.col("vid"))
+    top = joined.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= 5)
+    cust = spark.table("customer").select(
+        F.col("c_custkey").cast("long").alias("vid"), "c_name"
+    )
+    return top.join(cust, "vid").select(
+        "component_id", "vid", F.col("c_name").alias("name"), "pr",
+        F.col("out_deg").cast("long").alias("out_deg"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+def _graph_report_oracle() -> str:
+    parts = _pagerank_parts(10)
+    parts += [
+        """und AS (SELECT src, dst FROM e WHERE src <> dst
+                 UNION SELECT dst, src FROM e WHERE src <> dst)""",
+        """reach(a, b) AS (
+         SELECT c_custkey, c_custkey FROM customer
+         UNION
+         SELECT r.a, u.dst FROM reach r JOIN und u ON u.src = r.b)""",
+        "comp AS (SELECT a AS vid, MIN(b) AS component_id FROM reach GROUP BY a)",
+        "deg AS (SELECT src AS vid, COUNT(*) AS out_deg FROM e GROUP BY src)",
+        """j AS (SELECT c.component_id, r.vid, ROUND(r.rank, 6) AS pr,
+                       COALESCE(d.out_deg, 0) AS out_deg
+                FROM r10 r JOIN comp c ON c.vid = r.vid
+                LEFT JOIN deg d ON d.vid = r.vid)""",
+        """t AS (SELECT *, row_number() OVER (
+                   PARTITION BY component_id ORDER BY pr DESC, vid) AS rnk
+                FROM j)""",
+    ]
+    body = ",\n".join(parts)
+    return f"""WITH RECURSIVE e AS ({EDGES_SQL}),
+{body}
+SELECT t.component_id, t.vid, cu.c_name AS name, t.pr,
+       CAST(t.out_deg AS BIGINT) AS out_deg, CAST(t.rnk AS BIGINT) AS rnk
+FROM t JOIN customer cu ON cu.c_custkey = t.vid WHERE t.rnk <= 5"""
+
+
+O_GRAPH_REPORT = _graph_report_oracle()
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -3505,6 +3578,7 @@ QUERIES = {
     "csr_edges": q_csr_edges,
     "csr_offsets": q_csr_offsets,
     "pipeline_corpus": q_pipeline_corpus,
+    "graph_report": q_graph_report,
 }
 
 ORACLES = {
@@ -3603,6 +3677,7 @@ ORACLES = {
     "csr_edges": O_CSR_EDGES,
     "csr_offsets": O_CSR_OFFSETS,
     "pipeline_corpus": O_PIPELINE_CORPUS,
+    "graph_report": O_GRAPH_REPORT,
 }
 
 
