@@ -172,3 +172,21 @@ def test_lpa_pick_has_no_window_sort(spark):
     assert "Window" not in plan, plan[:2000]
     assert "partial_min_by" in plan, plan[:2000]
     assert out.count() == 3
+
+
+def test_pipeline_corpus_plan(spark):
+    """The composed pipeline's scan must be pruned to (doc_id, text) —
+    Catalyst sees the whole lang->quality->dedup->pack chain as one
+    plan — with no cartesian joins and no row-at-a-time Python (the
+    only Python is the per-shard packing FlatMapGroupsInPandas)."""
+    import re
+
+    df = EQ.QUERIES["pipeline_corpus"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for tok in FORBIDDEN:
+        assert tok not in plan, f"pipeline_corpus: {tok}\n{plan[:2000]}"
+    schemas = re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
+    assert schemas, plan[:2000]
+    for s in schemas:
+        assert s == "struct<doc_id:bigint,text:string>", s
+    assert "FlatMapGroupsInPandas" in plan
