@@ -165,10 +165,24 @@ def _snb_bi_triangle(s):
     )
 
 
+def _snb_is3(s):
+    # snb.test:127-135 (IS3 — friends of a person, undirected + sort)
+    return s.sql(
+        """
+        SELECT * FROM GRAPH_TABLE (snb_bench
+            MATCH (a:Person WHERE a.id = 17592186044461)-[k:knows]-(b:Person)
+            COLUMNS (b.id AS id, b.firstName AS fn, b.lastName AS ln,
+                     CAST(k.creationDate AS STRING) AS creationDate)
+        ) tmp ORDER BY creationDate DESC, id ASC
+        """
+    )
+
+
 SNB_QUERIES = {
     "snb_ic2": _snb_ic2,
     "snb_ic13": _snb_ic13,
     "snb_bi_triangle": _snb_bi_triangle,
+    "snb_is3": _snb_is3,
 }
 
 # Order-of-magnitude scale tier: 10x id-shifted replication of sf0.1
