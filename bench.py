@@ -215,6 +215,9 @@ SF1_QUERIES = [
     "match_triangle",
     "k_truss",
     "betweenness",
+    # the composed corpus pipeline: its stages are individually tiered
+    # above; this row tracks the slope of the composition itself
+    "pipeline_corpus",
 ]
 
 

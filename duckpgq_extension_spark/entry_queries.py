@@ -1976,7 +1976,18 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     )
 
 
-def _minhash_lsh_oracle(num_perm: int = 16, bands: int = 8, threshold: float = 0.5) -> str:
+def _minhash_lsh_parts(
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.5,
+    src: str = "documents",
+    p: str = "",
+) -> list[str]:
+    """The MinHash+LSH pipeline as reusable CTE parts ending in
+    `{p}scored` (id_a, id_b, est_jaccard >= threshold).  `src` is any
+    table/CTE exposing (doc_id, text); `p` prefixes every CTE name so
+    the parts can be embedded in a larger WITH without collisions
+    (used by O_MINHASH_LSH_PAIRS and O_PIPELINE_CORPUS)."""
     rows = num_perm // bands
     mins = ", ".join(
         f"MIN(({a} * h31 + {b}) % {MINHASH_PRIME}) AS m{i}"
@@ -1984,8 +1995,9 @@ def _minhash_lsh_oracle(num_perm: int = 16, bands: int = 8, threshold: float = 0
     )
     sig_list = "[" + ", ".join(f"m{i}" for i in range(num_perm)) + "]"
     band_rows = " UNION ALL ".join(
-        "SELECT doc_id, {b} AS band, {h} AS bh FROM sig".format(
+        "SELECT doc_id, {b} AS band, {h} AS bh FROM {p}sig".format(
             b=b,
+            p=p,
             h=_MD5L.format(
                 X=" || '-' || ".join(
                     f"CAST(sig[{b * rows + r + 1}] AS VARCHAR)" for r in range(rows)
@@ -1994,32 +2006,39 @@ def _minhash_lsh_oracle(num_perm: int = 16, bands: int = 8, threshold: float = 0
         )
         for b in range(bands)
     )
-    return f"""
-WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
-sh AS (
-  SELECT DISTINCT doc_id, g FROM toks,
+    return [
+        f"{p}toks AS (SELECT doc_id, {_TOKS} AS t FROM {src})",
+        f"""{p}sh AS (
+  SELECT DISTINCT doc_id, g FROM {p}toks,
   UNNEST(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
          ELSE list_transform(generate_series(1, len(t) - 1),
                              i -> array_to_string(t[i:i+1], ' ')) END) AS u(g)
-),
-hashes AS (SELECT doc_id, {_MD5L.format(X='g')} % {MINHASH_PRIME} AS h31 FROM sh),
-sig0 AS (SELECT doc_id, {mins} FROM hashes GROUP BY doc_id),
-sig AS (SELECT doc_id, {sig_list} AS sig FROM sig0),
-banded AS ({band_rows}),
-cands AS (
+)""",
+        f"{p}hashes AS (SELECT doc_id, {_MD5L.format(X='g')} % {MINHASH_PRIME} AS h31 FROM {p}sh)",
+        f"{p}sig0 AS (SELECT doc_id, {mins} FROM {p}hashes GROUP BY doc_id)",
+        f"{p}sig AS MATERIALIZED (SELECT doc_id, {sig_list} AS sig FROM {p}sig0)",
+        f"{p}banded AS MATERIALIZED ({band_rows})",
+        f"""{p}cands AS (
   SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM banded l JOIN banded r ON l.band = r.band AND l.bh = r.bh
+  FROM {p}banded l JOIN {p}banded r ON l.band = r.band AND l.bh = r.bh
   WHERE l.doc_id < r.doc_id
-),
-scored AS (
+)""",
+        f"""{p}scored AS (
   SELECT c.id_a, c.id_b,
          ROUND(len(list_filter(generate_series(1, {num_perm}),
                                i -> sa.sig[i] = sb.sig[i])) / {num_perm}.0,
                6) AS est_jaccard
-  FROM cands c
-  JOIN sig sa ON sa.doc_id = c.id_a
-  JOIN sig sb ON sb.doc_id = c.id_b
-)
+  FROM {p}cands c
+  JOIN {p}sig sa ON sa.doc_id = c.id_a
+  JOIN {p}sig sb ON sb.doc_id = c.id_b
+)""",
+    ]
+
+
+def _minhash_lsh_oracle(num_perm: int = 16, bands: int = 8, threshold: float = 0.5) -> str:
+    body = ",\n".join(_minhash_lsh_parts(num_perm, bands, threshold))
+    return f"""
+WITH {body}
 SELECT id_a, id_b, est_jaccard FROM scored WHERE est_jaccard >= {threshold}
 """
 
@@ -3320,17 +3339,23 @@ O_CSR_OFFSETS = _with_e(
 
 
 def q_pipeline_corpus(spark, sf_dir):
-    """The END-TO-END training-data pipeline in ONE lazy plan — the
-    composition a 100 TB corpus job actually runs, stitched from the
-    individually-verified stages: language filter (en) -> quality gate
-    (q >= 0.5) -> exact dedup (lowest doc_id per text) -> near-dup
-    pair-drop (3-gram Jaccard >= 0.5; the HIGHER id of every pair is
-    dropped — greedy and deterministic, no transitive closure, so the
-    whole step is two shuffles and expressible without recursion) ->
-    next-fit packing into 512-token bins across 4 hash shards ->
-    per-bin stats.  Catalyst sees the full pipeline and prunes
-    `documents` to (doc_id, text) at the scan; only the packing step
-    leaves the JVM (applyInPandas per shard)."""
+    """The END-TO-END training-data pipeline — the composition a 100 TB
+    corpus job actually runs, stitched from the individually-verified
+    stages: language filter (en) -> quality gate (q >= 0.5) -> exact
+    dedup (lowest doc_id per text) -> near-dup pair-drop (MinHash+LSH
+    banded candidates, estimated Jaccard >= 0.5; the HIGHER id of every
+    pair is dropped — greedy and deterministic, no transitive closure)
+    -> next-fit packing into 512-token bins across 4 hash shards ->
+    per-bin stats.  Catalyst prunes `documents` to (doc_id, text) at
+    the scan; only the packing step leaves the JVM (applyInPandas per
+    shard).
+
+    The near-dup stage is LSH-banded, NOT the brute 3-gram-Jaccard
+    self-join, by measurement: at the 10x tier the scale data's
+    near-dup density makes shingle-join candidates grow quadratically
+    (the jaccard variant measured 141 s in the candidate join alone vs
+    ~14 s end-to-end for LSH) — banding bounds candidate generation to
+    bucket-local pairs, which is the property that survives 100 TB."""
     setup(spark, sf_dir)
     docs = spark.table("documents").withColumn("__toks", TX.tokens(F.col("text")))
     t = F.col("__toks")
@@ -3342,8 +3367,19 @@ def q_pipeline_corpus(spark, sf_dir):
         TX.token_count(F.col("text"), toks=t).cast("long").alias("n_tok"),
     )
     kept = scored.where((F.col("lang") == "en") & (F.col("q") >= 0.5))
-    exact = dedup.deduplicate_exact(kept, "doc_id", "text")
-    pairs = dedup.ngram_jaccard_pairs(exact, "doc_id", "text", n=3, threshold=0.5)
+    # Persist + eager populate on the deduped corpus: the Jaccard stage
+    # self-joins it and the packing stage reads it again — without the
+    # cache the whole scoring+dedup subtree executes once PER READER
+    # inside the single action (measured at 10x data: 88.7 s; the
+    # subtree alone is ~19 s and ran ~4x).  A lazy persist still let the
+    # self-join's two shingle stages race the first materialization
+    # (54.7 s), so the count() pays the subtree exactly once up front —
+    # the barrier a production pipeline puts after dedup.
+    exact = dedup.deduplicate_exact(kept, "doc_id", "text").persist()
+    exact.count()
+    pairs = dedup.minhash_lsh_pairs(
+        exact, "doc_id", "text", n=2, num_perm=16, bands=8, threshold=0.5
+    )
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     surv = exact.join(drop, "doc_id", "left_anti")
     packed = corpus.pack_sequences(
@@ -3362,6 +3398,7 @@ def _pipeline_corpus_oracle() -> str:
     )
     q = _Q_SQL.format(stops=stops, nstops=len(TX.LANG_MARKERS["en"]))
     shard = f"{_MD5L.format(X='CAST(doc_id AS VARCHAR)')} % 4"
+    lsh_parts = ",\n".join(_minhash_lsh_parts(16, 8, 0.5, src="exact", p="l_"))
     return f"""
 WITH RECURSIVE toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
 scored AS MATERIALIZED (
@@ -3373,24 +3410,10 @@ exact AS MATERIALIZED (
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
     FROM kept) WHERE rn = 1),
-sh AS MATERIALIZED (
-  SELECT DISTINCT doc_id, g FROM exact,
-  UNNEST(CASE WHEN len(t) < 3 THEN CAST([] AS VARCHAR[])
-         ELSE list_transform(generate_series(1, len(t) - 2),
-                             i -> array_to_string(t[i:i+2], ' ')) END) AS u(g)
-),
-sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-pairs AS MATERIALIZED (
-  SELECT l.doc_id AS id_a, r.doc_id AS id_b
-  FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id < r.doc_id
-  JOIN sizes sa ON sa.doc_id = l.doc_id
-  JOIN sizes sb ON sb.doc_id = r.doc_id
-  GROUP BY 1, 2, sa.sz, sb.sz
-  HAVING CAST(COUNT(*) AS DOUBLE) / (sa.sz + sb.sz - COUNT(*)) >= 0.5
-),
+{lsh_parts},
 surv AS MATERIALIZED (
   SELECT doc_id, n_tok FROM exact
-  WHERE doc_id NOT IN (SELECT id_b FROM pairs)),
+  WHERE doc_id NOT IN (SELECT id_b FROM l_scored WHERE est_jaccard >= 0.5)),
 ordered AS MATERIALIZED (
   SELECT doc_id, n_tok, {shard} AS shard,
          row_number() OVER (PARTITION BY {shard} ORDER BY doc_id) AS rn
