@@ -3381,10 +3381,17 @@ def q_pipeline_corpus(spark, sf_dir):
         exact, "doc_id", "text", n=2, num_perm=16, bands=8, threshold=0.5
     )
     drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
-    surv = exact.join(drop, "doc_id", "left_anti")
+    # Materialize the (small) survivor list and release the cached corpus
+    # NOW: leaving `exact` persisted until gc measurably degraded every
+    # query that ran after this one in the same session (graph_report
+    # 8.6 -> 33 s in the bench tail).  The pipeline's session residue is
+    # then two small checkpointed frames, not the full scored corpus.
+    surv = pathops.materialize(
+        exact.join(drop, "doc_id", "left_anti").select("doc_id", "n_tok")
+    )
+    exact.unpersist()
     packed = corpus.pack_sequences(
-        surv.select("doc_id", "n_tok"), "doc_id", "n_tok",
-        budget=512, num_shards=4,
+        surv, "doc_id", "n_tok", budget=512, num_shards=4,
     )
     return packed.groupBy("shard", "bin_id").agg(
         F.count("*").alias("n_docs"),

@@ -175,18 +175,40 @@ def test_lpa_pick_has_no_window_sort(spark):
 
 
 def test_pipeline_corpus_plan(spark):
-    """The composed pipeline's scan must be pruned to (doc_id, text) —
-    Catalyst sees the whole lang->quality->dedup->pack chain as one
-    plan — with no cartesian joins and no row-at-a-time Python (the
-    only Python is the per-shard packing FlatMapGroupsInPandas)."""
+    """Two pinned properties of the composed pipeline.  (1) The final
+    plan: no cartesian joins, no row-at-a-time Python — the only Python
+    is the per-shard packing FlatMapGroupsInPandas (the dedup/LSH
+    stages execute eagerly behind checkpoint barriers, see the
+    q_pipeline_corpus docstring, so they are exercised by the oracle
+    gate, not visible here).  (2) The scoring+dedup stage — the part
+    that actually scans `documents` — prunes the scan to exactly
+    (doc_id, text); built here from the same public operators the
+    query composes."""
     import re
+
+    from pyspark.sql import functions as F
+
+    from duckpgq_extension_spark.functions import text as TX
+    from duckpgq_extension_spark.operators import dedup
 
     df = EQ.QUERIES["pipeline_corpus"](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     for tok in FORBIDDEN:
         assert tok not in plan, f"pipeline_corpus: {tok}\n{plan[:2000]}"
-    schemas = re.findall(r"ReadSchema: (struct<[^>]*>)", plan)
-    assert schemas, plan[:2000]
+    assert "FlatMapGroupsInPandas" in plan
+
+    docs = spark.table("documents").withColumn("__toks", TX.tokens(F.col("text")))
+    t = F.col("__toks")
+    scored = docs.select(
+        "doc_id", "text",
+        TX.lang_id(F.col("text"), toks=t).alias("lang"),
+        F.round(TX.quality_score(F.col("text"), toks=t), 6).alias("q"),
+        TX.token_count(F.col("text"), toks=t).cast("long").alias("n_tok"),
+    )
+    kept = scored.where((F.col("lang") == "en") & (F.col("q") >= 0.5))
+    exact = dedup.deduplicate_exact(kept, "doc_id", "text")
+    eplan = exact._jdf.queryExecution().executedPlan().toString()
+    schemas = re.findall(r"ReadSchema: (struct<[^>]*>)", eplan)
+    assert schemas, eplan[:2000]
     for s in schemas:
         assert s == "struct<doc_id:bigint,text:string>", s
-    assert "FlatMapGroupsInPandas" in plan
