@@ -2945,11 +2945,15 @@ def q_cheapest_path_vertices(spark, sf_dir):
         F.col("c_custkey").cast("long")
     )
     dist = pathops.cheapest_path_distances(edges, sources=sources, track_paths=True)
+    # Serialized to a string because the driver's canonicalizer hashes
+    # scalars (same convention as q_shortest_path_vertices).
     return dist.select(
         F.col("src").alias("a_key"),
         F.col("dst").alias("b_key"),
         F.col("cost").cast("bigint").alias("cost"),
-        F.col("path"),
+        F.concat_ws(
+            "->", F.transform(F.col("path"), lambda x: x.cast("string"))
+        ).alias("path_str"),
     )
 
 
@@ -2985,7 +2989,8 @@ def _cpv_oracle(rounds: int = 30) -> str:
     body = ",\n".join(parts)
     return (
         f"WITH e AS ({EDGES_SQL}),\n{body}\n"
-        f"SELECT src AS a_key, dst AS b_key, CAST(cost AS BIGINT) AS cost, path "
+        f"SELECT src AS a_key, dst AS b_key, CAST(cost AS BIGINT) AS cost, "
+        f"array_to_string(path, '->') AS path_str "
         f"FROM d{rounds}"
     )
 
@@ -3007,7 +3012,11 @@ def q_match_cheapest(spark, sf_dir):
                     vertices(p) AS vpath)"""
     ).select(
         "a_key", "b_key", F.col("cost").cast("bigint").alias("cost"),
-        "hops", "vpath",
+        "hops",
+        # driver's canonicalizer hashes scalars — serialize the array
+        F.concat_ws(
+            "->", F.transform(F.col("vpath"), lambda x: x.cast("string"))
+        ).alias("vpath_str"),
     )
 
 
@@ -3044,8 +3053,9 @@ def _match_cheapest_oracle(rounds: int = 30) -> str:
         f"WITH e AS ({EDGES_SQL}),\n{body}\n"
         f"SELECT src AS a_key, dst AS b_key, CAST(cost AS BIGINT) AS cost,\n"
         f"       CAST(len(path) // 2 AS BIGINT) AS hops,\n"
-        f"       list_select(path, list_filter(generate_series(1, len(path)),"
-        f" i -> i % 2 = 1)) AS vpath\n"
+        f"       array_to_string(list_select(path,"
+        f" list_filter(generate_series(1, len(path)),"
+        f" i -> i % 2 = 1)), '->') AS vpath_str\n"
         f"FROM d{rounds}"
     )
 
