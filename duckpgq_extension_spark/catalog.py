@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import weakref
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -61,7 +62,14 @@ def _table_properties(spark: SparkSession, name: str) -> dict[str, str]:
 # Per-(session, catalog-prefix) cache of "does information_schema resolve
 # here": the probe costs one failing spark.sql round-trip when absent, and
 # key discovery runs once per short-form edge table in a DDL statement.
+# Entries carry a weakref to the owning session so a recycled id() (CPython
+# reuses addresses after GC) can never serve a stale probe verdict.
 _INFOSCHEMA: dict = {}
+
+
+def _sql_str(s: str) -> str:
+    """Escape a value for interpolation into a SQL single-quoted literal."""
+    return s.replace("'", "''")
 
 
 def _split_table_name(spark: SparkSession, name: str) -> tuple[str, str, str]:
@@ -81,17 +89,24 @@ def _split_table_name(spark: SparkSession, name: str) -> tuple[str, str, str]:
 
 def _infoschema_available(spark: SparkSession, prefix: str) -> bool:
     key = (id(spark), prefix)
-    hit = _INFOSCHEMA.get(key)
-    if hit is None:
-        try:
-            spark.sql(
-                f"SELECT 1 FROM {prefix}information_schema.table_constraints "
-                "LIMIT 1"
-            ).collect()
-            hit = True
-        except Exception:
-            hit = False
-        _INFOSCHEMA[key] = hit
+    cached = _INFOSCHEMA.get(key)
+    if cached is not None:
+        ref, hit = cached
+        if ref is None or ref() is spark:
+            return hit
+    try:
+        spark.sql(
+            f"SELECT 1 FROM {prefix}information_schema.table_constraints "
+            "LIMIT 1"
+        ).collect()
+        hit = True
+    except Exception:
+        hit = False
+    try:
+        ref = weakref.ref(spark)
+    except TypeError:  # non-weakref-able session shim: cache best-effort
+        ref = None
+    _INFOSCHEMA[key] = (ref, hit)
     return hit
 
 
@@ -114,10 +129,11 @@ def constraint_primary_key(spark: SparkSession, name: str) -> list[str]:
             SELECT k.column_name
             FROM {prefix}information_schema.table_constraints c
             JOIN {prefix}information_schema.key_column_usage k
-              ON c.constraint_name = k.constraint_name
+              ON c.constraint_schema = k.constraint_schema
+             AND c.constraint_name = k.constraint_name
              AND c.table_schema = k.table_schema
-            WHERE lower(c.table_name) = lower('{tbl}')
-              AND lower(c.table_schema) = lower('{schema}')
+            WHERE lower(c.table_name) = lower('{_sql_str(tbl)}')
+              AND lower(c.table_schema) = lower('{_sql_str(schema)}')
               AND c.constraint_type = 'PRIMARY KEY'
             ORDER BY k.ordinal_position
             """
@@ -141,28 +157,41 @@ def constraint_foreign_keys(
     try:
         rows = spark.sql(
             f"""
-            SELECT r.constraint_name, k.column_name, uc.table_name,
+            SELECT r.constraint_name, k.column_name,
+                   uc.table_schema, uc.table_name,
                    uk.column_name, k.ordinal_position
             FROM {prefix}information_schema.referential_constraints r
             JOIN {prefix}information_schema.table_constraints c
-              ON c.constraint_name = r.constraint_name
+              ON c.constraint_schema = r.constraint_schema
+             AND c.constraint_name = r.constraint_name
             JOIN {prefix}information_schema.key_column_usage k
-              ON k.constraint_name = r.constraint_name
+              ON k.constraint_schema = r.constraint_schema
+             AND k.constraint_name = r.constraint_name
             JOIN {prefix}information_schema.table_constraints uc
-              ON uc.constraint_name = r.unique_constraint_name
+              ON uc.constraint_schema = r.unique_constraint_schema
+             AND uc.constraint_name = r.unique_constraint_name
             JOIN {prefix}information_schema.key_column_usage uk
-              ON uk.constraint_name = r.unique_constraint_name
+              ON uk.constraint_schema = r.unique_constraint_schema
+             AND uk.constraint_name = r.unique_constraint_name
              AND uk.ordinal_position = k.ordinal_position
-            WHERE lower(c.table_name) = lower('{tbl}')
-              AND lower(c.table_schema) = lower('{schema}')
+            WHERE lower(c.table_name) = lower('{_sql_str(tbl)}')
+              AND lower(c.table_schema) = lower('{_sql_str(schema)}')
             ORDER BY r.constraint_name, k.ordinal_position
             """
         ).collect()
     except Exception:
         return []
     by_con: dict[str, tuple[list[str], str, list[str]]] = {}
-    for con, fk_col, ref_tbl, pk_col, _pos in rows:
-        entry = by_con.setdefault(con, ([], ref_tbl, []))
+    for con, fk_col, ref_schema, ref_tbl, pk_col, _pos in rows:
+        # Schema-qualify the referenced table unless it lives in the same
+        # schema as the referencing table (keeps short names resolvable in
+        # the common single-schema case).
+        qualified = (
+            ref_tbl
+            if ref_schema is None or ref_schema.lower() == schema.lower()
+            else f"{ref_schema}.{ref_tbl}"
+        )
+        entry = by_con.setdefault(con, ([], qualified, []))
         entry[0].append(fk_col)
         entry[2].append(pk_col)
     return list(by_con.values())

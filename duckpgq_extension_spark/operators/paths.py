@@ -83,7 +83,29 @@ def materialize(df: DataFrame, eager: bool = True) -> DataFrame:
         out = df.persist()
         if eager:
             out.count()
+        _bound_connect_persist_residue(out)
         return out
+
+
+# Connect-fallback persisted frames, oldest first.  Because the fallback
+# does NOT cut lineage, any frame here can be recomputed from its plan, so
+# unpersisting an old one is always correct — just potentially slower.  Keep
+# the most recent few (current + previous level of an iterative kernel plus
+# slack for interleaved kernels) and release the rest so a deep traversal
+# doesn't accumulate one cached copy of the frontier per level for the
+# session lifetime.
+_CONNECT_PERSISTED: list = []
+_CONNECT_PERSIST_KEEP = 8
+
+
+def _bound_connect_persist_residue(df: DataFrame) -> None:
+    _CONNECT_PERSISTED.append(df)
+    while len(_CONNECT_PERSISTED) > _CONNECT_PERSIST_KEEP:
+        old = _CONNECT_PERSISTED.pop(0)
+        try:
+            old.unpersist()
+        except Exception:  # session torn down; nothing to release
+            pass
 
 
 def default_parallelism(spark) -> int:
@@ -93,7 +115,10 @@ def default_parallelism(spark) -> int:
     try:
         return spark.sparkContext.defaultParallelism
     except Exception:  # noqa: BLE001 - Connect session
-        return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        try:
+            return int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+        except (TypeError, ValueError):  # e.g. "auto" under AQE management
+            return 200
 
 
 def checkpoint_with_count(df: DataFrame) -> tuple[DataFrame, int]:

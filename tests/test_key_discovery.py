@@ -152,17 +152,21 @@ def info_schema(spark):
     spark.sql("DROP TABLE IF EXISTS information_schema.referential_constraints")
     spark.sql(
         "CREATE TABLE information_schema.table_constraints "
-        "(constraint_name STRING, table_schema STRING, table_name STRING, "
+        "(constraint_schema STRING, constraint_name STRING, "
+        "table_schema STRING, table_name STRING, "
         "constraint_type STRING) USING parquet"
     )
     spark.sql(
         "CREATE TABLE information_schema.key_column_usage "
-        "(constraint_name STRING, table_schema STRING, table_name STRING, "
+        "(constraint_schema STRING, constraint_name STRING, "
+        "table_schema STRING, table_name STRING, "
         "column_name STRING, ordinal_position INT) USING parquet"
     )
     spark.sql(
         "CREATE TABLE information_schema.referential_constraints "
-        "(constraint_name STRING, unique_constraint_name STRING) USING parquet"
+        "(constraint_schema STRING, constraint_name STRING, "
+        "unique_constraint_schema STRING, unique_constraint_name STRING) "
+        "USING parquet"
     )
     # data tables: kd_cv has a PK (id) — plus a DELIBERATELY wrong
     # duckpgq.key property to prove constraints take precedence; kd_cv2
@@ -180,21 +184,31 @@ def info_schema(spark):
     spark.sql("INSERT INTO kd_ce VALUES (1, 10), (3, 30)")
     spark.sql(
         "INSERT INTO information_schema.table_constraints VALUES "
-        "('pk_kd_cv', 'default', 'kd_cv', 'PRIMARY KEY'), "
-        "('pk_kd_cv2', 'default', 'kd_cv2', 'PRIMARY KEY'), "
-        "('fk_kd_ce_src', 'default', 'kd_ce', 'FOREIGN KEY')"
+        "('default', 'pk_kd_cv', 'default', 'kd_cv', 'PRIMARY KEY'), "
+        "('default', 'pk_kd_cv2', 'default', 'kd_cv2', 'PRIMARY KEY'), "
+        "('default', 'fk_kd_ce_src', 'default', 'kd_ce', 'FOREIGN KEY'), "
+        # a DIFFERENT schema reusing the exact constraint names — the
+        # schema-matched joins must never mix these in (ADVICE r5)
+        "('kd_xs', 'pk_kd_cv', 'kd_xs', 'decoy_v', 'PRIMARY KEY'), "
+        # and a cross-schema reference: kd_ce.other -> kd_xs.xs_v(id)
+        "('kd_xs', 'pk_xs_v', 'kd_xs', 'xs_v', 'PRIMARY KEY'), "
+        "('default', 'fk_kd_ce_other', 'default', 'kd_ce', 'FOREIGN KEY')"
     )
     spark.sql(
         "INSERT INTO information_schema.key_column_usage VALUES "
-        "('pk_kd_cv', 'default', 'kd_cv', 'id', 1), "
+        "('default', 'pk_kd_cv', 'default', 'kd_cv', 'id', 1), "
         # composite PK inserted out of order: ordinal_position must win
-        "('pk_kd_cv2', 'default', 'kd_cv2', 'b', 2), "
-        "('pk_kd_cv2', 'default', 'kd_cv2', 'a', 1), "
-        "('fk_kd_ce_src', 'default', 'kd_ce', 'src', 1)"
+        "('default', 'pk_kd_cv2', 'default', 'kd_cv2', 'b', 2), "
+        "('default', 'pk_kd_cv2', 'default', 'kd_cv2', 'a', 1), "
+        "('default', 'fk_kd_ce_src', 'default', 'kd_ce', 'src', 1), "
+        "('kd_xs', 'pk_kd_cv', 'kd_xs', 'decoy_v', 'decoy_col', 1), "
+        "('kd_xs', 'pk_xs_v', 'kd_xs', 'xs_v', 'id', 1), "
+        "('default', 'fk_kd_ce_other', 'default', 'kd_ce', 'other', 1)"
     )
     spark.sql(
         "INSERT INTO information_schema.referential_constraints VALUES "
-        "('fk_kd_ce_src', 'pk_kd_cv')"
+        "('default', 'fk_kd_ce_src', 'default', 'pk_kd_cv'), "
+        "('default', 'fk_kd_ce_other', 'kd_xs', 'pk_xs_v')"
     )
     C._INFOSCHEMA.clear()  # earlier tests cached "absent" for this session
     yield
@@ -216,11 +230,17 @@ def test_constraint_pk_beats_property(spark, info_schema):
 def test_constraint_fk_assembly(spark, info_schema):
     from duckpgq_extension_spark import catalog as C
 
-    assert C.constraint_foreign_keys(spark, "kd_ce") == [
-        (["src"], "kd_cv", ["id"])
+    got = sorted(C.constraint_foreign_keys(spark, "kd_ce"))
+    # same-schema reference stays short; cross-schema one is qualified
+    assert got == [
+        (["other"], "kd_xs.xs_v", ["id"]),
+        (["src"], "kd_cv", ["id"]),
     ]
     # tables without constraints fall through to [] (then properties)
     assert C.constraint_foreign_keys(spark, "kd_cv") == []
+    # the decoy schema's same-named constraints must never leak in: the
+    # PK of kd_cv is 'id', not the decoy's 'decoy_col'
+    assert C.constraint_primary_key(spark, "kd_cv") == ["id"]
 
 
 def test_constraint_discovery_short_form_ddl(spark, info_schema):

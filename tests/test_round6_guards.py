@@ -1,0 +1,130 @@
+"""Round-6 guard rails (ADVICE r5 items, all in catalog.py / paths.py):
+
+- SQL-literal escaping of table/schema names in constraint discovery
+  (a quoted identifier containing ' must not break the info-schema query).
+- _INFOSCHEMA cache entries are weakref-validated so a recycled id() from
+  a garbage-collected session can never serve a stale probe verdict.
+- constraint_foreign_keys schema-qualifies cross-schema referenced tables.
+- materialize()'s Spark Connect persist fallback bounds its cached-frame
+  residue (oldest unpersisted past a keep window).
+- default_parallelism tolerates a non-numeric shuffle-partitions conf.
+"""
+
+from __future__ import annotations
+
+from duckpgq_extension_spark import catalog as C
+from duckpgq_extension_spark.operators import paths as P
+
+
+# ------------------------------------------------- SQL literal escaping
+
+
+def test_sql_str_escapes_single_quotes():
+    assert C._sql_str("o'brien") == "o''brien"
+    assert C._sql_str("plain") == "plain"
+    assert C._sql_str("a''b") == "a''''b"
+
+
+def test_constraint_discovery_survives_quoted_identifier(spark):
+    # Session catalog has no information_schema, so both return [] — the
+    # point is that a name containing a single quote must not raise on the
+    # way there (the f-string used to produce invalid SQL, swallowed by the
+    # bare except and indistinguishable from "no constraints").
+    assert C.constraint_primary_key(spark, "`it's`.`o'brien`") == []
+    assert C.constraint_foreign_keys(spark, "`it's`.`o'brien`") == []
+
+
+# ------------------------------------------------- stale-id cache guard
+
+
+def test_infoschema_cache_revalidates_on_id_reuse(spark):
+    """A cache entry whose weakref no longer points at the probing session
+    (CPython id() reuse after GC) must be re-probed, not served."""
+
+    class _DeadSession:
+        pass
+
+    dead = _DeadSession()
+    key = (id(spark), "")
+    # Poison the cache: claim information_schema IS available, attributed
+    # to a different (collected) session that happens to share the id.
+    import weakref
+
+    C._INFOSCHEMA[key] = (weakref.ref(dead), True)
+    try:
+        # The real session catalog has no information_schema: a stale hit
+        # would return True; revalidation must re-probe and say False.
+        assert C._infoschema_available(spark, "") is False
+        ref, val = C._INFOSCHEMA[key]
+        assert ref() is spark and val is False
+    finally:
+        C._INFOSCHEMA.pop(key, None)
+
+
+def test_infoschema_cache_hit_for_same_session(spark):
+    C._INFOSCHEMA.pop((id(spark), ""), None)
+    try:
+        first = C._infoschema_available(spark, "")
+        # Second call must come from cache (entry unchanged, same verdict).
+        assert C._infoschema_available(spark, "") is first
+    finally:
+        C._INFOSCHEMA.pop((id(spark), ""), None)
+
+
+# --------------------------------------- Connect persist residue bound
+
+
+def test_connect_persist_residue_bounded():
+    class _Frame:
+        def __init__(self, log):
+            self.log = log
+            self.released = False
+
+        def unpersist(self):
+            self.released = True
+            self.log.append(self)
+
+    released: list = []
+    P._CONNECT_PERSISTED.clear()
+    try:
+        frames = [_Frame(released) for _ in range(P._CONNECT_PERSIST_KEEP + 3)]
+        for f in frames:
+            P._bound_connect_persist_residue(f)
+        # Oldest 3 released, most recent KEEP retained in order.
+        assert released == frames[:3]
+        assert P._CONNECT_PERSISTED == frames[3:]
+        assert not any(f.released for f in frames[3:])
+    finally:
+        P._CONNECT_PERSISTED.clear()
+
+
+def test_connect_persist_residue_swallows_unpersist_errors():
+    class _Torn:
+        def unpersist(self):
+            raise RuntimeError("session closed")
+
+    P._CONNECT_PERSISTED.clear()
+    try:
+        for _ in range(P._CONNECT_PERSIST_KEEP + 2):
+            P._bound_connect_persist_residue(_Torn())  # must not raise
+        assert len(P._CONNECT_PERSISTED) == P._CONNECT_PERSIST_KEEP
+    finally:
+        P._CONNECT_PERSISTED.clear()
+
+
+# --------------------------------------- non-numeric parallelism conf
+
+
+def test_default_parallelism_non_numeric_conf_falls_back():
+    class _Conf:
+        def get(self, key, default=None):
+            return "auto"  # AQE-managed platforms use sentinel strings
+
+    class _FakeConnectSession:
+        conf = _Conf()
+
+        @property
+        def sparkContext(self):
+            raise AttributeError("sparkContext is not supported on Connect")
+
+    assert P.default_parallelism(_FakeConnectSession()) == 200
