@@ -52,6 +52,7 @@ BENCH_QUERIES = [
     "vocab_stats",
     "tfidf",
     "corpus_clean",
+    "quality_repetition",
     "chunk_docs",
     "pack_sequences",
     "interval_join",

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_long, tokens
+from ..functions.text import md5_long, tokens, word_ngrams_from_tokens
 from .paths import materialize as pathops_materialize
 
 
@@ -406,4 +406,85 @@ def per_group_sample(
         df.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= k)
         .drop("__rk")
+    )
+
+
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Within-document repetition signals, Gopher-rule style (Rae et al.
+    2021 §A1.1 "repetition filters"): per document,
+
+    - ``dup_line_frac``       — fraction of (non-empty) lines whose content
+      occurs more than once in the document, counting every occurrence;
+    - ``dup_line_char_frac``  — fraction of line characters contained in
+      those duplicated lines;
+    - ``top_2gram_char_frac`` — character coverage of the highest-coverage
+      word 2-gram: max over grams of (count x gram length) / length(text);
+    - ``flagged``             — the standard gate (dup_line_frac > 0.30 OR
+      dup_line_char_frac > 0.30 OR top_2gram_char_frac > 0.20).
+
+    Boilerplate-heavy and loop-generated documents (nav bars, templated
+    spam, decoding loops) score high and get dropped before training.
+
+    Scale design: NOT per-row array nesting (a transform-over-distinct
+    scan is O(len^2) per document and dies on long documents).  Each
+    signal is an explode + one aggregation keyed (doc, line/gram) — the
+    document id in the key spreads hot grams, so the plan is linear in
+    corpus size and skew-safe at 100 TB.  Fractions are rounded to 6
+    decimals (portable-hash convention of the oracle gate).
+    """
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__text"),
+        F.length(F.col(text_col)).cast("double").alias("__n_chars"),
+    )
+
+    lines = base.select(
+        "__id", F.explode(F.split(F.col("__text"), "\n")).alias("__line")
+    ).where(F.col("__line") != "")
+    line_counts = lines.groupBy("__id", "__line").agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    line_agg = line_counts.groupBy("__id").agg(
+        (
+            F.sum(F.when(F.col("__c") > 1, F.col("__c")).otherwise(F.lit(0)))
+            / F.sum("__c")
+        ).alias("__dup_line_frac"),
+        (
+            F.sum(
+                F.when(
+                    F.col("__c") > 1, F.col("__c") * F.length("__line")
+                ).otherwise(F.lit(0))
+            )
+            / F.nullif(F.sum(F.col("__c") * F.length("__line")), F.lit(0))
+        ).alias("__dup_char_frac"),
+    )
+
+    grams = base.select(
+        "__id",
+        F.explode(
+            word_ngrams_from_tokens(tokens(F.col("__text")), 2)
+        ).alias("__g"),
+    )
+    gram_counts = grams.groupBy("__id", "__g").agg(F.count(F.lit(1)).alias("__c"))
+    gram_agg = gram_counts.groupBy("__id").agg(
+        F.max(F.col("__c") * F.length("__g")).cast("double").alias("__cover")
+    )
+
+    dup_line = F.coalesce(F.round("__dup_line_frac", 6), F.lit(0.0))
+    dup_char = F.coalesce(F.round("__dup_char_frac", 6), F.lit(0.0))
+    top2 = F.coalesce(
+        F.round(F.col("__cover") / F.col("__n_chars"), 6), F.lit(0.0)
+    )
+    return (
+        base.join(line_agg, "__id", "left")
+        .join(gram_agg, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            dup_line.alias("dup_line_frac"),
+            dup_char.alias("dup_line_char_frac"),
+            top2.alias("top_2gram_char_frac"),
+            (
+                (dup_line > 0.30) | (dup_char > 0.30) | (top2 > 0.20)
+            ).alias("flagged"),
+        )
     )

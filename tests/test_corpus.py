@@ -239,3 +239,34 @@ def test_per_group_sample_cap_nested_deterministic(spark):
 
     with _pt.raises(ValueError):
         per_group_sample(df, [], "id", 3)
+
+
+def test_repetition_stats_golden(spark):
+    """Hand-derived Gopher-style repetition metrics.
+
+    doc 1 "aaa bbb\naaa bbb\nccc": 2 of 3 lines duplicated (frac 2/3);
+    dup chars 14 of 17 line chars; tokens [aaa bbb aaa bbb ccc] give
+    2-gram "aaa bbb" x2 -> coverage 14 of 19 text chars.
+    doc 2 "x y z": no dup lines; top 2-gram covers 3/5 chars -> only the
+    2-gram gate trips (tiny docs are length-gated elsewhere).
+    doc 3 "": no lines, no grams -> all-zero, unflagged.
+    """
+    from duckpgq_extension_spark.operators.corpus import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "aaa bbb\naaa bbb\nccc"), (2, "x y z"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (
+            r.dup_line_frac, r.dup_line_char_frac,
+            r.top_2gram_char_frac, r.flagged,
+        )
+        for r in repetition_stats(df, "doc_id", "text").collect()
+    }
+    assert got[1] == (
+        round(2 / 3, 6), round(14 / 17, 6), round(14 / 19, 6), True
+    )
+    assert got[2] == (0.0, 0.0, 0.6, True)
+    assert got[3] == (0.0, 0.0, 0.0, False)
+    assert len(got) == 3
