@@ -65,6 +65,18 @@ def get_spark(
         # constraint propagation buys little here since every filter is
         # explicit, so trade it for analyzer robustness
         .config("spark.sql.constraintPropagation.enabled", "false")
+        # Broadcast-join pipelines have NO shuffle, so their parallelism is
+        # exactly the parquet split count.  The default 128 MB
+        # maxPartitionBytes turns a single ~30 MB local file into ONE task —
+        # match_triangle at the 10x tier ran 8.5 s nearly serial vs 2.6 s
+        # with 4 MB splits (measured, r6).  4 MB is the local-small-file
+        # setting; on a real cluster reading TB-scale tables leave the
+        # 128 MB default (SPARK_GRAFT_MAX_PARTITION_BYTES overrides).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
+        )
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         # the iterative kernels localCheckpoint once per level/round; those
         # blocks are only released after the JVM garbage-collects the RDD
         # handle (ContextCleaner is weak-ref driven), and with a big heap a

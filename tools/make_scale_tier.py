@@ -58,8 +58,12 @@ def make_scale_tier(k: int = 10, src: str = "/root/testdata/sf0.1",
         return f"'{src}/{name}.parquet'"
 
     def write(name: str, sql: str) -> None:
+        # small row groups so Spark's file-split parallelism is real: a
+        # split can't be finer than a row group, and broadcast-join
+        # pipelines (no shuffle) inherit the scan's task count
         con.execute(
-            f"COPY ({sql}) TO '{out}/{name}.parquet' (FORMAT PARQUET)"
+            f"COPY ({sql}) TO '{out}/{name}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE 65536)"
         )
 
     # fixed dimensions
