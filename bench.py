@@ -53,6 +53,7 @@ BENCH_QUERIES = [
     "tfidf",
     "corpus_clean",
     "quality_repetition",
+    "mixture_sample",
     "chunk_docs",
     "pack_sequences",
     "interval_join",

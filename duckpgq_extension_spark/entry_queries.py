@@ -1839,6 +1839,46 @@ def q_stratified_sample(spark, sf_dir):
     ).select("doc_id", "lang")
 
 
+def q_mixture_sample(spark, sf_dir):
+    """Token-budget mixture sampling (operators/corpus.mixture_sample):
+    draw a deterministic subcorpus targeting 5000 tokens split
+    50% en / 30% zh / 20% fr — per-group keep-rates derived from the
+    group token totals, applied as the shared content-hash Bernoulli
+    draw (reproducible; corpus side is scan + broadcast join + filter,
+    no shuffle)."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    return corpus.mixture_sample(
+        docs, "doc_id", "text", "lang",
+        {"en": 0.5, "zh": 0.3, "fr": 0.2}, token_budget=5000, salt="m1",
+    )
+
+
+def _mixture_oracle() -> str:
+    # identical driver-side numerator folding as mixture_sample: ONE
+    # double literal per group, leaving a single runtime division
+    weights = {"en": 0.5, "zh": 0.3, "fr": 0.2}
+    budget, buckets = 5000, 1_000_000
+    sumw = float(sum(weights.values()))
+    arms = " ".join(
+        f"WHEN '{g}' THEN {float(budget) * (float(w) / sumw) * buckets!r}"
+        for g, w in weights.items()
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, lang, len({_TOKS}) AS ntok FROM documents),
+tg AS (SELECT lang, SUM(ntok) AS tg FROM toks GROUP BY lang),
+thr AS (SELECT lang, LEAST(1000000, CAST(FLOOR(
+          (CASE lang {arms} ELSE 0.0 END) / CAST(NULLIF(tg, 0) AS DOUBLE))
+        AS BIGINT)) AS thr FROM tg)
+SELECT t.doc_id, t.lang, CAST(t.ntok AS BIGINT) AS n_tok
+FROM toks t JOIN thr USING (lang)
+WHERE {_MD5L.format(X="CAST(doc_id AS VARCHAR) || 'm1'")} % 1000000 < thr
+"""
+
+
+O_MIXTURE_SAMPLE = _mixture_oracle()
+
+
 O_STRATIFIED_SAMPLE = f"""
 SELECT doc_id, lang FROM documents
 WHERE {_MD5L.format(X="CAST(doc_id AS VARCHAR) || 's1'")} % 1000000 <
@@ -3630,6 +3670,7 @@ QUERIES = {
     "lang_id": q_lang_id,
     "text_stats": q_text_stats,
     "quality_repetition": q_quality_repetition,
+    "mixture_sample": q_mixture_sample,
     "corpus_clean": q_corpus_clean,
     "dedup_exact": q_dedup_exact,
     "dedup_fingerprint": q_dedup_fingerprint,
@@ -3726,6 +3767,7 @@ ORACLES = {
     "lang_id": O_LANG_ID,
     "text_stats": O_TEXT_STATS,
     "quality_repetition": O_QUALITY_REPETITION,
+    "mixture_sample": O_MIXTURE_SAMPLE,
     "corpus_clean": O_CORPUS_CLEAN,
     "dedup_exact": O_DEDUP_EXACT,
     "dedup_fingerprint": O_DEDUP_FINGERPRINT,

@@ -291,6 +291,84 @@ def stratified_sample(
     return df.where(b < thr)
 
 
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    weights: dict[str, float],
+    token_budget: int,
+    salt: str = "",
+) -> DataFrame:
+    """Token-budget mixture sampling: draw a deterministic subcorpus whose
+    per-group token mass approximates `token_budget` split by `weights`.
+
+    The standard "build me a 1T-token training mix, 60% web / 30% books /
+    10% code" step: for each group g the target is
+    budget * w_g / sum(w); the keep-rate is min(1, target / tokens_g),
+    applied as the same content-hash Bernoulli draw deterministic_sample
+    uses (reproducible across runs, engines, partitionings; nested by
+    rate at the same salt).  Groups absent from `weights` sample at 0
+    (dropped).  When a group's corpus is smaller than its target, the
+    rate caps at 1 — the shortfall is reported by comparing the output's
+    per-group token sums to the targets, not silently rebalanced.
+
+    Returns (id, group, n_tok) for kept documents.
+
+    Scale design: per-group token totals are a tiny aggregate (groups =
+    corpus sources, O(10..10^3)) broadcast back as thresholds, so the
+    100 TB corpus side is one scan + a broadcast hash join + a filter —
+    no corpus shuffle.  The numerator budget*w_g/sum(w)*bucket_space is
+    folded to ONE double literal driver-side, so the only runtime float
+    op is a single division — bit-identical across engines (the same
+    convention the DuckDB oracle replays).
+    """
+    from ..functions.text import md5_long, token_count
+
+    if token_budget <= 0:
+        raise ValueError("token_budget must be positive")
+    if not weights:
+        raise ValueError("weights must name at least one group")
+    for g, w in weights.items():
+        if w < 0:
+            raise ValueError(f"weight for group {g!r} must be >= 0, got {w}")
+    sumw = float(sum(weights.values()))
+    if sumw <= 0:
+        raise ValueError("weights must sum to a positive value")
+    buckets = 1_000_000
+    base = df.withColumn(
+        "__ntok", token_count(F.col(text_col)).cast("long")
+    )
+    totals = base.groupBy(group_col).agg(F.sum("__ntok").alias("__tg"))
+    numer = F.lit(0.0)
+    for g, w in weights.items():
+        # one driver-side double per group: budget * normalized weight,
+        # scaled to the hash-bucket space
+        n = float(token_budget) * (float(w) / sumw) * buckets
+        numer = F.when(F.col(group_col) == F.lit(g), F.lit(n)).otherwise(numer)
+    thresholds = totals.select(
+        F.col(group_col),
+        F.least(
+            F.lit(buckets).cast("bigint"),
+            F.floor(
+                numer
+                / F.when(F.col("__tg") != 0, F.col("__tg")).cast("double")
+            ).cast("bigint"),
+        ).alias("__thr"),
+    )
+    b = F.pmod(
+        md5_long(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+        F.lit(buckets),
+    )
+    return (
+        base.join(F.broadcast(thresholds), group_col)
+        .where(b < F.col("__thr"))
+        .select(
+            F.col(id_col), F.col(group_col), F.col("__ntok").alias("n_tok")
+        )
+    )
+
+
 def tfidf(
     df: DataFrame,
     id_col: str,

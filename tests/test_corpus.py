@@ -270,3 +270,57 @@ def test_repetition_stats_golden(spark):
     assert got[2] == (0.0, 0.0, 0.6, True)
     assert got[3] == (0.0, 0.0, 0.0, False)
     assert len(got) == 3
+
+
+def test_mixture_sample_rates_and_determinism(spark):
+    from duckpgq_extension_spark.operators.corpus import mixture_sample
+
+    # two groups of 4-token docs: group a has 10 docs (40 tokens), group b
+    # has 5 docs (20 tokens).  budget=30 split 2:1 -> targets a=20, b=10
+    # -> rates a=0.5, b=0.5 -> thresholds 500000 each (exactly
+    # representable, no float surprises in the golden)
+    rows = [(i, "t1 t2 t3 t4", "a") for i in range(10)] + [
+        (100 + i, "t1 t2 t3 t4", "b") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    out = mixture_sample(
+        df, "doc_id", "text", "grp", {"a": 2.0, "b": 1.0}, token_budget=30
+    )
+    got = {(r.doc_id, r.grp, r.n_tok) for r in out.collect()}
+    # determinism: same call, same rows
+    again = {(r.doc_id, r.grp, r.n_tok) for r in out.collect()}
+    assert got == again
+    assert all(n == 4 for _, _, n in got)
+    # hand-derived membership: md5-prefix bucket < 500000, same draw as
+    # deterministic_sample(rate=0.5, salt="")
+    from duckpgq_extension_spark.operators.corpus import deterministic_sample
+
+    expect = {
+        (r.doc_id, r.grp) for r in deterministic_sample(
+            df, "doc_id", 0.5
+        ).collect()
+    }
+    assert {(i, g) for i, g, _ in got} == expect
+
+
+def test_mixture_sample_caps_drops_and_validates(spark):
+    from duckpgq_extension_spark.operators.corpus import mixture_sample
+
+    df = spark.createDataFrame(
+        [(1, "x y", "a"), (2, "x y", "b"), (3, "", "c")],
+        "doc_id long, text string, grp string",
+    )
+    # budget far above group a's 2 tokens -> rate caps at 1 (doc kept);
+    # group b absent from weights -> dropped
+    out = mixture_sample(
+        df, "doc_id", "text", "grp", {"a": 1.0}, token_budget=1000
+    ).collect()
+    assert [(r.doc_id, r.grp) for r in out] == [(1, "a")]
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        mixture_sample(df, "doc_id", "text", "grp", {}, 10)
+    with _pt.raises(ValueError):
+        mixture_sample(df, "doc_id", "text", "grp", {"a": -1.0}, 10)
+    with _pt.raises(ValueError):
+        mixture_sample(df, "doc_id", "text", "grp", {"a": 1.0}, 0)
