@@ -814,7 +814,15 @@ def cheapest_path_distances(
     rounds).  Contrast temporal_reachability's fused multi-hop, which
     measured ~2× faster — its frontier shrinks to improved labels only.
     The parameter stays for sparse-frontier graphs (long weighted
-    chains), where 2 halves the job-latency floor.
+    chains), where 2 halves the job-latency floor.  Re-measured at the
+    10x tier (r6, length-only, 3 sources, warm): hops 1/2/3 all land
+    18-21 s — the candidate join volume dominates and multi-hop does
+    not reduce it; still a wash.  Also tried and rejected (r6): a
+    persist-chain for dist (checkpoint every 5th round only, so the
+    full-outer join's (src,dst) hash partitioning survives between
+    rounds) — no measurable win, because the per-round cost is the
+    frontier x adjacency candidate join + min-agg, not the small
+    dist-side exchange.
 
     track_paths=True (beyond-reference — the reference only returns the
     LENGTH, cheapest_path_length.cpp) additionally returns the path
