@@ -247,6 +247,35 @@ def minhash_signatures(
     return sig.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
 
 
+def _band_frame(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
+    """(id, band, bh): one row per (document, LSH band) with the band's
+    hash — the bucketing frame behind both all-pairs candidate
+    generation and star connectivity."""
+    rows = num_perm // bands
+    return sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        md5_long(
+                            F.concat_ws(
+                                "-",
+                                F.transform(
+                                    F.slice(F.col("sig"), b * rows + 1, rows),
+                                    lambda x: x.cast("string"),
+                                ),
+                            )
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -265,31 +294,9 @@ def minhash_lsh_pairs(
     (id_a, id_b, est_jaccard >= threshold).
     """
     assert num_perm % bands == 0, "bands must divide num_perm"
-    rows = num_perm // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_perm, max_doc_freq).persist()
     try:
-        banded = sig.select(
-            "id",
-            F.explode(
-                F.array(
-                    *[
-                        F.struct(
-                            F.lit(b).alias("band"),
-                            md5_long(
-                                F.concat_ws(
-                                    "-",
-                                    F.transform(
-                                        F.slice(F.col("sig"), b * rows + 1, rows),
-                                        lambda x: x.cast("string"),
-                                    ),
-                                )
-                            ).alias("bh"),
-                        )
-                        for b in range(bands)
-                    ]
-                )
-            ).alias("bb"),
-        ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+        banded = _band_frame(sig, num_perm, bands)
         cands = _bucket_pairs(banded, ["band", "bh"])
         scored = (
             cands.join(sig.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")), "id_a")
@@ -415,6 +422,7 @@ def dedup_clusters(
     threshold: float = 0.5,
     max_doc_freq: int | None = None,
     pairs: DataFrame | None = None,
+    connectivity: str = "pairs",
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: LSH pairs -> connected components ->
     canonical representative.
@@ -443,10 +451,42 @@ def dedup_clusters(
     `pairs` lets callers feed pre-computed / differently-sourced pairs
     (e.g. `ngram_jaccard_pairs` output or a persisted pair table) —
     any DataFrame with id_a / id_b columns.
+
+    `connectivity` picks the candidate-edge construction:
+      - "pairs" (default): thresholded LSH all-pairs — exact
+        estimated-jaccard semantics, but a g-member duplicate bucket
+        emits O(g^2) candidate pairs, so corpora with LARGE duplicate
+        clusters (crawl snapshots: thousands of copies of one page) pay
+        quadratically in cluster size (measured: the 100x replicated
+        tier, ~100 copies/doc, grew 20.5x wall per data decade).
+      - "star": per band-bucket emit only (member, bucket-min) edges —
+        candidate mass LINEAR in bucket size, the standard production
+        trade for corpus-scale dedup.  Components are BUCKET
+        connectivity: any band collision links documents (no per-pair
+        jaccard threshold), so star components are always a coarsening
+        (superset-union) of "pairs" components under the same banding;
+        tune precision with more rows per band (fewer, stricter bands).
     """
     from ..algorithms import weakly_connected_component
 
-    if pairs is None:
+    if connectivity not in ("pairs", "star"):
+        raise ValueError(
+            f"connectivity must be 'pairs' or 'star', got {connectivity!r}"
+        )
+    if pairs is None and connectivity == "star":
+        sig = minhash_signatures(
+            df, id_col, text_col, n=n, num_perm=num_perm,
+            max_doc_freq=max_doc_freq,
+        )
+        banded = _band_frame(sig, num_perm, bands)
+        mins = banded.groupBy("band", "bh").agg(F.min("id").alias("id_b"))
+        pairs = (
+            banded.join(mins, ["band", "bh"])
+            .where(F.col("id") != F.col("id_b"))
+            .select(F.col("id").alias("id_a"), "id_b")
+            .distinct()
+        )
+    elif pairs is None:
         pairs = minhash_lsh_pairs(
             df, id_col, text_col, n=n, num_perm=num_perm, bands=bands,
             threshold=threshold, max_doc_freq=max_doc_freq,

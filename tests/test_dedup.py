@@ -172,3 +172,49 @@ def test_deduplicate_lsh_keeps_canonical(spark):
     ids = sorted(r["doc_id"] for r in kept.collect())
     # 0/1/2 are near-dups -> one cluster, canonical 0 survives; 3 untouched
     assert ids == [0, 3]
+
+
+def test_dedup_clusters_star_coarsens_pairs(spark):
+    """connectivity="star" links every band-bucket to its min member —
+    components must be a coarsening (superset-union) of the thresholded
+    all-pairs components under the same banding, and identical docs must
+    land in one cluster either way."""
+    from duckpgq_extension_spark.operators.dedup import dedup_clusters
+
+    rows = (
+        [(i, "alpha beta gamma delta epsilon zeta eta theta") for i in range(4)]
+        + [(10 + i, "one two three four five six seven eight") for i in range(3)]
+        + [(100, "completely unrelated text nothing shared here at all")]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(n=2, num_perm=16, bands=8, threshold=0.5)
+    pairs_mode = {
+        r.doc_id: r.canonical_id
+        for r in dedup_clusters(docs, "doc_id", "text", **kw).collect()
+    }
+    star_mode = {
+        r.doc_id: r.canonical_id
+        for r in dedup_clusters(
+            docs, "doc_id", "text", connectivity="star", **kw
+        ).collect()
+    }
+    # identical docs cluster identically in both modes
+    assert {pairs_mode[i] for i in range(4)} == {0}
+    assert {star_mode[i] for i in range(4)} == {0}
+    assert {pairs_mode[i] for i in (10, 11, 12)} == {10}
+    assert {star_mode[i] for i in (10, 11, 12)} == {10}
+    # coarsening: every pairs-mode co-cluster pair is co-clustered in star
+    for a in pairs_mode:
+        for b in pairs_mode:
+            if pairs_mode[a] == pairs_mode[b]:
+                assert a in star_mode and b in star_mode
+                assert star_mode[a] == star_mode[b]
+
+
+def test_dedup_clusters_connectivity_validation(spark):
+    import pytest
+    from duckpgq_extension_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        dedup_clusters(docs, "doc_id", "text", connectivity="mesh")
