@@ -190,8 +190,56 @@ def edge_frame(
     return edges
 
 
+# Session adjacency cache — the Spark analog of the reference's
+# session-lifetime CSR cache (DuckPGQ builds the CSR on first MATCH and
+# keeps it in DuckPGQState::csr_list until an explicit delete_csr,
+# /root/reference/src/duckpgq_state.cpp:167-185): every kernel call used to re-shuffle
+# and re-checkpoint the same edge set.  Keyed by the edge frame's ANALYZED
+# plan: a semanticHash probe confirmed by Catalyst's sameResult (the same
+# two-step Spark's own exchange-reuse does), so re-registering a view over
+# DIFFERENT files is a guaranteed miss (the file index lives in the plan)
+# while the same logical edges hit.  In-place mutation of the same files
+# within one session serves the cached snapshot — the reference's CSR has
+# identical semantics — clear_prep_cache() is the delete_csr analog.
+# Eviction drops OUR reference only (FIFO past _PREP_CACHE_MAX); blocks are
+# freed by the ContextCleaner once no live query references the frame, so
+# eviction can never break an in-flight query.
+_PREP_CACHE: dict[int, tuple] = {}  # id(session) -> (weakref(session), entries)
+_PREP_CACHE_MAX = 16
+
+
+def clear_prep_cache(spark=None) -> None:
+    """Drop cached adjacency frames (all sessions, or one session's)."""
+    if spark is None:
+        _PREP_CACHE.clear()
+    else:
+        _PREP_CACHE.pop(id(spark), None)
+
+
+def _prep_cached(edges: DataFrame, n: int):
+    """(entries, jplan) for a cache probe; (None, None) when uncacheable
+    (Spark Connect: no _jdf) or disabled via SPARK_GRAFT_ADJ_CACHE=0."""
+    import os
+    import weakref
+
+    if os.environ.get("SPARK_GRAFT_ADJ_CACHE", "1") == "0":
+        return None, None
+    try:
+        jplan = edges._jdf.queryExecution().analyzed()
+    except Exception:
+        return None, None
+    spark = edges.sparkSession
+    key = id(spark)
+    hit = _PREP_CACHE.get(key)
+    if hit is None or hit[0]() is not spark:  # id() reuse after session GC
+        hit = (weakref.ref(spark), [])
+        _PREP_CACHE[key] = hit
+    return hit[1], jplan
+
+
 def _prep_edges(edges: DataFrame, num_partitions: int | None) -> DataFrame:
-    """Materialize the adjacency hash-partitioned by src.
+    """Materialize the adjacency hash-partitioned by src, cached per
+    session (see _PREP_CACHE above).
 
     Checkpoint (not just persist) on purpose: it severs the upstream
     logical plan, so (a) per-level joins don't re-analyze an arbitrarily
@@ -205,7 +253,18 @@ def _prep_edges(edges: DataFrame, num_partitions: int | None) -> DataFrame:
         # repartition shuffle entirely
         return materialize(edges)
     n = num_partitions or default_parallelism(edges.sparkSession)
-    return materialize(edges.repartition(n, "src"))
+    entries, jplan = _prep_cached(edges, n)
+    if entries is not None:
+        h = jplan.semanticHash()
+        for en, eh, ep, cached in entries:
+            if en == n and eh == h and ep.sameResult(jplan):
+                return cached
+    out = materialize(edges.repartition(n, "src"))
+    if entries is not None:
+        entries.append((n, jplan.semanticHash(), jplan, out))
+        while len(entries) > _PREP_CACHE_MAX:
+            entries.pop(0)
+    return out
 
 
 def bfs_distances(

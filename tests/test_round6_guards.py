@@ -128,3 +128,66 @@ def test_default_parallelism_non_numeric_conf_falls_back():
             raise AttributeError("sparkContext is not supported on Connect")
 
     assert P.default_parallelism(_FakeConnectSession()) == 200
+
+
+# --------------------------------------- session adjacency cache
+
+
+def test_prep_edges_cache_hits_same_plan(spark):
+    from pyspark.sql import functions as F
+
+    P.clear_prep_cache()
+    df = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+    )
+    a = P._prep_edges(df, 4)
+    b = P._prep_edges(df, 4)
+    assert a is b, "same analyzed plan + partitions must hit the cache"
+    # a different partition count is a different entry
+    c = P._prep_edges(df, 8)
+    assert c is not a
+    # a semantically different frame misses
+    d = P._prep_edges(df.where(F.col("src") > 1), 4)
+    assert d is not a
+    P.clear_prep_cache(spark)
+    e = P._prep_edges(df, 4)
+    assert e is not a, "clear_prep_cache must drop the entry"
+
+
+def test_prep_edges_cache_disabled_by_env(spark, monkeypatch):
+    P.clear_prep_cache()
+    monkeypatch.setenv("SPARK_GRAFT_ADJ_CACHE", "0")
+    df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    a = P._prep_edges(df, 4)
+    b = P._prep_edges(df, 4)
+    assert a is not b
+
+
+def test_prep_edges_cache_not_stale_across_view_repoint(spark, tmp_path):
+    """Re-pointing a temp view at DIFFERENT files must miss the cache —
+    the file index lives in the analyzed plan (the round-3 bench bug
+    class: silently measuring the previous tier)."""
+    p1, p2 = str(tmp_path / "e1"), str(tmp_path / "e2")
+    spark.createDataFrame([(1, 2)], "src long, dst long").write.parquet(p1)
+    spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    ).write.parquet(p2)
+    P.clear_prep_cache()
+    spark.read.parquet(p1).createOrReplaceTempView("__adjcache_e")
+    out1 = P._prep_edges(spark.table("__adjcache_e"), 4)
+    spark.read.parquet(p2).createOrReplaceTempView("__adjcache_e")
+    out2 = P._prep_edges(spark.table("__adjcache_e"), 4)
+    assert out1.count() == 1 and out2.count() == 2
+
+
+def test_prep_edges_cache_fifo_cap(spark):
+    from pyspark.sql import functions as F
+
+    P.clear_prep_cache()
+    df = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    first = P._prep_edges(df, 4)
+    for i in range(P._PREP_CACHE_MAX):
+        P._prep_edges(df.where(F.col("src") != F.lit(1000 + i)), 4)
+    again = P._prep_edges(df, 4)
+    assert again is not first, "FIFO cap must have evicted the oldest"
+    assert again.count() == 2, "evicted frames must still be rebuildable"
