@@ -91,14 +91,13 @@ def pagerank(
         edges = edges.select(
             "src", "dst", F.col(weight_col).cast("double").alias("__w")
         )
-    edges = edges.repartition(parts, "src").persist()
+    edges = pathops.persist_partitioned(edges, parts)  # cache-owned
     if weight_col is not None:
         # negative per-edge weights would emit negative rank shares and
         # silently break the probability contract — reject them loudly
         # (one bounded probe over the persisted edge frame)
         bad = (F.col("__w") < 0) | F.isnan("__w")
         if edges.where(bad).limit(1).count() > 0:
-            edges.unpersist()
             raise ValueError(
                 f"weight column '{weight_col}' contains negative or NaN "
                 "values; weighted pagerank requires non-negative finite "
@@ -145,64 +144,61 @@ def pagerank(
         .join(out_deg.alias("d"), F.col("v.vid") == F.col("d.src"), "left")
         .select("vid", F.col("reset").alias("rank"), "out_deg", "reset")
     )
-    try:
-        for _ in range(max_iter):
-            # mass from dangling vertices (no out-edges) is spread uniformly;
-            # kept as a broadcast 1-row frame so each iteration is ONE job
-            # (collecting the scalar would add a driver roundtrip per round)
-            dangling = F.broadcast(
-                ranks.where(F.col("out_deg").isNull()).agg(
-                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
-                )
+    for _ in range(max_iter):
+        # mass from dangling vertices (no out-edges) is spread uniformly;
+        # kept as a broadcast 1-row frame so each iteration is ONE job
+        # (collecting the scalar would add a driver roundtrip per round)
+        dangling = F.broadcast(
+            ranks.where(F.col("out_deg").isNull()).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
             )
-            shares = ranks.where(F.col("out_deg").isNotNull()).select(
-                F.col("vid"), (F.col("rank") / F.col("out_deg")).alias("share")
+        )
+        shares = ranks.where(F.col("out_deg").isNotNull()).select(
+            F.col("vid"), (F.col("rank") / F.col("out_deg")).alias("share")
+        )
+        contribs = (
+            shares.alias("s")
+            .join(edges.alias("e"), F.col("s.vid") == F.col("e.src"))
+            .groupBy(F.col("e.dst").alias("vid"))
+            .agg(F.sum(F.col("share") * F.col("e.__w")).alias("in_mass"))
+        )
+        # join the OLD ranks (one row per vid, phantoms included) rather
+        # than the vertex list, so the convergence delta is computable
+        # on this same frame — an Observation collects it during the
+        # checkpoint job, making each iteration exactly ONE job
+        new_full = (
+            ranks.alias("o")
+            .join(contribs.alias("c"), F.col("o.vid") == F.col("c.vid"), "left")
+            .crossJoin(dangling)
+            .select(
+                F.col("o.vid").alias("vid"),
+                (
+                    (1.0 - damping) * F.col("o.reset")
+                    + damping
+                    * (
+                        F.coalesce(F.col("c.in_mass"), F.lit(0.0))
+                        + F.col("__dang") * F.col("o.reset")
+                    )
+                ).alias("rank"),
+                F.col("o.out_deg").alias("out_deg"),
+                F.col("o.reset").alias("reset"),
+                F.col("o.rank").alias("__old"),
             )
-            contribs = (
-                shares.alias("s")
-                .join(edges.alias("e"), F.col("s.vid") == F.col("e.src"))
-                .groupBy(F.col("e.dst").alias("vid"))
-                .agg(F.sum(F.col("share") * F.col("e.__w")).alias("in_mass"))
+        )
+        if tol > 0:
+            obs = Observation(f"__pgq_pr_{next(pathops._obs_seq)}")
+            new_full = new_full.observe(
+                obs, F.max(F.abs(F.col("rank") - F.col("__old"))).alias("delta")
             )
-            # join the OLD ranks (one row per vid, phantoms included) rather
-            # than the vertex list, so the convergence delta is computable
-            # on this same frame — an Observation collects it during the
-            # checkpoint job, making each iteration exactly ONE job
-            new_full = (
-                ranks.alias("o")
-                .join(contribs.alias("c"), F.col("o.vid") == F.col("c.vid"), "left")
-                .crossJoin(dangling)
-                .select(
-                    F.col("o.vid").alias("vid"),
-                    (
-                        (1.0 - damping) * F.col("o.reset")
-                        + damping
-                        * (
-                            F.coalesce(F.col("c.in_mass"), F.lit(0.0))
-                            + F.col("__dang") * F.col("o.reset")
-                        )
-                    ).alias("rank"),
-                    F.col("o.out_deg").alias("out_deg"),
-                    F.col("o.reset").alias("reset"),
-                    F.col("o.rank").alias("__old"),
-                )
-            )
-            if tol > 0:
-                obs = Observation(f"__pgq_pr_{next(pathops._obs_seq)}")
-                new_full = new_full.observe(
-                    obs, F.max(F.abs(F.col("rank") - F.col("__old"))).alias("delta")
-                )
-                ranks = pathops.materialize(new_full.select("vid", "rank", "out_deg", "reset"))
-                delta = obs.get["delta"]
-                if delta is not None and delta < tol:
-                    break
-            else:
-                ranks = pathops.materialize(new_full.select("vid", "rank", "out_deg", "reset"))
-        if phantom_vertices:
-            ranks = ranks.join(real_vertices.toDF("vid"), "vid", "left_semi")
-        return ranks.select("vid", F.col("rank").alias("pagerank"))
-    finally:
-        edges.unpersist()
+            ranks = pathops.materialize(new_full.select("vid", "rank", "out_deg", "reset"))
+            delta = obs.get["delta"]
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = pathops.materialize(new_full.select("vid", "rank", "out_deg", "reset"))
+    if phantom_vertices:
+        ranks = ranks.join(real_vertices.toDF("vid"), "vid", "left_semi")
+    return ranks.select("vid", F.col("rank").alias("pagerank"))
 
 
 # Adaptive pointer-jumping threshold for WCC: rounds <= this run plain
@@ -242,97 +238,87 @@ def weakly_connected_component(
     pathological one.  pointer_jump=True/False forces either mode.
     """
     vertices = vertices.toDF("vid").distinct()
-    parts = pathops.default_parallelism(edges.sparkSession)
-    und = (
-        edges.select("src", "dst")
-        .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .where(F.col("src") != F.col("dst"))
-        .distinct()
-        .repartition(parts, "src")
-        .persist()
-    )
+    und = _doubled_neighbors(edges)  # cached-persisted, shared with lcc etc.
     labels = pathops.materialize(vertices.select("vid", F.col("vid").alias("comp")))
     rounds = 0
-    try:
-        while True:
-            rounds += 1
-            jump_now = (
-                pointer_jump
-                if pointer_jump is not None
-                else rounds > _JUMP_AFTER
-            )
-            # the self rows are TAGGED into the same union, so the per-round
-            # old label comes out of the SAME groupBy (min over own rows) —
-            # no separate labels join per round; the changed-row count is
-            # observable during the checkpoint job, one job per round
-            prop = (
-                labels.alias("l")
-                .join(und.alias("u"), F.col("l.vid") == F.col("u.src"))
-                .select(
-                    F.col("u.dst").alias("vid"),
-                    F.col("l.comp").alias("comp"),
-                    F.lit(0).alias("__own"),
-                )
-                .unionByName(
-                    labels.select("vid", "comp", F.lit(1).alias("__own"))
-                )
-                .groupBy("vid")
-                .agg(
-                    F.min("comp").alias("comp"),
-                    F.min(F.when(F.col("__own") == 1, F.col("comp"))).alias("__old"),
-                )
-            )
-            # pointer jump: comp := previous round's label OF comp (labels
-            # map every seen vid, and comp values are seen vids; left join
-            # only guards the very first round's edge-endpoint unions)
-            if jump_now:
-                prop = (
-                    prop.alias("p")
-                    .join(
-                        labels.alias("j"), F.col("p.comp") == F.col("j.vid"), "left"
-                    )
-                    .select(
-                        F.col("p.vid").alias("vid"),
-                        F.least(
-                            F.col("p.comp"),
-                            F.coalesce(F.col("j.comp"), F.col("p.comp")),
-                        ).alias("comp"),
-                        F.col("p.__old").alias("__old"),
-                    )
-                )
-            obs = Observation(f"__pgq_wcc_{next(pathops._obs_seq)}")
-            merged = prop.observe(
-                obs,
-                F.sum(
-                    F.when(
-                        F.col("__old").isNull() | (F.col("comp") != F.col("__old")), 1
-                    ).otherwise(0)
-                ).alias("changed"),
-            )
-            labels = pathops.materialize(merged.select("vid", "comp"))
-            if not obs.get["changed"]:
-                break
-        # propagation unions edge endpoints into the label set; restrict the
-        # answer to the caller's vertex domain (contract: one row per input
-        # vertex, like pagerank/lcc)
-        return (
-            labels.join(vertices, "vid", "left_semi")
-            .select("vid", F.col("comp").alias("component_id"))
+    while True:
+        rounds += 1
+        jump_now = (
+            pointer_jump
+            if pointer_jump is not None
+            else rounds > _JUMP_AFTER
         )
-    finally:
-        und.unpersist()
+        # the self rows are TAGGED into the same union, so the per-round
+        # old label comes out of the SAME groupBy (min over own rows) —
+        # no separate labels join per round; the changed-row count is
+        # observable during the checkpoint job, one job per round
+        prop = (
+            labels.alias("l")
+            .join(und.alias("u"), F.col("l.vid") == F.col("u.src"))
+            .select(
+                F.col("u.dst").alias("vid"),
+                F.col("l.comp").alias("comp"),
+                F.lit(0).alias("__own"),
+            )
+            .unionByName(
+                labels.select("vid", "comp", F.lit(1).alias("__own"))
+            )
+            .groupBy("vid")
+            .agg(
+                F.min("comp").alias("comp"),
+                F.min(F.when(F.col("__own") == 1, F.col("comp"))).alias("__old"),
+            )
+        )
+        # pointer jump: comp := previous round's label OF comp (labels
+        # map every seen vid, and comp values are seen vids; left join
+        # only guards the very first round's edge-endpoint unions)
+        if jump_now:
+            prop = (
+                prop.alias("p")
+                .join(
+                    labels.alias("j"), F.col("p.comp") == F.col("j.vid"), "left"
+                )
+                .select(
+                    F.col("p.vid").alias("vid"),
+                    F.least(
+                        F.col("p.comp"),
+                        F.coalesce(F.col("j.comp"), F.col("p.comp")),
+                    ).alias("comp"),
+                    F.col("p.__old").alias("__old"),
+                )
+            )
+        obs = Observation(f"__pgq_wcc_{next(pathops._obs_seq)}")
+        merged = prop.observe(
+            obs,
+            F.sum(
+                F.when(
+                    F.col("__old").isNull() | (F.col("comp") != F.col("__old")), 1
+                ).otherwise(0)
+            ).alias("changed"),
+        )
+        labels = pathops.materialize(merged.select("vid", "comp"))
+        if not obs.get["changed"]:
+            break
+    # propagation unions edge endpoints into the label set; restrict the
+    # answer to the caller's vertex domain (contract: one row per input
+    # vertex, like pagerank/lcc)
+    return (
+        labels.join(vertices, "vid", "left_semi")
+        .select("vid", F.col("comp").alias("component_id"))
+    )
 
 
 def _doubled_neighbors(edges: DataFrame) -> DataFrame:
     """Distinct both-direction neighbor pairs (src, dst), self-loops dropped
-    — the undirected adjacency every triangle/clustering step works over."""
-    parts = pathops.default_parallelism(edges.sparkSession)
-    return (
+    — the undirected adjacency every triangle/clustering step works over.
+    Cached-persisted per session (pathops.persist_partitioned): lcc,
+    global_clustering, assortativity and WCC all derive this same frame
+    from the same edge set, so within a session it is built once."""
+    return pathops.persist_partitioned(
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where(F.col("src") != F.col("dst"))
         .distinct()
-        .repartition(parts, "src")
     )
 
 
@@ -434,28 +420,25 @@ def local_clustering_coefficient(edges: DataFrame, vertices: DataFrame) -> DataF
     (triangle_counts) — O(m^1.5) wedge candidates instead of sum(deg^2).
     """
     vertices = vertices.toDF("vid").distinct()
-    nbr = _doubled_neighbors(edges).persist()
-    try:
-        deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
-        tri = _triangles_from_nbr(nbr, vertices, deg)
-        return (
-            vertices.alias("vt")
-            .join(deg.alias("dg"), F.col("vt.vid") == F.col("dg.src"), "left")
-            .join(tri.alias("tr"), F.col("vt.vid") == F.col("tr.vid"), "left")
-            .select(
-                F.col("vt.vid").alias("vid"),
-                F.when(
-                    F.coalesce(F.col("deg"), F.lit(0)) < 2, F.lit(0.0)
-                )
-                .otherwise(
-                    (2.0 * F.coalesce(F.col("triangles"), F.lit(0)).cast("double"))
-                    / (F.col("deg").cast("double") * (F.col("deg") - 1))
-                )
-                .alias("local_clustering_coefficient"),
+    nbr = _doubled_neighbors(edges)  # cache-owned persist
+    deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
+    tri = _triangles_from_nbr(nbr, vertices, deg)
+    return (
+        vertices.alias("vt")
+        .join(deg.alias("dg"), F.col("vt.vid") == F.col("dg.src"), "left")
+        .join(tri.alias("tr"), F.col("vt.vid") == F.col("tr.vid"), "left")
+        .select(
+            F.col("vt.vid").alias("vid"),
+            F.when(
+                F.coalesce(F.col("deg"), F.lit(0)) < 2, F.lit(0.0)
             )
+            .otherwise(
+                (2.0 * F.coalesce(F.col("triangles"), F.lit(0)).cast("double"))
+                / (F.col("deg").cast("double") * (F.col("deg") - 1))
+            )
+            .alias("local_clustering_coefficient"),
         )
-    finally:
-        nbr.unpersist()
+    )
 
 
 def neighbor_sample(
@@ -911,30 +894,27 @@ def global_clustering(edges: DataFrame, vertices: DataFrame) -> DataFrame:
         .join(vertices.withColumnRenamed("vid", "src"), "src", "left_semi")
         .join(vertices.withColumnRenamed("vid", "dst"), "dst", "left_semi")
     )
-    nbr = _doubled_neighbors(edges).persist()
-    try:
-        deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
-        tri_total = (
-            _triangles_from_nbr(nbr, vertices, deg)
-            .agg((F.coalesce(F.sum("triangles"), F.lit(0)) / 3).cast("long").alias("triangles"))
+    nbr = _doubled_neighbors(edges)  # cache-owned persist
+    deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
+    tri_total = (
+        _triangles_from_nbr(nbr, vertices, deg)
+        .agg((F.coalesce(F.sum("triangles"), F.lit(0)) / 3).cast("long").alias("triangles"))
+    )
+    wedge_total = deg.agg(
+        F.coalesce(
+            F.sum(F.col("deg").cast("long") * (F.col("deg") - 1) / 2), F.lit(0)
         )
-        wedge_total = deg.agg(
-            F.coalesce(
-                F.sum(F.col("deg").cast("long") * (F.col("deg") - 1) / 2), F.lit(0)
-            )
-            .cast("long")
-            .alias("wedges")
-        )
-        return tri_total.crossJoin(wedge_total).select(
-            "triangles",
-            "wedges",
-            F.when(F.col("wedges") > 0,
-                   3.0 * F.col("triangles") / F.col("wedges"))
-            .otherwise(F.lit(0.0))
-            .alias("global_clustering"),
-        )
-    finally:
-        nbr.unpersist()
+        .cast("long")
+        .alias("wedges")
+    )
+    return tri_total.crossJoin(wedge_total).select(
+        "triangles",
+        "wedges",
+        F.when(F.col("wedges") > 0,
+               3.0 * F.col("triangles") / F.col("wedges"))
+        .otherwise(F.lit(0.0))
+        .alias("global_clustering"),
+    )
 
 
 def random_walks(
@@ -1110,30 +1090,27 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     everything stays in JVM aggregates; nothing is materialized
     per-wedge or per-pair.
     """
-    nbr = _doubled_neighbors(edges).persist()
-    try:
-        deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
-        pairs = (
-            nbr.alias("e")
-            .join(deg.alias("ds"), F.col("e.src") == F.col("ds.src"))
-            .join(deg.alias("dd"), F.col("e.dst") == F.col("dd.src"))
-            .select(
-                F.col("ds.deg").alias("sdeg"), F.col("dd.deg").alias("ddeg")
-            )
+    nbr = _doubled_neighbors(edges)  # cache-owned persist
+    deg = nbr.groupBy("src").agg(F.count("*").alias("deg"))
+    pairs = (
+        nbr.alias("e")
+        .join(deg.alias("ds"), F.col("e.src") == F.col("ds.src"))
+        .join(deg.alias("dd"), F.col("e.dst") == F.col("dd.src"))
+        .select(
+            F.col("ds.deg").alias("sdeg"), F.col("dd.deg").alias("ddeg")
         )
-        # corr() composed from moments with try_divide: a degree-constant
-        # graph has zero variance, where ANSI-mode corr() raises
-        # DIVIDE_BY_ZERO — NULL (SQL corr semantics) is the contract here
-        return pathops.materialize(
-            pairs.agg(
-                F.try_divide(
-                    F.covar_pop("sdeg", "ddeg"),
-                    F.stddev_pop("sdeg") * F.stddev_pop("ddeg"),
-                ).alias("assortativity")
-            )
+    )
+    # corr() composed from moments with try_divide: a degree-constant
+    # graph has zero variance, where ANSI-mode corr() raises
+    # DIVIDE_BY_ZERO — NULL (SQL corr semantics) is the contract here
+    return pathops.materialize(
+        pairs.agg(
+            F.try_divide(
+                F.covar_pop("sdeg", "ddeg"),
+                F.stddev_pop("sdeg") * F.stddev_pop("ddeg"),
+            ).alias("assortativity")
         )
-    finally:
-        nbr.unpersist()
+    )
 
 
 def katz_centrality(
@@ -1156,32 +1133,27 @@ def katz_centrality(
     normalization step.
     """
     vertices = pathops.materialize(vertices.toDF("vid").distinct())
-    edges = edges.select("src", "dst").repartition(
-        pathops.default_parallelism(edges.sparkSession), "src"
-    ).persist()
+    edges = pathops.persist_partitioned(edges.select("src", "dst"))  # cache-owned
     x = pathops.materialize(vertices.select("vid", F.lit(beta).alias("katz")))
-    try:
-        for _ in range(max_iter):
-            contrib = (
-                x.alias("s")
-                .join(edges.alias("e"), F.col("s.vid") == F.col("e.src"))
-                .groupBy(F.col("e.dst").alias("vid"))
-                .agg(F.sum("s.katz").alias("w"))
+    for _ in range(max_iter):
+        contrib = (
+            x.alias("s")
+            .join(edges.alias("e"), F.col("s.vid") == F.col("e.src"))
+            .groupBy(F.col("e.dst").alias("vid"))
+            .agg(F.sum("s.katz").alias("w"))
+        )
+        x = pathops.materialize(
+            x.alias("o")
+            .join(contrib.alias("c"), F.col("o.vid") == F.col("c.vid"), "left")
+            .select(
+                F.col("o.vid").alias("vid"),
+                (
+                    F.lit(beta)
+                    + F.lit(alpha) * F.coalesce(F.col("c.w"), F.lit(0.0))
+                ).alias("katz"),
             )
-            x = pathops.materialize(
-                x.alias("o")
-                .join(contrib.alias("c"), F.col("o.vid") == F.col("c.vid"), "left")
-                .select(
-                    F.col("o.vid").alias("vid"),
-                    (
-                        F.lit(beta)
-                        + F.lit(alpha) * F.coalesce(F.col("c.w"), F.lit(0.0))
-                    ).alias("katz"),
-                )
-            )
-        return x
-    finally:
-        edges.unpersist()
+        )
+    return x
 
 
 def link_prediction(

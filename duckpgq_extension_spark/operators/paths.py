@@ -205,18 +205,30 @@ def edge_frame(
 # freed by the ContextCleaner once no live query references the frame, so
 # eviction can never break an in-flight query.
 _PREP_CACHE: dict[int, tuple] = {}  # id(session) -> (weakref(session), entries)
+_PERSIST_CACHE: dict[int, tuple] = {}  # same shape, persist-based frames
 _PREP_CACHE_MAX = 16
 
 
 def clear_prep_cache(spark=None) -> None:
-    """Drop cached adjacency frames (all sessions, or one session's)."""
+    """Drop cached adjacency frames (all sessions, or one session's) —
+    the delete_csr analog.  Persist-based entries are unpersisted (their
+    lineage is intact, so an in-flight query just recomputes)."""
+    keys = list(_PERSIST_CACHE) if spark is None else [id(spark)]
+    for k in keys:
+        hit = _PERSIST_CACHE.pop(k, None)
+        if hit is not None:
+            for entry in hit[1]:
+                try:
+                    entry[-1].unpersist()
+                except Exception:  # session already stopped
+                    pass
     if spark is None:
         _PREP_CACHE.clear()
     else:
         _PREP_CACHE.pop(id(spark), None)
 
 
-def _prep_cached(edges: DataFrame, n: int):
+def _cache_probe(store: dict, df: DataFrame):
     """(entries, jplan) for a cache probe; (None, None) when uncacheable
     (Spark Connect: no _jdf) or disabled via SPARK_GRAFT_ADJ_CACHE=0."""
     import os
@@ -225,16 +237,50 @@ def _prep_cached(edges: DataFrame, n: int):
     if os.environ.get("SPARK_GRAFT_ADJ_CACHE", "1") == "0":
         return None, None
     try:
-        jplan = edges._jdf.queryExecution().analyzed()
+        jplan = df._jdf.queryExecution().analyzed()
     except Exception:
         return None, None
-    spark = edges.sparkSession
+    spark = df.sparkSession
     key = id(spark)
-    hit = _PREP_CACHE.get(key)
+    hit = store.get(key)
     if hit is None or hit[0]() is not spark:  # id() reuse after session GC
         hit = (weakref.ref(spark), [])
-        _PREP_CACHE[key] = hit
+        store[key] = hit
     return hit[1], jplan
+
+
+def persist_partitioned(
+    df: DataFrame, num_partitions: int | None = None, key: str = "src"
+) -> DataFrame:
+    """Repartition-by-key + persist, cached per session like _prep_edges.
+
+    persist (NOT checkpoint) because these frames feed per-round joins
+    that rely on the surviving HashPartitioning(key) — a checkpointed
+    frame surfaces as UnknownPartitioning and re-shuffles every round
+    (see temporal_reachability's adjacency note).  Lineage stays intact,
+    so evicting + unpersisting can never break an in-flight query — it
+    just recomputes.  Uncached contexts (Spark Connect, cache disabled)
+    fall back to the bounded persist-residue list, mirroring the
+    per-call lifecycle callers used to manage by hand."""
+    n = num_partitions or default_parallelism(df.sparkSession)
+    entries, jplan = _cache_probe(_PERSIST_CACHE, df)
+    if entries is not None:
+        h = jplan.semanticHash()
+        for en, ek, eh, ep, cached in entries:
+            if en == n and ek == key and eh == h and ep.sameResult(jplan):
+                return cached
+    out = df.repartition(n, key).persist()
+    if entries is not None:
+        entries.append((n, key, jplan.semanticHash(), jplan, out))
+        while len(entries) > _PREP_CACHE_MAX:
+            old = entries.pop(0)
+            try:
+                old[-1].unpersist()
+            except Exception:
+                pass
+    else:
+        _bound_connect_persist_residue(out)
+    return out
 
 
 def _prep_edges(edges: DataFrame, num_partitions: int | None) -> DataFrame:
@@ -253,7 +299,7 @@ def _prep_edges(edges: DataFrame, num_partitions: int | None) -> DataFrame:
         # repartition shuffle entirely
         return materialize(edges)
     n = num_partitions or default_parallelism(edges.sparkSession)
-    entries, jplan = _prep_cached(edges, n)
+    entries, jplan = _cache_probe(_PREP_CACHE, edges)
     if entries is not None:
         h = jplan.semanticHash()
         for en, eh, ep, cached in entries:
