@@ -201,124 +201,195 @@ def pagerank(
     return ranks.select("vid", F.col("rank").alias("pagerank"))
 
 
-# Adaptive pointer-jumping threshold for WCC: rounds <= this run plain
-# min-propagation (the fast path on small-effective-diameter graphs);
-# beyond it every round also path-compresses labels, bounding total
-# rounds at _JUMP_AFTER + O(log diameter) on chains/meshes.
+# Adaptive pointer-jumping threshold for WCC: contraction rounds <= this
+# skip the label-compression self-join (small-effective-diameter graphs
+# converge before it can pay for itself); beyond it every round also
+# path-compresses labels, bounding total rounds at
+# _JUMP_AFTER + O(log diameter) on chains/meshes.
 _JUMP_AFTER = 8
 
 
 def weakly_connected_component(
-    edges: DataFrame, vertices: DataFrame, pointer_jump: bool | None = None
+    edges: DataFrame, vertices: DataFrame
 ) -> DataFrame:
-    """WCC via batched min-label propagation with per-round pointer
-    jumping; returns (vid, component_id) where component_id is the
-    minimum vertex id in the component.
+    """WCC via min-label propagation with EDGE CONTRACTION, falling back
+    to compounding pointer-jump propagation for high-diameter residue;
+    returns (vid, component_id) where component_id is the minimum
+    IN-DOMAIN vertex id of the component (edge endpoints outside the
+    caller's vertex set connect components but never name them —
+    reference convention, weakly_connected_component.cpp:66-99).
 
-    Rounds run min-propagation over the adjacency (join + groupBy min);
-    once the round count passes _JUMP_AFTER, each further round ALSO
-    chains a pointer-jumping step into the same checkpoint job — every
-    new label is replaced by THAT vertex's label from the previous round
-    (comp := labels[comp], the path-compression step of
-    large-star/small-star connectivity, Kiveris et al., "Connected
-    Components in MapReduce and Beyond").  Labels only ever decrease
-    (comp <= vid invariant), so compression preserves the fixpoint while
-    collapsing label chains exponentially: total rounds are bounded by
-    _JUMP_AFTER + O(log diameter) instead of O(diameter).
+    Phase 1 (rounds 1.._JUMP_AFTER): hash-to-min propagation (one join +
+    groupBy min) then CONTRACT — every edge rewritten to
+    (label(src), label(dst)) and deduplicated, so intra-component edges
+    vanish as soon as both endpoints agree.  Near-clique mass collapses
+    after a round or two, and a label group only disappears from the
+    contracted graph when its WHOLE component has merged (a closed label
+    group with external edges would contradict the component being
+    connected), so frozen labels are final.  Measured (r6, same-session
+    pairs vs the r3-r5 propagation+jump kernel): 9.5 vs 6.3 s at sf0.1,
+    27.6 vs 12.9 s at sf1, 89.9 vs 35.3 s at sf10.
 
-    Why adaptive rather than always-on (measured, sf1 10x tier,
-    fresh session, r5): real-world graphs have small effective diameter
-    (shrinking-diameter property), and there plain propagation finishes
-    before compression can pay for itself — always-jumping ran the
-    orders graph at 21.5 s vs 13 s plain (the extra per-round label-frame
-    join dominates).  High-diameter graphs (chains, road networks,
-    meshes) are where propagation degenerates — a 512-chain needs 511
-    plain rounds vs ~20 adaptive.  Jumping only after _JUMP_AFTER rounds
-    keeps the common case at plain-propagation cost while bounding the
-    pathological one.  pointer_jump=True/False forces either mode.
+    Phase 2 (only if edges remain): contraction shrinks a length-n path
+    by O(1) vertices per round — retired labels freeze, so per-round
+    label composition cannot compound — so high-diameter residue
+    switches to the r5 kernel's loop on the (much smaller) contracted
+    skeleton: plain propagation with a pointer jump fused into EVERY
+    round, where all nodes keep updating and the jump reach doubles
+    per round (O(log diameter) rounds; the 512-chain pytest pins this).
+
+    Phase 3: collapse stale label chains (a vid that stopped appearing
+    in the contracted graph keeps the label it last saw), then re-name
+    every component by its minimum in-domain member and union isolated
+    domain vertices back in.
     """
     vertices = vertices.toDF("vid").distinct()
     und = _doubled_neighbors(edges)  # cached-persisted, shared with lcc etc.
-    labels = pathops.materialize(vertices.select("vid", F.col("vid").alias("comp")))
-    rounds = 0
-    while True:
-        rounds += 1
-        jump_now = (
-            pointer_jump
-            if pointer_jump is not None
-            else rounds > _JUMP_AFTER
-        )
-        # the self rows are TAGGED into the same union, so the per-round
-        # old label comes out of the SAME groupBy (min over own rows) —
-        # no separate labels join per round; the changed-row count is
-        # observable during the checkpoint job, one job per round
+    parts = pathops.default_parallelism(edges.sparkSession)
+    labels = pathops.materialize(
+        und.select(F.col("src").alias("vid"))
+        .distinct()
+        .select("vid", F.col("vid").alias("comp"))
+    )
+    cur = und
+    for _ in range(_JUMP_AFTER):
         prop = (
             labels.alias("l")
-            .join(und.alias("u"), F.col("l.vid") == F.col("u.src"))
-            .select(
-                F.col("u.dst").alias("vid"),
-                F.col("l.comp").alias("comp"),
-                F.lit(0).alias("__own"),
-            )
-            .unionByName(
-                labels.select("vid", "comp", F.lit(1).alias("__own"))
-            )
+            .join(cur.alias("u"), F.col("l.vid") == F.col("u.src"))
+            .select(F.col("u.dst").alias("vid"), F.col("l.comp").alias("comp"))
+            .unionByName(labels.select("vid", "comp"))
             .groupBy("vid")
-            .agg(
-                F.min("comp").alias("comp"),
-                F.min(F.when(F.col("__own") == 1, F.col("comp"))).alias("__old"),
+            .agg(F.min("comp").alias("comp"))
+        )
+        labels = pathops.materialize(prop)
+        contracted = (
+            cur.alias("u")
+            .join(labels.alias("a"), F.col("u.src") == F.col("a.vid"))
+            .join(labels.alias("b"), F.col("u.dst") == F.col("b.vid"))
+            .select(F.col("a.comp").alias("src"), F.col("b.comp").alias("dst"))
+            .where(F.col("src") != F.col("dst"))
+        )
+        contracted = contracted.unionByName(
+            contracted.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct().repartition(parts, "src")
+        cur, n_edges = pathops.checkpoint_with_count(contracted)
+        if not n_edges:
+            break
+    else:
+        # high-diameter residue: compounding propagate+jump to fixpoint
+        # on the contracted skeleton, then compose vid -> comp -> final
+        sub = _min_label_fixpoint(cur)
+        labels = pathops.materialize(
+            labels.alias("l")
+            .join(sub.alias("s"), F.col("l.comp") == F.col("s.vid"), "left")
+            .select(
+                F.col("l.vid").alias("vid"),
+                F.least(
+                    F.col("l.comp"),
+                    F.coalesce(F.col("s.comp"), F.col("l.comp")),
+                ).alias("comp"),
             )
         )
-        # pointer jump: comp := previous round's label OF comp (labels
-        # map every seen vid, and comp values are seen vids; left join
-        # only guards the very first round's edge-endpoint unions)
-        if jump_now:
-            prop = (
-                prop.alias("p")
-                .join(
-                    labels.alias("j"), F.col("p.comp") == F.col("j.vid"), "left"
-                )
-                .select(
-                    F.col("p.vid").alias("vid"),
-                    F.least(
-                        F.col("p.comp"),
-                        F.coalesce(F.col("j.comp"), F.col("p.comp")),
-                    ).alias("comp"),
-                    F.col("p.__old").alias("__old"),
-                )
+    # collapse stale label chains: comp := labels[comp] until stable
+    while True:
+        obs = Observation(f"__pgq_wccj_{next(pathops._obs_seq)}")
+        jumped = (
+            labels.alias("p")
+            .join(labels.alias("q"), F.col("p.comp") == F.col("q.vid"), "left")
+            .select(
+                F.col("p.vid").alias("vid"),
+                F.least(
+                    F.col("p.comp"),
+                    F.coalesce(F.col("q.comp"), F.col("p.comp")),
+                ).alias("comp"),
+                (
+                    F.col("p.comp")
+                    != F.coalesce(F.col("q.comp"), F.col("p.comp"))
+                ).cast("int").alias("__ch"),
             )
-        obs = Observation(f"__pgq_wcc_{next(pathops._obs_seq)}")
-        merged = prop.observe(
-            obs,
-            F.sum(
-                F.when(
-                    F.col("__old").isNull() | (F.col("comp") != F.col("__old")), 1
-                ).otherwise(0)
-            ).alias("changed"),
+            .observe(obs, F.sum("__ch").alias("changed"))
         )
-        labels = pathops.materialize(merged.select("vid", "comp"))
+        labels = pathops.materialize(jumped.select("vid", "comp"))
         if not obs.get["changed"]:
             break
-    # propagation unions edge endpoints into the label set; restrict the
-    # answer to the caller's vertex domain (contract: one row per input
-    # vertex, like pagerank/lcc)
-    return (
-        labels.join(vertices, "vid", "left_semi")
-        .select("vid", F.col("comp").alias("component_id"))
+    # re-name components by their minimum IN-DOMAIN member; restrict to
+    # the caller's vertex domain (contract: one row per input vertex,
+    # like pagerank/lcc); isolated vertices are their own component
+    in_dom = labels.join(vertices, "vid", "left_semi")
+    renames = in_dom.groupBy("comp").agg(F.min("vid").alias("component_id"))
+    connected = in_dom.join(renames, "comp").select("vid", "component_id")
+    isolated = vertices.join(labels, "vid", "left_anti").select(
+        "vid", F.col("vid").alias("component_id")
     )
+    return connected.unionByName(isolated)
+
+
+def _min_label_fixpoint(graph: DataFrame) -> DataFrame:
+    """(vid, comp) min-label fixpoint over a doubled edge frame — plain
+    propagation with a pointer jump fused into every round (the r3-r5
+    WCC loop).  All nodes keep updating through real edges, so the jump
+    composes the full map each round and reach doubles: O(log diameter)
+    rounds.  Used on WCC's post-contraction skeleton."""
+    labels = pathops.materialize(
+        graph.select(F.col("src").alias("vid"))
+        .distinct()
+        .select("vid", F.col("vid").alias("comp"))
+    )
+    while True:
+        prop = (
+            labels.alias("l")
+            .join(graph.alias("u"), F.col("l.vid") == F.col("u.src"))
+            .select(F.col("u.dst").alias("vid"), F.col("l.comp").alias("comp"))
+            .unionByName(labels.select("vid", "comp"))
+            .groupBy("vid")
+            .agg(F.min("comp").alias("comp"))
+        )
+        obs = Observation(f"__pgq_wccf_{next(pathops._obs_seq)}")
+        jumped = (
+            prop.alias("p")
+            .join(prop.alias("q"), F.col("p.comp") == F.col("q.vid"), "left")
+            .select(
+                F.col("p.vid").alias("vid"),
+                F.least(
+                    F.col("p.comp"),
+                    F.coalesce(F.col("q.comp"), F.col("p.comp")),
+                ).alias("comp"),
+            )
+            .alias("j")
+            .join(
+                labels.alias("o"), F.col("j.vid") == F.col("o.vid"), "left"
+            )
+            .select(
+                F.col("j.vid").alias("vid"),
+                F.col("j.comp").alias("comp"),
+                (
+                    F.col("o.comp").isNull()
+                    | (F.col("j.comp") != F.col("o.comp"))
+                ).cast("int").alias("__ch"),
+            )
+            .observe(obs, F.sum("__ch").alias("changed"))
+        )
+        labels = pathops.materialize(jumped.select("vid", "comp"))
+        if not obs.get["changed"]:
+            return labels
 
 
 def _doubled_neighbors(edges: DataFrame) -> DataFrame:
     """Distinct both-direction neighbor pairs (src, dst), self-loops dropped
     — the undirected adjacency every triangle/clustering step works over.
-    Cached-persisted per session (pathops.persist_partitioned): lcc,
+    Session-cached per edge plan (the _prep_edges checkpoint cache): lcc,
     global_clustering, assortativity and WCC all derive this same frame
-    from the same edge set, so within a session it is built once."""
-    return pathops.persist_partitioned(
+    from the same edge set, so within a session it is built once.
+    Checkpoint (not persist) by measurement: WCC reads this frame twice
+    per round, and the persisted InMemoryRelation's columnar decode cost
+    those reads 12.6 s vs 5.1 s checkpointed at sf0.1 (r6) — the decode
+    outweighs the exchange the lost partitioning re-introduces."""
+    return pathops._prep_edges(
         edges.select("src", "dst")
         .unionByName(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
+        .distinct(),
+        None,
     )
 
 
