@@ -17,9 +17,11 @@ from .errors import (
     PGQNotImplementedError,
     PGQParseError,
 )
+from .operators.paths import clear_prep_cache
 from .session import get_spark
 
 __all__ = [
+    "clear_prep_cache",
     "PGQSession",
     "GraphCatalog",
     "PropertyGraph",

@@ -102,6 +102,22 @@ class PGQSession:
                 self.spark.conf.set("spark.checkpoint.dir", path)
             self.spark.conf.set(RELIABLE_CHECKPOINT_CONF, "true")
 
+    def clear_adjacency_cache(self) -> None:
+        """Invalidate this session's cached adjacency frames — the
+        reference's `delete_csr` analog (duckpgq_state.cpp:167-185).
+
+        The iterative kernels cache the shuffled/persisted edge frame per
+        (session, analyzed plan) so repeated queries over a standing graph
+        skip the re-shuffle, exactly like the reference keeps a built CSR
+        until delete_csr.  The cache key is the ANALYZED plan, so
+        re-registering a view over different files misses naturally; the
+        one case that serves a stale snapshot is REWRITING THE SAME FILES
+        in-session — call this after such a mutation (or set
+        SPARK_GRAFT_ADJ_CACHE=0 to disable caching outright)."""
+        from .operators.paths import clear_prep_cache
+
+        clear_prep_cache(self.spark)
+
     # -- DDL ------------------------------------------------------------
     def execute(self, statement: str) -> DataFrame:
         stmt = Parser(statement).parse_statement()

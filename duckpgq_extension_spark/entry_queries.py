@@ -1867,9 +1867,9 @@ def _mixture_oracle() -> str:
     return f"""
 WITH toks AS (SELECT doc_id, lang, len({_TOKS}) AS ntok FROM documents),
 tg AS (SELECT lang, SUM(ntok) AS tg FROM toks GROUP BY lang),
-thr AS (SELECT lang, LEAST(1000000, CAST(FLOOR(
+thr AS (SELECT lang, LEAST(1000000, COALESCE(CAST(FLOOR(
           (CASE lang {arms} ELSE 0.0 END) / CAST(NULLIF(tg, 0) AS DOUBLE))
-        AS BIGINT)) AS thr FROM tg)
+        AS BIGINT), 0)) AS thr FROM tg)
 SELECT t.doc_id, t.lang, CAST(t.ntok AS BIGINT) AS n_tok
 FROM toks t JOIN thr USING (lang)
 WHERE {_MD5L.format(X="CAST(doc_id AS VARCHAR) || 'm1'")} % 1000000 < thr
@@ -3833,6 +3833,30 @@ ORACLES = {
 # only the order changes round to round, so across consecutive rounds
 # every operator keeps a recent driver-recorded correctness row.
 
+# Round 7 rotation: mixture_sample (added late in round 6, never
+# driver-verified — and its zero-token-group NULL threshold was fixed this
+# round, so the fix must be driver-recorded) leads; then the 47 keys whose
+# last driver row is round 5 (everything round 6's window displaced); then
+# 2 sentinels from the round-6-green set.  All 98 keys stay registered —
+# only insertion order changes.
+_R7_FRONT = [
+    "mixture_sample",
+    # 47 keys last driver-verified in round 5
+    "match_2hop", "var_length_1_2", "shortest_len", "cheapest_path",
+    "pagerank", "wcc", "streaming_window", "lang_id", "text_stats",
+    "corpus_clean", "dedup_exact", "dedup_fingerprint", "dedup_jaccard",
+    "dedup_minhash", "simhash", "minhash_lsh_pairs", "dedup_clusters",
+    "contamination", "similarity_topk", "embedding_near_dup", "ann_lsh",
+    "ann_ivf", "embedding_clusters", "multimodal_decode", "hits", "scc",
+    "global_clustering", "random_walks", "closeness", "pii_redact",
+    "communities", "assortativity", "doc_logprob", "katz", "link_pred",
+    "nbr_features", "ego_net", "funnel", "cohort_retention",
+    "session_paths", "group_sample", "eccentricity", "path_counts",
+    "betweenness", "harmonic", "k_truss", "pipeline_corpus",
+    # 2 sentinels from the round-6-green window
+    "graph_report", "quality_repetition",
+]
+
 _R6_FRONT = [
     # the 2 repaired queries (failed r5 on array hashing, now string paths)
     "cheapest_path_vertices", "match_cheapest",
@@ -3856,10 +3880,10 @@ _R6_FRONT = [
 ]
 
 QUERIES = {
-    **{k: QUERIES[k] for k in _R6_FRONT},
-    **{k: v for k, v in QUERIES.items() if k not in set(_R6_FRONT)},
+    **{k: QUERIES[k] for k in _R7_FRONT},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R7_FRONT)},
 }
 ORACLES = {
-    **{k: ORACLES[k] for k in _R6_FRONT if k in ORACLES},
-    **{k: v for k, v in ORACLES.items() if k not in set(_R6_FRONT)},
+    **{k: ORACLES[k] for k in _R7_FRONT if k in ORACLES},
+    **{k: v for k, v in ORACLES.items() if k not in set(_R7_FRONT)},
 }

@@ -350,10 +350,17 @@ def mixture_sample(
         F.col(group_col),
         F.least(
             F.lit(buckets).cast("bigint"),
-            F.floor(
-                numer
-                / F.when(F.col("__tg") != 0, F.col("__tg")).cast("double")
-            ).cast("bigint"),
+            # a group whose token total is 0 has nothing to sample: its
+            # threshold must be 0 (keep nothing), not NULL — Spark's
+            # null-skipping least() would otherwise turn the NULL division
+            # into the full bucket space and keep EVERY row of the group
+            F.coalesce(
+                F.floor(
+                    numer
+                    / F.when(F.col("__tg") != 0, F.col("__tg")).cast("double")
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
         ).alias("__thr"),
     )
     b = F.pmod(

@@ -419,13 +419,19 @@ def dedup_clusters(
     n: int = 3,
     num_perm: int = 32,
     bands: int = 8,
-    threshold: float = 0.5,
+    threshold: float | None = None,
     max_doc_freq: int | None = None,
     pairs: DataFrame | None = None,
     connectivity: str = "pairs",
 ) -> DataFrame:
     """Near-duplicate CLUSTERS: LSH pairs -> connected components ->
     canonical representative.
+
+    `threshold` (default 0.5 under connectivity="pairs") is the
+    estimated-Jaccard cut for candidate pairs.  It is REJECTED with
+    connectivity="star": star edges are band-bucket collisions with no
+    per-pair score to threshold — tune star precision with fewer,
+    stricter bands instead.
 
     Pairwise near-dup detection alone under-deletes: if A~B and B~C but
     A!~C (similarity is not transitive), keeping one doc per *pair* still
@@ -473,23 +479,42 @@ def dedup_clusters(
         raise ValueError(
             f"connectivity must be 'pairs' or 'star', got {connectivity!r}"
         )
+    if connectivity == "star" and threshold is not None:
+        raise ValueError(
+            "threshold is not applicable with connectivity='star' (star "
+            "edges are band-bucket collisions, never jaccard-scored); "
+            "tune precision with fewer, stricter bands, or use "
+            "connectivity='pairs'"
+        )
     if pairs is None and connectivity == "star":
-        sig = minhash_signatures(
-            df, id_col, text_col, n=n, num_perm=num_perm,
-            max_doc_freq=max_doc_freq,
-        )
-        banded = _band_frame(sig, num_perm, bands)
-        mins = banded.groupBy("band", "bh").agg(F.min("id").alias("id_b"))
-        pairs = (
-            banded.join(mins, ["band", "bh"])
-            .where(F.col("id") != F.col("id_b"))
-            .select(F.col("id").alias("id_a"), "id_b")
-            .distinct()
-        )
+        # banded has two consumers (bucket-min aggregate + the join back);
+        # persist it so signatures are computed once, then eagerly
+        # checkpoint the small pair set and release, mirroring
+        # minhash_lsh_pairs' persist discipline
+        banded = _band_frame(
+            minhash_signatures(
+                df, id_col, text_col, n=n, num_perm=num_perm,
+                max_doc_freq=max_doc_freq,
+            ),
+            num_perm,
+            bands,
+        ).persist()
+        try:
+            mins = banded.groupBy("band", "bh").agg(F.min("id").alias("id_b"))
+            pairs = (
+                banded.join(mins, ["band", "bh"])
+                .where(F.col("id") != F.col("id_b"))
+                .select(F.col("id").alias("id_a"), "id_b")
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+        finally:
+            banded.unpersist()
     elif pairs is None:
         pairs = minhash_lsh_pairs(
             df, id_col, text_col, n=n, num_perm=num_perm, bands=bands,
-            threshold=threshold, max_doc_freq=max_doc_freq,
+            threshold=0.5 if threshold is None else threshold,
+            max_doc_freq=max_doc_freq,
         )
     edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     verts = (

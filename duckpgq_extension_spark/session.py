@@ -69,9 +69,12 @@ def get_spark(
         # exactly the parquet split count.  The default 128 MB
         # maxPartitionBytes turns a single ~30 MB local file into ONE task —
         # match_triangle at the 10x tier ran 8.5 s nearly serial vs 2.6 s
-        # with 4 MB splits (measured, r6).  4 MB is the local-small-file
-        # setting; on a real cluster reading TB-scale tables leave the
-        # 128 MB default (SPARK_GRAFT_MAX_PARTITION_BYTES overrides).
+        # with 4 MB splits (measured, r6).  4 MB is strictly a
+        # LOCAL-small-file setting: this builder hardwires local[N]
+        # masters, so it is safe to default here, but a cluster session
+        # (cluster users build their own SparkSession, or override via
+        # SPARK_GRAFT_MAX_PARTITION_BYTES) must keep Spark's 128 MB —
+        # 4 MB splits over TB-scale tables would explode task counts.
         .config(
             "spark.sql.files.maxPartitionBytes",
             os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(4 * 1024 * 1024)),
@@ -90,6 +93,22 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    try:
+        # getOrCreate can attach to a PRE-EXISTING session whose master is a
+        # real cluster (yarn/k8s/standalone) — our builder's local[N] master
+        # is then ignored but runtime SQL confs like maxPartitionBytes still
+        # land.  Never let the local-small-file 4 MB split size leak onto a
+        # cluster: restore Spark's default there unless the user explicitly
+        # overrode it.
+        if (
+            "SPARK_GRAFT_MAX_PARTITION_BYTES" not in os.environ
+            and not spark.conf.get("spark.master", "local").startswith("local")
+        ):
+            spark.conf.set(
+                "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+            )
+    except Exception:  # noqa: BLE001 - conf introspection must never fail import
+        pass
     try:
         spark.sparkContext.setLogLevel("WARN")
     except Exception:  # noqa: BLE001 - Spark Connect: no sparkContext;

@@ -324,3 +324,21 @@ def test_mixture_sample_caps_drops_and_validates(spark):
         mixture_sample(df, "doc_id", "text", "grp", {"a": -1.0}, 10)
     with _pt.raises(ValueError):
         mixture_sample(df, "doc_id", "text", "grp", {"a": 1.0}, 0)
+
+
+def test_mixture_sample_zero_token_group_samples_empty(spark):
+    """A weighted group whose total token count is 0 must sample EMPTY:
+    the NULL division behind its threshold used to fall out of Spark's
+    null-skipping least() as the full bucket space, keeping every row
+    of the group (round-6 advice)."""
+    from duckpgq_extension_spark.operators.corpus import mixture_sample
+
+    df = spark.createDataFrame(
+        # group z: 3 docs, all NULL text -> group token total is NULL/0
+        [(1, "x y", "a"), (10, None, "z"), (11, None, "z"), (12, None, "z")],
+        "doc_id long, text string, grp string",
+    )
+    out = mixture_sample(
+        df, "doc_id", "text", "grp", {"a": 1.0, "z": 1.0}, token_budget=1000
+    ).collect()
+    assert [(r.doc_id, r.grp) for r in out] == [(1, "a")]

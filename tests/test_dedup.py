@@ -187,10 +187,12 @@ def test_dedup_clusters_star_coarsens_pairs(spark):
         + [(100, "completely unrelated text nothing shared here at all")]
     )
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    kw = dict(n=2, num_perm=16, bands=8, threshold=0.5)
+    kw = dict(n=2, num_perm=16, bands=8)
     pairs_mode = {
         r.doc_id: r.canonical_id
-        for r in dedup_clusters(docs, "doc_id", "text", **kw).collect()
+        for r in dedup_clusters(
+            docs, "doc_id", "text", threshold=0.5, **kw
+        ).collect()
     }
     star_mode = {
         r.doc_id: r.canonical_id
@@ -218,3 +220,16 @@ def test_dedup_clusters_connectivity_validation(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         dedup_clusters(docs, "doc_id", "text", connectivity="mesh")
+
+
+def test_dedup_clusters_star_rejects_threshold(spark):
+    """connectivity='star' has no per-pair jaccard to threshold: passing
+    one must raise instead of being silently ignored (round-6 advice)."""
+    import pytest
+    from duckpgq_extension_spark.operators.dedup import dedup_clusters
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="star"):
+        dedup_clusters(
+            docs, "doc_id", "text", connectivity="star", threshold=0.9
+        )

@@ -191,3 +191,22 @@ def test_prep_edges_cache_fifo_cap(spark):
     again = P._prep_edges(df, 4)
     assert again is not first, "FIFO cap must have evicted the oldest"
     assert again.count() == 2, "evicted frames must still be rebuildable"
+
+
+def test_cache_invalidation_is_public_api(spark, tmp_path):
+    """clear_prep_cache is exported at package top level and wrapped as
+    PGQSession.clear_adjacency_cache (the delete_csr analog) — users who
+    rewrite table files in-session need a supported invalidation path
+    (round-6 advice)."""
+    import duckpgq_extension_spark as dpq
+    from duckpgq_extension_spark.operators import paths as P
+
+    assert dpq.clear_prep_cache is P.clear_prep_cache
+    assert "clear_prep_cache" in dpq.__all__
+
+    sess = dpq.PGQSession(spark, catalog_path=str(tmp_path / "cat.json"))
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    prepped = P._prep_edges(edges, 4)  # populate this session's cache
+    assert prepped is P._prep_edges(edges, 4), "expected a cache hit"
+    sess.clear_adjacency_cache()
+    assert prepped is not P._prep_edges(edges, 4), "method must drop the entry"
