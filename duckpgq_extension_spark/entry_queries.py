@@ -3613,6 +3613,219 @@ O_GRAPH_REPORT = _graph_report_oracle()
 
 
 # --------------------------------------------------------------------------
+# corpus curation v2 (round 7): cross-snapshot dedup, paragraph dedup,
+# keep-longest canonical selection, DSIR importance resampling, text
+# normalization, streaming near-dup (batch-mode oracle entry)
+# --------------------------------------------------------------------------
+
+
+def q_cross_corpus_dedup(spark, sf_dir):
+    """Snapshot-increment near-dedup (operators/dedup.cross_corpus_dedup,
+    mode='near'): documents NOT in the reference slice (doc_id % 7 == 0)
+    survive only if none of their MinHash band buckets collide with the
+    reference — both sides' signatures computed in-row (shuffle-free),
+    membership one (band, bh) semi-join."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    new = docs.where(F.col("doc_id") % 7 != 0)
+    ref = docs.where(F.col("doc_id") % 7 == 0)
+    out = dedup.cross_corpus_dedup(
+        new, ref, "doc_id", "text", mode="near", n=2, num_perm=16, bands=8
+    )
+    return out.select("doc_id", "lang")
+
+
+def _cross_corpus_oracle() -> str:
+    nparts = _minhash_lsh_parts(
+        16, 8, src="(SELECT * FROM documents WHERE doc_id % 7 != 0)", p="n_"
+    )[:6]
+    rparts = _minhash_lsh_parts(
+        16, 8, src="(SELECT * FROM documents WHERE doc_id % 7 = 0)", p="r_"
+    )[:6]
+    body = ",\n".join(nparts + rparts)
+    return f"""
+WITH {body}
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id % 7 != 0 AND d.doc_id NOT IN (
+  SELECT DISTINCT nb.doc_id
+  FROM n_banded nb JOIN r_banded rb ON nb.band = rb.band AND nb.bh = rb.bh)
+"""
+
+
+O_CROSS_CORPUS_DEDUP = _cross_corpus_oracle()
+
+
+def q_stream_near_dup(spark, sf_dir):
+    """Streaming-safe duplicate filter in batch mode (streaming/events.
+    near_dup_stream, mode='exact'): the same builder that filters a
+    document stream against a static content-hash index — stateless
+    stream-static anti-join, verified here on the batch frame (true
+    readStream equivalence is pinned in tests/test_io_stateful.py)."""
+    from .streaming import events as SE
+
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    new = docs.where(F.col("doc_id") % 7 != 0)
+    ref = docs.where(F.col("doc_id") % 7 == 0)
+    idx = SE.content_hash_index(ref, "text")
+    return SE.near_dup_stream(new, idx, "doc_id", "text", mode="exact").select(
+        "doc_id", "lang"
+    )
+
+
+O_STREAM_NEAR_DUP = f"""
+SELECT doc_id, lang FROM documents
+WHERE doc_id % 7 != 0 AND {_MD5L.format(X='text')} NOT IN (
+  SELECT {_MD5L.format(X='text')} FROM documents WHERE doc_id % 7 = 0)
+"""
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    """Corpus-global paragraph dedup (operators/dedup.dedup_paragraphs):
+    pseudo-paragraphs are fixed 8-token windows (the testdata corpus is
+    single-line, so the split is synthesized in-query); every repeated
+    paragraph survives only at its first (doc, position) occurrence."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    toks = TX.tokens(F.col("text"))
+    paras = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(8)),
+        lambda s: F.array_join(F.slice(toks, s, 8), " "),
+    )
+    pre = docs.select("doc_id", paras.alias("paras"))
+    return dedup.dedup_paragraphs(pre, "doc_id", "paras", sep="\n")
+
+
+O_DEDUP_PARAGRAPHS = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+paras AS (
+  SELECT doc_id, list_transform(generate_series(1, greatest(len(t), 1), 8),
+                                s -> array_to_string(t[s:s+7], ' ')) AS ps
+  FROM toks),
+inst AS (
+  SELECT doc_id, i - 1 AS pos, ps[i] AS para
+  FROM paras, UNNEST(generate_series(1, len(ps))) AS u(i)),
+flag AS (
+  SELECT doc_id, pos, para,
+         ROW_NUMBER() OVER (PARTITION BY para ORDER BY doc_id, pos) = 1 AS keep
+  FROM inst)
+SELECT doc_id,
+  COALESCE(string_agg(CASE WHEN keep THEN para END, chr(10) ORDER BY pos), '')
+    AS clean_text,
+  CAST(COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_kept,
+  CAST(COUNT(*) - COALESCE(SUM(CASE WHEN keep THEN 1 ELSE 0 END), 0) AS BIGINT)
+    AS n_dropped
+FROM flag GROUP BY doc_id
+"""
+
+
+def q_dedup_keep_longest(spark, sf_dir):
+    """Near-dup removal keeping the FULLEST cluster member
+    (operators/dedup.deduplicate_lsh keep='longest'): same LSH clusters
+    as dedup_clusters, representative = max token count, id tie-break."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    clusters = dedup.dedup_clusters(
+        docs, "doc_id", "text", n=2, num_perm=16, bands=8, threshold=0.5
+    )
+    kept = dedup.deduplicate_lsh(
+        docs, "doc_id", "text", clusters=clusters, keep="longest"
+    )
+    return kept.select("doc_id", "lang")
+
+
+O_DEDUP_KEEP_LONGEST = f"""
+WITH RECURSIVE pairs AS ({_minhash_lsh_oracle(16, 8, 0.5)}),
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+),
+comp AS (SELECT a AS doc_id, LEAST(a, MIN(b)) AS canonical_id FROM reach GROUP BY a),
+lens AS (SELECT doc_id, len({_TOKS}) AS l FROM documents),
+ranked AS (
+  SELECT c.doc_id,
+         ROW_NUMBER() OVER (PARTITION BY c.canonical_id
+                            ORDER BY l.l DESC, c.doc_id ASC) AS rn
+  FROM comp c JOIN lens l USING (doc_id)),
+dropped AS (SELECT doc_id FROM ranked WHERE rn > 1)
+SELECT d.doc_id, d.lang FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+"""
+
+
+def q_importance_resample(spark, sf_dir):
+    """DSIR-style importance resampling (operators/corpus.
+    importance_resample): French documents as the target domain; keep
+    the top-100 documents by mean hashed-unigram log-likelihood ratio
+    (laplace-smoothed, 64 buckets), ties by id."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    target = docs.where(F.col("lang") == "fr")
+    return corpus.importance_resample(
+        docs, "doc_id", "text", target, k=100, n_buckets=64
+    )
+
+
+O_IMPORTANCE_RESAMPLE = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, u.tok FROM toks, UNNEST(t) AS u(tok)),
+bkt AS (SELECT doc_id, {_MD5L.format(X='tok')} % 64 AS b FROM tok),
+tgt AS (SELECT b, COUNT(*) AS tc FROM bkt JOIN documents USING (doc_id)
+        WHERE lang = 'fr' GROUP BY b),
+raw AS (SELECT b, COUNT(*) AS rc FROM bkt GROUP BY b),
+tt AS (SELECT SUM(tc) AS tt FROM tgt),
+rt AS (SELECT SUM(rc) AS rt FROM raw),
+llr AS (
+  SELECT COALESCE(g.b, r.b) AS b,
+         ln((COALESCE(tc, 0) + 1.0) / (tt + 64.0))
+           - ln((COALESCE(rc, 0) + 1.0) / (rt + 64.0)) AS llr
+  FROM tgt g FULL OUTER JOIN raw r ON g.b = r.b, tt, rt),
+sc AS (SELECT doc_id, COUNT(*) AS n_tokens, ROUND(AVG(llr), 6) AS score
+       FROM bkt JOIN llr USING (b) GROUP BY doc_id)
+SELECT doc_id, n_tokens, score FROM sc ORDER BY score DESC, doc_id LIMIT 100
+"""
+
+
+def q_text_normalize(spark, sf_dir):
+    """Crawl-cleanup normalization (functions/text.normalize_text with
+    strip_punct + ascii_fold): accents folded via the fixed translate
+    table, ASCII punctuation stripped, whitespace collapsed — applied
+    to a deliberately messy wrapper around each document so the pass is
+    exercised (the synthetic corpus is already clean)."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    messy = F.concat(
+        F.lit("  ¡Héllo!  "), F.upper(F.col("text")), F.lit("  Café, №1... ")
+    )
+    return docs.select(
+        "doc_id",
+        TX.normalize_text(messy, strip_punct=True, ascii_fold=True).alias("norm"),
+    )
+
+
+def _text_normalize_oracle() -> str:
+    from .functions.text import ACCENT_FROM, ACCENT_TO
+
+    return f"""
+SELECT doc_id,
+  trim(regexp_replace(regexp_replace(
+    lower(translate('  ¡Héllo!  ' || upper(text) || '  Café, №1... ',
+                    '{ACCENT_FROM}', '{ACCENT_TO}')),
+    '[!-/:-@\\[-`{{-~]', '', 'g'), '\\s+', ' ', 'g')) AS norm
+FROM documents
+"""
+
+
+O_TEXT_NORMALIZE = _text_normalize_oracle()
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -3832,6 +4045,27 @@ ORACLES = {
 # from the round-5-green set.  All 96 keys remain present in queries();
 # only the order changes round to round, so across consecutive rounds
 # every operator keeps a recent driver-recorded correctness row.
+
+# corpus curation v2 (round 7) — registered after the round-7 window so
+# they don't displace never-yet-verified keys; pre-verified via
+# tools/check_oracle.py and rotated into the driver window next round
+QUERIES.update({
+    "cross_corpus_dedup": q_cross_corpus_dedup,
+    "stream_near_dup": q_stream_near_dup,
+    "dedup_paragraphs": q_dedup_paragraphs,
+    "dedup_keep_longest": q_dedup_keep_longest,
+    "importance_resample": q_importance_resample,
+    "text_normalize": q_text_normalize,
+})
+ORACLES.update({
+    "cross_corpus_dedup": O_CROSS_CORPUS_DEDUP,
+    "stream_near_dup": O_STREAM_NEAR_DUP,
+    "dedup_paragraphs": O_DEDUP_PARAGRAPHS,
+    "dedup_keep_longest": O_DEDUP_KEEP_LONGEST,
+    "importance_resample": O_IMPORTANCE_RESAMPLE,
+    "text_normalize": O_TEXT_NORMALIZE,
+})
+
 
 # Round 7 rotation: mixture_sample (added late in round 6, never
 # driver-verified — and its zero-token-group NULL threshold was fixed this

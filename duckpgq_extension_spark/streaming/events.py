@@ -489,3 +489,97 @@ def session_paths(
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(top_n)
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming near-duplicate filtering against a static reference index
+# ---------------------------------------------------------------------------
+
+
+def band_index(ref: DataFrame, id_col: str, text_col: str,
+               n: int = 2, num_perm: int = 16, bands: int = 8) -> DataFrame:
+    """Distinct (band, bh) MinHash band-bucket index over a REFERENCE
+    corpus — the static side of `near_dup_stream`.  Build it once per
+    snapshot and persist it (or write it out partitioned/bucketed by
+    (band, bh)); at 100 TB the index is the big side and must never be
+    broadcast, which is exactly why the stream operator joins on it
+    instead of collecting it."""
+    from ..operators.dedup import _band_frame, minhash_signatures
+
+    sig = minhash_signatures(ref, id_col, text_col, n=n, num_perm=num_perm)
+    return _band_frame(sig, num_perm, bands).select("band", "bh").distinct()
+
+
+def content_hash_index(ref: DataFrame, text_col: str) -> DataFrame:
+    """Distinct md5-prefix content hashes of a reference corpus — the
+    static side of `near_dup_stream(mode='exact')`."""
+    from ..functions.text import md5_long
+
+    return ref.select(md5_long(F.col(text_col)).alias("__ch")).distinct()
+
+
+def near_dup_stream(
+    docs: DataFrame,
+    index: DataFrame,
+    id_col: str,
+    text_col: str,
+    mode: str = "near",
+    n: int = 2,
+    num_perm: int = 16,
+    bands: int = 8,
+) -> DataFrame:
+    """Filter a document STREAM against a static duplicate index: rows
+    whose content (mode='exact', index = content_hash_index) or any
+    MinHash band bucket (mode='near', index = band_index) collides with
+    the reference corpus are dropped — the incremental-crawl companion
+    to operators.dedup.cross_corpus_dedup.
+
+    Streaming-safe by construction: signatures are computed IN-ROW
+    (minhash_signatures' shuffle-free path lifted to column expressions
+    here), and membership is a chain of stream-static LEFT ANTI
+    equi-joins — one per band — so there is no stream-side aggregation,
+    no watermark requirement, and no state store; each micro-batch joins
+    against the (optionally persisted/bucketed) index and emits
+    survivors append-mode.  A doc is dropped iff ANY band collides —
+    band b's anti-join removes exactly the docs colliding in band b, so
+    the chain implements the any-collision policy without recombining
+    per-band verdicts.  The same builder runs on a batch frame, which is
+    how the oracle gate checks it.
+    """
+    from ..functions.text import md5_long
+    from ..operators.dedup import minhash_sig_inrow, MINHASH_PRIME
+
+    if mode == "exact":
+        return (
+            docs.withColumn("__ch", md5_long(F.col(text_col)))
+            .join(index, "__ch", "left_anti")
+            .drop("__ch")
+        )
+    if mode != "near":
+        raise ValueError(f"mode must be 'exact' or 'near', got {mode!r}")
+    if num_perm % bands:
+        raise ValueError("bands must divide num_perm")
+    rows = num_perm // bands
+    out = docs.withColumn("__sig", minhash_sig_inrow(F.col(text_col), n, num_perm))
+    # docs with no shingles keep the P sentinel -> nothing to collide
+    # with; they pass through (matching cross_corpus_dedup, whose
+    # signature frame simply lacks them)
+    for b in range(bands):
+        bh = F.when(
+            F.col("__sig")[0] != MINHASH_PRIME,
+            md5_long(
+                F.concat_ws(
+                    "-",
+                    F.transform(
+                        F.slice(F.col("__sig"), b * rows + 1, rows),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ),
+        )
+        out = out.withColumn("__bh", bh).join(
+            index.where(F.col("band") == b).select(F.col("bh").alias("__bh")),
+            "__bh",
+            "left_anti",
+        )
+    return out.drop("__bh", "__sig")

@@ -342,3 +342,41 @@ def test_mixture_sample_zero_token_group_samples_empty(spark):
         df, "doc_id", "text", "grp", {"a": 1.0, "z": 1.0}, token_budget=1000
     ).collect()
     assert [(r.doc_id, r.grp) for r in out] == [(1, "a")]
+
+
+def test_importance_resample_dsir_golden(spark):
+    """DSIR-style importance resampling: hand-replayed laplace-smoothed
+    bucket log-likelihood ratios, deterministic top-k by (score, id)."""
+    import hashlib
+    import math
+    from collections import Counter
+
+    from duckpgq_extension_spark.operators.corpus import importance_resample
+
+    raw = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "dd dd dd"), (3, "aa aa bb")],
+        "doc_id long, text string")
+    tgt = spark.createDataFrame([(1, "aa bb aa")], "tid long, text string")
+    out = [(r.doc_id, r.n_tokens, r.score) for r in importance_resample(
+        raw, "doc_id", "text", tgt, target_text_col="text",
+        k=2, n_buckets=8).collect()]
+
+    def bucket(t):
+        return int(hashlib.md5(t.encode()).hexdigest()[:15], 16) % 8
+
+    rc = Counter(bucket(t) for t in "aa bb cc dd dd dd aa aa bb".split())
+    tc = Counter(bucket(t) for t in "aa bb aa".split())
+    rt, tt = sum(rc.values()), sum(tc.values())
+
+    def llr(b):
+        return (math.log((tc.get(b, 0) + 1) / (tt + 8))
+                - math.log((rc.get(b, 0) + 1) / (rt + 8)))
+
+    docs = {1: "aa bb cc", 2: "dd dd dd", 3: "aa aa bb"}
+    scores = {d: round(sum(llr(bucket(t)) for t in s.split()) / len(s.split()), 6)
+              for d, s in docs.items()}
+    exp = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(d, s) for d, _, s in out] == exp
+    import pytest
+    with pytest.raises(ValueError):
+        importance_resample(raw, "doc_id", "text", tgt, k=0)

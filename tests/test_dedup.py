@@ -233,3 +233,91 @@ def test_dedup_clusters_star_rejects_threshold(spark):
         dedup_clusters(
             docs, "doc_id", "text", connectivity="star", threshold=0.9
         )
+
+
+def test_cross_corpus_dedup_exact_and_near(spark):
+    """Snapshot-increment dedup: exact drops byte-identical re-crawls,
+    near drops band-bucket collisions; survivors keep the new corpus's
+    schema."""
+    from duckpgq_extension_spark.operators.dedup import cross_corpus_dedup
+
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"), (11, "unique fresh content here"),
+         (12, "alpha beta gamma delta epsilon"), (13, "solo")],
+        "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "other old page")],
+        "doc_id long, text string")
+    ex = sorted(r.doc_id for r in cross_corpus_dedup(new, ref, "doc_id", "text").collect())
+    assert ex == [11, 12, 13]  # only the exact copy of ref#1 drops
+    near = sorted(r.doc_id for r in cross_corpus_dedup(
+        new, ref, "doc_id", "text", mode="near").collect())
+    # 12 shares most shingles with ref#1 -> band collision; 13 has no
+    # 2-gram shingles -> passes through
+    assert near == [11, 13]
+    # scored mode at an unreachable threshold keeps near-misses
+    scored = sorted(r.doc_id for r in cross_corpus_dedup(
+        new, ref, "doc_id", "text", mode="near", threshold=0.99).collect())
+    assert 12 in scored and 10 not in scored
+    import pytest
+    with pytest.raises(ValueError, match="mode"):
+        cross_corpus_dedup(new, ref, "doc_id", "text", mode="fuzzy")
+
+
+def test_dedup_paragraphs_first_occurrence_wins(spark):
+    """Corpus-global paragraph dedup: a repeated paragraph survives only
+    at its minimum (doc, position) occurrence; per-doc text is
+    reassembled in original order."""
+    from duckpgq_extension_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, ["intro one", "COMMON FOOTER", "body a"]),
+         (2, ["body b", "COMMON FOOTER"]),
+         (3, ["COMMON FOOTER", "COMMON FOOTER"])],
+        "doc_id long, paras array<string>")
+    out = {r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+           for r in dedup_paragraphs(docs, "doc_id", "paras").collect()}
+    assert out[1] == ("intro one\nCOMMON FOOTER\nbody a", 3, 0)
+    assert out[2] == ("body b", 1, 1)
+    assert out[3] == ("", 0, 2)  # doc of pure boilerplate empties out
+
+
+def test_deduplicate_lsh_keep_longest(spark):
+    """keep='longest' retains the fullest cluster member (token count
+    desc, id asc tie-break) instead of the minimum id."""
+    import pytest
+    from duckpgq_extension_spark.operators.dedup import (
+        dedup_clusters, deduplicate_lsh)
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"),
+         (2, "a b c d e f g h longer version extra tokens"),
+         (3, "totally different content words")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    clusters = dedup_clusters(docs, "doc_id", "text", pairs=pairs)
+    kept = sorted(r.doc_id for r in deduplicate_lsh(
+        docs, "doc_id", "text", clusters=clusters, keep="longest").collect())
+    assert kept == [2, 3]
+    keptm = sorted(r.doc_id for r in deduplicate_lsh(
+        docs, "doc_id", "text", clusters=clusters).collect())
+    assert keptm == [1, 3]
+    with pytest.raises(ValueError, match="keep"):
+        deduplicate_lsh(docs, "doc_id", "text", clusters=clusters, keep="best")
+
+
+def test_minhash_signatures_inrow_equals_groupby(spark):
+    """The shuffle-free in-row signature path and the explode+groupBy
+    path (forced via max_doc_freq) compute identical signatures and both
+    drop shingle-less docs."""
+    from duckpgq_extension_spark.operators.dedup import minhash_signatures
+
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, "a b c d"), (3, "b c d e f"), (4, "")],
+        "doc_id long, text string")
+    a = {(r.id, tuple(r.sig)) for r in minhash_signatures(
+        docs, "doc_id", "text", n=2, num_perm=8).collect()}
+    b = {(r.id, tuple(r.sig)) for r in minhash_signatures(
+        docs, "doc_id", "text", n=2, num_perm=8, max_doc_freq=10**9).collect()}
+    assert a == b
+    assert {i for i, _ in a} == {2, 3}

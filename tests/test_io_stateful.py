@@ -243,3 +243,63 @@ def test_graph_import_rejects_flattened_name_collision(spark, tmp_path):
     (d / "graph.json").write_text(json.dumps(meta))
     with pytest.raises(PGQBinderError, match="flatten"):
         import_property_graph(PGQSession(spark), str(d))
+
+
+def test_near_dup_stream_matches_batch(spark, tmp_path):
+    """near_dup_stream on a REAL readStream emits exactly the batch
+    survivors: stateless in-row signatures + chained stream-static anti
+    joins, no watermark, append mode."""
+    from duckpgq_extension_spark.operators.dedup import cross_corpus_dedup
+    from duckpgq_extension_spark.streaming import events as ev
+
+    new = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"), (11, "unique fresh content here"),
+         (12, "alpha beta gamma delta epsilon"), (13, "solo"),
+         (14, "another brand new document entirely")],
+        "doc_id long, text string")
+    ref = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "other old page")],
+        "doc_id long, text string")
+    src = str(tmp_path / "docs")
+    new.write.parquet(src)
+    idx = ev.band_index(ref, "doc_id", "text").persist()
+    try:
+        stream = ev.stream_from_parquet(spark, src, "doc_id long, text string")
+        out = ev.near_dup_stream(stream, idx, "doc_id", "text")
+        assert out.isStreaming
+        q = ev.run_stream_to_memory(out, "near_dup_stream_t")
+        try:
+            got = sorted(
+                r.doc_id
+                for r in spark.sql("SELECT doc_id FROM near_dup_stream_t").collect()
+            )
+        finally:
+            q.stop()
+        want = sorted(
+            r.doc_id
+            for r in cross_corpus_dedup(new, ref, "doc_id", "text", mode="near").collect()
+        )
+        assert got == want and 11 in got and 10 not in got
+    finally:
+        idx.unpersist()
+
+
+def test_near_dup_stream_exact_streaming(spark, tmp_path):
+    from duckpgq_extension_spark.streaming import events as ev
+
+    new = spark.createDataFrame(
+        [(10, "same old text"), (11, "fresh text")], "doc_id long, text string")
+    ref = spark.createDataFrame([(1, "same old text")], "doc_id long, text string")
+    src = str(tmp_path / "docs2")
+    new.write.parquet(src)
+    idx = ev.content_hash_index(ref, "text")
+    stream = ev.stream_from_parquet(spark, src, "doc_id long, text string")
+    q = ev.run_stream_to_memory(
+        ev.near_dup_stream(stream, idx, "doc_id", "text", mode="exact"),
+        "near_dup_exact_t",
+    )
+    try:
+        got = [r.doc_id for r in spark.sql("SELECT doc_id FROM near_dup_exact_t").collect()]
+    finally:
+        q.stop()
+    assert got == [11]

@@ -155,3 +155,25 @@ def test_redact_pii_clean_text_unchanged(spark):
     ).first()
     assert row.r == "no pii here, just words and 42 numbers"
     assert (row.n_emails, row.n_ips, row.n_phones) == (0, 0, 0)
+
+
+def test_normalize_text_options(spark):
+    from pyspark.sql import functions as F
+
+    from duckpgq_extension_spark.functions.text import normalize_text
+
+    df = spark.createDataFrame([("  Héllo,   Wörld! (Café) #1  ",)], "t string")
+    got = df.select(
+        normalize_text(F.col("t")).alias("basic"),
+        normalize_text(F.col("t"), strip_punct=True).alias("nopunct"),
+        normalize_text(
+            F.col("t"), strip_punct=True, ascii_fold=True
+        ).alias("folded"),
+        normalize_text(
+            F.col("t"), lower=False, collapse_ws=False
+        ).alias("noop"),
+    ).first()
+    assert got.basic == "héllo, wörld! (café) #1"
+    assert got.nopunct == "héllo wörld café 1"
+    assert got.folded == "hello world cafe 1"
+    assert got.noop == "  Héllo,   Wörld! (Café) #1  "
