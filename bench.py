@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "dedup_jaccard",
     "dedup_minhash",
     "dedup_clusters",
+    "cross_corpus_dedup",
+    "dedup_paragraphs",
+    "dedup_keep_longest",
+    "importance_resample",
     "contamination",
     "simhash",
     "similarity_topk",
