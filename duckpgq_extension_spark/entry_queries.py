@@ -3825,6 +3825,52 @@ FROM documents
 O_TEXT_NORMALIZE = _text_normalize_oracle()
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/similarity.semantic_dedup):
+    cluster the embedding space (8 deterministic seed centroids),
+    within-cluster cosine pairs >= 0.3 -> connected components -> keep the
+    minimum-id representative.  Embedding-side companion to MinHash."""
+    setup(spark, sf_dir)
+    emb = _emb_double(spark, sf_dir)
+    kept = similarity.semantic_dedup(emb, threshold=0.3, nlist=8)
+    return kept.select("vec_id")
+
+
+O_SEMANTIC_DEDUP = """
+WITH RECURSIVE emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cent AS (SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8),
+csim AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(e.v, c.cv) /
+           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+  FROM emb e CROSS JOIN cent c),
+asg AS (
+  SELECT vec_id, cid AS cluster FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM csim) WHERE rn = 1),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM asg a JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN emb ea ON ea.vec_id = a.vec_id
+  JOIN emb eb ON eb.vec_id = b.vec_id
+  WHERE ROUND(list_dot_product(ea.v, eb.v) /
+              (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))),
+              6) >= 0.3),
+edges AS (
+  SELECT id_a AS x, id_b AS y FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs),
+reach AS (
+  SELECT x, y FROM edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN edges e ON r.y = e.x),
+comp AS (SELECT x AS vid, LEAST(x, MIN(y)) AS rep FROM reach GROUP BY x)
+SELECT vec_id FROM embeddings
+WHERE vec_id NOT IN (SELECT vid FROM comp WHERE vid != rep)
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4056,6 +4102,7 @@ QUERIES.update({
     "dedup_keep_longest": q_dedup_keep_longest,
     "importance_resample": q_importance_resample,
     "text_normalize": q_text_normalize,
+    "semantic_dedup": q_semantic_dedup,
 })
 ORACLES.update({
     "cross_corpus_dedup": O_CROSS_CORPUS_DEDUP,
@@ -4064,6 +4111,7 @@ ORACLES.update({
     "dedup_keep_longest": O_DEDUP_KEEP_LONGEST,
     "importance_resample": O_IMPORTANCE_RESAMPLE,
     "text_normalize": O_TEXT_NORMALIZE,
+    "semantic_dedup": O_SEMANTIC_DEDUP,
 })
 
 

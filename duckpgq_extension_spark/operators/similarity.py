@@ -447,3 +447,64 @@ def embedding_near_duplicates(
         )
         .where(F.col("cosine_sim") >= threshold)
     )
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    nlist: int = 16,
+    iterations: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540, simplified): cluster the embedding space, find
+    near-duplicate pairs ONLY within clusters (cosine >= threshold),
+    group them into connected components, and keep one representative
+    (minimum id) per component.  Returns the surviving rows of
+    `embeddings` with their original schema.
+
+    Semantic dedup removes *meaning-level* duplicates that text-level
+    MinHash misses (translations, templated rewrites, near-paraphrases)
+    — the standard embedding-side companion to the MinHash pass in
+    web-scale corpus curation.
+
+    Scale design: clustering bounds the candidate space — all-pairs run
+    per cluster, never corpus-wide, and candidate generation reuses the
+    triangle-salted hot-bucket join (dedup._bucket_pairs) so one
+    mega-cluster cannot pin a reducer.  Following the paper, cluster
+    count should grow with the corpus (they use ~sqrt(n)); per-cluster
+    pair mass is then O(n) total.  Centroids are driver-small broadcast
+    literals by the IVF contract; the component step runs only on the
+    duplicate subgraph.  Deterministic end to end (seeded centroids,
+    id-ordered representatives) — the DuckDB oracle replays it exactly.
+    """
+    from ..algorithms import weakly_connected_component
+    from .dedup import _bucket_pairs
+
+    cents = ivf_centroids(embeddings, nlist, id_col, vec_col, iterations)
+    c = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        _nearest_centroid(F.col(vec_col), cents).alias("cluster"),
+    )
+    cands = _bucket_pairs(c.select("id", "cluster"), ["cluster"])
+    pairs = (
+        cands.join(
+            c.select(F.col("id").alias("id_a"), F.col("vec").alias("__va")), "id_a"
+        )
+        .join(c.select(F.col("id").alias("id_b"), F.col("vec").alias("__vb")), "id_b")
+        .where(F.round(cosine(F.col("__va"), F.col("__vb")), 6) >= threshold)
+        .select("id_a", "id_b")
+    )
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    verts = (
+        edges.select(F.col("src").alias("vid"))
+        .unionByName(edges.select(F.col("dst").alias("vid")))
+        .distinct()
+    )
+    comp = weakly_connected_component(edges, verts)
+    drop = comp.where(F.col("vid") != F.col("component_id")).select(
+        F.col("vid").alias(id_col)
+    )
+    return embeddings.join(drop, id_col, "left_anti")

@@ -137,3 +137,30 @@ def test_ivf_index_roundtrip_and_pruning(spark, tmp_path):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan and "list_id" in plan, plan[:1500]
+
+
+def test_semantic_dedup_keeps_cluster_representatives(spark):
+    """SemDeDup composition: within-cluster cosine pairs -> components ->
+    min-id representative survives; cross-cluster near-identicals are
+    intentionally NOT compared (clustering bounds the candidate space)."""
+    from duckpgq_extension_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # seed A
+        (1, [0.0, 1.0, 0.0, 0.0]),    # seed B
+        (2, [0.0, 0.0, 1.0, 0.0]),    # seed C
+        (3, [0.999, 0.01, 0.0, 0.0]),  # dup of 0
+        (4, [0.998, 0.02, 0.0, 0.0]),  # dup of 0 (chains via 3)
+        (5, [0.0, 0.99, 0.1, 0.0]),    # dup of 1
+        (6, [0.5, 0.5, 0.5, 0.5]),     # unique
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    kept = sorted(
+        r.vec_id for r in semantic_dedup(emb, threshold=0.99, nlist=3).collect()
+    )
+    assert kept == [0, 1, 2, 6]
+    # higher threshold than any within-cluster pair: nothing drops
+    all_kept = sorted(
+        r.vec_id for r in semantic_dedup(emb, threshold=0.999999, nlist=3).collect()
+    )
+    assert all_kept == [0, 1, 2, 3, 4, 5, 6]
