@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "corpus_clean",
     "quality_repetition",
     "mixture_sample",
+    "temperature_sample",
     "chunk_docs",
     "pack_sequences",
     "interval_join",
@@ -62,9 +63,12 @@ BENCH_QUERIES = [
     "dedup_minhash",
     "dedup_clusters",
     "cross_corpus_dedup",
+    "stream_near_dup",
     "dedup_paragraphs",
     "dedup_keep_longest",
     "importance_resample",
+    "text_normalize",
+    "semantic_dedup",
     "contamination",
     "simhash",
     "similarity_topk",

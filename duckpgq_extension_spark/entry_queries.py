@@ -3825,6 +3825,33 @@ FROM documents
 O_TEXT_NORMALIZE = _text_normalize_oracle()
 
 
+def q_temperature_sample(spark, sf_dir):
+    """Temperature mixture sampling (operators/corpus.temperature_sample):
+    per-language token targets proportional to share^0.7 (the
+    multilingual up-sampling rule), applied as the shared content-hash
+    Bernoulli draw — weights derived in-plan from group totals, no
+    driver collect."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    return corpus.temperature_sample(
+        docs, "doc_id", "text", "lang", token_budget=5000, alpha=0.7, salt="t1"
+    )
+
+
+O_TEMPERATURE_SAMPLE = f"""
+WITH toks AS (SELECT doc_id, lang, len({_TOKS}) AS ntok FROM documents),
+tg AS (SELECT lang, SUM(ntok) AS tg FROM toks GROUP BY lang),
+z AS (SELECT SUM(POWER(CAST(tg AS DOUBLE), 0.7)) AS z FROM tg),
+thr AS (SELECT lang, LEAST(1000000, COALESCE(CAST(FLOOR(
+          5000.0 * POWER(CAST(tg AS DOUBLE), 0.7) / z
+          / CAST(NULLIF(tg, 0) AS DOUBLE) * 1000000)
+        AS BIGINT), 0)) AS thr FROM tg, z)
+SELECT t.doc_id, t.lang, CAST(t.ntok AS BIGINT) AS n_tok
+FROM toks t JOIN thr USING (lang)
+WHERE {_MD5L.format(X="CAST(doc_id AS VARCHAR) || 't1'")} % 1000000 < thr
+"""
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/similarity.semantic_dedup):
     cluster the embedding space (8 deterministic seed centroids),
@@ -4103,6 +4130,7 @@ QUERIES.update({
     "importance_resample": q_importance_resample,
     "text_normalize": q_text_normalize,
     "semantic_dedup": q_semantic_dedup,
+    "temperature_sample": q_temperature_sample,
 })
 ORACLES.update({
     "cross_corpus_dedup": O_CROSS_CORPUS_DEDUP,
@@ -4112,6 +4140,7 @@ ORACLES.update({
     "importance_resample": O_IMPORTANCE_RESAMPLE,
     "text_normalize": O_TEXT_NORMALIZE,
     "semantic_dedup": O_SEMANTIC_DEDUP,
+    "temperature_sample": O_TEMPERATURE_SAMPLE,
 })
 
 

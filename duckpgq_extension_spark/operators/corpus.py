@@ -656,3 +656,71 @@ def importance_resample(
         )
     )
     return scored.orderBy(F.col("score").desc(), F.col("doc_id").asc()).limit(k)
+
+
+def temperature_sample(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    group_col: str,
+    token_budget: int,
+    alpha: float = 0.7,
+    salt: str = "",
+) -> DataFrame:
+    """Temperature-based mixture sampling: group token targets are
+    proportional to (group token share)^alpha — the standard
+    multilingual up-sampling rule (alpha=1 keeps natural proportions,
+    alpha -> 0 approaches uniform across groups; mT5/XLM-R use ~0.3-0.7
+    to boost low-resource languages).  The companion to `mixture_sample`
+    when weights should be DERIVED from the data rather than given.
+
+    Same reproducible content-hash Bernoulli mechanics as
+    mixture_sample; per-group keep-rate = min(1, budget * tg^alpha /
+    (sum_g tg^alpha) / tg).  Everything is computed inside the plan —
+    the group-total frame is broadcast, the normalizer rides as a
+    broadcast 1-row aggregate, no driver collect.  Returns
+    (id_col, group_col, n_tok) for the kept rows.
+    """
+    from ..functions.text import token_count
+
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive, got {token_budget}")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    buckets = 1_000_000
+    base = df.withColumn("__ntok", token_count(F.col(text_col)).cast("long"))
+    totals = base.groupBy(group_col).agg(F.sum("__ntok").alias("__tg"))
+    z = F.broadcast(
+        totals.agg(
+            F.sum(F.pow(F.col("__tg").cast("double"), F.lit(alpha))).alias("__z")
+        )
+    )
+    thresholds = totals.crossJoin(z).select(
+        F.col(group_col),
+        F.least(
+            F.lit(buckets).cast("bigint"),
+            # tg = 0 or NULL -> 0/0 -> NULL -> threshold 0 (keep nothing),
+            # same zero-token-group rule as mixture_sample
+            F.coalesce(
+                F.floor(
+                    F.lit(float(token_budget))
+                    * F.pow(F.col("__tg").cast("double"), F.lit(alpha))
+                    / F.col("__z")
+                    / F.when(F.col("__tg") != 0, F.col("__tg")).cast("double")
+                    * F.lit(buckets)
+                ).cast("bigint"),
+                F.lit(0).cast("bigint"),
+            ),
+        ).alias("__thr"),
+    )
+    b = F.pmod(
+        md5_long(F.concat(F.col(id_col).cast("string"), F.lit(salt))),
+        F.lit(buckets),
+    )
+    return (
+        base.join(F.broadcast(thresholds), group_col)
+        .where(b < F.col("__thr"))
+        .select(
+            F.col(id_col), F.col(group_col), F.col("__ntok").alias("n_tok")
+        )
+    )

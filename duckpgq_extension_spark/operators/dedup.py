@@ -740,13 +740,16 @@ def dedup_paragraphs(
     id_col: str,
     paras_col: str,
     sep: str = "\n",
+    drop_above: int | None = None,
 ) -> DataFrame:
     """Corpus-global PARAGRAPH dedup (the CCNet/RefinedWeb boilerplate
     pass): every paragraph that occurs more than once across the corpus
     is kept only at its FIRST occurrence (minimum (doc_id, position)) and
     dropped everywhere else — headers, footers, cookie banners and
     licence blocks collapse to one surviving copy while unique prose is
-    untouched.
+    untouched.  With `drop_above=k`, paragraphs occurring more than k
+    times corpus-wide are treated as pure boilerplate and dropped
+    EVERYWHERE (first occurrence included) — the CCNet threshold mode.
 
     Input: `paras_col` is an array<string> column of the document's
     paragraphs (split upstream on real newlines, or synthesized by a
@@ -767,16 +770,22 @@ def dedup_paragraphs(
         F.posexplode(F.col(paras_col)).alias("pos", "para"),
     ).withColumn("__ph", md5_long(F.col("para")))
     owner = inst.groupBy("__ph").agg(
-        F.min(F.struct("doc_id", "pos")).alias("first")
+        F.min(F.struct("doc_id", "pos")).alias("first"),
+        F.count("*").alias("__freq"),
     )
+    keep = (F.col("first.doc_id") == F.col("doc_id")) & (
+        F.col("first.pos") == F.col("pos")
+    )
+    if drop_above is not None:
+        # CCNet boilerplate threshold: a paragraph occurring more than
+        # drop_above times corpus-wide is noise, not content — drop EVERY
+        # instance, first occurrence included
+        keep = keep & (F.col("__freq") <= drop_above)
     kept_flag = inst.join(owner, "__ph").select(
         "doc_id",
         "pos",
         "para",
-        (
-            (F.col("first.doc_id") == F.col("doc_id"))
-            & (F.col("first.pos") == F.col("pos"))
-        ).alias("__keep"),
+        keep.alias("__keep"),
     )
     # collect_list skips the NULLs that F.when leaves for dropped
     # instances; the struct sort restores original order without a window

@@ -11,6 +11,7 @@ crash.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 FORMATS = ("parquet", "orc", "csv", "json")
 
@@ -97,6 +98,47 @@ def write_bucketed_edges(
         edges.write.mode(mode)
         .bucketBy(buckets, src_col)
         .sortBy(src_col)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def write_bucketed_corpus(
+    df: DataFrame,
+    table: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist a document corpus bucketed by its CONTENT HASH — the
+    standing-corpus layout for repeated dedup passes.
+
+    Exact dedup, exact_duplicates, and cross-snapshot exact anti-joins
+    all key on md5_long(text); a corpus bucketed on that hash is already
+    hash-partitioned on disk, so every such pass over the standing table
+    is shuffle-free on the corpus side (the bucketing satisfies the
+    aggregation/join's HashPartitioning requirement — same mechanism as
+    write_bucketed_edges for BFS).  At 100 TB that converts the daily
+    dedup job's dominant shuffle into a co-located scan.
+
+    The hash is persisted as a `content_hash` column (computing it at
+    write time is what makes the bucketing usable; readers get it for
+    free and new snapshots bucket identically because md5_long is
+    engine-stable).
+    """
+    from ..functions.text import md5_long
+
+    spark = df.sparkSession
+    if buckets is None:
+        buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.withColumn("content_hash", md5_long(F.col(text_col)))
+        .write.mode(mode)
+        .bucketBy(buckets, "content_hash")
+        .sortBy("content_hash", id_col)
         .format("parquet")
         .saveAsTable(table)
     )

@@ -380,3 +380,44 @@ def test_importance_resample_dsir_golden(spark):
     import pytest
     with pytest.raises(ValueError):
         importance_resample(raw, "doc_id", "text", tgt, k=0)
+
+
+def test_temperature_sample_alpha_boosts_small_groups(spark):
+    """alpha < 1 up-samples the low-resource group relative to natural
+    proportions; alpha=1 reproduces proportional keep-rates; zero-token
+    groups sample empty; validation raises."""
+    import pytest
+
+    from duckpgq_extension_spark.operators.corpus import temperature_sample
+
+    # group a: 90 docs x 4 tokens = 360; group b: 10 docs x 4 = 40
+    rows = [(i, "t1 t2 t3 t4", "a") for i in range(90)] + [
+        (1000 + i, "t1 t2 t3 t4", "b") for i in range(10)
+    ] + [(2000, None, "z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, grp string")
+    out = temperature_sample(df, "doc_id", "text", "grp", token_budget=100,
+                             alpha=0.5)
+    got = [(r.doc_id, r.grp) for r in out.collect()]
+    assert all(g != "z" for _, g in got)
+    # alpha=0.5 targets: w_a = sqrt(360), w_b = sqrt(40); rate_b/rate_a =
+    # (w_b/40)/(w_a/360) = 3 -> group b kept at 3x group a's rate.
+    # Verify thresholds exactly via the deterministic hash replay:
+    import hashlib
+
+    def bucket(i):
+        return int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 1000000
+
+    import math
+    za, zb = math.sqrt(360.0), math.sqrt(40.0)
+    z = za + zb
+    thr_a = math.floor(100.0 * za / z / 360.0 * 1000000)
+    thr_b = math.floor(100.0 * zb / z / 40.0 * 1000000)
+    assert thr_b > thr_a
+    expect = {(i, "a") for i in range(90) if bucket(i) < thr_a} | {
+        (1000 + i, "b") for i in range(10) if bucket(1000 + i) < thr_b
+    }
+    assert set(got) == expect
+    with pytest.raises(ValueError):
+        temperature_sample(df, "doc_id", "text", "grp", 0)
+    with pytest.raises(ValueError):
+        temperature_sample(df, "doc_id", "text", "grp", 10, alpha=0.0)

@@ -321,3 +321,36 @@ def test_minhash_signatures_inrow_equals_groupby(spark):
         docs, "doc_id", "text", n=2, num_perm=8, max_doc_freq=10**9).collect()}
     assert a == b
     assert {i for i, _ in a} == {2, 3}
+
+
+def test_dedup_paragraphs_drop_above_threshold(spark):
+    """drop_above=k: paragraphs with corpus frequency > k vanish entirely
+    (no surviving first copy); others keep first-occurrence-wins."""
+    from duckpgq_extension_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [(1, ["BOILER", "keep one", "unique a"]),
+         (2, ["BOILER", "keep one"]),
+         (3, ["BOILER"])],
+        "doc_id long, paras array<string>")
+    out = {r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+           for r in dedup_paragraphs(
+               docs, "doc_id", "paras", drop_above=2).collect()}
+    # BOILER freq 3 > 2 -> gone everywhere; "keep one" freq 2 -> first wins
+    assert out[1] == ("keep one\nunique a", 2, 1)
+    assert out[2] == ("", 0, 2)
+    assert out[3] == ("", 0, 1)
+
+
+def test_cross_corpus_dedup_empty_reference(spark):
+    """An empty reference corpus drops nothing in any mode."""
+    from duckpgq_extension_spark.operators.dedup import cross_corpus_dedup
+
+    new = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e f")], "doc_id long, text string")
+    ref = spark.createDataFrame([], "doc_id long, text string")
+    for kw in ({"mode": "exact"}, {"mode": "near"},
+               {"mode": "near", "threshold": 0.5}):
+        got = sorted(r.doc_id for r in cross_corpus_dedup(
+            new, ref, "doc_id", "text", **kw).collect())
+        assert got == [1, 2], (kw, got)

@@ -303,3 +303,26 @@ def test_near_dup_stream_exact_streaming(spark, tmp_path):
     finally:
         q.stop()
     assert got == [11]
+
+
+def test_write_bucketed_corpus_shuffle_free_dedup(spark, tmp_path):
+    """A content-hash-bucketed corpus table satisfies the exact-dedup
+    aggregation's partitioning: the groupBy(content_hash) plan over the
+    bucketed table has NO Exchange."""
+    from duckpgq_extension_spark.sources.io import write_bucketed_corpus
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "dup text"), (2, "dup text"), (3, "unique text")],
+        "doc_id long, text string")
+    write_bucketed_corpus(docs, "bucketed_corpus_t", buckets=4)
+    try:
+        t = spark.table("bucketed_corpus_t")
+        agg = t.groupBy("content_hash").agg(
+            F.min("doc_id").alias("keep_id"), F.count("*").alias("n"))
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        got = {(r.keep_id, r.n) for r in agg.collect()}
+        assert got == {(1, 2), (3, 1)}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_corpus_t")
