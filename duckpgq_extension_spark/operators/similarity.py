@@ -449,6 +449,20 @@ def embedding_near_duplicates(
     )
 
 
+def _centroid_lookup(cluster: Column, cents: list[tuple[int, list[float]]]) -> Column:
+    """Centroid vector for a cluster-id column: element_at over a literal
+    array of centroid vectors (centroid ids are dense 0..nlist-1 by
+    construction in ivf_centroids)."""
+    ordered = [cvec for _, cvec in sorted(cents)]
+    table = F.array(
+        *[
+            F.array(*[F.lit(x).cast("double") for x in cvec])
+            for cvec in ordered
+        ]
+    )
+    return F.element_at(table, cluster.cast("int") + 1)
+
+
 def semantic_dedup(
     embeddings: DataFrame,
     threshold: float = 0.95,
@@ -456,6 +470,7 @@ def semantic_dedup(
     iterations: int = 0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep: str = "min_id",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540, simplified): cluster the embedding space, find
@@ -478,6 +493,13 @@ def semantic_dedup(
     literals by the IVF contract; the component step runs only on the
     duplicate subgraph.  Deterministic end to end (seeded centroids,
     id-ordered representatives) — the DuckDB oracle replays it exactly.
+
+    `keep` picks each component's representative:
+      - "min_id" (default): minimum id — cheapest, no extra join.
+      - "far_from_centroid": the member with the LOWEST cosine to its
+        cluster centroid (ties -> min id) — the paper's choice, which
+        retains the most atypical/diverse example of each duplicate
+        group.  One row_number window over component members only.
     """
     from ..algorithms import weakly_connected_component
     from .dedup import _bucket_pairs
@@ -503,8 +525,30 @@ def semantic_dedup(
         .unionByName(edges.select(F.col("dst").alias("vid")))
         .distinct()
     )
+    if keep not in ("min_id", "far_from_centroid"):
+        raise ValueError(
+            f"keep must be 'min_id' or 'far_from_centroid', got {keep!r}"
+        )
     comp = weakly_connected_component(edges, verts)
-    drop = comp.where(F.col("vid") != F.col("component_id")).select(
-        F.col("vid").alias(id_col)
+    if keep == "min_id":
+        drop = comp.where(F.col("vid") != F.col("component_id")).select(
+            F.col("vid").alias(id_col)
+        )
+        return embeddings.join(drop, id_col, "left_anti")
+    # paper mode: rank component members by similarity to their own
+    # cluster centroid, ascending — keep the least-typical member
+    csim = F.round(
+        cosine(F.col("vec"), _centroid_lookup(F.col("cluster"), cents)), 6
+    )
+    members = comp.join(
+        c.select(F.col("id").alias("vid"), csim.alias("__csim")), "vid"
+    )
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("__csim").asc(), F.col("vid").asc()
+    )
+    drop = (
+        members.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(F.col("vid").alias(id_col))
     )
     return embeddings.join(drop, id_col, "left_anti")

@@ -164,3 +164,26 @@ def test_semantic_dedup_keeps_cluster_representatives(spark):
         r.vec_id for r in semantic_dedup(emb, threshold=0.999999, nlist=3).collect()
     )
     assert all_kept == [0, 1, 2, 3, 4, 5, 6]
+
+
+def test_semantic_dedup_far_from_centroid_policy(spark):
+    """keep='far_from_centroid' (the SemDeDup paper's rule) retains each
+    duplicate group's least-typical member instead of the minimum id."""
+    import pytest
+    from duckpgq_extension_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [0.0, 0.0, 1.0, 0.0]),
+        (3, [0.999, 0.01, 0.0, 0.0]),
+        (4, [0.97, 0.24, 0.0, 0.0]),   # least centroid-like in group {0,3,4}
+        (5, [0.0, 0.99, 0.1, 0.0]),    # least centroid-like in group {1,5}
+        (6, [0.5, 0.5, 0.5, 0.5]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    far = sorted(r.vec_id for r in semantic_dedup(
+        emb, threshold=0.97, nlist=3, keep="far_from_centroid").collect())
+    assert far == [2, 4, 5, 6]
+    with pytest.raises(ValueError, match="keep"):
+        semantic_dedup(emb, nlist=3, keep="best")
