@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "communities",
     "assortativity",
     "doc_logprob",
+    "bigram_logprob",
     "katz",
     "link_pred",
     "temporal_reach",
@@ -228,6 +229,10 @@ SF1_QUERIES = [
     # the composed corpus pipeline: its stages are individually tiered
     # above; this row tracks the slope of the composition itself
     "pipeline_corpus",
+    # round-7 additions with data-dependent growth (duplicate density
+    # rises with the replicated tier): paragraph dedup + cross-snapshot
+    "dedup_paragraphs",
+    "cross_corpus_dedup",
 ]
 
 

@@ -3852,6 +3852,32 @@ WHERE {_MD5L.format(X="CAST(doc_id AS VARCHAR) || 't1'")} % 1000000 < thr
 """
 
 
+def q_bigram_logprob(spark, sf_dir):
+    """Second-order LM quality proxy (operators/corpus.bigram_logprob):
+    per-document mean bigram log-probability under the corpus's own MLE
+    bigram model — catches in-vocabulary word salad that unigram
+    scoring (doc_logprob) cannot."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    return corpus.bigram_logprob(docs, "doc_id", "text")
+
+
+O_BIGRAM_LOGPROB = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+bg AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2),
+perdoc AS (SELECT doc_id, w1, w2, COUNT(*) AS n FROM bg GROUP BY ALL),
+model AS (SELECT w1, w2, SUM(n) AS c2 FROM perdoc GROUP BY ALL),
+ctx AS (SELECT w1, SUM(c2) AS c1 FROM model GROUP BY w1)
+SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(n * ln(c2 / c1)) / SUM(n), 6) AS avg_logprob
+FROM perdoc JOIN model USING (w1, w2) JOIN ctx USING (w1)
+GROUP BY doc_id
+"""
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/similarity.semantic_dedup):
     cluster the embedding space (8 deterministic seed centroids),
@@ -4131,6 +4157,7 @@ QUERIES.update({
     "text_normalize": q_text_normalize,
     "semantic_dedup": q_semantic_dedup,
     "temperature_sample": q_temperature_sample,
+    "bigram_logprob": q_bigram_logprob,
 })
 ORACLES.update({
     "cross_corpus_dedup": O_CROSS_CORPUS_DEDUP,
@@ -4141,6 +4168,7 @@ ORACLES.update({
     "text_normalize": O_TEXT_NORMALIZE,
     "semantic_dedup": O_SEMANTIC_DEDUP,
     "temperature_sample": O_TEMPERATURE_SAMPLE,
+    "bigram_logprob": O_BIGRAM_LOGPROB,
 })
 
 

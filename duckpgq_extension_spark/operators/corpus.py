@@ -724,3 +724,56 @@ def temperature_sample(
             F.col(id_col), F.col(group_col), F.col("__ntok").alias("n_tok")
         )
     )
+
+
+def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean BIGRAM log-probability under the corpus's own
+    MLE bigram language model — the second-order companion to
+    `unigram_logprob`: P(w2 | w1) = c(w1 w2) / c(w1 ·), scored as
+    avg over the document's bigrams of n * ln(P) / n.  Repetitive
+    word-salad that fools unigram scoring (common tokens in nonsense
+    order) scores low here; like the unigram scorer, no smoothing is
+    needed because every scored bigram is in the self-model by
+    construction.  Documents with fewer than two tokens are dropped
+    (no bigrams to score).
+
+    Returns (doc_id, n_bigrams, avg_logprob).
+
+    Scale design: one explode to (doc, w1, w2) with map-side-combined
+    per-doc counts; the model and its context marginal are two more
+    aggregations over that frame; scoring is one join back on the
+    bigram key.  Same shuffle shape as unigram_logprob, one key wider.
+    """
+    from ..functions.text import tokens
+
+    t = tokens(F.col(text_col))
+    pairs = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.arrays_zip(
+                F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))).alias("w1"),
+                F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("w2"),
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    per_doc = (
+        pairs.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("n")).persist()
+    )
+    try:
+        model = per_doc.groupBy("w1", "w2").agg(F.sum("n").alias("c2"))
+        ctx = model.groupBy("w1").agg(F.sum("c2").alias("c1"))
+        return pathops_materialize(
+            per_doc.join(model, ["w1", "w2"])
+            .join(ctx, "w1")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("n").alias("n_bigrams"),
+                F.round(
+                    F.sum(F.col("n") * F.log(F.col("c2") / F.col("c1")))
+                    / F.sum("n"),
+                    6,
+                ).alias("avg_logprob"),
+            )
+        )
+    finally:
+        per_doc.unpersist()

@@ -421,3 +421,20 @@ def test_temperature_sample_alpha_boosts_small_groups(spark):
         temperature_sample(df, "doc_id", "text", "grp", 0)
     with pytest.raises(ValueError):
         temperature_sample(df, "doc_id", "text", "grp", 10, alpha=0.0)
+
+
+def test_bigram_logprob_self_model_golden(spark):
+    """Hand-derived MLE bigram model: P(w2|w1)=c(w1 w2)/c(w1 .); docs
+    with < 2 tokens are dropped."""
+    import math
+
+    from duckpgq_extension_spark.operators.corpus import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "solo")],
+        "doc_id long, text string")
+    got = {r.doc_id: (r.n_bigrams, r.avg_logprob)
+           for r in bigram_logprob(docs, "doc_id", "text").collect()}
+    assert got[1] == (3, round((2 * math.log(1.0) + math.log(0.5)) / 3, 6))
+    assert got[2] == (2, round((math.log(1.0) + math.log(0.5)) / 2, 6))
+    assert 3 not in got
