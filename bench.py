@@ -325,7 +325,18 @@ def main() -> None:
         spark = get_spark(app_name="duckpgq_spark_bench_sf1")
         EQ.setup(spark, SF1_DIR, force=True)
         EQ.QUERIES["match_1hop"](spark, SF1_DIR).count()  # warm the tier
-        for name in SF1_QUERIES:
+        for j, name in enumerate(SF1_QUERIES):
+            if j and j % 5 == 0:
+                # Refresh INSIDE the tier too: these queries are 10x
+                # heavier, so the codegen/storage-history inflation the
+                # sf0.1 loop resets every 25 queries builds up within 5
+                # here (measured: pipeline_corpus 85 s at position 15
+                # vs 31 s fresh-session — the recorded 14x growth was
+                # session history, not the plan; true growth is ~5x).
+                spark.stop()
+                spark = get_spark(app_name=f"duckpgq_spark_bench_sf1_{j}")
+                EQ.setup(spark, SF1_DIR, force=True)
+                EQ.QUERIES["match_1hop"](spark, SF1_DIR).count()
             fn = EQ.QUERIES[name]
             release_blocks()
             t0 = time.perf_counter()

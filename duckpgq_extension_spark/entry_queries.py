@@ -2355,6 +2355,88 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN (similarity.ivfpq_topk): the corpus compressed to m=8
+    one-byte codes per vector (32x smaller than dim-64 float64), coarse
+    IVF routing (nlist=8, nprobe=2), ADC scoring via fixed-point integer
+    sums so the score is hash-stable across engines.  iterations=0 so the
+    oracle rebuilds the identical codebooks (slot-s subvectors of the 16
+    lowest-id normalized vectors) in SQL."""
+    setup(spark, sf_dir)
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.ivfpq_topk(
+        emb, queries, k=5, nlist=8, nprobe=2, m=8, ksub=16
+    ).select(
+        "query_id", "vec_id", "adc_score", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+O_ANN_IVFPQ = """
+WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nrm AS (
+  SELECT vec_id, v,
+         list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS nv
+  FROM emb),
+cent AS (SELECT vec_id AS cid, v AS cv FROM emb ORDER BY vec_id LIMIT 8),
+-- coarse assignment: raw-vector cosine (scale-invariant, mirrors Spark)
+csim AS (
+  SELECT e.vec_id, c.cid,
+         list_dot_product(e.v, c.cv) /
+           (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(c.cv, c.cv))) AS sim
+  FROM emb e CROSS JOIN cent c),
+asg AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) AS rn
+    FROM csim) WHERE rn = 1),
+-- PQ codebooks: slot s codewords = slot-s slices of the 16 lowest-id
+-- NORMALIZED vectors (iterations=0 seeding, bit-identical to Spark)
+seeds AS (
+  SELECT nv, row_number() OVER (ORDER BY vec_id) - 1 AS code
+  FROM (SELECT vec_id, nv FROM nrm ORDER BY vec_id LIMIT 16)),
+slots AS (SELECT UNNEST(range(8)) AS s),
+books AS (
+  SELECT s.s, d.code, list_slice(d.nv, s.s * 8 + 1, s.s * 8 + 8) AS cw
+  FROM seeds d CROSS JOIN slots s),
+-- encode: argmin-L2 code per (vector, slot); |x|^2 dropped as constant
+codes AS (
+  SELECT vec_id, s, code FROM (
+    SELECT n.vec_id, b.s, b.code,
+           row_number() OVER (PARTITION BY n.vec_id, b.s ORDER BY
+             list_dot_product(b.cw, b.cw)
+               - 2 * list_dot_product(list_slice(n.nv, b.s * 8 + 1, b.s * 8 + 8), b.cw) ASC,
+             b.code ASC) AS rn
+    FROM nrm n CROSS JOIN books b) WHERE rn = 1),
+-- probe: normalized query vs raw centroid (exactly Spark's expression)
+probe AS (
+  SELECT vec_id AS query_id, nv AS qv, cid FROM (
+    SELECT n.vec_id, n.nv, c.cid,
+           row_number() OVER (PARTITION BY n.vec_id ORDER BY
+             list_dot_product(n.nv, c.cv) /
+               (sqrt(list_dot_product(n.nv, n.nv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+             c.cid ASC) AS rn
+    FROM nrm n CROSS JOIN cent c WHERE n.vec_id < 10) WHERE rn <= 2),
+-- ADC: per-slot <q_slot, codeword> terms in 1e-9 fixed point, integer sum
+adc AS (
+  SELECT p.query_id, a.vec_id,
+         SUM(CAST(ROUND(list_dot_product(
+               list_slice(p.qv, c.s * 8 + 1, c.s * 8 + 8), b.cw) * 1e9) AS BIGINT)) AS fp
+  FROM probe p
+  JOIN asg a ON a.cid = p.cid AND a.vec_id <> p.query_id
+  JOIN codes c ON c.vec_id = a.vec_id
+  JOIN books b ON b.s = c.s AND b.code = c.code
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT query_id, vec_id, ROUND(fp / 1e9, 6) AS adc_score,
+         row_number() OVER (
+           PARTITION BY query_id ORDER BY ROUND(fp / 1e9, 6) DESC, vec_id ASC) AS rank
+  FROM adc)
+SELECT query_id, vec_id, adc_score, CAST(rank AS BIGINT) AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (decode dimensions are derivable from byte length)
 # --------------------------------------------------------------------------
@@ -4158,6 +4240,7 @@ QUERIES.update({
     "semantic_dedup": q_semantic_dedup,
     "temperature_sample": q_temperature_sample,
     "bigram_logprob": q_bigram_logprob,
+    "ann_ivfpq": q_ann_ivfpq,
 })
 ORACLES.update({
     "cross_corpus_dedup": O_CROSS_CORPUS_DEDUP,
@@ -4169,6 +4252,7 @@ ORACLES.update({
     "semantic_dedup": O_SEMANTIC_DEDUP,
     "temperature_sample": O_TEMPERATURE_SAMPLE,
     "bigram_logprob": O_BIGRAM_LOGPROB,
+    "ann_ivfpq": O_ANN_IVFPQ,
 })
 
 

@@ -573,3 +573,243 @@ def semantic_dedup(
         .select(F.col("vid").alias(id_col))
     )
     return embeddings.join(drop, id_col, "left_anti")
+
+
+# -- Product quantization (IVF-PQ) -------------------------------------------
+#
+# FAISS-style IVF-PQ re-expressed as DataFrame plans: a coarse quantizer
+# (the existing IVF centroid assignment) partitions the corpus into
+# inverted lists, and a product quantizer compresses every vector to m
+# one-byte codes — at dim 64 / m 8 that is 256 B of float32 down to 8 B
+# (32x), which is what lets a 100 TB embedding corpus serve ANN from a
+# dataset 1/32 the size.  Query scoring is ADC (asymmetric distance
+# computation): the query stays exact, each corpus vector is scored via an
+# m-slot lookup table — JVM column expressions end to end, no UDFs.
+#
+# Two deliberate simplifications keep every step reproducible in plain SQL
+# (the driver oracle rebuilds codebooks, codes, and scores bit-for-bit):
+# codes quantize the L2-NORMALIZED vector itself, not the residual from
+# its coarse centroid (FAISS by_residual=False), and codebook training is
+# the same deterministic seeding as ivf_centroids (slot s codebook =
+# slot-s subvectors of the ksub lowest-id vectors; optional Lloyd).
+# ADC terms are summed in 1e-9 fixed point so the score is an exact
+# integer sum — associative, hash-stable across engines and plans.
+
+
+def _normalize(vec: Column) -> Column:
+    """L2-normalize (double): cosine against a normalized corpus reduces
+    to a dot product, which is what PQ's additive slot terms approximate."""
+    n = norm(vec)
+    return F.transform(vec, lambda x: x.cast("double") / n)
+
+
+def pq_codebooks(
+    embeddings: DataFrame,
+    m: int = 8,
+    ksub: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    iterations: int = 0,
+    dim: int | None = None,
+) -> list[list[tuple[int, list[float]]]]:
+    """Train m per-slot codebooks of ksub codewords over the L2-normalized
+    corpus.  Deterministic: slot s's seed codewords are the slot-s
+    subvectors of the ksub lowest-id vectors (the ivf_centroids seeding
+    rule applied per slot), optionally refined by Lloyd iterations on L2
+    distance.  Returns books[s] = [(code, subvector)] — m * ksub * (dim/m)
+    doubles, driver-small broadcast state by the PQ contract."""
+    if dim is None:
+        first = embeddings.select(F.size(F.col(vec_col))).first()
+        if first is None:
+            raise ValueError("embeddings DataFrame is empty; pass dim explicitly")
+        dim = int(first[0])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    seeds = (
+        embeddings.select(
+            F.col(id_col).alias("__id"), _normalize(F.col(vec_col)).alias("__v")
+        )
+        .orderBy("__id")
+        .limit(ksub)
+        .collect()
+    )
+    books = [
+        [(j, list(r["__v"][s * d : (s + 1) * d])) for j, r in enumerate(seeds)]
+        for s in range(m)
+    ]
+    for _ in range(iterations):
+        nrm = embeddings.select(_normalize(F.col(vec_col)).alias("__v"))
+        for s in range(m):
+            sub = nrm.select(F.slice("__v", s * d + 1, d).alias("__s"))
+            assigned = sub.select(
+                "__s", _pq_assign(F.col("__s"), books[s]).alias("__code")
+            )
+            means = (
+                assigned.select("__code", F.posexplode("__s").alias("__pos", "__x"))
+                .groupBy("__code", "__pos")
+                .agg(F.avg("__x").alias("__m"))
+                .groupBy("__code")
+                .agg(
+                    F.sort_array(F.collect_list(F.struct("__pos", "__m"))).alias("__mv")
+                )
+                .select("__code", F.col("__mv.__m").alias("__v"))
+                .collect()
+            )
+            new = {r["__code"]: list(r["__v"]) for r in means}
+            books[s] = [(j, new.get(j, cw)) for j, cw in books[s]]
+    return books
+
+
+def _pq_assign(sub: Column, book: list[tuple[int, list[float]]]) -> Column:
+    """Argmin-by-L2 code for one slot as a pure column expression; ties
+    break toward the lowest code.  L2² is expanded as |c|² - 2<x,c> (the
+    |x|² term is constant per row, so it cannot change the argmin)."""
+    choices = []
+    for code, cw in book:
+        cvec = F.array(*[F.lit(x).cast("double") for x in cw])
+        cc = float(sum(x * x for x in cw))
+        dist = F.lit(cc).cast("double") - F.lit(2.0) * dot(sub, cvec)
+        choices.append(F.struct(dist.alias("d"), F.lit(code).alias("code")))
+    return F.array_min(F.array(*choices))["code"]
+
+
+def pq_encode(
+    embeddings: DataFrame,
+    books: list[list[tuple[int, list[float]]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — each vector compressed to m codes.  One
+    narrow projection over the corpus scan; at 100 TB this is the
+    build-once index write (pair with partitionBy(list_id) exactly like
+    write_ivf_index)."""
+    m = len(books)
+    d = len(books[0][0][1])
+    nv = _normalize(F.col(vec_col))
+    codes = F.array(
+        *[_pq_assign(F.slice(nv, s * d + 1, d), books[s]) for s in range(m)]
+    )
+    return embeddings.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def _adc_score_fp(qvec: Column, codes: Column, books) -> Column:
+    """Fixed-point ADC score: per slot, look the code's precomputed
+    <q_slot, codeword> term up in an array literal-of-expressions LUT,
+    round to 1e-9, and sum as exact integers (associative — bit-stable
+    across engines regardless of execution order)."""
+    m = len(books)
+    d = len(books[0][0][1])
+    total = F.lit(0).cast("long")
+    for s in range(m):
+        qs = F.slice(qvec, s * d + 1, d)
+        lut = F.array(
+            *[
+                F.round(
+                    dot(qs, F.array(*[F.lit(x).cast("double") for x in cw]))
+                    * F.lit(1000000000.0)
+                ).cast("long")
+                for _, cw in books[s]
+            ]
+        )
+        total = total + F.element_at(lut, F.element_at(codes, s + 1) + 1)
+    return total
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    nlist: int = 8,
+    nprobe: int = 2,
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 0,
+    refine: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k: coarse centroids route each query to its
+    nprobe inverted lists; within them, corpus vectors are scored by ADC
+    over their m-byte PQ codes instead of their full vectors.
+
+    Returns (query_id, vec_id, adc_score, rank) — adc_score approximates
+    the cosine of the normalized pair; rank ties break toward low vec_id.
+    With refine=r > 0 (FAISS IVFPQR): the ADC pass keeps r*k candidates
+    per query, which are re-scored by EXACT cosine against their full
+    vectors — only r*k full vectors per query leave the compressed index,
+    and adc_score then holds the exact cosine.
+
+    At 100 TB: codes + list ids are the precomputed index (32x smaller
+    than the vectors at dim 64 / m 8), written partitionBy(list_id); a
+    query batch scans nprobe/nlist of THAT — partition pruning over a
+    compressed corpus.  Codebooks and coarse centroids are broadcast
+    literals; everything is whole-stage-codegen column math."""
+    query_id_col = query_id_col or id_col
+    cents = ivf_centroids(embeddings, nlist, id_col, vec_col, iterations)
+    books = pq_codebooks(embeddings, m, ksub, id_col, vec_col, iterations)
+    corpus = embeddings.select(
+        _nearest_centroid(F.col(vec_col), cents).alias("__cid"),
+        F.col(id_col).alias("vec_id"),
+        F.array(
+            *[
+                _pq_assign(
+                    F.slice(_normalize(F.col(vec_col)), s * len(books[0][0][1]) + 1,
+                            len(books[0][0][1])),
+                    books[s],
+                )
+                for s in range(m)
+            ]
+        ).alias("__codes"),
+    )
+    q = _probe_queries(
+        queries.select(
+            F.col(query_id_col).alias(query_id_col), _normalize(F.col(vec_col)).alias(vec_col)
+        ),
+        cents,
+        nprobe,
+        query_id_col,
+        vec_col,
+    )
+    sim = (
+        q.join(corpus, "__cid")
+        .where(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            (
+                _adc_score_fp(F.col("__qvec"), F.col("__codes"), books)
+                / F.lit(1000000000.0)
+            ).alias("__fp"),
+        )
+        .select(
+            "query_id", "vec_id", F.round(F.col("__fp"), 6).alias("adc_score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("vec_id")
+    )
+    ranked = sim.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= (k * refine if refine else k)
+    )
+    if not refine:
+        return ranked
+    # exact-rerank refine: fetch ONLY the r*k surviving candidates' full
+    # vectors and rescore by true cosine (query side is already
+    # normalized, so cosine = dot / |corpus vec|)
+    full = embeddings.select(
+        F.col(id_col).alias("vec_id"), _normalize(F.col(vec_col)).alias("__fvec")
+    )
+    qn = q.select("query_id", "__qvec").dropDuplicates(["query_id"])
+    exact = (
+        ranked.select("query_id", "vec_id")
+        .join(full, "vec_id")
+        .join(qn, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dot(F.col("__qvec"), F.col("__fvec")), 6).alias("adc_score"),
+        )
+    )
+    return exact.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -187,3 +187,82 @@ def test_semantic_dedup_far_from_centroid_policy(spark):
     assert far == [2, 4, 5, 6]
     with pytest.raises(ValueError, match="keep"):
         semantic_dedup(emb, nlist=3, keep="best")
+
+
+# -- IVF-PQ -------------------------------------------------------------------
+
+
+def test_pq_codebooks_shape_and_determinism(emb):
+    b1 = sim.pq_codebooks(emb, m=8, ksub=4)
+    b2 = sim.pq_codebooks(emb, m=8, ksub=4)
+    assert b1 == b2
+    assert len(b1) == 8 and all(len(bk) == 4 for bk in b1)
+    # slot subvector width = dim / m; codewords live on the unit sphere's
+    # slices (normalized source vectors), so every |cw| <= 1
+    assert all(len(cw) == 8 for bk in b1 for _, cw in bk)
+    assert all(sum(x * x for x in cw) <= 1.0 + 1e-9 for bk in b1 for _, cw in bk)
+
+
+def test_pq_codebooks_rejects_bad_m(emb):
+    with pytest.raises(ValueError, match="not divisible"):
+        sim.pq_codebooks(emb, m=7, ksub=4)
+
+
+def test_pq_encode_codes_in_range(emb):
+    books = sim.pq_codebooks(emb, m=8, ksub=4)
+    codes = sim.pq_encode(emb, books).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r["codes"]) == 8
+        assert all(0 <= c < 4 for c in r["codes"])
+    # a codebook seed vector must encode to itself on every slot: its
+    # subvector is IN the codebook, L2 distance 0
+    seed_ids = [r["vec_id"] for r in emb.orderBy("vec_id").limit(4).collect()]
+    by_id = {r["id"]: list(r["codes"]) for r in codes}
+    for j, vid in enumerate(seed_ids):
+        assert by_id[vid] == [j] * 8
+
+
+def test_ivfpq_topk_shape_and_ties(emb):
+    queries = emb.where(F.col("vec_id") < 3)
+    got = sim.ivfpq_topk(emb, queries, k=5, nlist=4, nprobe=2, m=8, ksub=4)
+    rows = got.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q, rs in by_q.items():
+        rs = sorted(rs, key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        scores = [r["adc_score"] for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r["vec_id"] != q for r in rs)
+
+
+def test_ivfpq_refine_improves_recall(emb):
+    """Exact-rerank refine must recover at least as much of the IVF-Flat
+    (same probes, uncompressed) top-k as the raw ADC ranking does — and
+    its scores are true cosines of the normalized pair."""
+    queries = emb.where(F.col("vec_id") < 5)
+    flat = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.ivf_topk(emb, queries, k=5, nlist=4, nprobe=2).collect()
+    }
+    adc = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.ivfpq_topk(emb, queries, k=5, nlist=4, nprobe=2, m=8, ksub=4).collect()
+    }
+    ref_rows = sim.ivfpq_topk(
+        emb, queries, k=5, nlist=4, nprobe=2, m=8, ksub=4, refine=4
+    ).collect()
+    ref = {(r["query_id"], r["vec_id"]) for r in ref_rows}
+    assert len(ref & flat) >= len(adc & flat)
+    # refined scores are exact cosine: cross-check one against brute force
+    bf = {
+        (r["query_id"], r["vec_id"]): r["cosine_sim"]
+        for r in sim.brute_force_topk(emb, queries, k=50).collect()
+    }
+    for r in ref_rows:
+        key = (r["query_id"], r["vec_id"])
+        if key in bf:
+            assert r["adc_score"] == pytest.approx(bf[key], abs=2e-6)
