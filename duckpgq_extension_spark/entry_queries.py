@@ -1997,6 +1997,45 @@ WHERE CAST(shared AS DOUBLE) / (sa.sz + sb.sz - shared) >= 0.5
 """
 
 
+def q_containment_dedup(spark, sf_dir):
+    """Asymmetric shingle containment (dedup.containment_pairs): ordered
+    pairs where >= 60% of a's bigram set sits inside b — the
+    doc-embedded-in-doc case symmetric Jaccard misses.  Candidates are
+    prefix-filtered (lossless, Bayardo-style adapted to the asymmetric
+    bound); the oracle replays the unfiltered all-pairs definition."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    return dedup.containment_pairs(docs, "doc_id", "text", n=2, threshold=0.6).select(
+        "id_a", "id_b", "containment",
+        F.col("sz_a").cast("bigint").alias("sz_a"),
+        F.col("sz_b").cast("bigint").alias("sz_b"),
+    )
+
+
+O_CONTAINMENT_DEDUP = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, g FROM toks,
+  UNNEST(CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+         ELSE list_transform(generate_series(1, len(t) - 1),
+                             i -> array_to_string(t[i:i+1], ' ')) END) AS u(g)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT l.doc_id AS id_a, r.doc_id AS id_b, COUNT(*) AS shared
+  FROM sh l JOIN sh r ON l.g = r.g AND l.doc_id <> r.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(CAST(shared AS DOUBLE) / sa.sz, 6) AS containment,
+       sa.sz AS sz_a, sb.sz AS sz_b
+FROM shared
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(CAST(shared AS DOUBLE) / sa.sz, 6) >= 0.6
+"""
+
+
 def q_dedup_minhash(spark, sf_dir):
     setup(spark, sf_dir)
     docs = spark.table("documents")
@@ -4241,6 +4280,7 @@ QUERIES.update({
     "temperature_sample": q_temperature_sample,
     "bigram_logprob": q_bigram_logprob,
     "ann_ivfpq": q_ann_ivfpq,
+    "containment_dedup": q_containment_dedup,
 })
 ORACLES.update({
     "cross_corpus_dedup": O_CROSS_CORPUS_DEDUP,
@@ -4253,6 +4293,7 @@ ORACLES.update({
     "temperature_sample": O_TEMPERATURE_SAMPLE,
     "bigram_logprob": O_BIGRAM_LOGPROB,
     "ann_ivfpq": O_ANN_IVFPQ,
+    "containment_dedup": O_CONTAINMENT_DEDUP,
 })
 
 

@@ -799,3 +799,121 @@ def dedup_paragraphs(
         F.sum(F.col("__keep").cast("long")).alias("n_kept"),
         (F.count("*") - F.sum(F.col("__keep").cast("long"))).alias("n_dropped"),
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle containment: C(a -> b) = |A ∩ B| / |A| over
+    word-n-gram shingle sets.  Returns every ORDERED pair (id_a, id_b,
+    containment, sz_a, sz_b) with id_a != id_b and containment >=
+    threshold — "a's content is (mostly) inside b".  This is what catches
+    a document embedded verbatim in a longer one, which symmetric Jaccard
+    misses (J = |A|/|B| can be arbitrarily small while C(a->b) = 1).
+
+    Candidate generation adapts positional prefix filtering to the
+    asymmetric case: shingles are globally ordered rarest-first and the
+    CONTAINED side joins only its first `sz_a - ceil(t*sz_a) + 1`
+    shingles — if C(a->b) >= t then |A ∩ B| >= ceil(t*sz_a), so at least
+    one shared shingle must sit inside a's prefix (lossless).  The
+    container side cannot be prefix-pruned (b may be arbitrarily large),
+    so the join is a-prefix x full shingle relation, with the size prune
+    `ceil(t*sz_a) <= sz_b` inside the join; `max_doc_freq` bounds the
+    stop-shingle blowup exactly as in ngram_jaccard_pairs.  Verification
+    is exact (array_intersect over full sets), so the output is identical
+    to the unfiltered all-pairs result and the oracle needs no knowledge
+    of the candidate strategy.  One shuffle family at 100 TB: shingle
+    explode -> df agg -> prefix equi-join on the shingle hash.
+    """
+    sh = _shingles(df, id_col, text_col, n, max_doc_freq).persist()
+    freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    sets = (
+        sh.join(freq, "sh")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list(F.struct(F.col("df"), F.col("sh")))).alias("ordered"))
+        .select("id", F.col("ordered.sh").alias("arr"), F.size("ordered").alias("sz"))
+        .withColumn(
+            "plen",
+            F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")).cast("int") + 1,
+        )
+        .persist()
+    )
+    try:
+        a_prefix = sets.select(
+            F.col("id").alias("id_a"),
+            F.col("sz").alias("psz_a"),
+            F.explode(F.slice("arr", 1, F.col("plen"))).alias("sh"),
+        )
+        b_all = sets.select(
+            F.col("id").alias("id_b"),
+            F.col("sz").alias("psz_b"),
+            F.explode("arr").alias("sh"),
+        )
+        cands = (
+            a_prefix.join(b_all, "sh")
+            .where(
+                (F.col("id_a") != F.col("id_b"))
+                & (F.ceil(F.lit(threshold) * F.col("psz_a")) <= F.col("psz_b"))
+            )
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        out = (
+            cands.join(
+                sets.select(
+                    F.col("id").alias("id_a"), F.col("arr").alias("arr_a"), F.col("sz").alias("sz_a")
+                ),
+                "id_a",
+            )
+            .join(
+                sets.select(
+                    F.col("id").alias("id_b"), F.col("arr").alias("arr_b"), F.col("sz").alias("sz_b")
+                ),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.size(F.array_intersect("arr_a", "arr_b")) / F.col("sz_a"), 6
+                ).alias("containment"),
+                "sz_a",
+                "sz_b",
+            )
+            .where(F.col("containment") >= threshold)
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        sets.unpersist()
+        sh.unpersist()
+
+
+def deduplicate_contained(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Drop every document whose shingle set is (mostly) contained in a
+    LARGER document — the superset survives.  Deterministic total rule: x
+    is dropped iff some y has C(x->y) >= threshold and (sz_y > sz_x, or
+    sz_y = sz_x and y's id is lower) — the size-then-id tie-break makes
+    mutual containment (exact duplicates at the shingle level) keep
+    exactly the lowest id.  Returns the surviving rows of `df`."""
+    pairs = containment_pairs(df, id_col, text_col, n, threshold, max_doc_freq)
+    drop = (
+        pairs.where(
+            (F.col("sz_b") > F.col("sz_a"))
+            | ((F.col("sz_b") == F.col("sz_a")) & (F.col("id_b") < F.col("id_a")))
+        )
+        .select(F.col("id_a").alias(id_col))
+        .distinct()
+    )
+    return df.join(drop, id_col, "left_anti")

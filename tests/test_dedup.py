@@ -354,3 +354,72 @@ def test_cross_corpus_dedup_empty_reference(spark):
         got = sorted(r.doc_id for r in cross_corpus_dedup(
             new, ref, "doc_id", "text", **kw).collect())
         assert got == [1, 2], (kw, got)
+
+
+# -- containment --------------------------------------------------------------
+
+
+def _containment_corpus(spark):
+    base = "the quick brown fox jumps over the lazy dog"
+    return spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " and runs away very fast indeed"),
+            (3, "completely different words live here nothing shared at all"),
+            (4, "completely different words live here nothing shared at all"),
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_containment_pairs_detects_substring_doc(spark):
+    df = _containment_corpus(spark)
+    rows = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(df, "doc_id", "text", n=2, threshold=0.9).collect()
+    }
+    # doc 1's 8 bigrams all appear in doc 2 -> C(1->2) = 1.0; the reverse
+    # direction is 8/14 < 0.9; docs 3/4 are exact copies -> both directions
+    assert rows[(1, 2)] == pytest.approx(1.0)
+    assert (2, 1) not in rows
+    assert rows[(3, 4)] == pytest.approx(1.0)
+    assert rows[(4, 3)] == pytest.approx(1.0)
+    assert set(rows) == {(1, 2), (3, 4), (4, 3)}
+
+
+def test_containment_pairs_matches_brute_force(spark):
+    """Prefix filtering is lossless: every ordered pair the brute-force
+    (python) computation finds must come back, values equal."""
+    docs = [
+        (i, " ".join(f"w{(i * 7 + j * 3) % 11}" for j in range(6 + i % 5)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    def sh(t):
+        ws = t.split()
+        return {" ".join(ws[i:i+2]) for i in range(len(ws) - 1)}
+    exp = {}
+    for ia, ta in docs:
+        for ib, tb in docs:
+            if ia == ib:
+                continue
+            a, b = sh(ta), sh(tb)
+            c = len(a & b) / len(a)
+            if round(c, 6) >= 0.5:
+                exp[(ia, ib)] = round(c, 6)
+    got = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dedup.containment_pairs(df, "doc_id", "text", n=2, threshold=0.5).collect()
+    }
+    assert got == {k: pytest.approx(v) for k, v in exp.items()}
+
+
+def test_deduplicate_contained_keeps_superset(spark):
+    df = _containment_corpus(spark)
+    kept = sorted(
+        r["doc_id"]
+        for r in dedup.deduplicate_contained(df, "doc_id", "text", n=2, threshold=0.9).collect()
+    )
+    # doc 1 contained in the larger doc 2 -> dropped; docs 3/4 mutually
+    # contained at equal size -> lowest id (3) survives
+    assert kept == [2, 3]
