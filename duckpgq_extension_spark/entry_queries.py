@@ -3667,6 +3667,35 @@ FROM pack GROUP BY 1, 2
 O_PIPELINE_CORPUS = _pipeline_corpus_oracle()
 
 
+def q_curriculum(spark, sf_dir):
+    """Curriculum binning (corpus.curriculum_bins): 4 equal-budget phases
+    by document length quantile + deterministic within-phase shuffle
+    position.  The Spark plan is two range-sort + partition-offset global
+    ranks (no single-partition window — the plan a 100 TB corpus can
+    actually run); the oracle replays the semantics with plain ntile +
+    row_number, proving the distributed rank computes exactly SQL's."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents").select("doc_id", "n_chars")
+    return corpus.curriculum_bins(docs, "doc_id", "n_chars", n_bins=4).select(
+        "doc_id", "phase", "position"
+    )
+
+
+O_CURRICULUM = f"""
+WITH phased AS (
+  SELECT doc_id,
+         CAST(ntile(4) OVER (ORDER BY n_chars ASC, doc_id ASC) AS BIGINT) AS phase
+  FROM documents
+)
+SELECT doc_id, phase,
+       CAST(row_number() OVER (
+         PARTITION BY phase
+         ORDER BY {_MD5L.format(X="CAST(doc_id AS VARCHAR)")} ASC, doc_id ASC
+       ) AS BIGINT) AS position
+FROM phased
+"""
+
+
 def q_graph_report(spark, sf_dir):
     """Composed graph-analytics report — algorithm outputs are ordinary
     DataFrames, so pagerank, WCC and out-degree JOIN back to vertex
@@ -4281,6 +4310,7 @@ QUERIES.update({
     "bigram_logprob": q_bigram_logprob,
     "ann_ivfpq": q_ann_ivfpq,
     "containment_dedup": q_containment_dedup,
+    "curriculum": q_curriculum,
 })
 ORACLES.update({
     "cross_corpus_dedup": O_CROSS_CORPUS_DEDUP,
@@ -4294,6 +4324,7 @@ ORACLES.update({
     "bigram_logprob": O_BIGRAM_LOGPROB,
     "ann_ivfpq": O_ANN_IVFPQ,
     "containment_dedup": O_CONTAINMENT_DEDUP,
+    "curriculum": O_CURRICULUM,
 })
 
 

@@ -777,3 +777,102 @@ def bigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
     finally:
         per_doc.unpersist()
+
+
+def _global_rank(df: DataFrame, order_exprs, rank_name: str):
+    """Exact 1-based global rank under a total order, WITHOUT the
+    single-partition trap: `Window.orderBy(...)` with no partition key
+    moves the whole dataset into one task, so instead this range-sorts
+    (the terasort pattern), counts rows per range partition (a tiny
+    driver-side collect — one long per partition), and adds the
+    cumulative offset to a per-partition row_number.  Rank correctness
+    needs only the range property (every row in partition i sorts before
+    partition i+1) — it does not depend on partition balance, so the
+    range sampler can't break determinism.  Returns (df + rank_name, N).
+    """
+    from pyspark.sql import Window
+
+    s = (
+        df.repartitionByRange(*order_exprs)
+        .sortWithinPartitions(*order_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = {
+        r["__pid"]: r["cnt"]
+        for r in s.groupBy("__pid").agg(F.count("*").alias("cnt")).collect()
+    }
+    offs, acc = [], 0
+    for pid in sorted(counts):
+        offs.append((pid, acc))
+        acc += counts[pid]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(offs or [(0, 0)], "__pid int, __off long")
+    )
+    w = Window.partitionBy("__pid").orderBy(*order_exprs)
+    out = (
+        s.join(off_df, "__pid")
+        .withColumn(rank_name, (F.row_number().over(w) + F.col("__off")).cast("bigint"))
+        .drop("__pid", "__off")
+    )
+    # materialize before releasing the sorted frame so the rank can't
+    # recompute against a re-sampled range partitioning
+    out = pathops_materialize(out)
+    s.unpersist()
+    return out, acc
+
+
+def curriculum_bins(
+    df: DataFrame,
+    id_col: str,
+    score_col: str,
+    n_bins: int = 4,
+    ascending: bool = True,
+    salt: str = "",
+) -> DataFrame:
+    """Curriculum ordering for training: split the corpus into `n_bins`
+    equal-budget phases by score quantile (ntile semantics over the
+    (score, id) total order — phase 1 is the lowest-scoring / "easiest"
+    slice when `ascending`), and give every row a deterministic 1-based
+    `position` inside its phase by content-hash order — the reproducible
+    shuffle a training loader consumes directly; `salt` reshuffles
+    across epochs without touching phase assignment.
+
+    ntile is computed in CLOSED FORM from the exact global rank (the
+    first n % k phases hold n//k + 1 rows, the rest n//k), and both
+    ranks come from `_global_rank`'s range-sort + partition-offset plan
+    — two distributed range shuffles, two driver-side collects of one
+    long per partition, NO single-partition window anywhere.  Phases are
+    budget-balanced by construction, so per-phase downstream jobs are
+    skew-free.  `id_col` must be unique (it is the order tie-break)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    score = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    ranked, n = _global_rank(df, [score, F.col(id_col).asc()], "__grank")
+    q, r = divmod(n, n_bins)
+    cutoff = r * (q + 1)
+    g = F.col("__grank")
+    phase = F.when(
+        g <= F.lit(cutoff), (g - 1) / F.lit(q + 1) + 1
+    ).otherwise(F.lit(r) + (g - F.lit(cutoff) - 1) / F.lit(max(q, 1)) + 1)
+    with_phase = ranked.withColumn(
+        "phase", F.floor(phase).cast("bigint")
+    ).drop("__grank")
+    shuffle_key = md5_long(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    ranked2, _ = _global_rank(
+        with_phase.withColumn("__shuf", shuffle_key),
+        [F.col("phase").asc(), F.col("__shuf").asc(), F.col(id_col).asc()],
+        "__grank2",
+    )
+    # phase start offsets are closed-form from the same (q, r) split
+    p = F.col("phase")
+    phase_start = F.when(
+        p <= F.lit(r), (p - 1) * F.lit(q + 1)
+    ).otherwise(F.lit(cutoff) + (p - 1 - F.lit(r)) * F.lit(q))
+    return (
+        ranked2.withColumn(
+            "position", (F.col("__grank2") - phase_start).cast("bigint")
+        )
+        .drop("__grank2", "__shuf")
+    )

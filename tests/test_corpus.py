@@ -438,3 +438,65 @@ def test_bigram_logprob_self_model_golden(spark):
     assert got[1] == (3, round((2 * math.log(1.0) + math.log(0.5)) / 3, 6))
     assert got[2] == (2, round((math.log(1.0) + math.log(0.5)) / 2, 6))
     assert 3 not in got
+
+
+# -- curriculum binning --------------------------------------------------------
+
+
+def _ntile_ref(rows, n_bins, key):
+    """Python replay of SQL ntile over a total order."""
+    ordered = sorted(rows, key=key)
+    n = len(ordered)
+    q, r = divmod(n, n_bins)
+    out, idx = {}, 0
+    for b in range(1, n_bins + 1):
+        size = q + 1 if b <= r else q
+        for _ in range(size):
+            out[ordered[idx][0]] = b
+            idx += 1
+    return out
+
+
+def test_curriculum_bins_matches_ntile(spark):
+    from duckpgq_extension_spark.operators.corpus import curriculum_bins
+
+    rows = [(i, float((i * 37) % 10) + (i % 3) * 0.1) for i in range(23)]
+    df = spark.createDataFrame(rows, "doc_id long, q double")
+    got = curriculum_bins(df, "doc_id", "q", n_bins=4).collect()
+    exp_phase = _ntile_ref(rows, 4, key=lambda t: (t[1], t[0]))
+    assert {r["doc_id"]: r["phase"] for r in got} == exp_phase
+    # positions are a 1..size permutation inside every phase
+    by_phase = {}
+    for r in got:
+        by_phase.setdefault(r["phase"], []).append(r["position"])
+    sizes = sorted(len(v) for v in by_phase.values())
+    assert sizes == [5, 6, 6, 6]
+    for ph, poss in by_phase.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+
+
+def test_curriculum_bins_descending_and_salt(spark):
+    from duckpgq_extension_spark.operators.corpus import curriculum_bins
+
+    rows = [(i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id long, q double")
+    desc = curriculum_bins(df, "doc_id", "q", n_bins=2, ascending=False).collect()
+    # descending: highest scores land in phase 1
+    assert {r["doc_id"] for r in desc if r["phase"] == 1} == {5, 6, 7, 8, 9}
+    a = {(r["doc_id"], r["position"]) for r in curriculum_bins(df, "doc_id", "q", 2).collect()}
+    b = {(r["doc_id"], r["position"]) for r in curriculum_bins(df, "doc_id", "q", 2, salt="ep1").collect()}
+    # salt reshuffles within-phase order but never phase membership
+    assert a != b
+    pa = {r["doc_id"]: r["phase"] for r in curriculum_bins(df, "doc_id", "q", 2).collect()}
+    pb = {r["doc_id"]: r["phase"] for r in curriculum_bins(df, "doc_id", "q", 2, salt="ep1").collect()}
+    assert pa == pb
+
+
+def test_curriculum_bins_more_bins_than_rows(spark):
+    from duckpgq_extension_spark.operators.corpus import curriculum_bins
+
+    df = spark.createDataFrame([(1, 1.0), (2, 2.0)], "doc_id long, q double")
+    got = sorted((r["doc_id"], r["phase"], r["position"]) for r in curriculum_bins(df, "doc_id", "q", n_bins=5).collect())
+    assert got == [(1, 1, 1), (2, 2, 1)]
+    with pytest.raises(ValueError, match="n_bins"):
+        curriculum_bins(df, "doc_id", "q", n_bins=0)
