@@ -55,10 +55,12 @@ BENCH_QUERIES = [
     "quality_repetition",
     "mixture_sample",
     "temperature_sample",
+    "curriculum",
     "chunk_docs",
     "pack_sequences",
     "interval_join",
     "ann_ivf",
+    "ann_ivfpq",
     "dedup_jaccard",
     "dedup_minhash",
     "dedup_clusters",
@@ -69,6 +71,7 @@ BENCH_QUERIES = [
     "importance_resample",
     "text_normalize",
     "semantic_dedup",
+    "containment_dedup",
     "contamination",
     "simhash",
     "similarity_topk",
@@ -226,6 +229,7 @@ SF1_QUERIES = [
     "match_triangle",
     "k_truss",
     "betweenness",
+    "curriculum",
     # the composed corpus pipeline: its stages are individually tiered
     # above; this row tracks the slope of the composition itself
     "pipeline_corpus",

@@ -808,6 +808,7 @@ def containment_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    max_candidates_per_doc: int | None = None,
 ) -> DataFrame:
     """Asymmetric shingle containment: C(a -> b) = |A ∩ B| / |A| over
     word-n-gram shingle sets.  Returns every ORDERED pair (id_a, id_b,
@@ -860,9 +861,29 @@ def containment_pairs(
                 (F.col("id_a") != F.col("id_b"))
                 & (F.ceil(F.lit(threshold) * F.col("psz_a")) <= F.col("psz_b"))
             )
-            .select("id_a", "id_b")
+            .select("id_a", "id_b", "psz_b")
             .distinct()
         )
+        if max_candidates_per_doc is not None:
+            # Scale knob for the DEDUP use case (existence of a container,
+            # not the full pair list): verify each doc against only its
+            # `max_candidates_per_doc` largest candidate containers.  On
+            # corpora with large mutual-duplicate groups the exact pair
+            # output is quadratic in group size by definition (measured
+            # 51 -> 502k pairs on a 10x tier with ~10 near-copies per
+            # doc); capping makes the verify stage linear while keeping
+            # the drop decision intact whenever any of the biggest
+            # candidates contains the doc.  Lossy for pair ENUMERATION —
+            # leave None when the full pair set is the product.
+            w_cap = Window.partitionBy("id_a").orderBy(
+                F.col("psz_b").desc(), F.col("id_b").asc()
+            )
+            cands = (
+                cands.withColumn("__cr", F.row_number().over(w_cap))
+                .where(F.col("__cr") <= max_candidates_per_doc)
+                .drop("__cr")
+            )
+        cands = cands.drop("psz_b")
         out = (
             cands.join(
                 sets.select(

@@ -661,17 +661,70 @@ def pq_codebooks(
     return books
 
 
+def _dot_lits(sub: Column, cw: list[float]) -> Column:
+    """<sub, literal codeword> expanded to explicit element arithmetic.
+    Bit-identical to `dot` (F.aggregate folds acc + x_i left to right;
+    this is the same ((0+x1)+x2)+... order) but with ZERO lambda/HOF
+    nodes — with m*ksub codewords per query the HOF form made Catalyst
+    analysis the dominant cost (~20 s driver-side at ANY data size;
+    measured 23 s -> ~3 s on a 50-vector corpus after expansion).
+    Codewords are short by design (dim/m), so the expansion stays small."""
+    acc: Column = F.lit(0.0)
+    for i, c in enumerate(cw):
+        acc = acc + F.element_at(sub, i + 1) * F.lit(float(c))
+    return acc
+
+
 def _pq_assign(sub: Column, book: list[tuple[int, list[float]]]) -> Column:
     """Argmin-by-L2 code for one slot as a pure column expression; ties
     break toward the lowest code.  L2² is expanded as |c|² - 2<x,c> (the
     |x|² term is constant per row, so it cannot change the argmin)."""
     choices = []
     for code, cw in book:
-        cvec = F.array(*[F.lit(x).cast("double") for x in cw])
         cc = float(sum(x * x for x in cw))
-        dist = F.lit(cc).cast("double") - F.lit(2.0) * dot(sub, cvec)
+        dist = F.lit(cc) - F.lit(2.0) * _dot_lits(sub, cw)
         choices.append(F.struct(dist.alias("d"), F.lit(code).alias("code")))
     return F.array_min(F.array(*choices))["code"]
+
+
+def _books_df(spark, books) -> DataFrame:
+    """Codebooks as a (tiny) DataFrame (s, code, cw, cc=|cw|²) instead of
+    literal expressions: m*ksub codeword literals inlined into the plan
+    made Catalyst analysis + codegen the dominant cost (~20 s driver-side
+    at ANY corpus size); as broadcast DATA the plan is small and generic
+    and the same math runs in a join."""
+    rows = [
+        (s, code, [float(x) for x in cw], float(sum(x * x for x in cw)))
+        for s, bk in enumerate(books)
+        for code, cw in bk
+    ]
+    return spark.createDataFrame(rows, "s int, code int, cw array<double>, cc double")
+
+
+def _slot_subs(nv: Column, m: int, d: int) -> Column:
+    """Explodable array of (s, sub) slot slices of a normalized vector."""
+    return F.array(
+        *[
+            F.struct(F.lit(s).alias("s"), F.slice(nv, s * d + 1, d).alias("sub"))
+            for s in range(m)
+        ]
+    )
+
+
+def _encode_codes(base: DataFrame, books_b: DataFrame, m: int, d: int, *keys):
+    """(keys..., s, code) PQ codes via explode + broadcast codebook join +
+    min-struct argmin.  dist = cc - 2<sub, cw> exactly as the literal
+    formulation (the dot is the same left-fold), and min(struct(dist,
+    code)) is the same (dist asc, code asc) tie-break."""
+    return (
+        base.select(*keys, F.explode(_slot_subs(F.col("__nv"), m, d)).alias("sl"))
+        .select(*keys, F.col("sl.s").alias("s"), F.col("sl.sub").alias("sub"))
+        .join(books_b, "s")
+        .withColumn("__dist", F.col("cc") - F.lit(2.0) * dot(F.col("sub"), F.col("cw")))
+        .groupBy(*keys, "s")
+        .agg(F.min(F.struct(F.col("__dist"), F.col("code"))).alias("__mc"))
+        .select(*keys, "s", F.col("__mc.code").alias("code"))
+    )
 
 
 def pq_encode(
@@ -681,39 +734,21 @@ def pq_encode(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, codes array<int>) — each vector compressed to m codes.  One
-    narrow projection over the corpus scan; at 100 TB this is the
-    build-once index write (pair with partitionBy(list_id) exactly like
-    write_ivf_index)."""
+    explode + broadcast codebook join + argmin aggregate over the corpus
+    scan; at 100 TB this is the build-once index write (pair with
+    partitionBy(list_id) exactly like write_ivf_index)."""
     m = len(books)
     d = len(books[0][0][1])
-    nv = _normalize(F.col(vec_col))
-    codes = F.array(
-        *[_pq_assign(F.slice(nv, s * d + 1, d), books[s]) for s in range(m)]
+    base = embeddings.select(
+        F.col(id_col).alias("id"), _normalize(F.col(vec_col)).alias("__nv")
     )
-    return embeddings.select(F.col(id_col).alias("id"), codes.alias("codes"))
-
-
-def _adc_score_fp(qvec: Column, codes: Column, books) -> Column:
-    """Fixed-point ADC score: per slot, look the code's precomputed
-    <q_slot, codeword> term up in an array literal-of-expressions LUT,
-    round to 1e-9, and sum as exact integers (associative — bit-stable
-    across engines regardless of execution order)."""
-    m = len(books)
-    d = len(books[0][0][1])
-    total = F.lit(0).cast("long")
-    for s in range(m):
-        qs = F.slice(qvec, s * d + 1, d)
-        lut = F.array(
-            *[
-                F.round(
-                    dot(qs, F.array(*[F.lit(x).cast("double") for x in cw]))
-                    * F.lit(1000000000.0)
-                ).cast("long")
-                for _, cw in books[s]
-            ]
-        )
-        total = total + F.element_at(lut, F.element_at(codes, s + 1) + 1)
-    return total
+    books_b = F.broadcast(_books_df(embeddings.sparkSession, books))
+    per_slot = _encode_codes(base, books_b, m, d, "id")
+    return per_slot.groupBy("id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("s", "code"))), lambda x: x["code"]
+        ).alias("codes")
+    )
 
 
 def ivfpq_topk(
@@ -749,20 +784,18 @@ def ivfpq_topk(
     query_id_col = query_id_col or id_col
     cents = ivf_centroids(embeddings, nlist, id_col, vec_col, iterations)
     books = pq_codebooks(embeddings, m, ksub, id_col, vec_col, iterations)
-    corpus = embeddings.select(
-        _nearest_centroid(F.col(vec_col), cents).alias("__cid"),
+    d = len(books[0][0][1])
+    spark = embeddings.sparkSession
+    books_b = F.broadcast(_books_df(spark, books))
+    # __nv as a real column = the normalize (a norm + a transform) runs
+    # once per corpus row, not once per slot slice
+    base = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        F.array(
-            *[
-                _pq_assign(
-                    F.slice(_normalize(F.col(vec_col)), s * len(books[0][0][1]) + 1,
-                            len(books[0][0][1])),
-                    books[s],
-                )
-                for s in range(m)
-            ]
-        ).alias("__codes"),
+        _nearest_centroid(F.col(vec_col), cents).alias("__cid"),
+        _normalize(F.col(vec_col)).alias("__nv"),
     )
+    # corpus -> (vec_id, __cid, s, code): the compressed index, exploded
+    codes = _encode_codes(base, books_b, m, d, "vec_id", "__cid")
     q = _probe_queries(
         queries.select(
             F.col(query_id_col).alias(query_id_col), _normalize(F.col(vec_col)).alias(vec_col)
@@ -772,20 +805,29 @@ def ivfpq_topk(
         query_id_col,
         vec_col,
     )
-    sim = (
-        q.join(corpus, "__cid")
-        .where(F.col("query_id") != F.col("vec_id"))
+    # per-(query, probed list) ADC lookup TABLE as broadcast rows: one
+    # fixed-point term per (s, code); the scoring join then needs no
+    # vector math at all — candidates match their 8 (s, code) terms and
+    # SUM exact integers (associative, hash-stable under any plan)
+    lut = F.broadcast(
+        q.select("query_id", "__cid", F.explode(_slot_subs(F.col("__qvec"), m, d)).alias("sl"))
+        .select("query_id", "__cid", F.col("sl.s").alias("s"), F.col("sl.sub").alias("qsub"))
+        .join(_books_df(spark, books), "s")
         .select(
             "query_id",
-            "vec_id",
-            (
-                _adc_score_fp(F.col("__qvec"), F.col("__codes"), books)
-                / F.lit(1000000000.0)
-            ).alias("__fp"),
+            "__cid",
+            "s",
+            "code",
+            F.round(dot(F.col("qsub"), F.col("cw")) * F.lit(1000000000.0))
+            .cast("long")
+            .alias("__term"),
         )
-        .select(
-            "query_id", "vec_id", F.round(F.col("__fp"), 6).alias("adc_score")
-        )
+    )
+    sim = (
+        lut.join(codes, ["__cid", "s", "code"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("__term") / F.lit(1000000000.0), 6).alias("adc_score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("adc_score").desc(), F.col("vec_id")

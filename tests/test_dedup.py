@@ -423,3 +423,30 @@ def test_deduplicate_contained_keeps_superset(spark):
     # doc 1 contained in the larger doc 2 -> dropped; docs 3/4 mutually
     # contained at equal size -> lowest id (3) survives
     assert kept == [2, 3]
+
+
+def test_containment_candidate_cap(spark):
+    """max_candidates_per_doc keeps only the largest candidate containers
+    per contained doc — dedup decisions survive, pair enumeration shrinks."""
+    base = "a b c d e f g h"
+    df = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " i j"),
+            (3, base + " i j k l"),
+            (4, base + " i j k l m n"),
+        ],
+        "doc_id long, text string",
+    )
+    full = dedup.containment_pairs(df, "doc_id", "text", n=2, threshold=0.9)
+    capped = dedup.containment_pairs(
+        df, "doc_id", "text", n=2, threshold=0.9, max_candidates_per_doc=1
+    )
+    full_a = {r["id_a"] for r in full.collect()}
+    capped_rows = capped.collect()
+    # every doc with ANY container still shows up (its largest container
+    # necessarily contains it here), but with exactly one pair each
+    assert {r["id_a"] for r in capped_rows} == full_a
+    from collections import Counter
+    assert max(Counter(r["id_a"] for r in capped_rows).values()) == 1
+    assert capped.count() < full.count()
