@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "interval_join",
     "ann_ivf",
     "ann_ivfpq",
+    "random_projection",
+    "quantize_int8",
     "dedup_jaccard",
     "dedup_minhash",
     "dedup_clusters",

@@ -2476,6 +2476,64 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random projection (similarity.
+    random_projection): 64 -> 8 dims onto deterministic LCG hyperplanes;
+    the oracle rebuilds the identical plane literals, so every projected
+    coordinate hash-matches."""
+    setup(spark, sf_dir)
+    emb = _emb_double(spark, sf_dir)
+    proj = similarity.random_projection(emb, 8)
+    return proj.select(
+        "id", *[F.round(F.element_at("proj", j + 1), 6).alias(f"p{j}") for j in range(8)]
+    )
+
+
+def _random_projection_oracle(out_dim: int = 8, dim: int = 64) -> str:
+    planes = similarity.hyperplanes(out_dim, dim)
+    cols = ",\n       ".join(
+        "ROUND(list_dot_product(v, [{vals}]), 6) AS p{j}".format(
+            vals=", ".join(repr(x) for x in p), j=j
+        )
+        for j, p in enumerate(planes)
+    )
+    return f"""
+WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT id,
+       {cols}
+FROM emb
+"""
+
+
+O_RANDOM_PROJECTION = _random_projection_oracle()
+
+
+def q_quantize_int8(spark, sf_dir):
+    """Scalar int8 quantization (similarity.quantize_int8): per-dimension
+    min/max calibration over the corpus, values mapped to [-127, 127];
+    exploded to (id, pos, code) for value-level hashing."""
+    setup(spark, sf_dir)
+    emb = _emb_double(spark, sf_dir)
+    q = similarity.quantize_int8(emb)
+    return q.select("id", F.posexplode("codes").alias("pos", "code")).select(
+        "id", F.col("pos").cast("bigint").alias("pos"), "code"
+    )
+
+
+O_QUANTIZE_INT8 = """
+WITH emb AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+pe AS (
+  SELECT id, CAST(z[2] - 1 AS BIGINT) AS pos, CAST(z[1] AS DOUBLE) AS x
+  FROM (SELECT id, UNNEST(list_zip(v, range(1, len(v) + 1))) AS z FROM emb)),
+bounds AS (SELECT pos, MIN(x) AS lo, MAX(x) AS hi FROM pe GROUP BY pos)
+SELECT p.id, p.pos,
+       CAST(CASE WHEN b.hi > b.lo
+                 THEN ROUND((p.x - b.lo) / (b.hi - b.lo) * 254.0) - 127
+                 ELSE 0 END AS INT) AS code
+FROM pe p JOIN bounds b USING (pos)
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (decode dimensions are derivable from byte length)
 # --------------------------------------------------------------------------
@@ -4311,6 +4369,8 @@ QUERIES.update({
     "ann_ivfpq": q_ann_ivfpq,
     "containment_dedup": q_containment_dedup,
     "curriculum": q_curriculum,
+    "random_projection": q_random_projection,
+    "quantize_int8": q_quantize_int8,
 })
 ORACLES.update({
     "cross_corpus_dedup": O_CROSS_CORPUS_DEDUP,
@@ -4325,6 +4385,8 @@ ORACLES.update({
     "ann_ivfpq": O_ANN_IVFPQ,
     "containment_dedup": O_CONTAINMENT_DEDUP,
     "curriculum": O_CURRICULUM,
+    "random_projection": O_RANDOM_PROJECTION,
+    "quantize_int8": O_QUANTIZE_INT8,
 })
 
 

