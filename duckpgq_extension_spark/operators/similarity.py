@@ -925,3 +925,119 @@ def quantize_int8(
         ).otherwise(F.lit(0)),
     )
     return embeddings.select(F.col(id_col).alias("id"), codes.alias("codes"))
+
+
+def write_pq_index(
+    embeddings: DataFrame,
+    path: str,
+    nlist: int = 8,
+    m: int = 8,
+    ksub: int = 16,
+    iterations: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an IVF-PQ index on disk: the EXPLODED code table
+    (vec_id, s, code) written PARTITIONED BY inverted-list id, plus
+    centroids and codebooks parquets.  This is the standing-index form
+    of `ivfpq_topk`: encode cost is paid once at build time, the stored
+    index is m bytes of codes per vector instead of the vectors
+    themselves (32x at dim 64 / m 8), and every query batch afterwards
+    reads only its probed list directories via partition pruning — i.e.
+    nprobe/nlist of a corpus that is ALREADY 32x smaller than the raw
+    embeddings.  The raw vectors are NOT stored: refine-style reranks
+    read them from the original table."""
+    from pyspark.sql import Row
+
+    spark = embeddings.sparkSession
+    cents = ivf_centroids(embeddings, nlist, id_col, vec_col, iterations)
+    books = pq_codebooks(embeddings, m, ksub, id_col, vec_col, iterations)
+    spark.createDataFrame(
+        [Row(centroid_id=cid, centroid=list(vec)) for cid, vec in cents],
+        "centroid_id int, centroid array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    _books_df(spark, books).coalesce(1).write.mode("overwrite").parquet(
+        f"{path}/codebooks"
+    )
+    d = len(books[0][0][1])
+    base = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        _nearest_centroid(F.col(vec_col), cents).alias("list_id"),
+        _normalize(F.col(vec_col)).alias("__nv"),
+    )
+    codes = _encode_codes(
+        base, F.broadcast(_books_df(spark, books)), m, d, "vec_id", "list_id"
+    )
+    codes.write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/codes")
+
+
+def ivfpq_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    query_id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-PQ top-k against a `write_pq_index` directory.  Probed list
+    ids are computed driver-side from the (driver-small) query batch and
+    pushed into the code-table scan as an IN filter on the partition
+    column — static partition pruning, so unprobed list directories are
+    never opened; within them the scan reads (vec_id, s, code), never a
+    vector.  Returns (query_id, vec_id, adc_score, rank) exactly like
+    ivfpq_topk."""
+    cents = [
+        (int(r["centroid_id"]), list(r["centroid"]))
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    ]
+    brows = spark.read.parquet(f"{path}/codebooks").collect()
+    m = 1 + max(r["s"] for r in brows)
+    books = [
+        [(r["code"], list(r["cw"])) for r in sorted(brows, key=lambda r: (r["s"], r["code"])) if r["s"] == s]
+        for s in range(m)
+    ]
+    d = len(books[0][0][1])
+    q = _probe_queries(
+        queries.select(
+            F.col(query_id_col).alias(query_id_col),
+            _normalize(F.col(vec_col)).alias(vec_col),
+        ),
+        cents,
+        nprobe,
+        query_id_col,
+        vec_col,
+    )
+    lut = F.broadcast(
+        q.select(
+            "query_id", "__cid", F.explode(_slot_subs(F.col("__qvec"), m, d)).alias("sl")
+        )
+        .select("query_id", "__cid", F.col("sl.s").alias("s"), F.col("sl.sub").alias("qsub"))
+        .join(_books_df(spark, books), "s")
+        .select(
+            "query_id",
+            "__cid",
+            "s",
+            "code",
+            F.round(dot(F.col("qsub"), F.col("cw")) * F.lit(1000000000.0))
+            .cast("long")
+            .alias("__term"),
+        )
+    )
+    probed = sorted({r["__cid"] for r in q.select("__cid").distinct().collect()})
+    codes = (
+        spark.read.parquet(f"{path}/codes")
+        # IN on the partition column -> PartitionFilters at the scan
+        .where(F.col("list_id").isin(probed))
+        .select(F.col("list_id").alias("__cid"), "vec_id", "s", "code")
+    )
+    sim = (
+        lut.join(codes, ["__cid", "s", "code"])
+        .where(F.col("query_id") != F.col("vec_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.round(F.sum("__term") / F.lit(1000000000.0), 6).alias("adc_score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_score").desc(), F.col("vec_id")
+    )
+    return sim.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -312,3 +312,29 @@ def test_quantize_int8_bounds_and_roundtrip(emb):
             if hi > lo:
                 deq = (got[vid][d] + 127) / 254.0 * (hi - lo) + lo
                 assert abs(deq - src[vid][d]) <= (hi - lo) / 254.0 * 0.5001
+
+
+def test_pq_index_roundtrip_and_pruning(spark, tmp_path):
+    """write_pq_index + ivfpq_topk_from_index must (a) return exactly what
+    the in-memory ivfpq_topk returns for the same parameters, and (b) push
+    the probed list ids into the CODE-table scan as PartitionFilters, with
+    no vector column in the read schema."""
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    queries = emb.where(F.col("vec_id") < 5)
+    idx = str(tmp_path / "pq_idx")
+    sim.write_pq_index(emb, idx, nlist=4, m=8, ksub=4)
+    got = sim.ivfpq_topk_from_index(spark, idx, queries, k=3, nprobe=2)
+    want = sim.ivfpq_topk(emb, queries, k=3, nlist=4, nprobe=2, m=8, ksub=4)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "list_id" in plan, plan[:1500]
+    # the codes scan must read codes only — the index stores no vectors
+    codes_scan = next(
+        seg
+        for seg in plan.split("FileScan")
+        if "PartitionFilters: [list_id" in seg
+    )
+    assert "embedding" not in codes_scan.split("ReadSchema")[-1][:120], codes_scan[:800]
