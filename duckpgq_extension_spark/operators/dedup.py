@@ -809,6 +809,7 @@ def containment_pairs(
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
     max_candidates_per_doc: int | None = None,
+    strategy: str = "prefix",
 ) -> DataFrame:
     """Asymmetric shingle containment: C(a -> b) = |A ∩ B| / |A| over
     word-n-gram shingle sets.  Returns every ORDERED pair (id_a, id_b,
@@ -817,21 +818,81 @@ def containment_pairs(
     a document embedded verbatim in a longer one, which symmetric Jaccard
     misses (J = |A|/|B| can be arbitrarily small while C(a->b) = 1).
 
-    Candidate generation adapts positional prefix filtering to the
-    asymmetric case: shingles are globally ordered rarest-first and the
-    CONTAINED side joins only its first `sz_a - ceil(t*sz_a) + 1`
-    shingles — if C(a->b) >= t then |A ∩ B| >= ceil(t*sz_a), so at least
-    one shared shingle must sit inside a's prefix (lossless).  The
-    container side cannot be prefix-pruned (b may be arbitrarily large),
-    so the join is a-prefix x full shingle relation, with the size prune
-    `ceil(t*sz_a) <= sz_b` inside the join; `max_doc_freq` bounds the
-    stop-shingle blowup exactly as in ngram_jaccard_pairs.  Verification
-    is exact (array_intersect over full sets), so the output is identical
-    to the unfiltered all-pairs result and the oracle needs no knowledge
-    of the candidate strategy.  One shuffle family at 100 TB: shingle
-    explode -> df agg -> prefix equi-join on the shingle hash.
+    Two exact plans, selected by `strategy` (both produce the identical
+    unfiltered all-pairs result, so the oracle needs no knowledge of the
+    choice):
+
+    - 'prefix' (default): positional prefix filtering adapted to the
+      asymmetric case — shingles globally ordered rarest-first, the
+      CONTAINED side joins only its first `sz_a - ceil(t*sz_a) + 1`
+      shingles (if C(a->b) >= t then |A ∩ B| >= ceil(t*sz_a), so a
+      shared shingle must sit in a's prefix: lossless), size prune
+      in-join, verification by array_intersect on the candidates.
+    - 'count': full shingle self-join + partial-aggregated COUNT per
+      (id_a, id_b) — no candidate set, no arrays carried, map-side
+      combine does the work.  Use when documents are LONG (big arrays
+      make per-candidate array_intersect expensive) but shingle overlap
+      is bounded (sum over shingles of df² stays near-linear).
+
+    Measured on the sf0.1 small-vocabulary corpus — a DENSE worst case
+    where the prefix filter cannot prune (11.77M distinct candidates of
+    12.5M possible): prefix 24.5 s vs count 41.4 s, because a shuffled
+    aggregation row costs ~an order of magnitude more than vectorized
+    array-element ops; the df²-join (73M rows there) is the count
+    plan's own blowup axis.  Neither estimate is reliably cheap to
+    probe up front, so the choice is an explicit parameter, not a
+    guess.  `max_doc_freq` bounds stop-shingle blowup in either plan
+    exactly as in ngram_jaccard_pairs.
     """
+    if strategy not in ("prefix", "count"):
+        raise ValueError(f"unknown strategy {strategy!r}")
     sh = _shingles(df, id_col, text_col, n, max_doc_freq).persist()
+    if strategy == "count":
+        try:
+            # eager populate: the self-join's two sides + the sizes agg
+            # would otherwise race the first materialization of the
+            # persisted shingles (the pipeline_corpus lesson, PERF.md)
+            sh.count()
+            sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+            shared = (
+                sh.alias("l")
+                .join(sh.alias("r"), "sh")
+                .where(F.col("l.id") != F.col("r.id"))
+                .groupBy(
+                    F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b")
+                )
+                .agg(F.count("*").alias("__shared"))
+            )
+            out = (
+                shared.join(
+                    sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a")),
+                    "id_a",
+                )
+                .join(
+                    sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b")),
+                    "id_b",
+                )
+                .select(
+                    "id_a",
+                    "id_b",
+                    F.round(F.col("__shared") / F.col("sz_a"), 6).alias("containment"),
+                    "sz_a",
+                    "sz_b",
+                )
+                .where(F.col("containment") >= threshold)
+            )
+            if max_candidates_per_doc is not None:
+                w_cap = Window.partitionBy("id_a").orderBy(
+                    F.col("sz_b").desc(), F.col("id_b").asc()
+                )
+                out = (
+                    out.withColumn("__cr", F.row_number().over(w_cap))
+                    .where(F.col("__cr") <= max_candidates_per_doc)
+                    .drop("__cr")
+                )
+            return out.localCheckpoint(eager=True)
+        finally:
+            sh.unpersist()
     freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
     sets = (
         sh.join(freq, "sh")

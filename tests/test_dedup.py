@@ -450,3 +450,19 @@ def test_containment_candidate_cap(spark):
     from collections import Counter
     assert max(Counter(r["id_a"] for r in capped_rows).values()) == 1
     assert capped.count() < full.count()
+
+
+def test_containment_strategies_agree(spark):
+    """'count' and 'prefix' are two exact plans for the same definition —
+    identical output on the same corpus (auto picks one of them)."""
+    docs = [
+        (i, " ".join(f"w{(i * 7 + j * 3) % 11}" for j in range(6 + i % 5)))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    kw = dict(n=2, threshold=0.5)
+    a = {tuple(r) for r in dedup.containment_pairs(df, "doc_id", "text", strategy="prefix", **kw).collect()}
+    b = {tuple(r) for r in dedup.containment_pairs(df, "doc_id", "text", strategy="count", **kw).collect()}
+    assert a == b and len(a) > 0
+    with pytest.raises(ValueError, match="strategy"):
+        dedup.containment_pairs(df, "doc_id", "text", strategy="nope", **kw)
