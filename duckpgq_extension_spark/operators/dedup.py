@@ -982,14 +982,22 @@ def deduplicate_contained(
     n: int = 3,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    max_candidates_per_doc: int | None = None,
+    strategy: str = "prefix",
 ) -> DataFrame:
     """Drop every document whose shingle set is (mostly) contained in a
     LARGER document — the superset survives.  Deterministic total rule: x
     is dropped iff some y has C(x->y) >= threshold and (sz_y > sz_x, or
     sz_y = sz_x and y's id is lower) — the size-then-id tie-break makes
     mutual containment (exact duplicates at the shingle level) keep
-    exactly the lowest id.  Returns the surviving rows of `df`."""
-    pairs = containment_pairs(df, id_col, text_col, n, threshold, max_doc_freq)
+    exactly the lowest id.  Returns the surviving rows of `df`.
+    `max_candidates_per_doc` (the dedup-mode scale knob — checking only
+    the largest candidate containers is exactly what this rule needs)
+    and `strategy` pass through to containment_pairs."""
+    pairs = containment_pairs(
+        df, id_col, text_col, n, threshold, max_doc_freq,
+        max_candidates_per_doc, strategy,
+    )
     drop = (
         pairs.where(
             (F.col("sz_b") > F.col("sz_a"))
