@@ -69,6 +69,7 @@ BENCH_QUERIES = [
     "cross_corpus_dedup",
     "stream_near_dup",
     "dedup_paragraphs",
+    "substring_dedup",
     "dedup_keep_longest",
     "importance_resample",
     "text_normalize",

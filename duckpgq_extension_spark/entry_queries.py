@@ -3725,6 +3725,56 @@ FROM pack GROUP BY 1, 2
 O_PIPELINE_CORPUS = _pipeline_corpus_oracle()
 
 
+def q_substring_dedup(spark, sf_dir):
+    """Exact duplicated-passage removal (dedup.exact_substring_dedup,
+    the Lee et al. ExactSubstr shape over 8-token windows): every
+    8-token span occurring more than once corpus-wide survives only at
+    its first (doc_id, pos) occurrence; clean text is rebuilt from the
+    surviving tokens."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    return dedup.exact_substring_dedup(docs, "doc_id", "text", window=8)
+
+
+O_SUBSTRING_DEDUP = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t, len({_TOKS}) AS n FROM documents),
+pos AS (
+  SELECT doc_id, t, n,
+         UNNEST(CASE WHEN n >= 8 THEN generate_series(1, n - 7)
+                ELSE CAST([] AS BIGINT[]) END) AS pos
+  FROM toks),
+wins AS (
+  SELECT doc_id, pos,
+         {_MD5L.format(X="array_to_string(t[pos:pos+7], ' ')")} AS wh
+  FROM pos),
+wins2 AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY wh) AS occ
+  FROM wins),
+dropped AS (SELECT doc_id, pos FROM wins2 WHERE occ > 1 AND rn > 1),
+covered AS (
+  SELECT DISTINCT doc_id, UNNEST(generate_series(pos, pos + 7)) AS cov
+  FROM dropped),
+allpos AS (
+  SELECT doc_id, t, UNNEST(generate_series(1, n)) AS cov FROM toks WHERE n > 0),
+kept AS (
+  SELECT a.doc_id, a.cov, a.t[a.cov] AS tok
+  FROM allpos a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c WHERE c.doc_id = a.doc_id AND c.cov = a.cov)),
+reb AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY cov ASC) AS clean_text,
+         COUNT(*) AS n_tokens
+  FROM kept GROUP BY doc_id)
+SELECT t.doc_id,
+       COALESCE(r.clean_text, '') AS clean_text,
+       CAST(COALESCE(r.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(t.n - COALESCE(r.n_tokens, 0) AS BIGINT) AS n_removed
+FROM toks t LEFT JOIN reb r USING (doc_id)
+"""
+
+
 def q_curriculum(spark, sf_dir):
     """Curriculum binning (corpus.curriculum_bins): 4 equal-budget phases
     by document length quantile + deterministic within-phase shuffle
@@ -4371,6 +4421,7 @@ QUERIES.update({
     "curriculum": q_curriculum,
     "random_projection": q_random_projection,
     "quantize_int8": q_quantize_int8,
+    "substring_dedup": q_substring_dedup,
 })
 ORACLES.update({
     "cross_corpus_dedup": O_CROSS_CORPUS_DEDUP,
@@ -4387,6 +4438,7 @@ ORACLES.update({
     "curriculum": O_CURRICULUM,
     "random_projection": O_RANDOM_PROJECTION,
     "quantize_int8": O_QUANTIZE_INT8,
+    "substring_dedup": O_SUBSTRING_DEDUP,
 })
 
 

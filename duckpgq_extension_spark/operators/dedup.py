@@ -1007,3 +1007,100 @@ def deduplicate_contained(
         .distinct()
     )
     return df.join(drop, id_col, "left_anti")
+
+
+def exact_substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 50,
+    sep: str = " ",
+) -> DataFrame:
+    """Exact duplicated-PASSAGE removal (the ExactSubstr dedup of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    re-expressed over fixed token windows): every length-`window` token
+    span that occurs more than once in the CORPUS is removed from all
+    but its first occurrence — first = lowest (doc_id, position), the
+    corpus-global deterministic owner, exactly like dedup_paragraphs.
+    Unlike paragraph dedup this catches duplicated passages at ANY
+    offset, independent of document structure.
+
+    A token survives unless covered by some non-owner duplicated window.
+    Returns (doc_id, clean_text, n_tokens, n_removed) with clean_text
+    rebuilt from surviving tokens in order.
+
+    Scale: windows explode to one row per token position (window
+    CONTENT is hashed to 60 bits, never carried); duplicate detection is
+    a groupBy on the window hash with a min-struct owner aggregate —
+    boilerplate shared by millions of docs lands on one key as ONE
+    aggregation row, not a join blowup; coverage expansion is per-doc
+    bounded (<= window x duplicated positions) and the rebuild is one
+    per-doc aggregate.  Three shuffles total, nothing quadratic."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("__t")
+    ).withColumn("__n", F.size("__t"))
+    # one row per window start; window hash = md5_long of the joined span
+    pos = toks.select(
+        "doc_id",
+        "__t",
+        "__n",
+        F.explode(
+            F.when(
+                F.col("__n") >= window,
+                F.sequence(F.lit(1), F.col("__n") - window + 1),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("pos"),
+    )
+    wins = pos.select(
+        "doc_id",
+        "pos",
+        md5_long(F.array_join(F.slice("__t", F.col("pos"), window), sep)).alias("__wh"),
+    )
+    owners = wins.groupBy("__wh").agg(
+        F.count("*").alias("__occ"),
+        F.min(F.struct("doc_id", "pos")).alias("__own"),
+    )
+    dropped = (
+        wins.join(owners, "__wh")
+        .where(
+            (F.col("__occ") > 1)
+            & ~(
+                (F.col("__own.doc_id") == F.col("doc_id"))
+                & (F.col("__own.pos") == F.col("pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    covered = dropped.select(
+        "doc_id", F.explode(F.sequence(F.col("pos"), F.col("pos") + window - 1)).alias("cov")
+    ).distinct()
+    all_pos = toks.select(
+        "doc_id", "__t", F.explode(F.sequence(F.lit(1), F.col("__n"))).alias("cov")
+    )
+    kept = all_pos.join(covered, ["doc_id", "cov"], "left_anti").select(
+        "doc_id", "cov", F.element_at("__t", F.col("cov")).alias("__tok")
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("cov", "__tok"))),
+                lambda s: s["__tok"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count("*").alias("n_tokens"),
+    )
+    # docs whose every token was covered disappear from `kept` — restore
+    # them with empty text so the operator is total over the input
+    return (
+        toks.select("doc_id", F.col("__n").alias("__orig"))
+        .join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("clean_text"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("n_tokens"), F.lit(0)).cast("long").alias("n_tokens"),
+            (F.col("__orig") - F.coalesce(F.col("n_tokens"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )

@@ -466,3 +466,55 @@ def test_containment_strategies_agree(spark):
     assert a == b and len(a) > 0
     with pytest.raises(ValueError, match="strategy"):
         dedup.containment_pairs(df, "doc_id", "text", strategy="nope", **kw)
+
+
+# -- exact substring (passage) dedup -------------------------------------------
+
+
+def test_exact_substring_dedup_removes_shared_passage(spark):
+    passage = "p1 p2 p3 p4 p5 p6"
+    df = spark.createDataFrame(
+        [
+            (1, "intro one two " + passage + " outro alpha"),
+            (2, "different start here " + passage + " unrelated tail words"),
+            (3, "no shared content at all in this one"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.exact_substring_dedup(df, "doc_id", "text", window=4).collect()}
+    # doc 1 owns every duplicated window (lowest doc_id) -> untouched
+    assert got[1]["n_removed"] == 0
+    assert got[1]["clean_text"] == "intro one two " + passage + " outro alpha"
+    # doc 2 loses exactly the shared passage tokens (6 of them)
+    assert got[2]["n_removed"] == 6
+    assert got[2]["clean_text"] == "different start here unrelated tail words"
+    assert got[3]["n_removed"] == 0
+
+
+def test_exact_substring_dedup_identical_docs_and_short_docs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),
+            (2, "a b c d e f g h"),
+            (3, "too short"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in dedup.exact_substring_dedup(df, "doc_id", "text", window=4).collect()}
+    assert got[1]["n_removed"] == 0 and got[1]["n_tokens"] == 8
+    # doc 2 is fully covered by duplicated windows -> emptied, still present
+    assert got[2]["clean_text"] == "" and got[2]["n_removed"] == 8
+    # shorter than the window -> no windows -> untouched
+    assert got[3]["clean_text"] == "too short" and got[3]["n_removed"] == 0
+
+
+def test_exact_substring_dedup_within_doc_repetition(spark):
+    rep = "x1 x2 x3 x4"
+    df = spark.createDataFrame(
+        [(1, rep + " middle words here " + rep)],
+        "doc_id long, text string",
+    )
+    got = dedup.exact_substring_dedup(df, "doc_id", "text", window=4).collect()[0]
+    # the second occurrence of the repeated 4-token span is removed
+    assert got["n_removed"] == 4
+    assert got["clean_text"] == rep + " middle words here"
