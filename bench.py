@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "assortativity",
     "doc_logprob",
     "bigram_logprob",
+    "ref_bigram_logprob",
     "katz",
     "link_pred",
     "temporal_reach",

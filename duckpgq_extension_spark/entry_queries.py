@@ -4136,6 +4136,43 @@ GROUP BY doc_id
 """
 
 
+def q_ref_bigram_logprob(spark, sf_dir):
+    """Cross-corpus perplexity filter (corpus.bigram_logprob_vs): the
+    CCNet/GPT-3 quality-filter shape — a Laplace-smoothed bigram LM
+    trained on the src0 reference slice scores every other document;
+    unseen contexts score 1/V, never log(0)."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    ref = docs.where(F.col("source") == "src0")
+    tgt = docs.where(F.col("source") != "src0")
+    return corpus.bigram_logprob_vs(tgt, ref, "doc_id", "text", alpha=0.5)
+
+
+O_REF_BIGRAM_LOGPROB = f"""
+WITH rf AS (SELECT {_TOKS} AS t FROM documents WHERE source = 'src0'),
+rp AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM rf, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2),
+model AS (SELECT w1, w2, COUNT(*) AS c2 FROM rp GROUP BY ALL),
+ctx AS (SELECT w1, SUM(c2) AS c1 FROM model GROUP BY w1),
+vv AS (SELECT COUNT(DISTINCT w2) AS v FROM model),
+tg AS (SELECT doc_id, {_TOKS} AS t FROM documents WHERE source <> 'src0'),
+tp AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM tg, UNNEST(generate_series(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 2),
+tpc AS (SELECT doc_id, w1, w2, COUNT(*) AS n FROM tp GROUP BY ALL),
+sc AS (
+  SELECT doc_id, n,
+         ln((COALESCE(c2, 0) + 0.5) / (COALESCE(c1, 0) + 0.5 * v)) AS lp
+  FROM tpc LEFT JOIN model USING (w1, w2) LEFT JOIN ctx USING (w1) CROSS JOIN vv)
+SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(n * lp) / SUM(n), 6) AS avg_logprob
+FROM sc GROUP BY doc_id
+"""
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/similarity.semantic_dedup):
     cluster the embedding space (8 deterministic seed centroids),
@@ -4422,6 +4459,7 @@ QUERIES.update({
     "random_projection": q_random_projection,
     "quantize_int8": q_quantize_int8,
     "substring_dedup": q_substring_dedup,
+    "ref_bigram_logprob": q_ref_bigram_logprob,
 })
 ORACLES.update({
     "cross_corpus_dedup": O_CROSS_CORPUS_DEDUP,
@@ -4439,6 +4477,7 @@ ORACLES.update({
     "random_projection": O_RANDOM_PROJECTION,
     "quantize_int8": O_QUANTIZE_INT8,
     "substring_dedup": O_SUBSTRING_DEDUP,
+    "ref_bigram_logprob": O_REF_BIGRAM_LOGPROB,
 })
 
 

@@ -876,3 +876,77 @@ def curriculum_bins(
         )
         .drop("__grank2", "__shuf")
     )
+
+
+def bigram_logprob_vs(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ref_text_col: str | None = None,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document mean bigram log-probability under a model trained on
+    a REFERENCE corpus — the KenLM-style quality filter of CCNet/GPT-3
+    data prep (score web text against a clean-corpus LM; keep the
+    high-likelihood tail), with Laplace smoothing since target bigrams
+    can be unseen: P(w2|w1) = (c(w1 w2) + alpha) / (c(w1 ·) + alpha*V),
+    V = distinct second-token vocabulary of the reference (so an unseen
+    context scores 1/V, never log(0)).
+
+    Returns (doc_id, n_bigrams, avg_logprob) over target docs with >= 1
+    bigram.  Scale: the model is two aggregations over the reference's
+    bigram frame; scoring is two LEFT joins on (w1, w2) / (w1) with
+    map-side-combined per-doc counts — the same shuffle shape as
+    bigram_logprob plus the model side; V is a scalar literal."""
+    from ..functions.text import tokens
+
+    ref_text_col = ref_text_col or text_col
+
+    def _pairs(frame, txt, idc=None):
+        t = tokens(F.col(txt))
+        cols = [F.col(idc).alias("doc_id")] if idc else []
+        return frame.select(
+            *cols,
+            F.explode(
+                F.arrays_zip(
+                    F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))).alias("w1"),
+                    F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))).alias("w2"),
+                )
+            ).alias("bg"),
+        ).select(*(["doc_id"] if idc else []), F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    model = (
+        _pairs(reference, ref_text_col)
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("c2"))
+        .persist()
+    )
+    try:
+        ctx = model.groupBy("w1").agg(F.sum("c2").alias("c1"))
+        v = model.select(F.countDistinct("w2")).first()[0] or 1
+        scored = (
+            _pairs(df, text_col, id_col)
+            .groupBy("doc_id", "w1", "w2")
+            .agg(F.count("*").alias("n"))
+            .join(model, ["w1", "w2"], "left")
+            .join(ctx, "w1", "left")
+            .select(
+                "doc_id",
+                "n",
+                F.log(
+                    (F.coalesce(F.col("c2"), F.lit(0)) + F.lit(alpha))
+                    / (F.coalesce(F.col("c1"), F.lit(0)) + F.lit(alpha) * F.lit(float(v)))
+                ).alias("__lp"),
+            )
+        )
+        return pathops_materialize(
+            scored.groupBy("doc_id").agg(
+                F.sum("n").alias("n_bigrams"),
+                F.round(F.sum(F.col("n") * F.col("__lp")) / F.sum("n"), 6).alias(
+                    "avg_logprob"
+                ),
+            )
+        )
+    finally:
+        model.unpersist()

@@ -500,3 +500,32 @@ def test_curriculum_bins_more_bins_than_rows(spark):
     assert got == [(1, 1, 1), (2, 2, 1)]
     with pytest.raises(ValueError, match="n_bins"):
         curriculum_bins(df, "doc_id", "q", n_bins=0)
+
+
+def test_bigram_logprob_vs_reference_golden(spark):
+    """Hand-replayed Laplace-smoothed cross-corpus bigram LM: a target doc
+    made of reference-frequent bigrams outscores word-salad."""
+    import math
+    from duckpgq_extension_spark.operators.corpus import bigram_logprob_vs
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran")], "doc_id long, text string"
+    )
+    tgt = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zebra quantum xylophone")],
+        "doc_id long, text string",
+    )
+    alpha = 0.5
+    got = {r["doc_id"]: r for r in bigram_logprob_vs(tgt, ref, alpha=alpha).collect()}
+    # reference model: c2(the,cat)=2, c2(cat,sat)=1, c2(cat,ran)=1;
+    # c1(the)=2, c1(cat)=2; V = |{cat, sat, ran}| = 3
+    v = 3
+    lp_the_cat = math.log((2 + alpha) / (2 + alpha * v))
+    lp_cat_sat = math.log((1 + alpha) / (2 + alpha * v))
+    exp10 = round((lp_the_cat + lp_cat_sat) / 2, 6)
+    assert got[10]["n_bigrams"] == 2
+    assert got[10]["avg_logprob"] == pytest.approx(exp10, abs=2e-6)
+    # fully OOV doc: every bigram scores alpha / (alpha * V) = 1/V
+    exp11 = round(math.log((0 + alpha) / (0 + alpha * v)), 6)
+    assert got[11]["avg_logprob"] == pytest.approx(exp11, abs=2e-6)
+    assert got[10]["avg_logprob"] > got[11]["avg_logprob"]
