@@ -4488,28 +4488,32 @@ ORACLES.update({
 # 2 sentinels from the round-6-green set.  All 98 keys stay registered —
 # only insertion order changes.
 _R7_FRONT = [
-    # the 10 queries that have never appeared in a driver CORRECTNESS
+    # the 17 queries that have never appeared in a driver CORRECTNESS
     # window (every round-7 addition): they lead so CORRECTNESS_r07
     # records their first hard rows
     "mixture_sample", "cross_corpus_dedup", "stream_near_dup",
     "dedup_paragraphs", "dedup_keep_longest", "importance_resample",
     "text_normalize", "semantic_dedup", "temperature_sample",
     "bigram_logprob",
-    # 38 keys last driver-verified in round 5 (the 9 dropped to make
+    "ann_ivfpq", "containment_dedup", "curriculum",
+    "random_projection", "quantize_int8", "substring_dedup",
+    "ref_bigram_logprob",
+    # 31 keys last driver-verified in round 5 (the 16 dropped to make
     # room — lang_id, text_stats, pii_redact, dedup_exact,
     # dedup_fingerprint, simhash, contamination, random_walks,
-    # assortativity — are the simplest deterministic ops of that set,
-    # all r5-green and re-gated locally every round)
+    # assortativity, similarity_topk, embedding_clusters, doc_logprob,
+    # funnel, cohort_retention, session_paths, group_sample — are the
+    # simplest deterministic ops of that set, all r5-green and re-gated
+    # locally every round)
     "match_2hop", "var_length_1_2", "shortest_len", "cheapest_path",
     "pagerank", "wcc", "streaming_window",
     "corpus_clean", "dedup_jaccard",
     "dedup_minhash", "minhash_lsh_pairs", "dedup_clusters",
-    "similarity_topk", "embedding_near_dup", "ann_lsh",
-    "ann_ivf", "embedding_clusters", "multimodal_decode", "hits", "scc",
+    "embedding_near_dup", "ann_lsh",
+    "ann_ivf", "multimodal_decode", "hits", "scc",
     "global_clustering", "closeness",
-    "communities", "doc_logprob", "katz", "link_pred",
-    "nbr_features", "ego_net", "funnel", "cohort_retention",
-    "session_paths", "group_sample", "eccentricity", "path_counts",
+    "communities", "katz", "link_pred",
+    "nbr_features", "ego_net", "eccentricity", "path_counts",
     "betweenness", "harmonic", "k_truss", "pipeline_corpus",
     # 2 sentinels from the round-6-green window
     "graph_report", "quality_repetition",
