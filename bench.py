@@ -241,6 +241,8 @@ SF1_QUERIES = [
     # rises with the replicated tier): paragraph dedup + cross-snapshot
     "dedup_paragraphs",
     "cross_corpus_dedup",
+    "substring_dedup",
+    "ref_bigram_logprob",
 ]
 
 
