@@ -107,6 +107,7 @@ BENCH_QUERIES = [
     "harmonic",
     "k_truss",
     "pipeline_corpus",
+    "pipeline_curation",
     "graph_report",
 ]
 

@@ -3775,6 +3775,93 @@ FROM toks t LEFT JOIN reb r USING (doc_id)
 """
 
 
+def q_pipeline_curation(spark, sf_dir):
+    """Second end-to-end curation pipeline, composing the round-7
+    stages: language filter (en) -> quality gate (q >= 0.5) -> exact
+    dedup (lowest doc_id per text) -> exact duplicated-PASSAGE removal
+    (8-token windows, first occurrence wins) -> drop docs left with
+    < 10 tokens -> curriculum binning by surviving length -> per-phase
+    budget report.  Every stage is the same operator the standalone
+    driver queries verify; the composition stays one lazy plan up to
+    curriculum's two materialized global ranks."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents").withColumn("__toks", TX.tokens(F.col("text")))
+    t = F.col("__toks")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        TX.lang_id(F.col("text"), toks=t).alias("lang"),
+        F.round(TX.quality_score(F.col("text"), toks=t), 6).alias("q"),
+    )
+    kept = scored.where((F.col("lang") == "en") & (F.col("q") >= 0.5))
+    deduped = dedup.deduplicate_exact(kept, "doc_id", "text").select("doc_id", "text")
+    sub = dedup.exact_substring_dedup(deduped, "doc_id", "text", window=8)
+    surv = sub.where(F.col("n_tokens") >= 10).select("doc_id", "n_tokens", "n_removed")
+    binned = corpus.curriculum_bins(surv, "doc_id", "n_tokens", n_bins=4)
+    return binned.groupBy("phase").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("phase_tokens"),
+        F.sum("n_removed").alias("tokens_removed"),
+    )
+
+
+def _pipeline_curation_oracle() -> str:
+    stops = " + ".join(
+        f"CAST(list_contains(t, '{w}') AS INT)" for w in TX.LANG_MARKERS["en"]
+    )
+    q = _Q_SQL.format(stops=stops, nstops=len(TX.LANG_MARKERS["en"]))
+    return f"""
+WITH toks AS (SELECT doc_id, text, {_TOKS} AS t FROM documents),
+scored AS (
+  SELECT doc_id, text, {q} AS q FROM toks WHERE ({_lang_case_sql()}) = 'en'),
+kept AS (SELECT doc_id, text FROM scored WHERE q >= 0.5),
+deduped AS (
+  SELECT doc_id, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1),
+t2 AS (SELECT doc_id, {_TOKS} AS t, len({_TOKS}) AS n FROM deduped),
+pos AS (
+  SELECT doc_id, t,
+         UNNEST(CASE WHEN n >= 8 THEN generate_series(1, n - 7)
+                ELSE CAST([] AS BIGINT[]) END) AS pos
+  FROM t2),
+wins AS (
+  SELECT doc_id, pos,
+         {_MD5L.format(X="array_to_string(t[pos:pos+7], ' ')")} AS wh
+  FROM pos),
+wins2 AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn,
+         COUNT(*) OVER (PARTITION BY wh) AS occ
+  FROM wins),
+dropped AS (SELECT doc_id, pos FROM wins2 WHERE occ > 1 AND rn > 1),
+covered AS (
+  SELECT DISTINCT doc_id, UNNEST(generate_series(pos, pos + 7)) AS cov
+  FROM dropped),
+allpos AS (SELECT doc_id, UNNEST(generate_series(1, n)) AS cov FROM t2 WHERE n > 0),
+keptpos AS (
+  SELECT a.doc_id, COUNT(*) AS n_tokens
+  FROM allpos a
+  WHERE NOT EXISTS (
+    SELECT 1 FROM covered c WHERE c.doc_id = a.doc_id AND c.cov = a.cov)
+  GROUP BY a.doc_id),
+docs2 AS (
+  SELECT t2.doc_id, COALESCE(k.n_tokens, 0) AS n_tokens,
+         t2.n - COALESCE(k.n_tokens, 0) AS n_removed
+  FROM t2 LEFT JOIN keptpos k USING (doc_id)),
+surv AS (SELECT * FROM docs2 WHERE n_tokens >= 10),
+binned AS (
+  SELECT *, CAST(ntile(4) OVER (ORDER BY n_tokens ASC, doc_id ASC) AS BIGINT) AS phase
+  FROM surv)
+SELECT phase, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS phase_tokens,
+       CAST(SUM(n_removed) AS BIGINT) AS tokens_removed
+FROM binned GROUP BY phase
+"""
+
+
+O_PIPELINE_CURATION = _pipeline_curation_oracle()
+
+
 def q_curriculum(spark, sf_dir):
     """Curriculum binning (corpus.curriculum_bins): 4 equal-budget phases
     by document length quantile + deterministic within-phase shuffle
@@ -4460,6 +4547,7 @@ QUERIES.update({
     "quantize_int8": q_quantize_int8,
     "substring_dedup": q_substring_dedup,
     "ref_bigram_logprob": q_ref_bigram_logprob,
+    "pipeline_curation": q_pipeline_curation,
 })
 ORACLES.update({
     "cross_corpus_dedup": O_CROSS_CORPUS_DEDUP,
@@ -4478,6 +4566,7 @@ ORACLES.update({
     "quantize_int8": O_QUANTIZE_INT8,
     "substring_dedup": O_SUBSTRING_DEDUP,
     "ref_bigram_logprob": O_REF_BIGRAM_LOGPROB,
+    "pipeline_curation": O_PIPELINE_CURATION,
 })
 
 
