@@ -247,3 +247,85 @@ def test_temporal_reach_vs_python(spark, seed):
         for v, a in best.items():
             assert got.get((s, v)) == a, (seed, s, v)
         assert {d for (ss, d) in got if ss == s} == set(best), (seed, s)
+
+
+# -- round-7 primitives ---------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    scores=st.lists(st.integers(0, 9), min_size=1, max_size=40),
+    n_bins=st.integers(1, 6),
+)
+def test_global_rank_and_curriculum_vs_python(spark, scores, n_bins):
+    """_global_rank equals the sorted index, and curriculum_bins' phase
+    equals SQL ntile semantics, on arbitrary (score, id) data with ties."""
+    from duckpgq_extension_spark.operators.corpus import _global_rank, curriculum_bins
+    from pyspark.sql import functions as F
+
+    rows = [(i, float(s)) for i, s in enumerate(scores)]
+    df = spark.createDataFrame(rows, "doc_id long, q double")
+    ranked, n = _global_rank(
+        df, [F.col("q").asc(), F.col("doc_id").asc()], "r"
+    )
+    got = {r["doc_id"]: r["r"] for r in ranked.collect()}
+    ordered = sorted(rows, key=lambda t: (t[1], t[0]))
+    exp = {doc: i + 1 for i, (doc, _) in enumerate(ordered)}
+    assert got == exp and n == len(rows)
+    phases = {
+        r["doc_id"]: r["phase"]
+        for r in curriculum_bins(df, "doc_id", "q", n_bins=n_bins).collect()
+    }
+    q, rem = divmod(len(rows), n_bins)
+    exp_phase, idx = {}, 0
+    for b in range(1, n_bins + 1):
+        for _ in range(q + 1 if b <= rem else q):
+            exp_phase[ordered[idx][0]] = b
+            idx += 1
+    assert phases == exp_phase
+
+
+def _py_substring_dedup(docs, window):
+    """Plain-python reference for exact_substring_dedup."""
+    wins = {}
+    for doc_id, text in docs:
+        t = text.lower().strip().split()
+        for p in range(len(t) - window + 1):
+            wins.setdefault(tuple(t[p : p + window]), []).append((doc_id, p + 1))
+    dropped = set()
+    for occs in wins.values():
+        if len(occs) > 1:
+            for o in sorted(occs)[1:]:
+                dropped.add(o)
+    out = {}
+    for doc_id, text in docs:
+        t = text.lower().strip().split()
+        covered = set()
+        for (d, p) in dropped:
+            if d == doc_id:
+                covered.update(range(p, p + window))
+        kept = [tok for i, tok in enumerate(t, 1) if i not in covered]
+        out[doc_id] = (" ".join(kept), len(kept), len(t) - len(kept))
+    return out
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_exact_substring_dedup_vs_python(spark, docs):
+    """Tiny alphabet forces heavy window collisions — the dedup result
+    must equal the plain-python reference exactly."""
+    from duckpgq_extension_spark.operators import dedup
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_tokens"], r["n_removed"])
+        for r in dedup.exact_substring_dedup(df, "doc_id", "text", window=3).collect()
+    }
+    assert got == _py_substring_dedup(rows, 3)
