@@ -751,6 +751,45 @@ def pq_encode(
     )
 
 
+def _seed_cents_and_books(
+    embeddings, nlist, m, ksub, id_col, vec_col, iterations
+):
+    """Coarse centroids + PQ codebooks from ONE collect when both are
+    iteration-0 seeded: centroids are the nlist lowest-id RAW vectors,
+    codebooks the slot slices of the ksub lowest-id NORMALIZED vectors —
+    one ordered limit(max(nlist, ksub)) job computes both columns (the
+    normalize stays Spark-side, so values are bit-identical to the
+    separate trainers).  Falls back to the two trainers when Lloyd
+    iterations are requested."""
+    if iterations:
+        return (
+            ivf_centroids(embeddings, nlist, id_col, vec_col, iterations),
+            pq_codebooks(embeddings, m, ksub, id_col, vec_col, iterations),
+        )
+    rows = (
+        embeddings.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).cast("array<double>").alias("__raw"),
+            _normalize(F.col(vec_col)).alias("__nv"),
+        )
+        .orderBy("__id")
+        .limit(max(nlist, ksub))
+        .collect()
+    )
+    if not rows:
+        raise ValueError("embeddings DataFrame is empty")
+    dim = len(rows[0]["__raw"])
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    d = dim // m
+    cents = [(i, list(r["__raw"])) for i, r in enumerate(rows[:nlist])]
+    books = [
+        [(j, list(rows[j]["__nv"][s * d : (s + 1) * d])) for j in range(min(ksub, len(rows)))]
+        for s in range(m)
+    ]
+    return cents, books
+
+
 def ivfpq_topk(
     embeddings: DataFrame,
     queries: DataFrame,
@@ -782,8 +821,9 @@ def ivfpq_topk(
     compressed corpus.  Codebooks and coarse centroids are broadcast
     literals; everything is whole-stage-codegen column math."""
     query_id_col = query_id_col or id_col
-    cents = ivf_centroids(embeddings, nlist, id_col, vec_col, iterations)
-    books = pq_codebooks(embeddings, m, ksub, id_col, vec_col, iterations)
+    cents, books = _seed_cents_and_books(
+        embeddings, nlist, m, ksub, id_col, vec_col, iterations
+    )
     d = len(books[0][0][1])
     spark = embeddings.sparkSession
     books_b = F.broadcast(_books_df(spark, books))
@@ -950,8 +990,9 @@ def write_pq_index(
     from pyspark.sql import Row
 
     spark = embeddings.sparkSession
-    cents = ivf_centroids(embeddings, nlist, id_col, vec_col, iterations)
-    books = pq_codebooks(embeddings, m, ksub, id_col, vec_col, iterations)
+    cents, books = _seed_cents_and_books(
+        embeddings, nlist, m, ksub, id_col, vec_col, iterations
+    )
     spark.createDataFrame(
         [Row(centroid_id=cid, centroid=list(vec)) for cid, vec in cents],
         "centroid_id int, centroid array<double>",
