@@ -50,6 +50,7 @@ BENCH_QUERIES = [
     "sessionize",
     "text_stats",
     "vocab_stats",
+    "apply_vocab",
     "tfidf",
     "corpus_clean",
     "quality_repetition",

@@ -3862,6 +3862,43 @@ FROM binned GROUP BY phase
 O_PIPELINE_CURATION = _pipeline_curation_oracle()
 
 
+def q_apply_vocab(spark, sf_dir):
+    """Tokenizer application (corpus.apply_vocab): induce a top-50
+    vocabulary from the corpus itself (vocab_stats, occurrence-ranked,
+    token tie-break), then map every document to (pos, token_id) rows
+    with OOV marked as -1.  The vocab ranking window runs over the
+    vocabulary relation — bounded by construction, never the corpus."""
+    setup(spark, sf_dir)
+    from pyspark.sql import Window
+
+    docs = spark.table("documents")
+    vs = corpus.vocab_stats(docs, "doc_id", "text")
+    w = Window.orderBy(F.col("occurrences").desc(), F.col("token").asc())
+    vocab = (
+        vs.withColumn("token_id", (F.row_number().over(w) - 1).cast("long"))
+        .where(F.col("token_id") < 50)
+        .select("token", "token_id")
+    )
+    return corpus.apply_vocab(docs, vocab, "doc_id", "text", oov_id=-1)
+
+
+O_APPLY_VOCAB = f"""
+WITH toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (
+  SELECT doc_id, CAST(z[2] AS BIGINT) AS pos, CAST(z[1] AS VARCHAR) AS token
+  FROM (SELECT doc_id, UNNEST(list_zip(t, range(1, len(t) + 1))) AS z FROM toks)),
+vs AS (SELECT token, COUNT(*) AS occurrences FROM tok GROUP BY token),
+vocab AS (
+  SELECT token, token_id FROM (
+    SELECT token,
+           CAST(row_number() OVER (ORDER BY occurrences DESC, token ASC) - 1 AS BIGINT)
+             AS token_id
+    FROM vs) WHERE token_id < 50)
+SELECT t.doc_id, t.pos, COALESCE(v.token_id, -1) AS token_id
+FROM tok t LEFT JOIN vocab v USING (token)
+"""
+
+
 def q_curriculum(spark, sf_dir):
     """Curriculum binning (corpus.curriculum_bins): 4 equal-budget phases
     by document length quantile + deterministic within-phase shuffle
@@ -4548,6 +4585,7 @@ QUERIES.update({
     "substring_dedup": q_substring_dedup,
     "ref_bigram_logprob": q_ref_bigram_logprob,
     "pipeline_curation": q_pipeline_curation,
+    "apply_vocab": q_apply_vocab,
 })
 ORACLES.update({
     "cross_corpus_dedup": O_CROSS_CORPUS_DEDUP,
@@ -4567,6 +4605,7 @@ ORACLES.update({
     "substring_dedup": O_SUBSTRING_DEDUP,
     "ref_bigram_logprob": O_REF_BIGRAM_LOGPROB,
     "pipeline_curation": O_PIPELINE_CURATION,
+    "apply_vocab": O_APPLY_VOCAB,
 })
 
 

@@ -950,3 +950,57 @@ def bigram_logprob_vs(
         )
     finally:
         model.unpersist()
+
+
+def apply_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "token",
+    token_id_col: str = "token_id",
+    oov_id: int | None = None,
+) -> DataFrame:
+    """Tokenizer application: map every document to its token-id
+    sequence under a fixed vocabulary table — the step between vocab
+    induction (vocab_stats) and sequence packing (pack_sequences) that a
+    training pipeline actually runs per epoch.
+
+    `vocab` is a (token, token_id) DataFrame.  Out-of-vocabulary tokens
+    map to `oov_id` when given (the <unk> convention), else are DROPPED
+    from the sequence.  Returns (doc_id, pos, token_id) — one row per
+    SURVIVING token, pos = 1-based position in the original token
+    stream (so consumers can detect dropped-OOV gaps); empty and
+    fully-OOV documents yield no rows, like chunking of empty docs.
+
+    Scale: explode to (doc, pos, token), one BROADCAST join against the
+    vocab (tokenizer vocabularies are MBs — always the small side), no
+    regrouping shuffle: the output stays in token order per doc because
+    pos rides along.  Callers who need the packed array do ONE
+    per-doc aggregate downstream; keeping the operator exploded avoids
+    paying that shuffle when the next stage (packing, counting,
+    windowing) wants rows anyway."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(tokens(F.col(text_col))).alias("__p0", "__tok"),
+    ).select(
+        "doc_id", (F.col("__p0") + 1).cast("long").alias("pos"), F.col("__tok")
+    )
+    v = F.broadcast(
+        vocab.select(
+            F.col(token_col).alias("__tok"),
+            F.col(token_id_col).cast("long").alias("token_id"),
+        )
+    )
+    joined = toks.join(v, "__tok", "left")
+    if oov_id is None:
+        return joined.where(F.col("token_id").isNotNull()).select(
+            "doc_id", "pos", "token_id"
+        )
+    return joined.select(
+        "doc_id",
+        "pos",
+        F.coalesce(F.col("token_id"), F.lit(int(oov_id)).cast("long")).alias(
+            "token_id"
+        ),
+    )

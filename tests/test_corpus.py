@@ -529,3 +529,31 @@ def test_bigram_logprob_vs_reference_golden(spark):
     exp11 = round(math.log((0 + alpha) / (0 + alpha * v)), 6)
     assert got[11]["avg_logprob"] == pytest.approx(exp11, abs=2e-6)
     assert got[10]["avg_logprob"] > got[11]["avg_logprob"]
+
+
+def test_apply_vocab_golden(spark):
+    from duckpgq_extension_spark.operators.corpus import apply_vocab
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "zebra the zebra"), (3, "quantum")],
+        "doc_id long, text string",
+    )
+    vocab = spark.createDataFrame(
+        [("the", 0), ("cat", 1), ("sat", 2)], "token string, token_id long"
+    )
+    # drop-OOV mode: positions keep original stream indices (gaps mark drops)
+    got = sorted(
+        (r["doc_id"], r["pos"], r["token_id"])
+        for r in apply_vocab(docs, vocab).collect()
+    )
+    assert got == [(1, 1, 0), (1, 2, 1), (1, 3, 2), (2, 2, 0)]
+    # oov_id mode: every token survives, OOV marked
+    got2 = sorted(
+        (r["doc_id"], r["pos"], r["token_id"])
+        for r in apply_vocab(docs, vocab, oov_id=-1).collect()
+    )
+    assert got2 == [
+        (1, 1, 0), (1, 2, 1), (1, 3, 2),
+        (2, 1, -1), (2, 2, 0), (2, 3, -1),
+        (3, 1, -1),
+    ]
