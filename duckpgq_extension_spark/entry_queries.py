@@ -4625,7 +4625,7 @@ _R7_FRONT = [
     "bigram_logprob",
     "ann_ivfpq", "containment_dedup", "curriculum",
     "random_projection", "quantize_int8", "substring_dedup",
-    "ref_bigram_logprob", "pipeline_curation",
+    "ref_bigram_logprob", "pipeline_curation", "apply_vocab",
     # 31 keys last driver-verified in round 5 (the 16 dropped to make
     # room — lang_id, text_stats, pii_redact, dedup_exact,
     # dedup_fingerprint, simhash, contamination, random_walks,
@@ -4641,7 +4641,7 @@ _R7_FRONT = [
     "ann_ivf", "multimodal_decode", "hits", "scc",
     "global_clustering", "closeness",
     "communities", "katz", "link_pred",
-    "ego_net", "eccentricity", "path_counts",
+    "eccentricity", "path_counts",
     "betweenness", "harmonic", "k_truss", "pipeline_corpus",
     # 2 sentinels from the round-6-green window
     "graph_report", "quality_repetition",
