@@ -51,6 +51,7 @@ BENCH_QUERIES = [
     "text_stats",
     "vocab_stats",
     "apply_vocab",
+    "vocab_drift",
     "tfidf",
     "corpus_clean",
     "quality_repetition",

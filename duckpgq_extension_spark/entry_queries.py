@@ -3862,6 +3862,45 @@ FROM binned GROUP BY phase
 O_PIPELINE_CURATION = _pipeline_curation_oracle()
 
 
+def q_vocab_drift(spark, sf_dir):
+    """Corpus drift monitoring (corpus.vocab_drift): top-50 tokens by
+    Jensen-Shannon divergence contribution between the src0 and src1
+    snapshot slices — the between-crawl check before mixing a new
+    snapshot into training data."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    a = docs.where(F.col("source") == "src0")
+    b = docs.where(F.col("source") == "src1")
+    return corpus.vocab_drift(a, b, top_n=50)
+
+
+O_VOCAB_DRIFT = f"""
+WITH ca AS (
+  SELECT u AS token, COUNT(*) AS na
+  FROM (SELECT UNNEST({_TOKS}) AS u FROM documents WHERE source = 'src0')
+  GROUP BY 1),
+cb AS (
+  SELECT u AS token, COUNT(*) AS nb
+  FROM (SELECT UNNEST({_TOKS}) AS u FROM documents WHERE source = 'src1')
+  GROUP BY 1),
+ta AS (SELECT CAST(SUM(na) AS DOUBLE) AS ta FROM ca),
+tb AS (SELECT CAST(SUM(nb) AS DOUBLE) AS tb FROM cb),
+j AS (
+  SELECT token, COALESCE(na, 0) / ta AS p, COALESCE(nb, 0) / tb AS q
+  FROM ca FULL OUTER JOIN cb USING (token) CROSS JOIN ta CROSS JOIN tb),
+s AS (
+  SELECT token, ROUND(p, 6) AS p_a, ROUND(q, 6) AS p_b,
+         ROUND(
+           CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END
+           + CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END,
+           9) AS js_contribution
+  FROM j)
+SELECT token, p_a, p_b, js_contribution FROM (
+  SELECT *, row_number() OVER (ORDER BY js_contribution DESC, token ASC) AS rn
+  FROM s) WHERE rn <= 50
+"""
+
+
 def q_apply_vocab(spark, sf_dir):
     """Tokenizer application (corpus.apply_vocab): induce a top-50
     vocabulary from the corpus itself (vocab_stats, occurrence-ranked,
@@ -4586,6 +4625,7 @@ QUERIES.update({
     "ref_bigram_logprob": q_ref_bigram_logprob,
     "pipeline_curation": q_pipeline_curation,
     "apply_vocab": q_apply_vocab,
+    "vocab_drift": q_vocab_drift,
 })
 ORACLES.update({
     "cross_corpus_dedup": O_CROSS_CORPUS_DEDUP,
@@ -4606,6 +4646,7 @@ ORACLES.update({
     "ref_bigram_logprob": O_REF_BIGRAM_LOGPROB,
     "pipeline_curation": O_PIPELINE_CURATION,
     "apply_vocab": O_APPLY_VOCAB,
+    "vocab_drift": O_VOCAB_DRIFT,
 })
 
 
@@ -4626,6 +4667,7 @@ _R7_FRONT = [
     "ann_ivfpq", "containment_dedup", "curriculum",
     "random_projection", "quantize_int8", "substring_dedup",
     "ref_bigram_logprob", "pipeline_curation", "apply_vocab",
+    "vocab_drift",
     # 31 keys last driver-verified in round 5 (the 16 dropped to make
     # room — lang_id, text_stats, pii_redact, dedup_exact,
     # dedup_fingerprint, simhash, contamination, random_walks,
@@ -4640,7 +4682,7 @@ _R7_FRONT = [
     "embedding_near_dup", "ann_lsh",
     "ann_ivf", "multimodal_decode", "hits", "scc",
     "global_clustering", "closeness",
-    "communities", "katz", "link_pred",
+    "communities", "katz",
     "eccentricity", "path_counts",
     "betweenness", "harmonic", "k_truss", "pipeline_corpus",
     # 2 sentinels from the round-6-green window

@@ -1004,3 +1004,72 @@ def apply_vocab(
             "token_id"
         ),
     )
+
+
+def vocab_drift(
+    corpus_a: DataFrame,
+    corpus_b: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """Corpus drift monitoring: per-token Jensen-Shannon divergence
+    contribution between two snapshots' unigram distributions — the
+    standard between-crawl check before mixing a new snapshot into a
+    training corpus (which tokens moved, and how much of the divergence
+    each explains).
+
+    JS(P,Q) = 0.5*KL(P||M) + 0.5*KL(Q||M), M = (P+Q)/2, decomposed per
+    token as 0.5*p*ln(p/m) + 0.5*q*ln(q/m) (terms with p or q = 0
+    contribute only the other side — the 0*ln(0) = 0 convention), so
+    contributions are non-negative and sum to the divergence.
+
+    Returns the `top_n` tokens by contribution (ties broken by token):
+    (token, p_a, p_b, js_contribution), probabilities and contribution
+    rounded to 1e-6 / 1e-9.
+
+    Scale: one token-count aggregate per corpus (the vocab_stats
+    shuffle shape), one full-outer join on token, totals as broadcast
+    1-row frames — nothing quadratic, nothing collected."""
+
+    def _counts(df):
+        return (
+            df.select(F.explode(tokens(F.col(text_col))).alias("token"))
+            .groupBy("token")
+            .agg(F.count("*").alias("n"))
+        )
+    ca, cb = _counts(corpus_a), _counts(corpus_b)
+    ta = F.broadcast(ca.agg(F.sum("n").alias("__ta")))
+    tb = F.broadcast(cb.agg(F.sum("n").alias("__tb")))
+    joined = (
+        ca.withColumnRenamed("n", "na")
+        .join(cb.withColumnRenamed("n", "nb"), "token", "full_outer")
+        .crossJoin(ta)
+        .crossJoin(tb)
+        .select(
+            "token",
+            (F.coalesce(F.col("na"), F.lit(0)) / F.col("__ta")).alias("p"),
+            (F.coalesce(F.col("nb"), F.lit(0)) / F.col("__tb")).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2
+    contrib = (
+        F.when(F.col("p") > 0, 0.5 * F.col("p") * F.log(F.col("p") / m)).otherwise(0.0)
+        + F.when(F.col("q") > 0, 0.5 * F.col("q") * F.log(F.col("q") / m)).otherwise(0.0)
+    )
+    scored = joined.select(
+        "token",
+        F.round(F.col("p"), 6).alias("p_a"),
+        F.round(F.col("q"), 6).alias("p_b"),
+        F.round(contrib, 9).alias("js_contribution"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("js_contribution").desc(), F.col("token").asc())
+    # the ranking window runs over the VOCABULARY relation (bounded by
+    # construction, like apply_vocab's), not the corpus
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= top_n)
+        .drop("__rn")
+    )

@@ -557,3 +557,23 @@ def test_apply_vocab_golden(spark):
         (2, 1, -1), (2, 2, 0), (2, 3, -1),
         (3, 1, -1),
     ]
+
+
+def test_vocab_drift_golden(spark):
+    """Hand-replayed JS contribution: identical corpora drift zero; a
+    token appearing only in one snapshot carries 0.5*p*ln(2)."""
+    import math
+    from duckpgq_extension_spark.operators.corpus import vocab_drift
+
+    a = spark.createDataFrame([(1, "x x y")], "doc_id long, text string")
+    b = spark.createDataFrame([(1, "x x z")], "doc_id long, text string")
+    rows = {r["token"]: r for r in vocab_drift(a, b, top_n=10).collect()}
+    # y only in A with p=1/3: contribution = 0.5 * (1/3) * ln((1/3)/(1/6))
+    exp_one_sided = round(0.5 * (1 / 3) * math.log(2.0), 9)
+    assert rows["y"]["js_contribution"] == pytest.approx(exp_one_sided, abs=2e-9)
+    assert rows["z"]["js_contribution"] == pytest.approx(exp_one_sided, abs=2e-9)
+    # x has identical mass 2/3 in both -> zero contribution
+    assert rows["x"]["js_contribution"] == pytest.approx(0.0, abs=1e-12)
+    assert rows["y"]["p_a"] == pytest.approx(round(1 / 3, 6)) and rows["y"]["p_b"] == 0.0
+    same = {r["token"]: r["js_contribution"] for r in vocab_drift(a, a, top_n=10).collect()}
+    assert all(v == pytest.approx(0.0, abs=1e-12) for v in same.values())
