@@ -2534,6 +2534,34 @@ FROM pe p JOIN bounds b USING (pos)
 """
 
 
+def q_ann_recall(spark, sf_dir):
+    """ANN evaluation (similarity.ann_recall): per-query recall@5 of the
+    IVF-Flat result against the exact brute-force baseline — the tuning
+    metric for nprobe/nlist/PQ knobs, computed as a DataFrame op so the
+    evaluation itself runs at corpus scale."""
+    setup(spark, sf_dir)
+    emb = _emb_double(spark, sf_dir)
+    queries = emb.where(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(emb, queries, k=5)
+    approx = similarity.ivf_topk(emb, queries, k=5, nlist=8, nprobe=2)
+    return similarity.ann_recall(approx, exact, k=5)
+
+
+O_ANN_RECALL = f"""
+WITH approx AS ({O_ANN_IVF}),
+exact AS ({O_SIMILARITY_TOPK}),
+hits AS (
+  SELECT a.query_id, COUNT(*) AS n_hits
+  FROM approx a JOIN exact e
+    ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+  GROUP BY 1),
+tot AS (SELECT query_id, COUNT(*) AS n_exact FROM exact GROUP BY 1)
+SELECT t.query_id, COALESCE(h.n_hits, 0) AS n_hits, t.n_exact,
+       ROUND(COALESCE(h.n_hits, 0) / CAST(t.n_exact AS DOUBLE), 6) AS recall
+FROM tot t LEFT JOIN hits h USING (query_id)
+"""
+
+
 # --------------------------------------------------------------------------
 # multimodal plumbing (decode dimensions are derivable from byte length)
 # --------------------------------------------------------------------------
@@ -4626,6 +4654,7 @@ QUERIES.update({
     "pipeline_curation": q_pipeline_curation,
     "apply_vocab": q_apply_vocab,
     "vocab_drift": q_vocab_drift,
+    "ann_recall": q_ann_recall,
 })
 ORACLES.update({
     "cross_corpus_dedup": O_CROSS_CORPUS_DEDUP,
@@ -4647,6 +4676,7 @@ ORACLES.update({
     "pipeline_curation": O_PIPELINE_CURATION,
     "apply_vocab": O_APPLY_VOCAB,
     "vocab_drift": O_VOCAB_DRIFT,
+    "ann_recall": O_ANN_RECALL,
 })
 
 
@@ -4667,7 +4697,7 @@ _R7_FRONT = [
     "ann_ivfpq", "containment_dedup", "curriculum",
     "random_projection", "quantize_int8", "substring_dedup",
     "ref_bigram_logprob", "pipeline_curation", "apply_vocab",
-    "vocab_drift",
+    "vocab_drift", "ann_recall",
     # 31 keys last driver-verified in round 5 (the 16 dropped to make
     # room — lang_id, text_stats, pii_redact, dedup_exact,
     # dedup_fingerprint, simhash, contamination, random_walks,
@@ -4682,7 +4712,7 @@ _R7_FRONT = [
     "embedding_near_dup", "ann_lsh",
     "ann_ivf", "multimodal_decode", "hits", "scc",
     "global_clustering", "closeness",
-    "communities", "katz",
+    "communities",
     "eccentricity", "path_counts",
     "betweenness", "harmonic", "k_truss", "pipeline_corpus",
     # 2 sentinels from the round-6-green window

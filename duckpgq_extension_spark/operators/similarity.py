@@ -1082,3 +1082,41 @@ def ivfpq_topk_from_index(
         F.col("adc_score").desc(), F.col("vec_id")
     )
     return sim.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int | None = None,
+) -> DataFrame:
+    """Recall@k of an approximate ANN result against the exact baseline —
+    the tuning metric for every knob in this module (nprobe/nlist, PQ
+    m/ksub, refine, LSH planes).  Both inputs are (query_id, vec_id,
+    ..., rank) frames as returned by *_topk; rows with rank > k are
+    ignored when k is given.
+
+    Returns one row per query: (query_id, n_hits, n_exact, recall),
+    recall = |approx ∩ exact| / |exact| rounded to 6 — queries missing
+    entirely from `approx` score 0 against their exact set.  One
+    broadcast-friendly join + one aggregate; both sides are top-k
+    results (rows = |queries| * k), driver-small by construction."""
+    a = approx.select("query_id", "vec_id")
+    e = exact.select("query_id", "vec_id")
+    if k is not None:
+        a = approx.where(F.col("rank") <= k).select("query_id", "vec_id")
+        e = exact.where(F.col("rank") <= k).select("query_id", "vec_id")
+    hits = a.join(e, ["query_id", "vec_id"], "left_semi").groupBy("query_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    totals = e.groupBy("query_id").agg(F.count("*").alias("n_exact"))
+    return (
+        totals.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            "n_exact",
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )

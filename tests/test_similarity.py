@@ -338,3 +338,22 @@ def test_pq_index_roundtrip_and_pruning(spark, tmp_path):
         if "PartitionFilters: [list_id" in seg
     )
     assert "embedding" not in codes_scan.split("ReadSchema")[-1][:120], codes_scan[:800]
+
+
+def test_ann_recall_metric(emb):
+    """recall@k of IVF vs brute force: hand-checkable bounds, and the
+    exact result scored against itself is 1.0 everywhere."""
+    queries = emb.where(F.col("vec_id") < 5)
+    exact = sim.brute_force_topk(emb, queries, k=5)
+    self_r = sim.ann_recall(exact, exact, k=5).collect()
+    assert all(r["recall"] == 1.0 and r["n_exact"] == 5 for r in self_r)
+    approx = sim.ivf_topk(emb, queries, k=5, nlist=4, nprobe=2)
+    rec = {r["query_id"]: r for r in sim.ann_recall(approx, exact, k=5).collect()}
+    assert set(rec) == {0, 1, 2, 3, 4}
+    for r in rec.values():
+        assert 0.0 <= r["recall"] <= 1.0 and r["n_hits"] <= r["n_exact"] == 5
+    # python cross-check of one query's overlap
+    a_set = {(x["query_id"], x["vec_id"]) for x in approx.collect()}
+    e_set = {(x["query_id"], x["vec_id"]) for x in exact.collect()}
+    q0 = len({p for p in a_set & e_set if p[0] == 0})
+    assert rec[0]["n_hits"] == q0
