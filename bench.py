@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "interval_join",
     "ann_ivf",
     "ann_ivfpq",
+    "ann_recall",
     "random_projection",
     "quantize_int8",
     "dedup_jaccard",
