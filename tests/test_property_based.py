@@ -329,3 +329,47 @@ def test_exact_substring_dedup_vs_python(spark, docs):
         for r in dedup.exact_substring_dedup(df, "doc_id", "text", window=3).collect()
     }
     assert got == _py_substring_dedup(rows, 3)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow])
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d"]), min_size=0, max_size=10).map(" ".join),
+        min_size=1,
+        max_size=6,
+    ),
+    vocab_words=st.sets(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=3),
+)
+def test_apply_vocab_vs_python(spark, docs, vocab_words):
+    """apply_vocab equals the plain-python mapping in both OOV modes on
+    arbitrary corpora (including empty documents)."""
+    from duckpgq_extension_spark.operators.corpus import apply_vocab
+
+    rows = list(enumerate(docs))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vmap = {w: i for i, w in enumerate(sorted(vocab_words))}
+    vocab = spark.createDataFrame(list(vmap.items()), "token string, token_id long")
+
+    def ref(oov):
+        # NB: the engine's tokens('') convention is [''] — one empty
+        # token (string_split_regex semantics, mirrored by every SQL
+        # oracle) — which re.split reproduces and str.split does not
+        out = set()
+        for doc_id, text in rows:
+            for pos, tok in enumerate(re.split(r"\s+", text.lower().strip()), 1):
+                if tok in vmap:
+                    out.add((doc_id, pos, vmap[tok]))
+                elif oov is not None:
+                    out.add((doc_id, pos, oov))
+        return out
+
+    got_drop = {
+        (r["doc_id"], r["pos"], r["token_id"])
+        for r in apply_vocab(df, vocab).collect()
+    }
+    assert got_drop == ref(None)
+    got_oov = {
+        (r["doc_id"], r["pos"], r["token_id"])
+        for r in apply_vocab(df, vocab, oov_id=-1).collect()
+    }
+    assert got_oov == ref(-1)
