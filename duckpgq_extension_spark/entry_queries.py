@@ -4410,6 +4410,174 @@ WHERE vec_id NOT IN (SELECT vid FROM comp WHERE vid != rep)
 """
 
 
+def q_dedup_edit(spark, sf_dir):
+    """LSH-blocked TRUE-edit-distance verification
+    (operators/dedup.edit_distance_pairs): candidates come from the same
+    MinHash banding as minhash_lsh_pairs (2-grams, 16 perms, 8 bands);
+    each candidate pair is then verified with the Levenshtein DP —
+    order-sensitive where MinHash/Jaccard are order-blind.  Keeps
+    edit_sim >= 0.4.  The oracle replays the identical banding (shared
+    CTE parts) and DuckDB's levenshtein()."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    return dedup.edit_distance_pairs(
+        docs, "doc_id", "text", n=2, num_perm=16, bands=8, threshold=0.4
+    )
+
+
+O_DEDUP_EDIT = (
+    "WITH "
+    + ",\n".join(_minhash_lsh_parts(16, 8, 0.5)[:-1])
+    + """
+, lev AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+               / GREATEST(len(da.text), len(db.text), 1), 6) AS edit_sim
+  FROM cands c
+  JOIN documents da ON da.doc_id = c.id_a
+  JOIN documents db ON db.doc_id = c.id_b
+)
+SELECT id_a, id_b, edit_sim FROM lev WHERE edit_sim >= 0.4
+"""
+)
+
+
+_BM25_QUERY_TERMS = [
+    (0, "hash"), (0, "table"), (0, "scan"),
+    (1, "sort"), (1, "merge"), (1, "window"),
+    (2, "spark"), (2, "row"), (2, "value"),
+]
+
+
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 retrieval scoring (operators/corpus.bm25_scores,
+    beyond-reference): three term queries against the documents corpus,
+    Lucene idf variant, k1=1.2 b=0.75, top-20 docs per query (rounded
+    score desc, doc_id tie-break)."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    qdf = spark.createDataFrame(_BM25_QUERY_TERMS, "qid long, term string")
+    return corpus.bm25_scores(docs, "doc_id", "text", qdf, top_k=20)
+
+
+O_BM25 = f"""
+WITH q(qid, term) AS (
+  VALUES {", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERY_TERMS)}
+),
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+tok AS (SELECT doc_id, u.token FROM toks, UNNEST(t) AS u(token)),
+tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+dl AS (SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id),
+st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n, AVG(dl) AS avgdl FROM dl),
+dfq AS (SELECT token, COUNT(*) AS dfreq FROM tf GROUP BY token),
+terms AS (
+  SELECT q.qid, tf.doc_id,
+         ln(1.0 + (st.n - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5))
+         * (tf.tf * 2.2)
+         / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl)) AS s
+  FROM q
+  JOIN tf ON tf.token = q.term
+  JOIN dfq ON dfq.token = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN st
+),
+sc AS (SELECT qid, doc_id, ROUND(SUM(s), 6) AS score FROM terms GROUP BY 1, 2),
+r AS (
+  SELECT qid, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC) AS rk
+  FROM sc
+)
+SELECT qid, doc_id, score FROM r WHERE rk <= 20
+"""
+
+
+def q_resample_fill(spark, sf_dir):
+    """Time-series resample + gap fill (operators/relational.resample_fill,
+    beyond-reference): per-user daily mean event value on a dense daily
+    grid from each user's first to last active day, gaps forward-filled —
+    the resample/locf shape DuckDB scripts with generate_series + window
+    IGNORE NULLS."""
+    setup(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    out = relational.resample_fill(events, "user_id", "ts", "value", unit="day")
+    return out.select(
+        F.col("key").alias("user_id"),
+        ev.epoch_us(F.col("bucket")).alias("day_us"),
+        F.round("value_ffill", 4).alias("value_ffill"),
+    )
+
+
+O_RESAMPLE_FILL = """
+WITH per AS (
+  SELECT user_id, date_trunc('day', ts) AS bucket, AVG(value) AS v
+  FROM events GROUP BY 1, 2
+),
+b AS (SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM per GROUP BY 1),
+grid AS (
+  SELECT user_id, UNNEST(generate_series(mn, mx, INTERVAL 1 DAY)) AS bucket
+  FROM b
+),
+j AS (
+  SELECT g.user_id, g.bucket, per.v
+  FROM grid g
+  LEFT JOIN per ON per.user_id = g.user_id AND per.bucket = g.bucket
+)
+SELECT user_id, epoch_us(bucket) AS day_us,
+       ROUND(ROUND(last_value(v IGNORE NULLS) OVER (
+           PARTITION BY user_id ORDER BY bucket
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6), 4)
+       AS value_ffill
+FROM j
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_pivot_events(spark, sf_dir):
+    """Long-to-wide pivot (operators/relational.pivot_counts): per-user
+    event-type count matrix over the declared category set (explicit
+    values — no distinct-discovery job), absent cells 0; DuckDB's PIVOT
+    statement replayed as conditional aggregates in the oracle."""
+    setup(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    out = relational.pivot_counts(events, "user_id", "event_type", _EVENT_TYPES)
+    return out.select(F.col("key").alias("user_id"), *_EVENT_TYPES)
+
+
+O_PIVOT_EVENTS = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS {t}"
+        for t in _EVENT_TYPES
+    )
+    + " FROM events GROUP BY user_id"
+)
+
+
+def q_group_quantiles(spark, sf_dir):
+    """Exact interpolated per-group quantiles
+    (operators/relational.group_quantiles): p25/p50/p75 of
+    l_extendedprice per l_returnflag — SQL PERCENTILE_CONT semantics,
+    DuckDB's quantile_cont in the oracle."""
+    setup(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    return relational.group_quantiles(
+        li, ["l_returnflag"], "l_extendedprice", (0.25, 0.5, 0.75)
+    )
+
+
+O_GROUP_QUANTILES = """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -4513,6 +4681,11 @@ QUERIES = {
     "csr_offsets": q_csr_offsets,
     "pipeline_corpus": q_pipeline_corpus,
     "graph_report": q_graph_report,
+    "dedup_edit": q_dedup_edit,
+    "bm25": q_bm25,
+    "resample_fill": q_resample_fill,
+    "pivot_events": q_pivot_events,
+    "group_quantiles": q_group_quantiles,
 }
 
 ORACLES = {
@@ -4614,6 +4787,11 @@ ORACLES = {
     "csr_offsets": O_CSR_OFFSETS,
     "pipeline_corpus": O_PIPELINE_CORPUS,
     "graph_report": O_GRAPH_REPORT,
+    "dedup_edit": O_DEDUP_EDIT,
+    "bm25": O_BM25,
+    "resample_fill": O_RESAMPLE_FILL,
+    "pivot_events": O_PIVOT_EVENTS,
+    "group_quantiles": O_GROUP_QUANTILES,
 }
 
 
@@ -4687,9 +4865,11 @@ ORACLES.update({
 # 2 sentinels from the round-6-green set.  All 98 keys stay registered —
 # only insertion order changes.
 _R7_FRONT = [
-    # the 17 queries that have never appeared in a driver CORRECTNESS
+    # the queries that have never appeared in a driver CORRECTNESS
     # window (every round-7 addition): they lead so CORRECTNESS_r07
     # records their first hard rows
+    "dedup_edit", "bm25", "resample_fill", "pivot_events",
+    "group_quantiles",
     "mixture_sample", "cross_corpus_dedup", "stream_near_dup",
     "dedup_paragraphs", "dedup_keep_longest", "importance_resample",
     "text_normalize", "semantic_dedup", "temperature_sample",

@@ -425,6 +425,93 @@ def tfidf(
     return out
 
 
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: DataFrame,
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a set of term
+    queries — the sparse-retrieval ranking used to mine topical training
+    data ("find the docs most about X") and as the lexical leg of hybrid
+    (BM25 + embedding) retrieval.  `queries` is a (qid, term) DataFrame;
+    a query's score for a document is the sum over its terms of
+
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    with the Robertson-Sparck Jones idf ln(1 + (N - df + 0.5)/(df + 0.5))
+    (Lucene's variant — always positive).  Returns (qid, doc_id, score);
+    with `top_k`, each query's best k documents (ties broken by doc_id).
+
+    Scale design: term frequencies aggregate with map-side combine; the
+    query-term join broadcasts (a query workload is tiny next to the
+    corpus); document frequencies come from one vocab-sized aggregation
+    joined back per matched term only.  N and avgdl are two scalars
+    collected once (like pagerank's vertex count).  The top_k filter
+    compiles to WindowGroupLimit (partial top-k before the final sort).
+    """
+    tf = _doc_token_counts(df, id_col, text_col).withColumnRenamed("n", "tf")
+    tf = tf.persist()
+    try:
+        stats = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+        row = stats.agg(
+            F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+        ).first()
+        n_docs, avgdl = int(row["n"]), float(row["avgdl"] or 1.0)
+        matched = tf.join(
+            F.broadcast(queries.select(F.col("qid"), F.col("term").alias("token"))),
+            "token",
+        )
+        # tf has exactly one row per (token, doc), so the doc frequency is
+        # a plain count; restricting to matched terms keeps it query-sized
+        dfreq = matched.select("token").distinct().join(
+            tf.groupBy("token").agg(F.count("*").alias("dfreq")), "token"
+        )
+        scored = (
+            matched.join(F.broadcast(dfreq), "token")
+            .join(stats, "doc_id")
+            .select(
+                "qid",
+                "doc_id",
+                (
+                    F.log(
+                        F.lit(1.0)
+                        + (F.lit(float(n_docs)) - F.col("dfreq") + F.lit(0.5))
+                        / (F.col("dfreq") + F.lit(0.5))
+                    )
+                    * (F.col("tf") * F.lit(k1 + 1.0))
+                    / (
+                        F.col("tf")
+                        + F.lit(k1)
+                        * (
+                            F.lit(1.0 - b)
+                            + F.lit(b) * F.col("dl") / F.lit(avgdl)
+                        )
+                    )
+                ).alias("__s"),
+            )
+            .groupBy("qid", "doc_id")
+            .agg(F.round(F.sum("__s"), 6).alias("score"))
+        )
+        if top_k is not None:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("qid").orderBy(
+                F.col("score").desc(), F.col("doc_id").asc()
+            )
+            scored = (
+                scored.withColumn("__rk", F.row_number().over(w))
+                .where(F.col("__rk") <= top_k)
+                .drop("__rk")
+            )
+        return scored.localCheckpoint(eager=True)
+    finally:
+        tf.unpersist()
+
+
 def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document mean unigram log-probability under the corpus's own
     MLE unigram language model — the classic cheap perplexity proxy for

@@ -383,6 +383,66 @@ def minhash_lsh_pairs(
         sig.unpersist()
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 2,
+    num_perm: int = 16,
+    bands: int = 8,
+    threshold: float = 0.4,
+    max_chars: int | None = None,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs verified by TRUE edit distance over
+    LSH-blocked candidates — the quadratic-cost Levenshtein DP runs only
+    on pairs that already collide in a MinHash band (same banding as
+    minhash_lsh_pairs), never all-pairs.  MinHash estimates set overlap
+    and is blind to token ORDER; edit similarity is the order-sensitive
+    verification production near-dup pipelines bolt on after blocking.
+
+    Returns (id_a, id_b, edit_sim) with
+    edit_sim = 1 - levenshtein(a, b) / max(len(a), len(b), 1) >= threshold.
+
+    Scale design: the verify join touches candidate pairs only, and the
+    per-pair DP is O(len_a * len_b) — `max_chars` bounds it by verifying
+    on a document prefix (set it for corpora with long documents; both
+    sides truncate identically so the score stays symmetric).  The
+    levenshtein expression is JVM codegen (no Python).
+    """
+    sig = minhash_signatures(df, id_col, text_col, n, num_perm, max_doc_freq).persist()
+    try:
+        banded = _band_frame(sig, num_perm, bands)
+        cands = _bucket_pairs(banded, ["band", "bh"])
+        txt = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
+        if max_chars is not None:
+            txt = txt.withColumn("__t", F.substring("__t", 1, max_chars))
+        scored = (
+            cands.join(
+                txt.select(F.col("id").alias("id_a"), F.col("__t").alias("t_a")),
+                "id_a",
+            )
+            .join(
+                txt.select(F.col("id").alias("id_b"), F.col("__t").alias("t_b")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.round(
+                    F.lit(1.0)
+                    - F.levenshtein("t_a", "t_b")
+                    / F.greatest(F.length("t_a"), F.length("t_b"), F.lit(1)),
+                    6,
+                ).alias("edit_sim"),
+            )
+            .where(F.col("edit_sim") >= threshold)
+        )
+        return scored.localCheckpoint(eager=True)
+    finally:
+        sig.unpersist()
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFrame:
     """(id, simhash) 32-bit SimHash over whitespace tokens.
 

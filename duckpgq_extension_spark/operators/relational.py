@@ -190,3 +190,114 @@ def salted_join(
     r = right.withColumn("__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
     out = l.join(r, keys + ["__salt"], how)
     return out.drop("__salt")
+
+
+def resample_fill(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    unit: str = "day",
+) -> DataFrame:
+    """Regular time-series resampling with gap filling: per key, a dense
+    grid of `unit` buckets from its first to its last observation, the
+    per-bucket mean where data exists, and forward-fill (last observed
+    value carries over) across empty buckets — the resample + ffill every
+    metrics/feature pipeline needs before windowed models see the series
+    (DuckDB/Timescale expose it as time_bucket + gapfill/locf).
+
+    Returns (key, bucket, value_ffill).  Leading buckets before a key's
+    first observation cannot occur (the grid starts at its min), so
+    value_ffill is never NULL.
+
+    Scale design: aggregation and the window partition on the same key —
+    AQE reuses one shuffle; the grid is generated per key with
+    `sequence()` (no driver-side calendar, no cross join against a global
+    spine, which would explode on sparse keys).  Grid size is bounded by
+    each key's own span.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    per = df.groupBy(
+        F.col(key_col).alias("key"), bucket.alias("bucket")
+    ).agg(F.avg(value_col).alias("__v"))
+    bounds = per.groupBy("key").agg(
+        F.min("bucket").alias("__mn"), F.max("bucket").alias("__mx")
+    )
+    grid = bounds.select(
+        "key",
+        F.explode(
+            F.sequence("__mn", "__mx", F.expr(f"interval 1 {unit}"))
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("key")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(per, ["key", "bucket"], "left")
+        .select(
+            "key",
+            "bucket",
+            F.round(F.last("__v", ignorenulls=True).over(w), 6).alias(
+                "value_ffill"
+            ),
+        )
+    )
+
+
+def pivot_counts(
+    df: DataFrame,
+    key_col: str,
+    pivot_col: str,
+    values: list[str],
+    value_col: str | None = None,
+) -> DataFrame:
+    """Long-to-wide pivot: one row per key, one column per pivot value,
+    cells = row counts (or sums of `value_col`), absent combinations 0 —
+    the feature-vector shape classifiers want (DuckDB's PIVOT statement).
+
+    `values` is REQUIRED, deliberately: Spark's pivot can discover the
+    distinct values itself, but that is an extra blocking job over the
+    full table before the plan can even build — at 100 TB the caller
+    states the (small, known) category set instead.  The pivot itself is
+    a single hash aggregate (one shuffle on key); each cell compiles to
+    a conditional aggregate, not a join per category.
+    """
+    agg = F.sum(value_col) if value_col else F.count(F.lit(1))
+    wide = df.groupBy(F.col(key_col).alias("key")).pivot(pivot_col, values).agg(agg)
+    # empty cells surface as NULL (no rows aggregated); expose 0 like the
+    # conditional-aggregate formulation would
+    return wide.select(
+        "key",
+        *[
+            (F.round(F.coalesce(F.col(f"`{v}`"), F.lit(0.0)), 6) if value_col
+             else F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long")).alias(v)
+            for v in values
+        ],
+    )
+
+
+def group_quantiles(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    qs: tuple[float, ...] = (0.25, 0.5, 0.75),
+) -> DataFrame:
+    """Exact interpolated quantiles per group (SQL's continuous
+    PERCENTILE_CONT / DuckDB's quantile_cont): one sort-based aggregate,
+    all requested quantiles computed in a single pass over each group's
+    sorted values.
+
+    For percentile sketches at 100 TB scale prefer approx_percentile
+    (t-digest, mergeable, no full sort); this operator is the EXACT
+    variant for group counts that fit a sort — reconciliation jobs,
+    per-partition data-quality gates, oracle checks.
+    """
+    exprs = [
+        F.round(F.percentile(F.col(col), F.lit(q)), 6).alias(
+            f"p{int(round(q * 100)):02d}"
+        )
+        for q in qs
+    ]
+    return df.groupBy(*[F.col(k) for k in keys]).agg(*exprs)

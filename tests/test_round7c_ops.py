@@ -1,0 +1,214 @@
+"""Round-7 continuation operators: edit-distance dedup verification,
+BM25 retrieval scoring, time-series resample+ffill, pivot, exact group
+quantiles — hand goldens plus pure-python cross-checks."""
+
+import datetime as dt
+import math
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from duckpgq_extension_spark.operators import corpus, dedup, relational
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+# ---------------------------------------------------------------- dedup
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def test_edit_distance_pairs_golden(spark):
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "the quick brown fox jumped over the lazy dog again and again"
+    c = "completely different content about database engines and scans"
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=a), Row(doc_id=2, text=b), Row(doc_id=3, text=c)]
+    )
+    out = dedup.edit_distance_pairs(docs, "doc_id", "text", threshold=0.4)
+    rows = {(r["id_a"], r["id_b"]): r["edit_sim"] for r in out.collect()}
+    assert (1, 2) in rows
+    expected = round(1.0 - _lev(a, b) / max(len(a), len(b), 1), 6)
+    assert rows[(1, 2)] == expected
+    # the unrelated doc never pairs above threshold
+    assert all(3 not in k for k in rows)
+
+
+def test_edit_distance_pairs_order_sensitivity(spark):
+    # same token SET (MinHash-identical) but reordered: Jaccard would call
+    # these perfect duplicates; edit similarity must not
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b = "theta eta zeta epsilon delta gamma beta alpha"
+    docs = spark.createDataFrame([Row(doc_id=1, text=a), Row(doc_id=2, text=b)])
+    # n=1: unigram shingles make the two docs MinHash-IDENTICAL (same
+    # token set), so they certainly collide in every band
+    out = dedup.edit_distance_pairs(docs, "doc_id", "text", n=1, threshold=0.0)
+    rows = {(r["id_a"], r["id_b"]): r["edit_sim"] for r in out.collect()}
+    assert rows[(1, 2)] == round(1.0 - _lev(a, b) / max(len(a), len(b)), 6)
+    assert rows[(1, 2)] < 0.5
+
+
+def test_edit_distance_max_chars_prefix(spark):
+    a = "identical prefix text " + "x" * 50
+    b = "identical prefix text " + "y" * 50
+    docs = spark.createDataFrame([Row(doc_id=1, text=a), Row(doc_id=2, text=b)])
+    out = dedup.edit_distance_pairs(
+        docs, "doc_id", "text", threshold=0.9, max_chars=22
+    )
+    rows = out.collect()
+    # prefixes are identical -> sim 1.0 on the bounded window
+    assert len(rows) == 1 and rows[0]["edit_sim"] == 1.0
+
+
+# ---------------------------------------------------------------- bm25
+
+
+def _bm25_py(docs, queries, k1=1.2, b=0.75):
+    toks = {d: t.lower().strip().split() for d, t in docs.items()}
+    toks = {d: t for d, t in toks.items()}
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = {}
+    for t in toks.values():
+        for w in set(t):
+            dfreq[w] = dfreq.get(w, 0) + 1
+    out = {}
+    for qid, terms in queries.items():
+        for d, t in toks.items():
+            s = 0.0
+            for term in terms:
+                tf = t.count(term)
+                if not tf:
+                    continue
+                idf = math.log(1.0 + (n - dfreq[term] + 0.5) / (dfreq[term] + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+            if s:
+                out[(qid, d)] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_python(spark):
+    docs = {
+        1: "spark shuffle join hash table scan",
+        2: "hash hash hash table",
+        3: "window sort merge sort window",
+        4: "unrelated words entirely here",
+    }
+    queries = {0: ["hash", "table"], 1: ["sort", "window"]}
+    ddf = spark.createDataFrame(
+        [Row(doc_id=k, text=v) for k, v in docs.items()]
+    )
+    qdf = spark.createDataFrame(
+        [(q, t) for q, ts_ in queries.items() for t in ts_],
+        "qid long, term string",
+    )
+    got = {
+        (r["qid"], r["doc_id"]): r["score"]
+        for r in corpus.bm25_scores(ddf, "doc_id", "text", qdf).collect()
+    }
+    assert got == _bm25_py(docs, queries)
+
+
+def test_bm25_top_k(spark):
+    ddf = spark.createDataFrame(
+        [Row(doc_id=i, text="term " * (i + 1)) for i in range(10)]
+    )
+    qdf = spark.createDataFrame([(0, "term")], "qid long, term string")
+    out = corpus.bm25_scores(ddf, "doc_id", "text", qdf, top_k=3).collect()
+    assert len(out) == 3
+
+
+# ------------------------------------------------------- resample_fill
+
+
+def test_resample_fill_golden(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k=1, t=ts("2024-01-01T05:00:00"), v=10.0),
+            Row(k=1, t=ts("2024-01-01T07:00:00"), v=20.0),  # same day: avg 15
+            Row(k=1, t=ts("2024-01-04T00:00:00"), v=40.0),  # 2-day gap
+            Row(k=2, t=ts("2024-02-01T00:00:00"), v=1.0),   # single point
+        ]
+    )
+    out = relational.resample_fill(df, "k", "t", "v", unit="day")
+    rows = {(r["key"], r["bucket"].date().isoformat()): r["value_ffill"]
+            for r in out.collect()}
+    assert rows == {
+        (1, "2024-01-01"): 15.0,
+        (1, "2024-01-02"): 15.0,  # ffilled
+        (1, "2024-01-03"): 15.0,  # ffilled
+        (1, "2024-01-04"): 40.0,
+        (2, "2024-02-01"): 1.0,
+    }
+
+
+# ------------------------------------------------------- pivot_counts
+
+
+def test_pivot_counts(spark):
+    df = spark.createDataFrame(
+        [Row(u=1, e="a", v=2.0), Row(u=1, e="a", v=3.0), Row(u=1, e="b", v=1.0),
+         Row(u=2, e="b", v=7.0)]
+    )
+    out = relational.pivot_counts(df, "u", "e", ["a", "b", "c"])
+    rows = {r["key"]: (r["a"], r["b"], r["c"]) for r in out.collect()}
+    assert rows == {1: (2, 1, 0), 2: (0, 1, 0)}
+
+
+def test_pivot_sums(spark):
+    df = spark.createDataFrame(
+        [Row(u=1, e="a", v=2.0), Row(u=1, e="a", v=3.0), Row(u=2, e="b", v=7.0)]
+    )
+    out = relational.pivot_counts(df, "u", "e", ["a", "b"], value_col="v")
+    rows = {r["key"]: (r["a"], r["b"]) for r in out.collect()}
+    assert rows == {1: (5.0, 0.0), 2: (0.0, 7.0)}
+
+
+# ---------------------------------------------------- group_quantiles
+
+
+def test_group_quantiles_interpolation(spark):
+    df = spark.createDataFrame(
+        [Row(g="x", v=float(i)) for i in [1, 2, 3, 4]]
+        + [Row(g="y", v=10.0), Row(g="y", v=20.0)]
+    )
+    out = relational.group_quantiles(df, ["g"], "v", (0.25, 0.5, 0.75))
+    rows = {r["g"]: (r["p25"], r["p50"], r["p75"]) for r in out.collect()}
+    # PERCENTILE_CONT on [1,2,3,4]: p25 = 1.75, p50 = 2.5, p75 = 3.25
+    assert rows["x"] == (1.75, 2.5, 3.25)
+    assert rows["y"] == (12.5, 15.0, 17.5)
+
+
+def test_group_quantiles_matches_duckdb(spark):
+    import duckdb
+
+    vals = [float(((i * 37) % 101)) for i in range(53)]
+    df = spark.createDataFrame([Row(g=i % 3, v=v) for i, v in enumerate(vals)])
+    got = {
+        r["g"]: (r["p25"], r["p50"], r["p75"])
+        for r in relational.group_quantiles(df, ["g"], "v").collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES %s) AS v(g, val)"
+        % ", ".join(f"({i % 3}, {v})" for i, v in enumerate(vals))
+    )
+    want = {
+        g: (round(p25, 6), round(p50, 6), round(p75, 6))
+        for g, p25, p50, p75 in con.execute(
+            "SELECT g, quantile_cont(CAST(val AS DOUBLE), 0.25), "
+            "quantile_cont(CAST(val AS DOUBLE), 0.5), "
+            "quantile_cont(CAST(val AS DOUBLE), 0.75) FROM t GROUP BY g"
+        ).fetchall()
+    }
+    assert got == want
