@@ -112,6 +112,12 @@ BENCH_QUERIES = [
     "pipeline_corpus",
     "pipeline_curation",
     "graph_report",
+    "dedup_edit",
+    "bm25",
+    "resample_fill",
+    "pivot_events",
+    "group_quantiles",
+    "hybrid_retrieval",
 ]
 
 

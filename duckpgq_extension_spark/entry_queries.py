@@ -4460,8 +4460,10 @@ def q_bm25(spark, sf_dir):
     return corpus.bm25_scores(docs, "doc_id", "text", qdf, top_k=20)
 
 
-O_BM25 = f"""
-WITH q(qid, term) AS (
+# BM25 pipeline as reusable CTE parts ending in `sc` (qid, doc_id, score)
+# — shared by O_BM25 and O_HYBRID_RETRIEVAL so the lexical leg can never
+# drift between the two oracles
+_BM25_PARTS = f"""q(qid, term) AS (
   VALUES {", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERY_TERMS)}
 ),
 toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
@@ -4481,7 +4483,10 @@ terms AS (
   JOIN dl ON dl.doc_id = tf.doc_id
   CROSS JOIN st
 ),
-sc AS (SELECT qid, doc_id, ROUND(SUM(s), 6) AS score FROM terms GROUP BY 1, 2),
+sc AS (SELECT qid, doc_id, ROUND(SUM(s), 6) AS score FROM terms GROUP BY 1, 2)"""
+
+O_BM25 = f"""
+WITH {_BM25_PARTS},
 r AS (
   SELECT qid, doc_id, score,
          ROW_NUMBER() OVER (PARTITION BY qid
@@ -4575,6 +4580,94 @@ SELECT l_returnflag,
        ROUND(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
        ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
 FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_hybrid_retrieval(spark, sf_dir):
+    """Hybrid retrieval (operators/similarity.rrf_fusion,
+    beyond-reference): reciprocal-rank fusion of a BM25 lexical leg
+    (same 3 term queries as q_bm25, top-20) with an embedding cosine
+    leg (query vectors = embeddings 0-2, corpus vectors mapped to docs
+    by vec_id % |documents|, best cosine per doc, top-20) — the
+    standard two-tower curation/retrieval merge, no score calibration.
+    rrf(q,d) = sum of 1/(60 + rank) over the lists that retrieved d."""
+    setup(spark, sf_dir)
+    from pyspark.sql import Window as W
+
+    docs = spark.table("documents")
+    n_docs = docs.count()
+    qdf = spark.createDataFrame(_BM25_QUERY_TERMS, "qid long, term string")
+    lex_rank = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    lex = (
+        corpus.bm25_scores(docs, "doc_id", "text", qdf, top_k=20)
+        .withColumn("rank", F.row_number().over(lex_rank))
+    )
+    emb = _emb_double(spark, sf_dir)
+    qvec = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    sims = (
+        emb.crossJoin(F.broadcast(qvec))
+        .select(
+            "qid",
+            (F.col("vec_id") % n_docs).alias("doc_id"),
+            F.round(similarity.cosine(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+        )
+        .groupBy("qid", "doc_id")
+        .agg(F.max("cos").alias("cos"))
+    )
+    sem_rank = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    sem = (
+        sims.withColumn("rank", F.row_number().over(sem_rank))
+        .where(F.col("rank") <= 20)
+    )
+    fused = similarity.rrf_fusion(
+        [lex, sem], query_col="qid", item_col="doc_id", rank_col="rank", k=60
+    )
+    return fused.select(
+        F.col("query").alias("qid"),
+        F.col("item").alias("doc_id"),
+        "rrf_score",
+        F.col("n_lists").cast("bigint").alias("n_lists"),
+    )
+
+
+O_HYBRID_RETRIEVAL = f"""
+WITH {_BM25_PARTS},
+lexr AS (
+  SELECT qid, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM sc
+),
+lex AS (SELECT qid, doc_id, rank FROM lexr WHERE rank <= 20),
+emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+nd AS (SELECT COUNT(*) AS n FROM documents),
+sims AS (
+  SELECT qv.vec_id AS qid, cv.vec_id % nd.n AS doc_id,
+         MAX(ROUND(list_dot_product(qv.v, cv.v)
+             / (sqrt(list_dot_product(qv.v, qv.v))
+                * sqrt(list_dot_product(cv.v, cv.v))), 6)) AS cos
+  FROM (SELECT * FROM emb WHERE vec_id < 3) qv
+  CROSS JOIN emb cv
+  CROSS JOIN nd
+  GROUP BY 1, 2
+),
+semr AS (
+  SELECT qid, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY cos DESC, doc_id ASC) AS rank
+  FROM sims
+),
+sem AS (SELECT qid, doc_id, rank FROM semr WHERE rank <= 20),
+un AS (
+  SELECT qid, doc_id, 1.0 / (60.0 + rank) AS c FROM lex
+  UNION ALL
+  SELECT qid, doc_id, 1.0 / (60.0 + rank) AS c FROM sem
+)
+SELECT qid, doc_id, ROUND(SUM(c), 6) AS rrf_score,
+       CAST(COUNT(*) AS BIGINT) AS n_lists
+FROM un GROUP BY 1, 2
 """
 
 
@@ -4686,6 +4779,7 @@ QUERIES = {
     "resample_fill": q_resample_fill,
     "pivot_events": q_pivot_events,
     "group_quantiles": q_group_quantiles,
+    "hybrid_retrieval": q_hybrid_retrieval,
 }
 
 ORACLES = {
@@ -4792,6 +4886,7 @@ ORACLES = {
     "resample_fill": O_RESAMPLE_FILL,
     "pivot_events": O_PIVOT_EVENTS,
     "group_quantiles": O_GROUP_QUANTILES,
+    "hybrid_retrieval": O_HYBRID_RETRIEVAL,
 }
 
 
@@ -4869,7 +4964,7 @@ _R7_FRONT = [
     # window (every round-7 addition): they lead so CORRECTNESS_r07
     # records their first hard rows
     "dedup_edit", "bm25", "resample_fill", "pivot_events",
-    "group_quantiles",
+    "group_quantiles", "hybrid_retrieval",
     "mixture_sample", "cross_corpus_dedup", "stream_near_dup",
     "dedup_paragraphs", "dedup_keep_longest", "importance_resample",
     "text_normalize", "semantic_dedup", "temperature_sample",

@@ -1120,3 +1120,59 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def rrf_fusion(
+    rankings: list[DataFrame],
+    query_col: str = "query_id",
+    item_col: str = "item_id",
+    rank_col: str = "rank",
+    k: int = 60,
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N independent rankings — the standard
+    way hybrid retrieval (BM25 lexical + embedding semantic) merges
+    result lists without score calibration:
+
+        rrf(q, d) = sum over lists of 1 / (k + rank_list(q, d))
+
+    (Cormack et al., SIGIR'09; k=60 is the conventional damping).  Each
+    input frame carries (query_col, item_col, rank_col) with rank 1 =
+    best; items absent from a list simply contribute nothing.  Returns
+    (query, item, rrf_score, n_lists); with `top_k`, each query's best k
+    fused items (ties by item id).
+
+    Scale design: a union of the (small, already-top-k) per-list
+    rankings followed by ONE aggregation on (query, item) — no joins
+    between lists (an absent item would need full outer joins per list;
+    union+groupBy is associative, skew-free, and list-count agnostic).
+    """
+    if not rankings:
+        raise ValueError("rrf_fusion needs at least one ranking")
+    contribs = [
+        r.select(
+            F.col(query_col).alias("query"),
+            F.col(item_col).alias("item"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias("__c"),
+        )
+        for r in rankings
+    ]
+    un = contribs[0]
+    for c in contribs[1:]:
+        un = un.unionByName(c)
+    fused = un.groupBy("query", "item").agg(
+        F.round(F.sum("__c"), 6).alias("rrf_score"),
+        F.count("*").alias("n_lists"),
+    )
+    if top_k is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("query").orderBy(
+            F.col("rrf_score").desc(), F.col("item").asc()
+        )
+        fused = (
+            fused.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= top_k)
+            .drop("__rk")
+        )
+    return fused

@@ -212,3 +212,34 @@ def test_group_quantiles_matches_duckdb(spark):
         ).fetchall()
     }
     assert got == want
+
+
+# ------------------------------------------------------------ rrf_fusion
+
+
+def test_rrf_fusion_golden(spark):
+    from duckpgq_extension_spark.operators import similarity
+
+    lex = spark.createDataFrame(
+        [(0, 10, 1), (0, 11, 2), (0, 12, 3)], "query_id long, item_id long, rank long"
+    )
+    sem = spark.createDataFrame(
+        [(0, 11, 1), (0, 13, 2)], "query_id long, item_id long, rank long"
+    )
+    out = similarity.rrf_fusion([lex, sem], k=60)
+    rows = {r["item"]: (r["rrf_score"], r["n_lists"]) for r in out.collect()}
+    assert rows[11] == (round(1 / 62 + 1 / 61, 6), 2)  # both lists
+    assert rows[10] == (round(1 / 61, 6), 1)
+    assert rows[13] == (round(1 / 62, 6), 1)
+    # fused order: 11 (two lists) beats everything else
+    top = similarity.rrf_fusion([lex, sem], k=60, top_k=1).collect()
+    assert top[0]["item"] == 11
+
+
+def test_rrf_fusion_empty_list_raises(spark):
+    import pytest as _pt
+
+    from duckpgq_extension_spark.operators import similarity
+
+    with _pt.raises(ValueError):
+        similarity.rrf_fusion([])
