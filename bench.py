@@ -118,6 +118,7 @@ BENCH_QUERIES = [
     "pivot_events",
     "group_quantiles",
     "hybrid_retrieval",
+    "node2vec",
 ]
 
 

@@ -1064,6 +1064,121 @@ def random_walks(
     return out
 
 
+def node2vec_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    length: int,
+    p: float = 4.0,
+    q: float = 0.25,
+    salt: str = "n2v",
+) -> DataFrame:
+    """Deterministic node2vec biased walks (Grover & Leskovec, KDD'16):
+    like random_walks, but each step weights candidate neighbors by the
+    return parameter p and the in-out parameter q —
+
+        w(dst) = 1/p  if dst == prev        (return)
+                 1    if edge prev -> dst    (stay in prev's neighborhood)
+                 1/q  otherwise              (explore outward)
+
+    over the directed out-adjacency (the directed-graph reading of the
+    paper's d(prev, dst) in {0, 1, 2}).  The first step has no prev, so
+    all weights tie — uniform, as in the reference algorithm.
+
+    Determinism: the draw at (walk, step, vertex) is the same portable
+    md5 hash random_walks uses, reduced mod 2^20; the chosen neighbor is
+    the first rank whose cumulative weight crosses draw/2^20 of the
+    total.  The DEFAULT p=4, q=0.25 make every weight a multiple of
+    0.25, so cumulative sums and the crossing comparison are EXACT in
+    doubles — an SQL oracle replays the walks bit-identically (other
+    p/q values stay deterministic within Spark but cross-engine float
+    drift is then possible).
+
+    Returns (walk_id, step, vid) including step 0 at the seed.
+
+    Scale design: same per-step cost model as random_walks (one
+    frontier-vs-adjacency equi-join) plus one left join flagging
+    prev->dst adjacency (co-partitioned on the same edge frame) and two
+    walk-partitioned window aggregates (frontier-sized, not graph-sized).
+    """
+    if length < 1:
+        raise ValueError("length must be >= 1")
+    from .functions.text import md5_long
+
+    from pyspark.sql import Window
+
+    M = 1 << 20
+    wp, wn, wq = 1.0 / p, 1.0, 1.0 / q
+    parts = pathops.default_parallelism(edges.sparkSession)
+    nbr = edges.select("src", "dst").distinct()
+    w = Window.partitionBy("src").orderBy(F.col("dst").asc())
+    ranked = pathops.materialize(
+        nbr.select(
+            "src", "dst", F.row_number().over(w).alias("rk")
+        ).repartition(parts, "src")
+    )
+    adj = ranked.select("src", "dst")
+    frontier = pathops.materialize(
+        seeds.toDF("vid").distinct().select(
+            F.col("vid").alias("walk_id"), F.lit(0).alias("step"),
+            F.col("vid").alias("vid"), F.lit(None).cast("long").alias("prev"),
+        )
+    )
+    out = frontier.select("walk_id", "step", "vid")
+    for step in range(1, length + 1):
+        draw = md5_long(
+            F.concat_ws(
+                "|",
+                F.col("f.walk_id").cast("string"),
+                F.lit(str(step)),
+                F.col("f.vid").cast("string"),
+                F.lit(salt),
+            )
+        ) % F.lit(M)
+        cand = (
+            frontier.alias("f")
+            .join(ranked.alias("r"), F.col("f.vid") == F.col("r.src"))
+            .join(
+                adj.alias("a"),
+                (F.col("a.src") == F.col("f.prev"))
+                & (F.col("a.dst") == F.col("r.dst")),
+                "left",
+            )
+            .select(
+                F.col("f.walk_id").alias("walk_id"),
+                F.col("f.vid").alias("vid"),
+                F.col("r.dst").alias("dst"),
+                F.col("r.rk").alias("rk"),
+                F.when(F.col("r.dst") == F.col("f.prev"), F.lit(wp))
+                .when(F.col("a.src").isNotNull(), F.lit(wn))
+                .otherwise(F.lit(wq))
+                .alias("w"),
+                draw.alias("__draw"),
+            )
+        )
+        ww = Window.partitionBy("walk_id")
+        worder = ww.orderBy(F.col("rk").asc())
+        picked = (
+            cand.withColumn(
+                "__cumw", F.sum("w").over(worder.rowsBetween(Window.unboundedPreceding, 0))
+            )
+            .withColumn("__totw", F.sum("w").over(ww))
+            .where(F.col("__cumw") * M > F.col("__draw") * F.col("__totw"))
+            .withColumn("__rn", F.row_number().over(worder))
+            .where(F.col("__rn") == 1)
+            .select(
+                "walk_id",
+                F.lit(step).alias("step"),
+                F.col("dst").alias("vid"),
+                F.col("vid").alias("prev"),
+            )
+        )
+        frontier, n = pathops.checkpoint_with_count(picked)
+        if not n:
+            break
+        out = out.unionByName(frontier.select("walk_id", "step", "vid"))
+    return out
+
+
 def closeness_centrality(edges: DataFrame, seeds: DataFrame) -> DataFrame:
     """Out-closeness for each seed vertex: run one batched BFS from all
     seeds (the reference's multi-source lane trick, iterativelength.cpp

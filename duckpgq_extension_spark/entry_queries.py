@@ -2794,6 +2794,72 @@ def _walk_oracle(length: int = 4) -> str:
 O_RANDOM_WALKS = _walk_oracle(4)
 
 
+def q_node2vec(spark, sf_dir):
+    """Biased node2vec walks (algorithms.node2vec_walks,
+    beyond-reference): 3 steps from every 100th customer with return
+    parameter p=4 and in-out parameter q=0.25 — the defaults make every
+    step weight a multiple of 0.25, so the weighted cumulative-sum draw
+    is float-exact and the unrolled SQL oracle replays the walks
+    bit-identically."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    seeds = spark.table("customer").where(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").cast("long")
+    )
+    return algorithms.node2vec_walks(edges, seeds, length=3)
+
+
+def _node2vec_oracle(length: int = 3) -> str:
+    # mirrors algorithms.node2vec_walks: w = 0.25 return / 1.0 common /
+    # 4.0 explore; draw = md5_long(walk|step|vid|n2v) % 2^20; pick the
+    # first rank whose cumw * 2^20 crosses draw * totw
+    parts = [
+        """nbr AS MATERIALIZED (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY dst) AS rk
+  FROM (SELECT DISTINCT src, dst FROM e))""",
+        """s0 AS (SELECT c_custkey AS walk_id, 0 AS step, c_custkey AS vid,
+  CAST(NULL AS BIGINT) AS prev
+  FROM customer WHERE c_custkey % 100 = 0)""",
+    ]
+    for i in range(1, length + 1):
+        f = f"s{i - 1}"
+        parts.append(
+            f"""c{i} AS (
+  SELECT f.walk_id, f.vid, n.dst, n.rk,
+         CASE WHEN n.dst = f.prev THEN 0.25
+              WHEN a.src IS NOT NULL THEN 1.0
+              ELSE 4.0 END AS w,
+         ('0x' || substr(md5(CAST(f.walk_id AS VARCHAR) || '|{i}|' ||
+          CAST(f.vid AS VARCHAR) || '|n2v'), 1, 15))::BIGINT % 1048576 AS draw
+  FROM {f} f
+  JOIN nbr n ON n.src = f.vid
+  LEFT JOIN (SELECT DISTINCT src, dst FROM e) a
+    ON a.src = f.prev AND a.dst = n.dst)"""
+        )
+        parts.append(
+            f"""w{i} AS (
+  SELECT *, SUM(w) OVER (PARTITION BY walk_id ORDER BY rk
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+            SUM(w) OVER (PARTITION BY walk_id) AS totw
+  FROM c{i})"""
+        )
+        parts.append(
+            f"""s{i} AS MATERIALIZED (
+  SELECT walk_id, {i} AS step, dst AS vid, vid AS prev FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY walk_id ORDER BY rk) AS rn
+    FROM w{i} WHERE cumw * 1048576 > draw * totw) WHERE rn = 1)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT walk_id, step, vid FROM s{i}" for i in range(length + 1)
+    )
+    body = ",\n".join(parts)
+    return f"WITH e AS ({EDGES_SQL}),\n{body}\n{union}"
+
+
+O_NODE2VEC = _node2vec_oracle(3)
+
+
 def q_closeness(spark, sf_dir):
     """Seed-set closeness centrality (algorithms.closeness_centrality):
     one batched BFS from customers 0-7, fold to (reached-1)/sum(dist)."""
@@ -4780,6 +4846,7 @@ QUERIES = {
     "pivot_events": q_pivot_events,
     "group_quantiles": q_group_quantiles,
     "hybrid_retrieval": q_hybrid_retrieval,
+    "node2vec": q_node2vec,
 }
 
 ORACLES = {
@@ -4887,6 +4954,7 @@ ORACLES = {
     "pivot_events": O_PIVOT_EVENTS,
     "group_quantiles": O_GROUP_QUANTILES,
     "hybrid_retrieval": O_HYBRID_RETRIEVAL,
+    "node2vec": O_NODE2VEC,
 }
 
 
@@ -4964,7 +5032,7 @@ _R7_FRONT = [
     # window (every round-7 addition): they lead so CORRECTNESS_r07
     # records their first hard rows
     "dedup_edit", "bm25", "resample_fill", "pivot_events",
-    "group_quantiles", "hybrid_retrieval",
+    "group_quantiles", "hybrid_retrieval", "node2vec",
     "mixture_sample", "cross_corpus_dedup", "stream_near_dup",
     "dedup_paragraphs", "dedup_keep_longest", "importance_resample",
     "text_normalize", "semantic_dedup", "temperature_sample",

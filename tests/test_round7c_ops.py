@@ -243,3 +243,60 @@ def test_rrf_fusion_empty_list_raises(spark):
 
     with _pt.raises(ValueError):
         similarity.rrf_fusion([])
+
+
+# ------------------------------------------------------- node2vec_walks
+
+
+def _n2v_draw(walk_id, step, vid):
+    import hashlib
+
+    h = hashlib.md5(f"{walk_id}|{step}|{vid}|n2v".encode()).hexdigest()
+    return int(h[:15], 16) % (1 << 20)
+
+
+def test_node2vec_chain_is_deterministic_path(spark):
+    from duckpgq_extension_spark import algorithms
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src long, dst long")
+    seeds = spark.createDataFrame([(1,)], "vid long")
+    out = algorithms.node2vec_walks(edges, seeds, length=3)
+    rows = {(r["walk_id"], r["step"]): r["vid"] for r in out.collect()}
+    assert rows == {(1, 0): 1, (1, 1): 2, (1, 2): 3, (1, 3): 4}
+
+
+def test_node2vec_bias_matches_python_replay(spark):
+    from duckpgq_extension_spark import algorithms
+
+    # from 2 (prev=1): candidates 1 (return, w=0.25) and 3 (explore, w=4.0)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "vid long")
+    out = algorithms.node2vec_walks(edges, seeds, length=2, p=4.0, q=0.25)
+    rows = {(r["walk_id"], r["step"]): r["vid"] for r in out.collect()}
+    assert rows[(1, 1)] == 2  # only neighbor
+    # python replay of the step-2 pick: ranks (dst asc) [1: w .25][3: w 4.0]
+    draw = _n2v_draw(1, 2, 2)
+    M, tot = 1 << 20, 4.25
+    expect = 1 if 0.25 * M > draw * tot else 3
+    assert rows[(1, 2)] == expect
+    # with these p/q the explore edge should win for almost every draw
+    assert expect == 3
+
+
+def test_node2vec_return_bias_flips_choice(spark):
+    from duckpgq_extension_spark import algorithms
+
+    # p tiny -> returning to prev is heavily favored; same graph as above
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "vid long")
+    out = algorithms.node2vec_walks(edges, seeds, length=2, p=1 / 64.0, q=1.0)
+    rows = {(r["walk_id"], r["step"]): r["vid"] for r in out.collect()}
+    draw = _n2v_draw(1, 2, 2)
+    M, tot = 1 << 20, 64.0 + 1.0
+    expect = 1 if 64.0 * M > draw * tot else 3
+    assert rows[(1, 2)] == expect
+    assert expect == 1  # 64/65 of the draw space returns
