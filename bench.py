@@ -119,6 +119,9 @@ BENCH_QUERIES = [
     "group_quantiles",
     "hybrid_retrieval",
     "node2vec",
+    "rolling_7d",
+    "grouping_sets",
+    "weighted_sample",
 ]
 
 

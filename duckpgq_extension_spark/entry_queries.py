@@ -2860,6 +2860,103 @@ def _node2vec_oracle(length: int = 3) -> str:
 O_NODE2VEC = _node2vec_oracle(3)
 
 
+def q_rolling_7d(spark, sf_dir):
+    """Trailing 7-day per-user rolling mean/count
+    (operators/relational.rolling_time_agg): RANGE window frame over
+    epoch microseconds — one sliding-accumulator window pass, never a
+    self-join over the time span.  The gate feeds integer cents
+    (ROUND(value*100)) and compares the windowed SUM + count, which are
+    order-exact integers in both engines — the rolling MEAN of
+    2-decimal data lands exactly on decimal half-boundaries, where
+    Java's BigDecimal rounding and DuckDB's binary-multiply rounding
+    legitimately disagree (same class of quirk as the corpus_clean
+    fixed-point avg)."""
+    setup(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events").withColumn(
+        "value", F.round(F.col("value") * 100).cast("bigint")
+    )
+    out = relational.rolling_time_agg(events, "user_id", "ts", "value", days=7)
+    return out.select(
+        "user_id",
+        "ts_us",
+        F.col("sum_7d").cast("bigint").alias("sum_7d_cents"),
+        "n_7d",
+    )
+
+
+O_ROLLING_7D = """
+WITH ev AS (SELECT user_id, ts, CAST(ROUND(value * 100) AS BIGINT) AS vc
+            FROM events)
+SELECT user_id, epoch_us(ts) AS ts_us,
+       CAST(SUM(vc) OVER w AS BIGINT) AS sum_7d_cents,
+       COUNT(*) OVER w AS n_7d
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS aggregation (DataFrame.groupingSets — the
+    reference's grouping-sets surface alongside the rollup/cube
+    queries): per-priority totals, per-status totals, and the grand
+    total in one pass.  FLOOR before summing keeps the double -> bigint
+    conversion identical across engines (Spark casts truncate, DuckDB
+    casts round)."""
+    setup(spark, sf_dir)
+    o = spark.table("orders")
+    return (
+        o.groupingSets(
+            [[F.col("o_orderpriority")], [F.col("o_orderstatus")], []],
+            F.col("o_orderpriority"),
+            F.col("o_orderstatus"),
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.floor("o_totalprice")).cast("bigint").alias("total_floor"),
+        )
+    )
+
+
+O_GROUPING_SETS = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+       CAST(SUM(FLOOR(o_totalprice)) AS BIGINT) AS total_floor
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
+"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Exact-size weighted sampling without replacement
+    (operators/corpus.weighted_sample, Efraimidis-Spirakis A-Res):
+    top-20 docs per source by priority u^(1/n_chars) with u a
+    reproducible md5 fraction — the weight-proportional counterpart of
+    det_sample's Bernoulli."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    return corpus.weighted_sample(
+        docs, "doc_id", "n_chars", k=20, group_col="source"
+    )
+
+
+O_WEIGHTED_SAMPLE = """
+WITH pri AS (
+  SELECT source, doc_id,
+         POW(((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|ws'), 1, 15))::BIGINT
+               % 1048576 + 0.5) / 1048576.0),
+             1.0 / CAST(n_chars AS DOUBLE)) AS p
+  FROM documents WHERE n_chars > 0
+),
+r AS (
+  SELECT source, doc_id, p,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY p DESC, doc_id ASC) AS rk
+  FROM pri
+)
+SELECT source, doc_id, ROUND(p, 6) AS priority FROM r WHERE rk <= 20
+"""
+
+
 def q_closeness(spark, sf_dir):
     """Seed-set closeness centrality (algorithms.closeness_centrality):
     one batched BFS from customers 0-7, fold to (reached-1)/sum(dist)."""
@@ -4847,6 +4944,9 @@ QUERIES = {
     "group_quantiles": q_group_quantiles,
     "hybrid_retrieval": q_hybrid_retrieval,
     "node2vec": q_node2vec,
+    "rolling_7d": q_rolling_7d,
+    "grouping_sets": q_grouping_sets,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLES = {
@@ -4955,6 +5055,9 @@ ORACLES = {
     "group_quantiles": O_GROUP_QUANTILES,
     "hybrid_retrieval": O_HYBRID_RETRIEVAL,
     "node2vec": O_NODE2VEC,
+    "rolling_7d": O_ROLLING_7D,
+    "grouping_sets": O_GROUPING_SETS,
+    "weighted_sample": O_WEIGHTED_SAMPLE,
 }
 
 
@@ -5033,6 +5136,7 @@ _R7_FRONT = [
     # records their first hard rows
     "dedup_edit", "bm25", "resample_fill", "pivot_events",
     "group_quantiles", "hybrid_retrieval", "node2vec",
+    "rolling_7d", "grouping_sets", "weighted_sample",
     "mixture_sample", "cross_corpus_dedup", "stream_near_dup",
     "dedup_paragraphs", "dedup_keep_longest", "importance_resample",
     "text_normalize", "semantic_dedup", "temperature_sample",

@@ -1160,3 +1160,53 @@ def vocab_drift(
         .where(F.col("__rn") <= top_n)
         .drop("__rn")
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    group_col: str | None = None,
+    salt: str = "ws",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis-Spirakis A-Res): each row draws priority u^(1/w) with u
+    a reproducible md5-hash fraction of (id, salt); the k highest
+    priorities are exactly a weight-proportional sample without
+    replacement.  With `group_col`, k per group (domain-balanced corpus
+    subsetting with importance weights — the exact-size counterpart of
+    the Bernoulli samplers above).
+
+    Non-positive weights are excluded (they cannot be drawn).
+
+    Scale design: priorities are pure per-row JVM expressions (no RNG
+    state, rerun-stable); selection is one top-k window per group, which
+    compiles to WindowGroupLimit (partial top-k before the final sort) —
+    the same single-shuffle shape as top_k_per_group.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import md5_long
+
+    M = 1 << 20
+    u = (
+        md5_long(F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt)))
+        % F.lit(M)
+        + F.lit(0.5)
+    ) / F.lit(float(M))
+    pri = F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double"))
+    base = df.where(F.col(weight_col) > 0).withColumn("__pri", pri)
+    part = [group_col] if group_col else []
+    w = Window.partitionBy(*part).orderBy(
+        F.col("__pri").desc(), F.col(id_col).asc()
+    )
+    return (
+        base.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .select(
+            *([F.col(group_col)] if group_col else []),
+            F.col(id_col),
+            F.round("__pri", 6).alias("priority"),
+        )
+    )

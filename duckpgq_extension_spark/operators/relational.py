@@ -301,3 +301,45 @@ def group_quantiles(
         for q in qs
     ]
     return df.groupBy(*[F.col(k) for k in keys]).agg(*exprs)
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    days: int = 7,
+) -> DataFrame:
+    """Per-row trailing time-window aggregate: for every event, the mean
+    and count of `value_col` over the SAME key's events in the previous
+    `days` days (inclusive) — a RANGE window frame over epoch
+    microseconds, the rolling-feature shape ML feature stores compute
+    ("user's 7-day average") that a rows-based frame gets wrong whenever
+    event density varies.
+
+    Returns the input keys plus (ts_us, avg_wd, n_wd).
+
+    Scale design: one shuffle on the key; the RANGE frame is evaluated
+    in a single sort-based window pass with a sliding accumulator (no
+    self-join against the window span, which is the quadratic
+    formulation).  Epoch-microsecond ordering keeps the frame boundary
+    integer-exact (timestamp-vs-interval arithmetic varies by engine;
+    integers do not).
+    """
+    span = days * 86400 * 1_000_000
+    # NTZ-safe epoch micros (pyspark 4.1 reads parquet TIMESTAMP(NANOS)
+    # as TIMESTAMP_NTZ, which bare unix_micros rejects; UTC session tz
+    # makes the cast a reinterpretation, not a shift)
+    order = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(order)
+        .rangeBetween(-span, 0)
+    )
+    return df.select(
+        F.col(key_col),
+        order.alias("ts_us"),
+        F.round(F.avg(value_col).over(w), 4).alias(f"avg_{days}d"),
+        F.sum(value_col).over(w).alias(f"sum_{days}d"),
+        F.count(F.lit(1)).over(w).alias(f"n_{days}d"),
+    )

@@ -300,3 +300,82 @@ def test_node2vec_return_bias_flips_choice(spark):
     expect = 1 if 64.0 * M > draw * tot else 3
     assert rows[(1, 2)] == expect
     assert expect == 1  # 64/65 of the draw space returns
+
+
+# ---------------------------------------------------- rolling_time_agg
+
+
+def test_rolling_time_agg_range_frame(spark):
+    df = spark.createDataFrame(
+        [
+            Row(k=1, t=ts("2024-01-01T00:00:00"), v=10.0),
+            Row(k=1, t=ts("2024-01-05T00:00:00"), v=20.0),
+            Row(k=1, t=ts("2024-01-20T00:00:00"), v=40.0),  # others expired
+            Row(k=2, t=ts("2024-01-05T00:00:00"), v=7.0),
+        ]
+    )
+    out = relational.rolling_time_agg(df, "k", "t", "v", days=7)
+    rows = {(r["k"], r["ts_us"]): (r["avg_7d"], r["sum_7d"], r["n_7d"])
+            for r in out.collect()}
+    us = lambda s: int(ts(s).replace(tzinfo=dt.timezone.utc).timestamp() * 1e6)
+    assert rows[(1, us("2024-01-01T00:00:00"))] == (10.0, 10.0, 1)
+    assert rows[(1, us("2024-01-05T00:00:00"))] == (15.0, 30.0, 2)  # both in window
+    assert rows[(1, us("2024-01-20T00:00:00"))] == (40.0, 40.0, 1)  # alone
+    assert rows[(2, us("2024-01-05T00:00:00"))] == (7.0, 7.0, 1)
+
+
+def test_rolling_time_agg_boundary_inclusive(spark):
+    # an event exactly 7 days earlier is INSIDE the trailing window
+    df = spark.createDataFrame(
+        [
+            Row(k=1, t=ts("2024-01-01T00:00:00"), v=1.0),
+            Row(k=1, t=ts("2024-01-08T00:00:00"), v=3.0),
+        ]
+    )
+    out = relational.rolling_time_agg(df, "k", "t", "v", days=7)
+    by_n = {r["n_7d"] for r in out.collect()}
+    assert by_n == {1, 2}
+
+
+# ---------------------------------------------------- weighted_sample
+
+
+def test_weighted_sample_exact_size_and_determinism(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, w=float(1 + i % 5), g="a" if i % 2 else "b")
+         for i in range(40)]
+    )
+    out1 = corpus.weighted_sample(docs, "doc_id", "w", k=5, group_col="g")
+    out2 = corpus.weighted_sample(docs, "doc_id", "w", k=5, group_col="g")
+    r1 = sorted((r["g"], r["doc_id"]) for r in out1.collect())
+    r2 = sorted((r["g"], r["doc_id"]) for r in out2.collect())
+    assert r1 == r2  # reproducible
+    from collections import Counter
+
+    assert Counter(g for g, _ in r1) == {"a": 5, "b": 5}
+
+
+def test_weighted_sample_matches_python_ares(spark):
+    import hashlib
+
+    rows = [(i, float(10 * (1 + i % 3))) for i in range(30)]
+    docs = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sorted(r["doc_id"] for r in
+                 corpus.weighted_sample(docs, "doc_id", "w", k=4).collect())
+    M = 1 << 20
+
+    def pri(i, w):
+        h = int(hashlib.md5(f"{i}|ws".encode()).hexdigest()[:15], 16) % M
+        return ((h + 0.5) / M) ** (1.0 / w)
+
+    want = sorted(i for i, _ in sorted(
+        rows, key=lambda t: (-pri(*t), t[0]))[:4])
+    assert got == want
+
+
+def test_weighted_sample_excludes_nonpositive(spark):
+    docs = spark.createDataFrame(
+        [(1, 0.0), (2, -3.0), (3, 5.0)], "doc_id long, w double"
+    )
+    out = corpus.weighted_sample(docs, "doc_id", "w", k=10).collect()
+    assert [r["doc_id"] for r in out] == [3]
