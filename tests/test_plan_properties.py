@@ -58,6 +58,12 @@ AUDITED = [
     "pii_redact",
     "assortativity",
     "global_clustering",
+    "resample_fill",
+    "pivot_events",
+    "group_quantiles",
+    "rolling_7d",
+    "grouping_sets",
+    "weighted_sample",
 ]
 
 # row-at-a-time Python evaluation; Arrow-batched variants
@@ -212,3 +218,43 @@ def test_pipeline_corpus_plan(spark):
     assert schemas, eplan[:2000]
     for s in schemas:
         assert s == "struct<doc_id:bigint,text:string>", s
+
+
+def test_bm25_broadcasts_queries(spark):
+    """The query-term join must broadcast (a query workload is tiny next
+    to the corpus): no shuffle of the corpus tf frame keyed on token for
+    the match step."""
+    from pyspark.sql import functions as F
+
+    from duckpgq_extension_spark.operators import corpus as C
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    qdf = spark.createDataFrame([(0, "hash")], "qid long, term string")
+    # peek at the pre-checkpoint plan by rebuilding the scored frame the
+    # way bm25_scores does, minus the checkpoint
+    tf = C._doc_token_counts(docs, "doc_id", "text").withColumnRenamed("n", "tf")
+    matched = tf.join(F.broadcast(qdf.select("qid", F.col("term").alias("token"))), "token")
+    plan = matched._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_weighted_sample_uses_window_group_limit(spark):
+    df = EQ.QUERIES["weighted_sample"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_resample_fill_single_key_shuffle(spark):
+    """Aggregation, grid generation and the ffill window all key on the
+    same column — the plan must not re-exchange between the per-bucket
+    aggregate and the window (AQE/EnsureRequirements reuse the
+    hash-partitioning)."""
+    df = EQ.QUERIES["resample_fill"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the window's required ordering is satisfied by a local sort, not a
+    # global one: no Exchange between Window and the left join feeding it
+    import re
+
+    win = plan.find("Window")
+    assert win != -1, plan[:2000]
+    assert "rangepartitioning" not in plan[:win].lower(), plan[:2000]
