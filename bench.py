@@ -122,6 +122,9 @@ BENCH_QUERIES = [
     "rolling_7d",
     "grouping_sets",
     "weighted_sample",
+    "winsorize",
+    "attribution",
+    "anomaly_zscore",
 ]
 
 

@@ -2957,6 +2957,97 @@ SELECT source, doc_id, ROUND(p, 6) AS priority FROM r WHERE rk <= 20
 """
 
 
+def q_winsorize(spark, sf_dir):
+    """Per-group winsorization (operators/relational.winsorize): clamp
+    l_extendedprice to its return-flag group's p05/p95 PERCENTILE_CONT
+    fences — outlier treatment that keeps rows at the fence instead of
+    dropping them."""
+    setup(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    out = relational.winsorize(li, ["l_returnflag"], "l_extendedprice", 0.05, 0.95)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.round("l_extendedprice", 4).alias("price_w"),
+    )
+
+
+O_WINSORIZE = """
+WITH fences AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.05) AS lo,
+         quantile_cont(l_extendedprice, 0.95) AS hi
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       ROUND(LEAST(GREATEST(l.l_extendedprice, f.lo), f.hi), 4) AS price_w
+FROM lineitem l JOIN fences f USING (l_returnflag)
+"""
+
+
+def q_attribution(spark, sf_dir):
+    """Last-touch conversion attribution
+    (streaming/events.attribute_conversions): every purchase credited to
+    the same user's most recent strictly-earlier click/view within 7
+    days — one window pass, no inequality self-join."""
+    setup(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    return ev.attribute_conversions(
+        events, conversion_type="purchase", touch_types=("click", "view"),
+        window_days=7,
+    )
+
+
+O_ATTRIBUTION = """
+WITH base AS (
+  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+         CASE WHEN event_type IN ('click', 'view') THEN event_id END AS tid,
+         CASE WHEN event_type IN ('click', 'view') THEN event_type END AS ttype,
+         CASE WHEN event_type IN ('click', 'view') THEN epoch_us(ts) END AS tus
+  FROM events
+),
+carried AS (
+  SELECT user_id, event_id, event_type, ts_us,
+         last_value(tid IGNORE NULLS) OVER w AS last_tid,
+         last_value(ttype IGNORE NULLS) OVER w AS last_ttype,
+         last_value(tus IGNORE NULLS) OVER w AS last_tus
+  FROM base
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS conversion_id, ts_us AS conv_us,
+       CASE WHEN last_tus >= ts_us - 604800000000 THEN last_tid END AS touch_id,
+       CASE WHEN last_tus >= ts_us - 604800000000 THEN last_ttype END AS touch_type,
+       CASE WHEN last_tus >= ts_us - 604800000000 THEN last_tus END AS touch_us
+FROM carried WHERE event_type = 'purchase'
+"""
+
+
+def q_anomaly_zscore(spark, sf_dir):
+    """Per-user z-score outliers (streaming/events.anomaly_zscore):
+    standardize each event value against its user's mean/stddev, keep
+    |z| >= 2 — per-entity baselines, one agg + join-back."""
+    setup(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    return ev.anomaly_zscore(events, "user_id", "value", z_threshold=2.0)
+
+
+O_ANOMALY_ZSCORE = """
+WITH stats AS (
+  SELECT user_id AS key, AVG(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY user_id
+)
+SELECT e.user_id AS key, e.event_id, e.value,
+       ROUND((e.value - s.mu) / s.sd, 4) AS z
+FROM events e JOIN stats s ON s.key = e.user_id
+WHERE s.sd IS NOT NULL AND s.sd > 0
+  AND ABS((e.value - s.mu) / s.sd) >= 2.0
+"""
+
+
 def q_closeness(spark, sf_dir):
     """Seed-set closeness centrality (algorithms.closeness_centrality):
     one batched BFS from customers 0-7, fold to (reached-1)/sum(dist)."""
@@ -4947,6 +5038,9 @@ QUERIES = {
     "rolling_7d": q_rolling_7d,
     "grouping_sets": q_grouping_sets,
     "weighted_sample": q_weighted_sample,
+    "winsorize": q_winsorize,
+    "attribution": q_attribution,
+    "anomaly_zscore": q_anomaly_zscore,
 }
 
 ORACLES = {
@@ -5058,6 +5152,9 @@ ORACLES = {
     "rolling_7d": O_ROLLING_7D,
     "grouping_sets": O_GROUPING_SETS,
     "weighted_sample": O_WEIGHTED_SAMPLE,
+    "winsorize": O_WINSORIZE,
+    "attribution": O_ATTRIBUTION,
+    "anomaly_zscore": O_ANOMALY_ZSCORE,
 }
 
 
@@ -5137,6 +5234,7 @@ _R7_FRONT = [
     "dedup_edit", "bm25", "resample_fill", "pivot_events",
     "group_quantiles", "hybrid_retrieval", "node2vec",
     "rolling_7d", "grouping_sets", "weighted_sample",
+    "winsorize", "attribution", "anomaly_zscore",
     "mixture_sample", "cross_corpus_dedup", "stream_near_dup",
     "dedup_paragraphs", "dedup_keep_longest", "importance_resample",
     "text_normalize", "semantic_dedup", "temperature_sample",

@@ -343,3 +343,35 @@ def rolling_time_agg(
         F.sum(value_col).over(w).alias(f"sum_{days}d"),
         F.count(F.lit(1)).over(w).alias(f"n_{days}d"),
     )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: list[str],
+    col: str,
+    lower: float = 0.01,
+    upper: float = 0.99,
+) -> DataFrame:
+    """Per-group winsorization: clamp `col` to its group's
+    [lower, upper] PERCENTILE_CONT quantiles — the standard outlier
+    treatment before scaling/featurizing numeric columns (trim would
+    drop the rows; winsorize keeps them at the fence).
+
+    Returns the input columns with `col` replaced by the clamped value
+    plus the fences (`__lo`, `__hi` are not exposed).
+
+    Scale design: one sort-based quantile aggregate per group (tiny
+    output) joined back — Catalyst broadcasts the fences when the group
+    count is small; the clamp itself is a pure projection.
+    """
+    fences = df.groupBy(*[F.col(k) for k in keys]).agg(
+        F.percentile(F.col(col), F.lit(lower)).alias("__lo"),
+        F.percentile(F.col(col), F.lit(upper)).alias("__hi"),
+    )
+    out_cols = [
+        F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")).alias(col)
+        if c == col
+        else F.col(c)
+        for c in df.columns
+    ]
+    return df.join(fences, keys).select(*out_cols)

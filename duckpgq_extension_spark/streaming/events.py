@@ -583,3 +583,91 @@ def near_dup_stream(
             "left_anti",
         )
     return out.drop("__bh", "__sig")
+
+
+def attribute_conversions(
+    events: DataFrame,
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    window_days: int = 7,
+) -> DataFrame:
+    """Last-touch conversion attribution: for every conversion event, the
+    most recent PRECEDING touch event (click/view/...) by the same user
+    within `window_days` — the standard product-analytics credit
+    assignment (strictly earlier; a touch at the conversion's own
+    timestamp does not count, matching the funnel's strict ordering).
+
+    Returns (user_id, conversion_id, conv_us, touch_id, touch_type,
+    touch_us) with NULL touch columns for unattributed conversions.
+
+    Scale design: ONE window pass over the per-user event timeline (the
+    last-touch candidate is a running last_value(...) IGNORE NULLS over
+    rows between unbounded preceding and 1 preceding) — never an
+    inequality self-join over the attribution window; the window filter
+    is applied after the fact on the carried touch timestamp.
+    """
+    span_us = window_days * 86400 * 1_000_000
+    is_touch = F.col("event_type").isin(*touch_types)
+    base = events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        epoch_us(F.col("ts")).alias("ts_us"),
+        F.when(is_touch, F.col("event_id")).alias("__tid"),
+        F.when(is_touch, F.col("event_type")).alias("__ttype"),
+        F.when(is_touch, epoch_us(F.col("ts"))).alias("__tus"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    attributed = (
+        base.withColumn("__last_tid", F.last("__tid", ignorenulls=True).over(w))
+        .withColumn("__last_ttype", F.last("__ttype", ignorenulls=True).over(w))
+        .withColumn("__last_tus", F.last("__tus", ignorenulls=True).over(w))
+        .where(F.col("event_type") == conversion_type)
+    )
+    in_window = F.col("__last_tus") >= F.col("ts_us") - span_us
+    return attributed.select(
+        "user_id",
+        F.col("event_id").alias("conversion_id"),
+        F.col("ts_us").alias("conv_us"),
+        F.when(in_window, F.col("__last_tid")).alias("touch_id"),
+        F.when(in_window, F.col("__last_ttype")).alias("touch_type"),
+        F.when(in_window, F.col("__last_tus")).alias("touch_us"),
+    )
+
+
+def anomaly_zscore(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Per-key z-score outlier flags: standardize each event's value
+    against ITS KEY's mean/stddev and keep |z| >= threshold — the cheap
+    first-pass anomaly screen for metrics pipelines (per-entity
+    baselines, not a global one, so heavy users don't mask light ones).
+
+    Returns (key, event_id, value, z).  Keys with fewer than 2 events or
+    zero variance produce no rows (z undefined).
+
+    Scale design: one aggregation on the key computes (mean, stddev),
+    joined back to the events — two shuffles on the same key, which AQE
+    plans as one exchange reuse; no window over the full event list.
+    """
+    stats = events.groupBy(F.col(key_col).alias("key")).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_samp(value_col).alias("__sd"),
+    )
+    return (
+        events.select(
+            F.col(key_col).alias("key"), "event_id", F.col(value_col).alias("value")
+        )
+        .join(stats, "key")
+        .where(F.col("__sd").isNotNull() & (F.col("__sd") > 0))
+        .withColumn("z", (F.col("value") - F.col("__mu")) / F.col("__sd"))
+        .where(F.abs(F.col("z")) >= z_threshold)
+        .select("key", "event_id", "value", F.round("z", 4).alias("z"))
+    )

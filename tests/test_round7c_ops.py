@@ -379,3 +379,101 @@ def test_weighted_sample_excludes_nonpositive(spark):
     )
     out = corpus.weighted_sample(docs, "doc_id", "w", k=10).collect()
     assert [r["doc_id"] for r in out] == [3]
+
+
+# ------------------------------------------------------------ winsorize
+
+
+def test_winsorize_clamps_to_fences(spark):
+    df = spark.createDataFrame(
+        [Row(g="a", v=float(x)) for x in range(1, 11)]  # 1..10
+        + [Row(g="a", v=1000.0)]  # outlier
+    )
+    out = relational.winsorize(df, ["g"], "v", 0.0, 0.5)
+    vals = sorted(r["v"] for r in out.collect())
+    # upper fence = median of [1..10, 1000] = 6.0; lower = min = 1.0
+    assert vals[-1] == 6.0 and vals[0] == 1.0 and len(vals) == 11
+    assert all(1.0 <= v <= 6.0 for v in vals)
+
+
+def test_winsorize_preserves_other_columns(spark):
+    df = spark.createDataFrame([Row(g="a", id=7, v=5.0), Row(g="a", id=8, v=6.0)])
+    out = relational.winsorize(df, ["g"], "v")
+    assert set(out.columns) == {"g", "id", "v"}
+    assert sorted(r["id"] for r in out.collect()) == [7, 8]
+
+
+# ---------------------------------------------------------- attribution
+
+
+def test_attribution_last_touch_within_window(spark):
+    from duckpgq_extension_spark.streaming import events as EV
+
+    df = spark.createDataFrame(
+        [
+            Row(event_id=1, ts=ts("2024-01-01T00:00:00"), user_id=1,
+                event_type="click", value=0.0, props=""),
+            Row(event_id=2, ts=ts("2024-01-02T00:00:00"), user_id=1,
+                event_type="view", value=0.0, props=""),
+            Row(event_id=3, ts=ts("2024-01-03T00:00:00"), user_id=1,
+                event_type="purchase", value=9.0, props=""),
+            # conversion with a touch OUTSIDE the 7-day window
+            Row(event_id=4, ts=ts("2024-02-01T00:00:00"), user_id=1,
+                event_type="purchase", value=9.0, props=""),
+            # user with no touches at all
+            Row(event_id=5, ts=ts("2024-01-05T00:00:00"), user_id=2,
+                event_type="purchase", value=9.0, props=""),
+        ]
+    )
+    out = EV.attribute_conversions(df, "purchase", ("click", "view"), 7)
+    rows = {r["conversion_id"]: (r["touch_id"], r["touch_type"])
+            for r in out.collect()}
+    assert rows[3] == (2, "view")       # latest preceding touch
+    assert rows[4] == (None, None)      # touch expired
+    assert rows[5] == (None, None)      # never touched
+    assert len(rows) == 3
+
+
+def test_attribution_touch_at_same_ts_excluded(spark):
+    from duckpgq_extension_spark.streaming import events as EV
+
+    df = spark.createDataFrame(
+        [
+            Row(event_id=1, ts=ts("2024-01-01T00:00:00"), user_id=1,
+                event_type="click", value=0.0, props=""),
+            Row(event_id=2, ts=ts("2024-01-01T00:00:00"), user_id=1,
+                event_type="purchase", value=9.0, props=""),
+        ]
+    )
+    out = EV.attribute_conversions(df, "purchase", ("click",), 7)
+    (r,) = out.collect()
+    # same timestamp: event_id orders the timeline, click (id 1) precedes
+    assert r["touch_id"] == 1
+
+
+# ------------------------------------------------------- anomaly_zscore
+
+
+def test_anomaly_zscore_flags_outlier(spark):
+    import statistics
+
+    from duckpgq_extension_spark.streaming import events as EV
+
+    vals = [10.0] * 9 + [100.0]
+    df = spark.createDataFrame(
+        [Row(event_id=i, user_id=1, value=v) for i, v in enumerate(vals)]
+    )
+    out = EV.anomaly_zscore(df, "user_id", "value", z_threshold=2.0)
+    (r,) = out.collect()
+    mu, sd = statistics.mean(vals), statistics.stdev(vals)
+    assert r["event_id"] == 9
+    assert r["z"] == round((100.0 - mu) / sd, 4)
+
+
+def test_anomaly_zscore_zero_variance_empty(spark):
+    from duckpgq_extension_spark.streaming import events as EV
+
+    df = spark.createDataFrame(
+        [Row(event_id=i, user_id=1, value=5.0) for i in range(4)]
+    )
+    assert EV.anomaly_zscore(df, "user_id", "value").count() == 0
