@@ -125,6 +125,8 @@ BENCH_QUERIES = [
     "winsorize",
     "attribution",
     "anomaly_zscore",
+    "copurchase_pmi",
+    "event_transitions",
 ]
 
 
@@ -260,6 +262,12 @@ SF1_QUERIES = [
     "cross_corpus_dedup",
     "substring_dedup",
     "ref_bigram_logprob",
+    # round-7c additions cheap enough to tier (dedup_edit is deliberately
+    # NOT here: the replicated tier gives it 100x candidate pairs -> 479 s,
+    # measured once and recorded in PERF.md instead of re-paid every bench)
+    "bm25",
+    "hybrid_retrieval",
+    "node2vec",
 ]
 
 

@@ -3048,6 +3048,65 @@ WHERE s.sd IS NOT NULL AND s.sd > 0
 """
 
 
+def q_copurchase_pmi(spark, sf_dir):
+    """Item co-occurrence + PMI (operators/corpus.cooccurrence_pmi):
+    part pairs sharing an order in lineitem, joint count >= 3, pointwise
+    mutual information over the order universe — association mining
+    whose pair space is quadratic only in basket size."""
+    setup(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey"), (F.col("l_partkey") % 500).alias("item")
+    )
+    return corpus.cooccurrence_pmi(li, "l_orderkey", "item", min_count=3)
+
+
+O_COPURCHASE_PMI = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS g, l_partkey % 500 AS item FROM lineitem
+),
+ng AS (SELECT CAST(COUNT(DISTINCT g) AS DOUBLE) AS n FROM items),
+marg AS (SELECT item, COUNT(*) AS c FROM items GROUP BY item),
+pairs AS (
+  SELECT l.item AS item_a, r.item AS item_b, COUNT(*) AS n_pairs
+  FROM items l JOIN items r ON l.g = r.g AND l.item < r.item
+  GROUP BY 1, 2 HAVING COUNT(*) >= 3
+)
+SELECT p.item_a, p.item_b, p.n_pairs,
+       ROUND(ln(p.n_pairs * ng.n / (ma.c * mb.c)), 6) AS pmi
+FROM pairs p
+JOIN marg ma ON ma.item = p.item_a
+JOIN marg mb ON mb.item = p.item_b
+CROSS JOIN ng
+"""
+
+
+def q_event_transitions(spark, sf_dir):
+    """Markov transition matrix over per-user event sequences
+    (streaming/events.event_transitions): (current -> next) type counts
+    and P(next | current) — one lead() window + a vocabulary-squared
+    aggregate."""
+    setup(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    return ev.event_transitions(events)
+
+
+O_EVENT_TRANSITIONS = """
+WITH steps AS (
+  SELECT event_type AS cur_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events
+),
+agg AS (
+  SELECT cur_type, next_type, COUNT(*) AS n
+  FROM steps WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT cur_type, next_type, n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY cur_type), 6) AS p
+FROM agg
+"""
+
+
 def q_closeness(spark, sf_dir):
     """Seed-set closeness centrality (algorithms.closeness_centrality):
     one batched BFS from customers 0-7, fold to (reached-1)/sum(dist)."""
@@ -5041,6 +5100,8 @@ QUERIES = {
     "winsorize": q_winsorize,
     "attribution": q_attribution,
     "anomaly_zscore": q_anomaly_zscore,
+    "copurchase_pmi": q_copurchase_pmi,
+    "event_transitions": q_event_transitions,
 }
 
 ORACLES = {
@@ -5155,6 +5216,8 @@ ORACLES = {
     "winsorize": O_WINSORIZE,
     "attribution": O_ATTRIBUTION,
     "anomaly_zscore": O_ANOMALY_ZSCORE,
+    "copurchase_pmi": O_COPURCHASE_PMI,
+    "event_transitions": O_EVENT_TRANSITIONS,
 }
 
 
@@ -5235,6 +5298,7 @@ _R7_FRONT = [
     "group_quantiles", "hybrid_retrieval", "node2vec",
     "rolling_7d", "grouping_sets", "weighted_sample",
     "winsorize", "attribution", "anomaly_zscore",
+    "copurchase_pmi", "event_transitions",
     "mixture_sample", "cross_corpus_dedup", "stream_near_dup",
     "dedup_paragraphs", "dedup_keep_longest", "importance_resample",
     "text_normalize", "semantic_dedup", "temperature_sample",

@@ -1210,3 +1210,58 @@ def weighted_sample(
             F.round("__pri", 6).alias("priority"),
         )
     )
+
+
+def cooccurrence_pmi(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    min_count: int = 2,
+) -> DataFrame:
+    """Item co-occurrence with pointwise mutual information: unordered
+    item pairs appearing in the same group (order/basket/document), their
+    joint count, and pmi = ln(c_ab * N / (c_a * c_b)) over the N groups —
+    the classic association signal behind item embeddings, related-items,
+    and phrase mining.
+
+    Returns (item_a, item_b, n_pairs, pmi) for pairs with
+    n_pairs >= min_count; item_a < item_b canonicalizes.
+
+    Scale design: the pair space is a self-equi-join on the group key —
+    quadratic ONLY in per-group item count (baskets are small; cap or
+    sample pathological groups upstream), never corpus-quadratic.  Item
+    marginals are one aggregation joined back; with a vocabulary-sized
+    item domain Catalyst broadcasts them.  AQE's skew join spreads hot
+    groups.
+    """
+    items = df.select(
+        F.col(group_col).alias("g"), F.col(item_col).alias("item")
+    ).distinct()
+    n_groups = items.select("g").distinct().count()
+    marg = items.groupBy("item").agg(F.count("*").alias("c"))
+    pairs = (
+        items.alias("l")
+        .join(items.alias("r"), "g")
+        .where(F.col("l.item") < F.col("r.item"))
+        .groupBy(
+            F.col("l.item").alias("item_a"), F.col("r.item").alias("item_b")
+        )
+        .agg(F.count("*").alias("n_pairs"))
+        .where(F.col("n_pairs") >= min_count)
+    )
+    return (
+        pairs.join(marg.select(F.col("item").alias("item_a"), F.col("c").alias("__ca")), "item_a")
+        .join(marg.select(F.col("item").alias("item_b"), F.col("c").alias("__cb")), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_pairs",
+            F.round(
+                F.log(
+                    F.col("n_pairs") * F.lit(float(n_groups))
+                    / (F.col("__ca") * F.col("__cb"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )

@@ -671,3 +671,39 @@ def anomaly_zscore(
         .where(F.abs(F.col("z")) >= z_threshold)
         .select("key", "event_id", "value", F.round("z", 4).alias("z"))
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order transition matrix over per-key event sequences: for
+    every ordered (current -> next) event-type pair, its count and the
+    conditional probability P(next | current) — the Markov-chain summary
+    behind journey analysis and sequence-model sanity checks.
+
+    Returns (cur_type, next_type, n, p) with p = n / sum(n per cur_type).
+
+    Scale design: one lead() window over the per-key timeline (the same
+    shuffle sessionization uses) then a types x types aggregation —
+    output is vocabulary-squared, independent of event volume; the
+    probability normalizer is a window over that tiny aggregate, not
+    over the events.
+    """
+    w = Window.partitionBy(key_col).orderBy(epoch_us(F.col("ts")), "event_id")
+    steps = (
+        events.withColumn("__next", F.lead(type_col).over(w))
+        .where(F.col("__next").isNotNull())
+        .groupBy(
+            F.col(type_col).alias("cur_type"), F.col("__next").alias("next_type")
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    tot = Window.partitionBy("cur_type")
+    return steps.select(
+        "cur_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
+    )

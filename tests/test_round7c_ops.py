@@ -477,3 +477,52 @@ def test_anomaly_zscore_zero_variance_empty(spark):
         [Row(event_id=i, user_id=1, value=5.0) for i in range(4)]
     )
     assert EV.anomaly_zscore(df, "user_id", "value").count() == 0
+
+
+# ------------------------------------------------------ cooccurrence_pmi
+
+
+def test_cooccurrence_pmi_golden(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "a"), (2, "b"), (3, "a"), (3, "c"), (4, "d")],
+        "g long, item string",
+    )
+    out = corpus.cooccurrence_pmi(df, "g", "item", min_count=2)
+    rows = {(r["item_a"], r["item_b"]): (r["n_pairs"], r["pmi"])
+            for r in out.collect()}
+    # (a,b) co-occur twice over N=4 groups; c_a=3, c_b=2
+    assert rows == {("a", "b"): (2, round(math.log(2 * 4 / (3 * 2)), 6))}
+
+
+def test_cooccurrence_pmi_dedups_within_group(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "b")], "g long, item string"
+    )
+    out = corpus.cooccurrence_pmi(df, "g", "item", min_count=1)
+    (r,) = out.collect()
+    assert (r["item_a"], r["item_b"], r["n_pairs"]) == ("a", "b", 2)
+
+
+# ----------------------------------------------------- event_transitions
+
+
+def test_event_transitions_golden(spark):
+    rows = [
+        Row(event_id=1, ts=ts("2024-01-01T00:00:00"), user_id=1, event_type="a"),
+        Row(event_id=2, ts=ts("2024-01-01T00:01:00"), user_id=1, event_type="b"),
+        Row(event_id=3, ts=ts("2024-01-01T00:02:00"), user_id=1, event_type="a"),
+        Row(event_id=4, ts=ts("2024-01-01T00:00:00"), user_id=2, event_type="a"),
+        Row(event_id=5, ts=ts("2024-01-01T00:01:00"), user_id=2, event_type="a"),
+    ]
+    from duckpgq_extension_spark.streaming import events as EV
+
+    out = EV.event_transitions(spark.createDataFrame(rows))
+    got = {(r["cur_type"], r["next_type"]): (r["n"], r["p"]) for r in out.collect()}
+    # from 'a': a->b once, a->a once (p=0.5 each); from 'b': b->a once
+    assert got == {
+        ("a", "b"): (1, 0.5),
+        ("a", "a"): (1, 0.5),
+        ("b", "a"): (1, 1.0),
+    }
