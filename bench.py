@@ -127,6 +127,7 @@ BENCH_QUERIES = [
     "anomaly_zscore",
     "copurchase_pmi",
     "event_transitions",
+    "eigenvector",
 ]
 
 

@@ -1342,6 +1342,66 @@ def katz_centrality(
     return x
 
 
+def eigenvector_centrality(
+    edges: DataFrame,
+    vertices: DataFrame,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Eigenvector centrality (beyond-reference): power iteration
+    x_{k+1} = A^T x_k / ||A^T x_k||_1 from the uniform vector, fixed
+    `max_iter` rounds — the undamped in-edge member of the walk-counting
+    family (pagerank = damped + teleport, katz = damped + additive,
+    HITS = the bipartite two-vector form).  L1 normalization (scores sum
+    to 1 over vertices receiving mass) keeps every round replayable in
+    an unrolled SQL oracle, like hits.
+
+    Returns (vid, eigenvector); vertices with no in-edges inside the
+    vertex domain score 0.  Edges with an endpoint outside `vertices`
+    are dropped up front (same induced-subgraph contract as hits).
+
+    Scale design: one contribution join + aggregate per round against
+    the src-partitioned induced edge frame; the L1 norm rides as a
+    broadcast 1-row frame (no driver collect per round) — the pagerank
+    cost model minus the dangling redistribution.
+    """
+    vertices = pathops.materialize(vertices.toDF("vid").distinct())
+    induced = (
+        edges.select("src", "dst")
+        .join(vertices.withColumnRenamed("vid", "src"), "src", "left_semi")
+        .join(vertices.withColumnRenamed("vid", "dst"), "dst", "left_semi")
+    )
+    edges_p = pathops.persist_partitioned(induced)  # cache-owned
+    n = vertices.count()
+    x = pathops.materialize(
+        vertices.select("vid", F.lit(1.0 / float(n)).alias("ev"))
+    )
+    for _ in range(max_iter):
+        raw = (
+            x.alias("s")
+            .join(edges_p.alias("e"), F.col("s.vid") == F.col("e.src"))
+            .groupBy(F.col("e.dst").alias("vid"))
+            .agg(F.sum("s.ev").alias("w"))
+        )
+        norm = F.broadcast(
+            raw.agg(F.coalesce(F.sum("w"), F.lit(0.0)).alias("__n"))
+        )
+        x = pathops.materialize(
+            x.alias("o")
+            .join(raw.alias("c"), F.col("o.vid") == F.col("c.vid"), "left")
+            .crossJoin(norm)
+            .select(
+                F.col("o.vid").alias("vid"),
+                F.when(
+                    F.col("__n") > 0,
+                    F.coalesce(F.col("c.w"), F.lit(0.0)) / F.col("__n"),
+                )
+                .otherwise(F.lit(0.0))
+                .alias("ev"),
+            )
+        )
+    return x.select("vid", F.col("ev").alias("eigenvector"))
+
+
 def link_prediction(
     edges: DataFrame,
     max_center_degree: int | None = None,

@@ -3107,6 +3107,49 @@ FROM agg
 """
 
 
+def q_eigenvector(spark, sf_dir):
+    """Eigenvector centrality (algorithms.eigenvector_centrality,
+    beyond-reference): 10 L1-normalized power-iteration rounds from the
+    uniform vector — the undamped member of the pagerank/katz/HITS
+    walk-counting family, replayed by an unrolled SQL oracle."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    vertices = spark.table("customer").select(F.col("c_custkey").cast("long"))
+    out = algorithms.eigenvector_centrality(edges, vertices, max_iter=10)
+    return out.select("vid", F.round("eigenvector", 6).alias("eigenvector"))
+
+
+def _eigenvector_oracle(iters: int = 10) -> str:
+    parts = [
+        "verts AS (SELECT c_custkey AS vid FROM customer)",
+        """x0 AS MATERIALIZED (
+  SELECT vid, 1.0 / (SELECT COUNT(*) FROM customer) AS ev FROM verts)""",
+    ]
+    for i in range(1, iters + 1):
+        p = f"x{i - 1}"
+        parts.append(
+            f"""r{i} AS MATERIALIZED (
+  SELECT e.dst AS vid, SUM(x.ev) AS w
+  FROM {p} x JOIN e ON e.src = x.vid GROUP BY e.dst)"""
+        )
+        parts.append(
+            f"""x{i} AS MATERIALIZED (
+  SELECT v.vid,
+         CASE WHEN t.s > 0 THEN COALESCE(m.w, 0) / t.s ELSE 0 END AS ev
+  FROM verts v
+  CROSS JOIN (SELECT COALESCE(SUM(w), 0) AS s FROM r{i}) t
+  LEFT JOIN r{i} m ON m.vid = v.vid)"""
+        )
+    body = ",\n".join(parts)
+    return (
+        f"WITH e AS ({EDGES_SQL}),\n{body}\n"
+        f"SELECT vid, ROUND(ev, 6) AS eigenvector FROM x{iters}"
+    )
+
+
+O_EIGENVECTOR = _eigenvector_oracle(10)
+
+
 def q_closeness(spark, sf_dir):
     """Seed-set closeness centrality (algorithms.closeness_centrality):
     one batched BFS from customers 0-7, fold to (reached-1)/sum(dist)."""
@@ -5102,6 +5145,7 @@ QUERIES = {
     "anomaly_zscore": q_anomaly_zscore,
     "copurchase_pmi": q_copurchase_pmi,
     "event_transitions": q_event_transitions,
+    "eigenvector": q_eigenvector,
 }
 
 ORACLES = {
@@ -5218,6 +5262,7 @@ ORACLES = {
     "anomaly_zscore": O_ANOMALY_ZSCORE,
     "copurchase_pmi": O_COPURCHASE_PMI,
     "event_transitions": O_EVENT_TRANSITIONS,
+    "eigenvector": O_EIGENVECTOR,
 }
 
 
@@ -5298,7 +5343,7 @@ _R7_FRONT = [
     "group_quantiles", "hybrid_retrieval", "node2vec",
     "rolling_7d", "grouping_sets", "weighted_sample",
     "winsorize", "attribution", "anomaly_zscore",
-    "copurchase_pmi", "event_transitions",
+    "copurchase_pmi", "event_transitions", "eigenvector",
     "mixture_sample", "cross_corpus_dedup", "stream_near_dup",
     "dedup_paragraphs", "dedup_keep_longest", "importance_resample",
     "text_normalize", "semantic_dedup", "temperature_sample",

@@ -526,3 +526,55 @@ def test_event_transitions_golden(spark):
         ("a", "a"): (1, 0.5),
         ("b", "a"): (1, 1.0),
     }
+
+
+# ------------------------------------------------- eigenvector_centrality
+
+
+def test_eigenvector_star_sink_semantics(spark):
+    from duckpgq_extension_spark import algorithms
+
+    # star: all spokes point at 0.  One round concentrates ALL mass on
+    # the center; the center is a sink, so the next round's walk dies and
+    # every further iterate is the zero vector — the honest L1 power
+    # iteration on a DAG (eigenvector centrality is ill-defined there;
+    # the dominant eigenvalue is 0)
+    edges = spark.createDataFrame([(i, 0) for i in range(1, 6)], "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(6)], "vid long")
+    one = {r["vid"]: r["eigenvector"]
+           for r in algorithms.eigenvector_centrality(edges, verts, max_iter=1).collect()}
+    assert one[0] == 1.0 and all(one[i] == 0.0 for i in range(1, 6))
+    four = {r["vid"]: r["eigenvector"]
+            for r in algorithms.eigenvector_centrality(edges, verts, max_iter=4).collect()}
+    assert all(v == 0.0 for v in four.values())
+
+
+def test_eigenvector_cycle_is_uniform(spark):
+    from duckpgq_extension_spark import algorithms
+
+    # directed 4-cycle: the uniform vector is the exact fixpoint
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 0)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(4)], "vid long")
+    out = algorithms.eigenvector_centrality(edges, verts, max_iter=7)
+    vals = {r["eigenvector"] for r in out.collect()}
+    assert vals == {0.25}
+
+
+def test_eigenvector_matches_python_power_iteration(spark):
+    from duckpgq_extension_spark import algorithms
+
+    edges_py = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2)]
+    edges = spark.createDataFrame(edges_py, "src long, dst long")
+    verts = spark.createDataFrame([(i,) for i in range(4)], "vid long")
+    out = algorithms.eigenvector_centrality(edges, verts, max_iter=6)
+    got = {r["vid"]: round(r["eigenvector"], 9) for r in out.collect()}
+    x = [0.25] * 4
+    for _ in range(6):
+        raw = [0.0] * 4
+        for s, d in edges_py:
+            raw[d] += x[s]
+        tot = sum(raw)
+        x = [v / tot if tot > 0 else 0.0 for v in raw]
+    assert got == {i: round(v, 9) for i, v in enumerate(x)}
