@@ -373,3 +373,92 @@ def test_apply_vocab_vs_python(spark, docs, vocab_words):
         for r in apply_vocab(df, vocab, oov_id=-1).collect()
     }
     assert got_oov == ref(-1)
+
+
+# --------------------------------------------------- round-7c operators
+
+
+def _py_lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.lists(_WORD, min_size=1, max_size=6).map(lambda w: " ".join(w)),
+    min_size=2, max_size=6, unique=True,
+))
+def test_edit_distance_pairs_scores_match_python(spark, texts):
+    """Every emitted pair's edit_sim equals the plain-python Levenshtein
+    similarity (candidates are LSH-dependent; scores must be exact)."""
+    from pyspark.sql import Row
+
+    from duckpgq_extension_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+    out = dedup.edit_distance_pairs(docs, "doc_id", "text", n=1, threshold=0.0)
+    for r in out.collect():
+        a, b = texts[r["id_a"]], texts[r["id_b"]]
+        want = round(1.0 - _py_lev(a, b) / max(len(a), len(b), 1), 6)
+        assert r["edit_sim"] == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(st.floats(min_value=0.1, max_value=50.0, allow_nan=False),
+             min_size=3, max_size=25),
+    st.integers(min_value=1, max_value=5),
+)
+def test_weighted_sample_matches_python_ares_property(spark, weights, k):
+    """The chosen id set equals the plain-python Efraimidis-Spirakis
+    selection for arbitrary weights and k."""
+    import hashlib
+
+    from duckpgq_extension_spark.operators import corpus
+
+    rows = [(i, w) for i, w in enumerate(weights)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+    got = sorted(r["doc_id"]
+                 for r in corpus.weighted_sample(df, "doc_id", "w", k=k).collect())
+    M = 1 << 20
+
+    def pri(i, w):
+        h = int(hashlib.md5(f"{i}|ws".encode()).hexdigest()[:15], 16) % M
+        return ((h + 0.5) / M) ** (1.0 / w)
+
+    want = sorted(i for i, _ in
+                  sorted(rows, key=lambda t: (-pri(*t), t[0]))[:k])
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.lists(
+    st.tuples(st.integers(0, 3), st.integers(0, 9), st.integers(1, 30)),
+    min_size=1, max_size=30,
+))
+def test_rrf_fusion_matches_python(spark, triples):
+    """rrf_score equals the python sum of 1/(k+rank) per (query, item)
+    across lists (here: one list, arbitrary duplicates collapse is NOT
+    expected — build unique (q,i) per list)."""
+    from duckpgq_extension_spark.operators import similarity
+
+    seen, rows = set(), []
+    for q, i, rk in triples:
+        if (q, i) not in seen:
+            seen.add((q, i))
+            rows.append((q, i, rk))
+    df = spark.createDataFrame(rows, "query_id long, item_id long, rank long")
+    out = similarity.rrf_fusion([df, df], k=60)
+    want = {(q, i): round(2 * (1.0 / (60.0 + rk)), 6) for q, i, rk in rows}
+    got = {(r["query"], r["item"]): r["rrf_score"] for r in out.collect()}
+    assert got == want
