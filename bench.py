@@ -128,6 +128,7 @@ BENCH_QUERIES = [
     "copurchase_pmi",
     "event_transitions",
     "eigenvector",
+    "modularity",
 ]
 
 

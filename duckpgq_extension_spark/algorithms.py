@@ -1342,6 +1342,61 @@ def katz_centrality(
     return x
 
 
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+) -> DataFrame:
+    """Per-community modularity contributions (Newman-Girvan Q) of a
+    community assignment over the undirected simple graph:
+
+        Q = sum over communities c of  e_c/2m - (d_c/2m)^2
+
+    with e_c = doubled-edge endpoints internal to c, d_c = total degree
+    of c's members, 2m = the doubled edge count — the standard quality
+    score for LPA/Louvain output (beyond-reference).  `labels` is any
+    (vid, label) frame (e.g. label_propagation's result).
+
+    Returns (community, internal_half_edges, degree_sum, contribution);
+    sum(contribution) is Q.  Mixed-community edges contribute only to
+    degree_sum, penalizing fragmented assignments exactly as Q demands.
+
+    Scale design: two joins of the doubled adjacency against the (tiny)
+    label frame + one community-sized aggregate; 2m is a broadcast
+    1-row frame, not a driver collect.
+    """
+    und = _doubled_neighbors(edges)
+    lab = labels.toDF("vid", "label")
+    two_m = F.broadcast(und.agg(F.count("*").alias("__2m")))
+    tagged = (
+        und.alias("u")
+        .join(lab.alias("a"), F.col("u.src") == F.col("a.vid"))
+        .join(lab.alias("b"), F.col("u.dst") == F.col("b.vid"))
+        .select(
+            F.col("a.label").alias("community"),
+            (F.col("a.label") == F.col("b.label")).cast("long").alias("__internal"),
+        )
+    )
+    return (
+        tagged.groupBy("community")
+        .agg(
+            F.sum("__internal").alias("internal_half_edges"),
+            F.count("*").alias("degree_sum"),
+        )
+        .crossJoin(two_m)
+        .select(
+            "community",
+            "internal_half_edges",
+            "degree_sum",
+            F.round(
+                F.col("internal_half_edges") / F.col("__2m")
+                - (F.col("degree_sum") / F.col("__2m"))
+                * (F.col("degree_sum") / F.col("__2m")),
+                6,
+            ).alias("contribution"),
+        )
+    )
+
+
 def eigenvector_centrality(
     edges: DataFrame,
     vertices: DataFrame,

@@ -3280,7 +3280,57 @@ def _lpa_oracle(rounds: int = 5) -> str:
     return f"WITH e AS ({EDGES_SQL}),\n{body}\nSELECT vid, label FROM l{rounds}"
 
 
+def _lpa_parts(rounds: int = 5) -> str:
+    """The _lpa_oracle CTE chain without the WITH/SELECT wrapper — the
+    final labels CTE is `l{rounds}`; embed in a larger WITH (used by
+    O_MODULARITY so the community assignment can never drift from
+    O_COMMUNITIES)."""
+    full = _lpa_oracle(rounds)
+    head = f"WITH e AS ({EDGES_SQL}),\n"
+    tail = f"\nSELECT vid, label FROM l{rounds}"
+    assert full.startswith(head) and full.endswith(tail)
+    return full[len(head):-len(tail)]
+
+
 O_COMMUNITIES = _lpa_oracle(5)
+
+
+def q_modularity(spark, sf_dir):
+    """Newman-Girvan modularity of the 5-round LPA communities
+    (algorithms.modularity, beyond-reference): per-community
+    e_c/2m - (d_c/2m)^2 contributions over the undirected simple graph —
+    the standard community-quality score; the oracle replays the
+    identical LPA rounds (shared CTE parts with O_COMMUNITIES) then the
+    same aggregates."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    vertices = spark.table("customer").select(F.col("c_custkey").cast("long"))
+    labels = algorithms.label_propagation(edges, vertices, max_iter=5)
+    return algorithms.modularity(edges, labels)
+
+
+O_MODULARITY = f"""
+WITH e AS ({EDGES_SQL}),
+{_lpa_parts(5)},
+tm AS (SELECT CAST(COUNT(*) AS DOUBLE) AS m2 FROM und),
+tagged AS (
+  SELECT a.label AS community,
+         CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS internal
+  FROM und u
+  JOIN l5 a ON a.vid = u.src
+  JOIN l5 b ON b.vid = u.dst
+),
+agg AS (
+  SELECT community,
+         CAST(SUM(internal) AS BIGINT) AS internal_half_edges,
+         COUNT(*) AS degree_sum
+  FROM tagged GROUP BY community
+)
+SELECT community, internal_half_edges, degree_sum,
+       ROUND(internal_half_edges / tm.m2
+             - (degree_sum / tm.m2) * (degree_sum / tm.m2), 6) AS contribution
+FROM agg CROSS JOIN tm
+"""
 
 
 def q_assortativity(spark, sf_dir):
@@ -5146,6 +5196,7 @@ QUERIES = {
     "copurchase_pmi": q_copurchase_pmi,
     "event_transitions": q_event_transitions,
     "eigenvector": q_eigenvector,
+    "modularity": q_modularity,
 }
 
 ORACLES = {
@@ -5263,6 +5314,7 @@ ORACLES = {
     "copurchase_pmi": O_COPURCHASE_PMI,
     "event_transitions": O_EVENT_TRANSITIONS,
     "eigenvector": O_EIGENVECTOR,
+    "modularity": O_MODULARITY,
 }
 
 
@@ -5344,6 +5396,7 @@ _R7_FRONT = [
     "rolling_7d", "grouping_sets", "weighted_sample",
     "winsorize", "attribution", "anomaly_zscore",
     "copurchase_pmi", "event_transitions", "eigenvector",
+    "modularity",
     "mixture_sample", "cross_corpus_dedup", "stream_near_dup",
     "dedup_paragraphs", "dedup_keep_longest", "importance_resample",
     "text_normalize", "semantic_dedup", "temperature_sample",

@@ -578,3 +578,40 @@ def test_eigenvector_matches_python_power_iteration(spark):
         tot = sum(raw)
         x = [v / tot if tot > 0 else 0.0 for v in raw]
     assert got == {i: round(v, 9) for i, v in enumerate(x)}
+
+
+# ------------------------------------------------------------ modularity
+
+
+def test_modularity_two_cliques_golden(spark):
+    from duckpgq_extension_spark import algorithms
+
+    # two triangles bridged by one edge; perfect 2-community assignment
+    # gives the textbook Q = 2 * (6/14 - (7/14)^2) = 0.357143
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (0, 3)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(i, 100) for i in range(3)] + [(i, 200) for i in range(3, 6)],
+        "vid long, label long",
+    )
+    out = algorithms.modularity(edges, labels)
+    rows = {r["community"]: (r["internal_half_edges"], r["degree_sum"],
+                             r["contribution"]) for r in out.collect()}
+    assert rows[100] == (6, 7, round(6 / 14 - (7 / 14) ** 2, 6))
+    assert rows[200] == (6, 7, round(6 / 14 - (7 / 14) ** 2, 6))
+    # sum of the two per-community roundings (true Q = 0.3571428...)
+    assert round(sum(v[2] for v in rows.values()), 6) == 2 * round(
+        6 / 14 - (7 / 14) ** 2, 6
+    )
+
+
+def test_modularity_single_community_is_zero(spark):
+    from duckpgq_extension_spark import algorithms
+
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    labels = spark.createDataFrame([(i, 7) for i in range(3)], "vid long, label long")
+    (r,) = algorithms.modularity(edges, labels).collect()
+    # everything internal: Q = 1 - 1^2 = 0
+    assert r["contribution"] == 0.0
