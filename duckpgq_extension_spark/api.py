@@ -303,6 +303,8 @@ class PGQSession:
             "global_clustering": self.global_clustering,
             "degree_assortativity": self.degree_assortativity,
             "label_propagation": self.label_propagation,
+            "eigenvector_centrality": self.eigenvector_centrality,
+            "modularity": self.modularity,
         }
         call_re = re.compile(
             r"\b(" + "|".join(dispatch) + r")\s*\(\s*"
@@ -638,6 +640,33 @@ class PGQSession:
         return vdf.join(x, vkey == x["vid"]).select(
             *[vdf[c] for c in pks], F.col("katz")
         )
+
+    def eigenvector_centrality(
+        self, graph: str, vertex_label: str, edge_label: str, **kw
+    ) -> DataFrame:
+        """(pk..., eigenvector) — L1 power-iteration eigenvector
+        centrality over the directed edge table (beyond-reference;
+        algorithms.eigenvector_centrality)."""
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        x = algorithms.eigenvector_centrality(edges, vertices, **kw)
+        return vdf.join(x, vkey == x["vid"]).select(
+            *[vdf[c] for c in pks], F.col("eigenvector")
+        )
+
+    def modularity(
+        self, graph: str, vertex_label: str, edge_label: str, **kw
+    ) -> DataFrame:
+        """(community, internal_half_edges, degree_sum, contribution) —
+        Newman-Girvan modularity contributions of the label-propagation
+        communities (beyond-reference; algorithms.modularity over
+        algorithms.label_propagation labels; kwargs pass to LPA)."""
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        labels = algorithms.label_propagation(edges, vertices, **kw)
+        return algorithms.modularity(edges, labels)
 
     def link_prediction(
         self, graph: str, vertex_label: str, edge_label: str, **kw

@@ -648,3 +648,18 @@ def test_session_seeded_wrappers(pgq, spark):
     # edge 4-3 has support 0 and peels at k=3
     tr = sorted(tuple(r) for r in pgq.k_truss("pg", "Person", "Knows", 3).collect())
     assert (4, 3) not in tr and (3, 4) not in tr and len(tr) > 0
+
+
+def test_sql_eigenvector_and_modularity_table_functions(pgq):
+    """Round-7c dispatch additions: eigenvector_centrality and
+    modularity resolve as SQL table functions like pagerank."""
+    ev = {r[0]: r[1] for r in pgq.sql(
+        "SELECT id, eigenvector FROM eigenvector_centrality(pg, Person, Knows)"
+    ).collect()}
+    api = {r[0]: r[1] for r in
+           pgq.eigenvector_centrality("pg", "Person", "Knows").collect()}
+    assert ev == api and len(ev) > 0
+    q = pgq.sql(
+        "SELECT SUM(contribution) AS q FROM modularity(pg, Person, Knows)"
+    ).collect()
+    assert q[0]["q"] is not None
