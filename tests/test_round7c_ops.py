@@ -615,3 +615,25 @@ def test_modularity_single_community_is_zero(spark):
     (r,) = algorithms.modularity(edges, labels).collect()
     # everything internal: Q = 1 - 1^2 = 0
     assert r["contribution"] == 0.0
+
+
+# --------------------------------------------------------- run_concurrent
+
+
+def test_run_concurrent_results_ordered_and_equal(spark):
+    from duckpgq_extension_spark import algorithms
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4)], "src long, dst long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(5)], "vid long")
+    seq_pr = {r["vid"]: r["pagerank"]
+              for r in algorithms.pagerank(edges, verts, tol=0.0, max_iter=5).collect()}
+    seq_cc = {r["vid"]: r["component_id"]
+              for r in algorithms.weakly_connected_component(edges, verts).collect()}
+    pr, cc = algorithms.run_concurrent(
+        lambda: algorithms.pagerank(edges, verts, tol=0.0, max_iter=5),
+        lambda: algorithms.weakly_connected_component(edges, verts),
+    )
+    assert {r["vid"]: r["pagerank"] for r in pr.collect()} == seq_pr
+    assert {r["vid"]: r["component_id"] for r in cc.collect()} == seq_cc
