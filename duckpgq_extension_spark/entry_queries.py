@@ -5009,29 +5009,41 @@ def q_hybrid_retrieval(spark, sf_dir):
     n_docs = docs.count()
     qdf = spark.createDataFrame(_BM25_QUERY_TERMS, "qid long, term string")
     lex_rank = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id").asc())
-    lex = (
-        corpus.bm25_scores(docs, "doc_id", "text", qdf, top_k=20)
-        .withColumn("rank", F.row_number().over(lex_rank))
-    )
-    emb = _emb_double(spark, sf_dir)
-    qvec = emb.where(F.col("vec_id") < 3).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    )
-    sims = (
-        emb.crossJoin(F.broadcast(qvec))
-        .select(
-            "qid",
-            (F.col("vec_id") % n_docs).alias("doc_id"),
-            F.round(similarity.cosine(F.col("qv"), F.col("embedding")), 6).alias("cos"),
+
+    def _lex():
+        return corpus.bm25_scores(docs, "doc_id", "text", qdf, top_k=20).withColumn(
+            "rank", F.row_number().over(lex_rank)
         )
-        .groupBy("qid", "doc_id")
-        .agg(F.max("cos").alias("cos"))
-    )
-    sem_rank = W.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("doc_id").asc())
-    sem = (
-        sims.withColumn("rank", F.row_number().over(sem_rank))
-        .where(F.col("rank") <= 20)
-    )
+
+    def _sem():
+        emb = _emb_double(spark, sf_dir)
+        qvec = emb.where(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        )
+        sims = (
+            emb.crossJoin(F.broadcast(qvec))
+            .select(
+                "qid",
+                (F.col("vec_id") % n_docs).alias("doc_id"),
+                F.round(
+                    similarity.cosine(F.col("qv"), F.col("embedding")), 6
+                ).alias("cos"),
+            )
+            .groupBy("qid", "doc_id")
+            .agg(F.max("cos").alias("cos"))
+        )
+        sem_rank = W.partitionBy("qid").orderBy(
+            F.col("cos").desc(), F.col("doc_id").asc()
+        )
+        return (
+            sims.withColumn("rank", F.row_number().over(sem_rank))
+            .where(F.col("rank") <= 20)
+            .localCheckpoint(eager=True)
+        )
+
+    # the legs are independent until the fusion — materialize them from
+    # two driver threads (algorithms.run_concurrent pattern)
+    lex, sem = algorithms.run_concurrent(_lex, _sem)
     fused = similarity.rrf_fusion(
         [lex, sem], query_col="qid", item_col="doc_id", rank_col="rank", k=60
     )
