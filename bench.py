@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "eigenvector",
     "modularity",
+    "pipeline_v3",
 ]
 
 

@@ -3107,6 +3107,96 @@ FROM agg
 """
 
 
+def q_pipeline_v3(spark, sf_dir):
+    """Third end-to-end curation pipeline, composing the 7c stages:
+    language filter (en) -> quality gate (q >= 0.5) -> exact dedup ->
+    EDIT-DISTANCE near-dup drop (LSH candidates verified with the
+    Levenshtein DP at sim >= 0.6; the higher doc_id of each pair is
+    dropped) -> A-Res WEIGHTED sample (top 30 per source, weight =
+    token count) -> per-source budget report.  Every stage is the same
+    operator its standalone driver query verifies."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents").withColumn("__toks", TX.tokens(F.col("text")))
+    t = F.col("__toks")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        "source",
+        TX.lang_id(F.col("text"), toks=t).alias("lang"),
+        F.round(TX.quality_score(F.col("text"), toks=t), 6).alias("q"),
+    )
+    kept = scored.where((F.col("lang") == "en") & (F.col("q") >= 0.5))
+    deduped = dedup.deduplicate_exact(kept, "doc_id", "text").select(
+        "doc_id", "text", "source"
+    )
+    pairs = dedup.edit_distance_pairs(
+        deduped, "doc_id", "text", n=2, num_perm=16, bands=8, threshold=0.6
+    )
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    surv = deduped.join(drop, "doc_id", "left_anti").withColumn(
+        "n_tok", F.size(TX.tokens(F.col("text")))
+    ).where(F.col("n_tok") > 0)
+    sampled = corpus.weighted_sample(
+        surv, "doc_id", "n_tok", k=30, group_col="source"
+    )
+    return (
+        sampled.join(surv.select("doc_id", "n_tok"), "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("tokens"),
+        )
+    )
+
+
+def _pipeline_v3_oracle() -> str:
+    stops = " + ".join(
+        f"CAST(list_contains(t, '{w}') AS INT)" for w in TX.LANG_MARKERS["en"]
+    )
+    q = _Q_SQL.format(stops=stops, nstops=len(TX.LANG_MARKERS["en"]))
+    lsh = ",\n".join(_minhash_lsh_parts(16, 8, src="deduped", p="m_")[:-1])
+    return f"""
+WITH toks AS (SELECT doc_id, text, source, {_TOKS} AS t FROM documents),
+scored AS (
+  SELECT doc_id, text, source, {q} AS q
+  FROM toks WHERE ({_lang_case_sql()}) = 'en'),
+kept AS (SELECT doc_id, text, source FROM scored WHERE q >= 0.5),
+deduped AS (
+  SELECT doc_id, text, source FROM (
+    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1),
+{lsh},
+lev AS (
+  SELECT c.id_a, c.id_b
+  FROM m_cands c
+  JOIN deduped da ON da.doc_id = c.id_a
+  JOIN deduped db ON db.doc_id = c.id_b
+  WHERE ROUND(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+              / GREATEST(len(da.text), len(db.text), 1), 6) >= 0.6),
+surv AS (
+  SELECT d.doc_id, d.source, len({_TOKS.replace("text", "d.text")}) AS n_tok
+  FROM deduped d
+  WHERE d.doc_id NOT IN (SELECT id_b FROM lev)
+    AND len({_TOKS.replace("text", "d.text")}) > 0),
+pri AS (
+  SELECT source, doc_id, n_tok,
+         POW(((('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|ws'), 1, 15))::BIGINT
+               % 1048576 + 0.5) / 1048576.0),
+             1.0 / CAST(n_tok AS DOUBLE)) AS p
+  FROM surv),
+r AS (
+  SELECT source, doc_id, n_tok,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY p DESC, doc_id ASC) AS rk
+  FROM pri)
+SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens
+FROM r WHERE rk <= 30 GROUP BY source
+"""
+
+
+O_PIPELINE_V3 = _pipeline_v3_oracle()
+
+
 def q_eigenvector(spark, sf_dir):
     """Eigenvector centrality (algorithms.eigenvector_centrality,
     beyond-reference): 10 L1-normalized power-iteration rounds from the
@@ -5214,6 +5304,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "eigenvector": q_eigenvector,
     "modularity": q_modularity,
+    "pipeline_v3": q_pipeline_v3,
 }
 
 ORACLES = {
@@ -5332,6 +5423,7 @@ ORACLES = {
     "event_transitions": O_EVENT_TRANSITIONS,
     "eigenvector": O_EIGENVECTOR,
     "modularity": O_MODULARITY,
+    "pipeline_v3": O_PIPELINE_V3,
 }
 
 
@@ -5413,7 +5505,7 @@ _R7_FRONT = [
     "rolling_7d", "grouping_sets", "weighted_sample",
     "winsorize", "attribution", "anomaly_zscore",
     "copurchase_pmi", "event_transitions", "eigenvector",
-    "modularity",
+    "modularity", "pipeline_v3",
     "mixture_sample", "cross_corpus_dedup", "stream_near_dup",
     "dedup_paragraphs", "dedup_keep_longest", "importance_resample",
     "text_normalize", "semantic_dedup", "temperature_sample",
