@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "eigenvector",
     "modularity",
     "pipeline_v3",
+    "streaming_anomaly",
 ]
 
 

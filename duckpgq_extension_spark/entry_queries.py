@@ -3048,6 +3048,35 @@ WHERE s.sd IS NOT NULL AND s.sd > 0
 """
 
 
+def q_streaming_anomaly(spark, sf_dir):
+    """Stream-static anomaly scoring (streaming/events.anomaly_stream):
+    per-user baselines trained on the first half of the month
+    (events.baseline_stats), second-half events scored with a stateless
+    stream-static join — same builder serves batch (this oracle check)
+    and readStream (test_relational_streaming drives the memory-sink
+    variant)."""
+    setup(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    cutoff = "2024-01-16"
+    hist = events.where(F.col("ts") < cutoff)
+    live = events.where(F.col("ts") >= cutoff)
+    base = ev.baseline_stats(hist, "user_id", "value")
+    return ev.anomaly_stream(live, base, "user_id", "value", z_threshold=2.0)
+
+
+O_STREAMING_ANOMALY = """
+WITH base AS (
+  SELECT user_id AS key, AVG(value) AS mu, stddev_samp(value) AS sd
+  FROM events WHERE ts < '2024-01-16' GROUP BY user_id
+)
+SELECT b.key, e.event_id, e.value,
+       ROUND((e.value - b.mu) / b.sd, 4) AS z
+FROM events e JOIN base b ON b.key = e.user_id
+WHERE e.ts >= '2024-01-16' AND b.sd IS NOT NULL AND b.sd > 0
+  AND ABS((e.value - b.mu) / b.sd) >= 2.0
+"""
+
+
 def q_copurchase_pmi(spark, sf_dir):
     """Item co-occurrence + PMI (operators/corpus.cooccurrence_pmi):
     part pairs sharing an order in lineitem, joint count >= 3, pointwise
@@ -5305,6 +5334,7 @@ QUERIES = {
     "eigenvector": q_eigenvector,
     "modularity": q_modularity,
     "pipeline_v3": q_pipeline_v3,
+    "streaming_anomaly": q_streaming_anomaly,
 }
 
 ORACLES = {
@@ -5424,6 +5454,7 @@ ORACLES = {
     "eigenvector": O_EIGENVECTOR,
     "modularity": O_MODULARITY,
     "pipeline_v3": O_PIPELINE_V3,
+    "streaming_anomaly": O_STREAMING_ANOMALY,
 }
 
 
@@ -5505,7 +5536,7 @@ _R7_FRONT = [
     "rolling_7d", "grouping_sets", "weighted_sample",
     "winsorize", "attribution", "anomaly_zscore",
     "copurchase_pmi", "event_transitions", "eigenvector",
-    "modularity", "pipeline_v3",
+    "modularity", "pipeline_v3", "streaming_anomaly",
     "mixture_sample", "cross_corpus_dedup", "stream_near_dup",
     "dedup_paragraphs", "dedup_keep_longest", "importance_resample",
     "text_normalize", "semantic_dedup", "temperature_sample",

@@ -707,3 +707,46 @@ def event_transitions(
         "n",
         F.round(F.col("n") / F.sum("n").over(tot), 6).alias("p"),
     )
+
+
+def anomaly_stream(
+    events_stream: DataFrame,
+    baseline_stats: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Streaming z-score anomaly flags: score incoming events against a
+    STATIC per-key baseline frame (key, mu, sd) — the production shape
+    where baselines are trained offline (anomaly_zscore over history, or
+    baseline_stats() below) and the stream is scored with a stateless
+    stream-static join; no watermark, no state store, so latency is one
+    micro-batch and state never grows.
+
+    Returns (key, event_id, value, z) for |z| >= threshold.  The same
+    builder works on a batch frame (the oracle path).
+    """
+    stats = baseline_stats.select(
+        F.col(key_col).alias("key"), F.col("mu"), F.col("sd")
+    ).where(F.col("sd").isNotNull() & (F.col("sd") > 0))
+    return (
+        events_stream.select(
+            F.col(key_col).alias("key"),
+            "event_id",
+            F.col(value_col).alias("value"),
+        )
+        .join(stats, "key")
+        .withColumn("z", (F.col("value") - F.col("mu")) / F.col("sd"))
+        .where(F.abs(F.col("z")) >= z_threshold)
+        .select("key", "event_id", "value", F.round("z", 4).alias("z"))
+    )
+
+
+def baseline_stats(
+    events: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """(key, mu, sd) per-key mean/stddev baseline for anomaly_stream —
+    one aggregation over the history batch."""
+    return events.groupBy(F.col(key_col).alias(key_col)).agg(
+        F.avg(value_col).alias("mu"), F.stddev_samp(value_col).alias("sd")
+    )

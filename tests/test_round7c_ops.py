@@ -637,3 +637,37 @@ def test_run_concurrent_results_ordered_and_equal(spark):
     )
     assert {r["vid"]: r["pagerank"] for r in pr.collect()} == seq_pr
     assert {r["vid"]: r["component_id"] for r in cc.collect()} == seq_cc
+
+
+# --------------------------------------------------------- anomaly_stream
+
+
+def test_anomaly_stream_matches_batch(spark, tmp_path):
+    """The streaming (stream-static join) scorer over a bounded source
+    produces exactly the batch builder's rows."""
+    from duckpgq_extension_spark.sources.tables import load_table
+    from duckpgq_extension_spark.streaming import events as EV
+
+    sf = "/root/testdata/sf0.001"
+    events = load_table(spark, sf, "events")
+    base = EV.baseline_stats(events, "user_id", "value")
+    batch = {
+        (r["key"], r["event_id"])
+        for r in EV.anomaly_stream(events, base, z_threshold=2.0).collect()
+    }
+    assert batch  # the probe is vacuous on an empty flag set
+
+    src = str(tmp_path / "anomaly_src")
+    events.coalesce(1).write.parquet(src)
+    stream = EV.stream_from_parquet(spark, src)
+    q = EV.run_stream_to_memory(
+        EV.anomaly_stream(stream, base, z_threshold=2.0), "anomaly_out"
+    )
+    try:
+        got = {
+            (r["key"], r["event_id"])
+            for r in spark.sql("SELECT key, event_id FROM anomaly_out").collect()
+        }
+        assert got == batch
+    finally:
+        q.stop()
