@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "modularity",
     "pipeline_v3",
     "streaming_anomaly",
+    "percolation",
 ]
 
 

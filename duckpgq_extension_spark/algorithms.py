@@ -1362,6 +1362,48 @@ def katz_centrality(
     return x
 
 
+def percolation_reachability(
+    edges: DataFrame,
+    seeds: DataFrame,
+    keep_pct: int = 60,
+    id_col: str = "eid",
+    salt: str = "perc",
+) -> DataFrame:
+    """Reachability under deterministic bond percolation: each edge
+    survives iff md5(edge_id | salt) % 100 < keep_pct, then multi-source
+    BFS from `seeds` over the surviving subgraph — the robustness /
+    epidemic-threshold probe ("what still connects if 40% of links
+    fail"), reproducible across runs and engines because the failure
+    draw is a pure hash of the edge id (vary `salt` for independent
+    trials).  Returns (seed, vid, dist).
+
+    Scale design: the percolation filter is a pushdown-able predicate on
+    the edge scan; everything after is the batched multi-source BFS
+    (one frontier join per level against the filtered adjacency).
+    """
+    if not 0 <= keep_pct <= 100:
+        raise ValueError("keep_pct must be in [0, 100]")
+    from .functions.text import md5_long
+
+    active = edges.where(
+        F.pmod(
+            md5_long(
+                F.concat_ws("|", F.col(id_col).cast("string"), F.lit(salt))
+            ),
+            F.lit(100),
+        )
+        < keep_pct
+    )
+    dists = pathops.bfs_distances(
+        active.select("src", "dst"), sources=seeds.toDF("vid")
+    )
+    return dists.select(
+        F.col("src").alias("seed"),
+        F.col("dst").alias("vid"),
+        F.col("dist").cast("long").alias("dist"),
+    )
+
+
 def run_concurrent(*thunks):
     """Run independent driver-orchestrated kernels CONCURRENTLY and
     return their results in order — the Spark-native fix for composed

@@ -3226,6 +3226,35 @@ FROM r WHERE rk <= 30 GROUP BY source
 O_PIPELINE_V3 = _pipeline_v3_oracle()
 
 
+def q_percolation(spark, sf_dir):
+    """Bond-percolation reachability (algorithms.percolation_reachability,
+    beyond-reference): keep each edge iff md5(eid|perc) % 100 < 60, then
+    multi-source BFS from customers 0-7 over the survivors — the
+    deterministic robustness probe; the oracle replays the identical
+    hash filter + recursive BFS."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    seeds = spark.table("customer").where(F.col("c_custkey") < 8).select(
+        F.col("c_custkey").cast("long")
+    )
+    return algorithms.percolation_reachability(edges, seeds, keep_pct=60)
+
+
+O_PERCOLATION = _with_e(
+    """, act AS (
+  SELECT src, dst FROM e
+  WHERE ('0x' || substr(md5(CAST(eid AS VARCHAR) || '|perc'), 1, 15))::BIGINT
+        % 100 < 60),
+bfs(seed, vid, d) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 8
+  UNION
+  SELECT b.seed, a.dst, b.d + 1 FROM bfs b JOIN act a ON a.src = b.vid
+  WHERE b.d < 30)
+SELECT seed, vid, CAST(MIN(d) AS BIGINT) AS dist FROM bfs GROUP BY 1, 2""",
+    recursive=True,
+)
+
+
 def q_eigenvector(spark, sf_dir):
     """Eigenvector centrality (algorithms.eigenvector_centrality,
     beyond-reference): 10 L1-normalized power-iteration rounds from the
@@ -5335,6 +5364,7 @@ QUERIES = {
     "modularity": q_modularity,
     "pipeline_v3": q_pipeline_v3,
     "streaming_anomaly": q_streaming_anomaly,
+    "percolation": q_percolation,
 }
 
 ORACLES = {
@@ -5455,6 +5485,7 @@ ORACLES = {
     "modularity": O_MODULARITY,
     "pipeline_v3": O_PIPELINE_V3,
     "streaming_anomaly": O_STREAMING_ANOMALY,
+    "percolation": O_PERCOLATION,
 }
 
 
@@ -5537,6 +5568,7 @@ _R7_FRONT = [
     "winsorize", "attribution", "anomaly_zscore",
     "copurchase_pmi", "event_transitions", "eigenvector",
     "modularity", "pipeline_v3", "streaming_anomaly",
+    "percolation",
     "mixture_sample", "cross_corpus_dedup", "stream_near_dup",
     "dedup_paragraphs", "dedup_keep_longest", "importance_resample",
     "text_normalize", "semantic_dedup", "temperature_sample",

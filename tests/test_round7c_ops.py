@@ -671,3 +671,36 @@ def test_anomaly_stream_matches_batch(spark, tmp_path):
         assert got == batch
     finally:
         q.stop()
+
+
+# ----------------------------------------------- percolation_reachability
+
+
+def test_percolation_extremes(spark):
+    import hashlib
+
+    from duckpgq_extension_spark import algorithms
+
+    edges = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 11), (2, 3, 12)], "src long, dst long, eid long"
+    )
+    seeds = spark.createDataFrame([(0,)], "vid long")
+    # keep_pct=100: everything survives -> full chain reachable
+    full = {(r["vid"], r["dist"]) for r in
+            algorithms.percolation_reachability(edges, seeds, 100).collect()}
+    assert full == {(0, 0), (1, 1), (2, 2), (3, 3)}
+    # keep_pct=0: nothing survives -> only the seeds at distance 0
+    none = {(r["vid"], r["dist"]) for r in
+            algorithms.percolation_reachability(edges, seeds, 0).collect()}
+    assert none == {(0, 0)}
+    # intermediate: survivors follow the md5 draw exactly
+    def alive(eid, pct):
+        h = int(hashlib.md5(f"{eid}|perc".encode()).hexdigest()[:15], 16) % 100
+        return h < pct
+    got = {r["vid"] for r in
+           algorithms.percolation_reachability(edges, seeds, 50).collect()}
+    want, frontier = {0}, True
+    for s, d, e in [(0, 1, 10), (1, 2, 11), (2, 3, 12)]:
+        if s in want and alive(e, 50):
+            want.add(d)
+    assert got == want
