@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "pipeline_v3",
     "streaming_anomaly",
     "percolation",
+    "profile_docs",
 ]
 
 

@@ -3226,6 +3226,30 @@ FROM r WHERE rk <= 30 GROUP BY source
 O_PIPELINE_V3 = _pipeline_v3_oracle()
 
 
+_PROFILE_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+
+def q_profile_docs(spark, sf_dir):
+    """Dataset profiling gate (operators/relational.profile_table):
+    per-column row/NULL/exact-distinct counts and min/max (stringified,
+    one schema for all types) over the documents table — the snapshot
+    acceptance check pipelines run before training data lands."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    return relational.profile_table(docs, _PROFILE_COLS)
+
+
+O_PROFILE_DOCS = "\nUNION ALL\n".join(
+    f"""SELECT '{c}' AS col_name,
+       (SELECT COUNT(*) FROM documents) AS n_rows,
+       (SELECT COUNT(*) FROM documents WHERE {c} IS NULL) AS n_null,
+       (SELECT COUNT(DISTINCT {c}) FROM documents) AS n_distinct,
+       (SELECT MIN(CAST({c} AS VARCHAR)) FROM documents) AS min_val,
+       (SELECT MAX(CAST({c} AS VARCHAR)) FROM documents) AS max_val"""
+    for c in _PROFILE_COLS
+)
+
+
 def q_percolation(spark, sf_dir):
     """Bond-percolation reachability (algorithms.percolation_reachability,
     beyond-reference): keep each edge iff md5(eid|perc) % 100 < 60, then
@@ -5365,6 +5389,7 @@ QUERIES = {
     "pipeline_v3": q_pipeline_v3,
     "streaming_anomaly": q_streaming_anomaly,
     "percolation": q_percolation,
+    "profile_docs": q_profile_docs,
 }
 
 ORACLES = {
@@ -5486,6 +5511,7 @@ ORACLES = {
     "pipeline_v3": O_PIPELINE_V3,
     "streaming_anomaly": O_STREAMING_ANOMALY,
     "percolation": O_PERCOLATION,
+    "profile_docs": O_PROFILE_DOCS,
 }
 
 
@@ -5568,7 +5594,7 @@ _R7_FRONT = [
     "winsorize", "attribution", "anomaly_zscore",
     "copurchase_pmi", "event_transitions", "eigenvector",
     "modularity", "pipeline_v3", "streaming_anomaly",
-    "percolation",
+    "percolation", "profile_docs",
     "mixture_sample", "cross_corpus_dedup", "stream_near_dup",
     "dedup_paragraphs", "dedup_keep_longest", "importance_resample",
     "text_normalize", "semantic_dedup", "temperature_sample",

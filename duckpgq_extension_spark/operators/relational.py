@@ -375,3 +375,49 @@ def winsorize(
         for c in df.columns
     ]
     return df.join(fences, keys).select(*out_cols)
+
+
+def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column data-quality profile: row count, NULL count, exact
+    distinct count, and min/max (as strings, so one schema fits every
+    column type) — the profiling gate data pipelines run before
+    accepting a new snapshot.
+
+    Returns (col_name, n_rows, n_null, n_distinct, min_val, max_val),
+    one row per profiled column.
+
+    Scale design: ONE aggregation pass computes every per-column
+    aggregate except distinct counts (count/min/max are map-side
+    combined in a single job); exact distincts run as one grouped
+    count per column — swap in approx_count_distinct upstream when
+    billions of distincts make exactness pointless.  No collect of data
+    rows; the profile is column-count sized.
+    """
+    cols = columns if columns is not None else df.columns
+    base = df.agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[
+            a
+            for c in cols
+            for a in (
+                F.sum(F.col(c).isNull().cast("long")).alias(f"__null_{c}"),
+                F.min(F.col(c).cast("string")).alias(f"__min_{c}"),
+                F.max(F.col(c).cast("string")).alias(f"__max_{c}"),
+            )
+        ],
+    )
+    rows = None
+    for c in cols:
+        d = df.select(c).where(F.col(c).isNotNull()).distinct().agg(
+            F.count(F.lit(1)).alias("__nd")
+        )
+        piece = base.crossJoin(d).select(
+            F.lit(c).alias("col_name"),
+            F.col("__n").alias("n_rows"),
+            F.col(f"__null_{c}").alias("n_null"),
+            F.col("__nd").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_val"),
+            F.col(f"__max_{c}").alias("max_val"),
+        )
+        rows = piece if rows is None else rows.unionByName(piece)
+    return rows

@@ -704,3 +704,19 @@ def test_percolation_extremes(spark):
         if s in want and alive(e, 50):
             want.add(d)
     assert got == want
+
+
+# ------------------------------------------------------------ profile_table
+
+
+def test_profile_table_golden(spark):
+    df = spark.createDataFrame(
+        [Row(a=1, b="x"), Row(a=1, b=None), Row(a=3, b="y")]
+    )
+    out = {r["col_name"]: (r["n_rows"], r["n_null"], r["n_distinct"],
+                           r["min_val"], r["max_val"])
+           for r in relational.profile_table(df).collect()}
+    assert out == {
+        "a": (3, 0, 2, "1", "3"),
+        "b": (3, 1, 2, "x", "y"),
+    }
