@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "streaming_anomaly",
     "percolation",
     "profile_docs",
+    "materialize_packs",
 ]
 
 

@@ -1809,6 +1809,54 @@ SELECT doc_id, n_tok, shard, bin_id FROM pack
 """
 
 
+def q_materialize_packs(spark, sf_dir):
+    """Pack materialization (operators/corpus.materialize_packs): the
+    512-token/8-shard next-fit assignment concatenated into actual
+    training sequences (id-ordered members around <eos>) — one row per
+    bin with the verbatim packed text; the oracle replays the recursive
+    next-fit scan plus string_agg ORDER BY."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents").withColumn("__toks", TX.tokens(F.col("text")))
+    base = docs.select(
+        "doc_id",
+        "text",
+        TX.token_count(F.col("text"), toks=F.col("__toks")).cast("long").alias("n_tok"),
+    )
+    out = corpus.materialize_packs(
+        base, "doc_id", "text", "n_tok", budget=512, num_shards=8
+    )
+    return out.select(
+        "shard", "bin_id", "n_docs",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"), "packed_text",
+    )
+
+
+O_MATERIALIZE_PACKS = f"""
+WITH RECURSIVE ordered AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+         {_MD5L.format(X="CAST(doc_id AS VARCHAR)")} % 8 AS shard,
+         row_number() OVER (
+           PARTITION BY {_MD5L.format(X="CAST(doc_id AS VARCHAR)")} % 8
+           ORDER BY doc_id) AS rn
+  FROM documents
+),
+pack AS (
+  SELECT shard, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.shard, o.rn, o.doc_id, o.n_tok,
+         CASE WHEN p.fill + o.n_tok > 512 THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill + o.n_tok > 512 THEN o.n_tok ELSE p.fill + o.n_tok END
+  FROM pack p JOIN ordered o ON o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT p.shard, p.bin_id, COUNT(*) AS n_docs,
+       CAST(SUM(p.n_tok) AS BIGINT) AS n_tokens,
+       string_agg(d.text, '<eos>' ORDER BY p.doc_id) AS packed_text
+FROM pack p JOIN documents d ON d.doc_id = p.doc_id
+GROUP BY p.shard, p.bin_id
+"""
+
+
 def q_det_sample(spark, sf_dir):
     """Deterministic content-hash Bernoulli sample (operators/corpus.py):
     the same rows are kept on every engine/run — reproducible corpus
@@ -5390,6 +5438,7 @@ QUERIES = {
     "streaming_anomaly": q_streaming_anomaly,
     "percolation": q_percolation,
     "profile_docs": q_profile_docs,
+    "materialize_packs": q_materialize_packs,
 }
 
 ORACLES = {
@@ -5512,6 +5561,7 @@ ORACLES = {
     "streaming_anomaly": O_STREAMING_ANOMALY,
     "percolation": O_PERCOLATION,
     "profile_docs": O_PROFILE_DOCS,
+    "materialize_packs": O_MATERIALIZE_PACKS,
 }
 
 
@@ -5594,7 +5644,7 @@ _R7_FRONT = [
     "winsorize", "attribution", "anomaly_zscore",
     "copurchase_pmi", "event_transitions", "eigenvector",
     "modularity", "pipeline_v3", "streaming_anomaly",
-    "percolation", "profile_docs",
+    "percolation", "profile_docs", "materialize_packs",
     "mixture_sample", "cross_corpus_dedup", "stream_near_dup",
     "dedup_paragraphs", "dedup_keep_longest", "importance_resample",
     "text_normalize", "semantic_dedup", "temperature_sample",

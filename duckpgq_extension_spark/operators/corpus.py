@@ -1265,3 +1265,52 @@ def cooccurrence_pmi(
             ).alias("pmi"),
         )
     )
+
+
+def materialize_packs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    tok_count_col: str,
+    budget: int = 2048,
+    num_shards: int = 64,
+    sep: str = "<eos>",
+) -> DataFrame:
+    """Materialize pack_sequences' bin assignments into actual training
+    shards: one row per (shard, bin_id) with the member texts
+    concatenated in id order around `sep` — the final write step of the
+    chunk -> clean -> pack pipeline, producing the sequences a trainer
+    ingests verbatim.
+
+    Returns (shard, bin_id, n_docs, n_tokens, packed_text).
+
+    Scale design: the assignment join and the per-bin aggregation both
+    key on the pack metadata; the in-bin ordering is an in-row
+    array_sort over bin members (bins hold a handful of documents by
+    construction — the budget bounds them), never a global sort.
+    """
+    meta = pack_sequences(
+        df.select(F.col(id_col), F.col(tok_count_col)),
+        id_col,
+        tok_count_col,
+        budget,
+        num_shards,
+    )
+    joined = meta.join(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text")),
+        "id",
+    )
+    member = F.struct(F.col("id").alias("i"), F.col("__text").alias("t"))
+    return (
+        joined.groupBy("shard", "bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(member)), lambda x: x["t"]
+                ),
+                sep,
+            ).alias("packed_text"),
+        )
+    )

@@ -720,3 +720,23 @@ def test_profile_table_golden(spark):
         "a": (3, 0, 2, "1", "3"),
         "b": (3, 1, 2, "x", "y"),
     }
+
+
+# -------------------------------------------------------- materialize_packs
+
+
+def test_materialize_packs_golden(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=f"d{i}", n=3) for i in range(4)],
+        "doc_id long, text string, n long",
+    )
+    out = corpus.materialize_packs(
+        df, "doc_id", "text", "n", budget=6, num_shards=1, sep="|"
+    ).collect()
+    # next-fit with budget 6 and uniform size 3: two docs per bin, id order
+    packs = {(r["shard"], r["bin_id"]): (r["n_docs"], r["n_tokens"], r["packed_text"])
+             for r in out}
+    assert packs == {
+        (0, 0): (2, 6, "d0|d1"),
+        (0, 1): (2, 6, "d2|d3"),
+    }
