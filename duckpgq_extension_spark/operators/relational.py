@@ -406,6 +406,10 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             )
         ],
     )
+    # the 1-row aggregate is referenced once per column branch of the
+    # union below — materialize it so the combined pass runs ONCE instead
+    # of once per column (Catalyst does not cache repeated subtrees)
+    base = base.localCheckpoint(eager=True)
     rows = None
     for c in cols:
         d = df.select(c).where(F.col(c).isNotNull()).distinct().agg(
