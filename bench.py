@@ -134,6 +134,8 @@ BENCH_QUERIES = [
     "percolation",
     "profile_docs",
     "materialize_packs",
+    "dataset_split",
+    "temporal_latest",
 ]
 
 

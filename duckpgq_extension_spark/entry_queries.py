@@ -1809,6 +1809,36 @@ SELECT doc_id, n_tok, shard, bin_id FROM pack
 """
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split
+    (operators/corpus.split_dataset): md5(doc_id|split) % 1e6 against
+    cumulative boundaries — reproducible, leakage-free partitioning;
+    reported as per-(split, source) doc and char totals."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    out = corpus.split_dataset(docs, "doc_id")
+    return out.groupBy("split", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+
+
+O_DATASET_SPLIT = f"""
+WITH assigned AS (
+  SELECT source, n_chars,
+         CASE WHEN {_MD5L.format(X="CAST(doc_id AS VARCHAR) || 'split'")}
+                   % 1000000 < 800000 THEN 'train'
+              WHEN {_MD5L.format(X="CAST(doc_id AS VARCHAR) || 'split'")}
+                   % 1000000 < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split, source, COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars
+FROM assigned GROUP BY split, source
+"""
+
+
 def q_materialize_packs(spark, sf_dir):
     """Pack materialization (operators/corpus.materialize_packs): the
     512-token/8-shard next-fit assignment concatenated into actual
@@ -3711,6 +3741,41 @@ SELECT src, dst, MIN(arrival) AS arrival FROM walk GROUP BY src, dst""",
 )
 
 
+def q_temporal_latest(spark, sf_dir):
+    """Latest-departure temporal reachability
+    (operators/paths.temporal_latest_departure, beyond-reference): the
+    deadline-side dual of temporal_reach — latest time each vertex can
+    still reach customers 0-4 by horizon 364 along non-decreasing edge
+    timestamps, computed on the time-reversed graph with the SAME
+    verified earliest-arrival kernel."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges").select(
+        "src", "dst", (F.col("eid") % 365).alias("ts")
+    )
+    targets = spark.table("customer").where(F.col("c_custkey") < 5).select(
+        F.col("c_custkey").cast("long")
+    )
+    out = pathops.temporal_latest_departure(edges, targets, ts_col="ts", horizon=364)
+    return out.select(
+        "target", "vid", F.col("latest_departure").cast("bigint").alias("latest_departure")
+    )
+
+
+O_TEMPORAL_LATEST = _with_e(
+    """, et AS (SELECT dst AS src, src AS dst,
+               CAST(364 - (eid % 365) AS BIGINT) AS ts FROM e),
+walk(t, v, arr) AS (
+  SELECT c_custkey, c_custkey, CAST(0 AS BIGINT) FROM customer WHERE c_custkey < 5
+  UNION
+  SELECT w.t, et.dst, et.ts FROM walk w
+  JOIN et ON et.src = w.v AND et.ts >= w.arr)
+SELECT t AS target, v AS vid,
+       CAST(364 - MIN(arr) AS BIGINT) AS latest_departure
+FROM walk GROUP BY 1, 2""",
+    recursive=True,
+)
+
+
 def q_nbr_features(spark, sf_dir):
     """Neighborhood feature aggregation (algorithms.neighbor_agg,
     beyond-reference): mean/max/count of neighbor account balance over
@@ -5439,6 +5504,8 @@ QUERIES = {
     "percolation": q_percolation,
     "profile_docs": q_profile_docs,
     "materialize_packs": q_materialize_packs,
+    "dataset_split": q_dataset_split,
+    "temporal_latest": q_temporal_latest,
 }
 
 ORACLES = {
@@ -5562,6 +5629,8 @@ ORACLES = {
     "percolation": O_PERCOLATION,
     "profile_docs": O_PROFILE_DOCS,
     "materialize_packs": O_MATERIALIZE_PACKS,
+    "dataset_split": O_DATASET_SPLIT,
+    "temporal_latest": O_TEMPORAL_LATEST,
 }
 
 
@@ -5645,6 +5714,7 @@ _R7_FRONT = [
     "copurchase_pmi", "event_transitions", "eigenvector",
     "modularity", "pipeline_v3", "streaming_anomaly",
     "percolation", "profile_docs", "materialize_packs",
+    "dataset_split", "temporal_latest",
     "mixture_sample", "cross_corpus_dedup", "stream_near_dup",
     "dedup_paragraphs", "dedup_keep_longest", "importance_resample",
     "text_normalize", "semantic_dedup", "temperature_sample",

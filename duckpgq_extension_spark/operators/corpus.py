@@ -1314,3 +1314,44 @@ def materialize_packs(
             ).alias("packed_text"),
         )
     )
+
+
+def split_dataset(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float] | None = None,
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in a
+    split according to md5(key | salt) % 1e6 against the cumulative
+    split boundaries — the reproducible partitioning every training
+    pipeline needs (same key -> same split across runs, engines, and
+    cluster sizes; keys never straddle splits, so grouping by a
+    document/user key upstream guarantees no leakage between train and
+    eval).  `splits` maps name -> fraction (must sum to ~1; default
+    80/10/10 train/val/test).  Returns the input plus a `split` column.
+
+    A pure projection — pushes down like any expression; vary `salt`
+    for an independent re-split.
+    """
+    from ..functions.text import md5_long
+
+    splits = splits or {"train": 0.8, "val": 0.1, "test": 0.1}
+    if not splits or abs(sum(splits.values()) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    buckets = 1_000_000
+    b = F.pmod(
+        md5_long(F.concat(F.col(key_col).cast("string"), F.lit(salt))),
+        F.lit(buckets),
+    )
+    expr = None
+    acc = 0.0
+    names = list(splits)
+    for name in names[:-1]:
+        acc += splits[name]
+        cond = b < int(round(acc * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    expr = (
+        F.lit(names[0]) if expr is None else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn("split", expr)

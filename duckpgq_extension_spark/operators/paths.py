@@ -1257,3 +1257,36 @@ def _temporal_fixpoint(adj, dist, hops_per_round):
         dist = materialize(merged)
         if not obs.get["n"]:
             return dist.select("src", "dst", "arrival")
+
+
+def temporal_latest_departure(
+    edges: DataFrame,
+    targets: DataFrame,
+    ts_col: str = "ts",
+    horizon: int = 0,
+    **kw,
+) -> DataFrame:
+    """Latest-departure dual of temporal_reachability: for each target,
+    the LATEST time a walk may leave each vertex and still reach the
+    target along non-decreasing edge timestamps by `horizon` — "how
+    long can this node wait before the last feasible route closes",
+    the deadline-side question of temporal-graph analysis.
+
+    Computed on the TIME-REVERSED graph (edges flipped, ts' =
+    horizon - ts): earliest arrival there equals horizon minus the
+    latest departure here, so the verified earliest-arrival kernel does
+    all the work.  Returns (target, vid, latest_departure); vertices
+    with no feasible route are absent.  Same cost model and levers
+    (hops_per_round) as temporal_reachability.
+    """
+    rev = edges.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        (F.lit(int(horizon)) - F.col(ts_col)).alias("__rts"),
+    )
+    ea = temporal_reachability(rev, targets, ts_col="__rts", **kw)
+    return ea.select(
+        F.col("src").alias("target"),
+        F.col("dst").alias("vid"),
+        (F.lit(int(horizon)) - F.col("arrival")).alias("latest_departure"),
+    )

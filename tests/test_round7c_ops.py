@@ -740,3 +740,63 @@ def test_materialize_packs_golden(spark):
         (0, 0): (2, 6, "d0|d1"),
         (0, 1): (2, 6, "d2|d3"),
     }
+
+
+# --------------------------------------------------------- dataset_split
+
+
+def test_split_dataset_deterministic_and_proportional(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    a = {r["k"]: r["split"] for r in corpus.split_dataset(df, "k").collect()}
+    b = {r["k"]: r["split"] for r in corpus.split_dataset(df, "k").collect()}
+    assert a == b  # reproducible
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert abs(c["train"] / 2000 - 0.8) < 0.05
+    assert abs(c["val"] / 2000 - 0.1) < 0.03
+    assert abs(c["test"] / 2000 - 0.1) < 0.03
+    # independent salt re-splits
+    c2 = {r["k"]: r["split"]
+          for r in corpus.split_dataset(df, "k", salt="other").collect()}
+    assert c2 != a
+
+
+def test_split_dataset_bad_fractions(spark):
+    import pytest as _pt
+
+    df = spark.createDataFrame([(1,)], "k long")
+    with _pt.raises(ValueError):
+        corpus.split_dataset(df, "k", {"train": 0.5, "val": 0.1})
+
+
+# ------------------------------------------------- temporal_latest_departure
+
+
+def test_temporal_latest_departure_chain(spark):
+    from duckpgq_extension_spark.operators import paths as P
+
+    # chain 1 -t=2-> 2 -t=5-> 3 (target).  horizon 10.
+    edges = spark.createDataFrame(
+        [(1, 2, 2), (2, 3, 5)], "src long, dst long, ts long"
+    )
+    targets = spark.createDataFrame([(3,)], "vid long")
+    out = {r["vid"]: r["latest_departure"] for r in
+           P.temporal_latest_departure(edges, targets, "ts", horizon=10).collect()}
+    # from 2 the last feasible edge leaves at t=5; from 1 at t=2; the
+    # target itself "departs" at the horizon
+    assert out == {3: 10, 2: 5, 1: 2}
+
+
+def test_temporal_latest_departure_respects_order(spark):
+    from duckpgq_extension_spark.operators import paths as P
+
+    # 1 -t=5-> 2 -t=3-> 3: the second edge departs BEFORE the first
+    # arrives, so 1 can never reach 3
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 3)], "src long, dst long, ts long"
+    )
+    targets = spark.createDataFrame([(3,)], "vid long")
+    out = {r["vid"] for r in
+           P.temporal_latest_departure(edges, targets, "ts", horizon=10).collect()}
+    assert 1 not in out and out == {2, 3}
