@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     "materialize_packs",
     "dataset_split",
     "temporal_latest",
+    "nbr_features_l2",
+    "split_entropy",
+    "degree_powerlaw",
 ]
 
 

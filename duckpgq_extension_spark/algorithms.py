@@ -2006,3 +2006,35 @@ def k_truss(edges: DataFrame, k: int) -> DataFrame:
         finally:
             half.unpersist()
     return cur
+
+
+def degree_powerlaw_alpha(edges: DataFrame, kmin: int = 2) -> DataFrame:
+    """Power-law exponent of the degree distribution by the Clauset-
+    Shalizi-Newman discrete MLE approximation over the tail deg >= kmin:
+
+        alpha = 1 + n_tail / sum(ln(deg / (kmin - 0.5)))
+
+    — the one-number heavy-tail diagnostic for "is this graph scale-free
+    enough to need hub mitigations (salting, degree caps)".  Degrees are
+    undirected over the simple graph.  Returns one row
+    (kmin, n_tail, alpha).
+
+    One degree aggregate + one scalar fold — no sort, no collect of the
+    distribution.
+    """
+    if kmin < 1:
+        raise ValueError("kmin must be >= 1")
+    deg = _doubled_neighbors(edges).groupBy("src").agg(
+        F.count("*").alias("deg")
+    )
+    tail = deg.where(F.col("deg") >= kmin)
+    return tail.agg(
+        F.lit(kmin).alias("kmin"),
+        F.count(F.lit(1)).alias("n_tail"),
+        F.round(
+            F.lit(1.0)
+            + F.count(F.lit(1))
+            / F.sum(F.log(F.col("deg") / F.lit(kmin - 0.5))),
+            6,
+        ).alias("alpha"),
+    )

@@ -1839,6 +1839,67 @@ FROM assigned GROUP BY split, source
 """
 
 
+def q_split_entropy(spark, sf_dir):
+    """Split diversity diagnostic (operators/relational.group_entropy
+    over corpus.split_dataset): Shannon entropy of the source
+    distribution inside each train/val/test split — "did the split keep
+    the source mix" in one number per split."""
+    setup(spark, sf_dir)
+    docs = spark.table("documents")
+    assigned = corpus.split_dataset(docs, "doc_id")
+    out = relational.group_entropy(assigned, "split", "source")
+    return out.select(
+        F.col("grp").alias("split"), "n", "n_labels", "entropy"
+    )
+
+
+O_SPLIT_ENTROPY = f"""
+WITH assigned AS (
+  SELECT source,
+         CASE WHEN {_MD5L.format(X="CAST(doc_id AS VARCHAR) || 'split'")}
+                   % 1000000 < 800000 THEN 'train'
+              WHEN {_MD5L.format(X="CAST(doc_id AS VARCHAR) || 'split'")}
+                   % 1000000 < 900000 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+),
+counts AS (
+  SELECT split, source, COUNT(*) AS c FROM assigned GROUP BY split, source
+),
+withp AS (
+  SELECT split, c,
+         CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY split) AS p
+  FROM counts
+)
+SELECT split, CAST(SUM(c) AS BIGINT) AS n, COUNT(*) AS n_labels,
+       ROUND(SUM(-p * ln(p)), 6) AS entropy
+FROM withp GROUP BY split
+"""
+
+
+def q_degree_powerlaw(spark, sf_dir):
+    """Degree power-law exponent (algorithms.degree_powerlaw_alpha,
+    beyond-reference): Clauset-Shalizi-Newman discrete MLE over the
+    undirected degree tail deg >= 2 — the one-number heavy-tail
+    diagnostic."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    return algorithms.degree_powerlaw_alpha(edges, kmin=2)
+
+
+O_DEGREE_POWERLAW = _with_e(
+    """, und AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM e WHERE src <> dst
+    UNION ALL SELECT dst, src FROM e WHERE src <> dst)),
+deg AS (SELECT src, COUNT(*) AS deg FROM und GROUP BY src),
+tail AS (SELECT deg FROM deg WHERE deg >= 2)
+SELECT 2 AS kmin, COUNT(*) AS n_tail,
+       ROUND(1.0 + COUNT(*) / SUM(ln(CAST(deg AS DOUBLE) / 1.5)), 6) AS alpha
+FROM tail""",
+)
+
+
 def q_materialize_packs(spark, sf_dir):
     """Pack materialization (operators/corpus.materialize_packs): the
     512-token/8-shard next-fit assignment concatenated into actual
@@ -3797,6 +3858,45 @@ def q_nbr_features(spark, sf_dir):
     )
 
 
+def q_nbr_features_l2(spark, sf_dir):
+    """Two-layer neighborhood aggregation (algorithms.neighbor_agg
+    applied twice, beyond-reference): layer 1 = SUM of neighbor account
+    balance in integer cents (exact), layer 2 = mean of neighbors'
+    layer-1 sums — the 2-hop receptive field of SIGN/GraphSAGE-style
+    precomputation.  Integer layer-1 values keep the handoff bit-exact
+    across engines (a rounded layer-1 MEAN of 2-decimal data lands
+    exactly on decimal half-boundaries, where engine-specific last-ulp
+    flips rounding — same quirk class as rolling_7d)."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    feats = spark.table("customer").select(
+        F.col("c_custkey").cast("long"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    l1 = algorithms.neighbor_agg(edges, feats, aggs=["sum"], direction="out")
+    l1c = l1.select("vid", F.col("nbr_sum").cast("long").alias("s1"))
+    l2 = algorithms.neighbor_agg(edges, l1c, aggs=["mean"], direction="out")
+    return (
+        l2.select("vid", F.round("nbr_mean", 4).alias("m2"))
+        .join(l1c, "vid")
+        .select("vid", "s1", "m2")
+    )
+
+
+O_NBR_FEATURES_L2 = _with_e(
+    """, nbr AS MATERIALIZED (SELECT DISTINCT src, dst FROM e WHERE src <> dst),
+f AS (SELECT c_custkey AS vid,
+             CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+l1 AS MATERIALIZED (
+  SELECT n.src AS vid, CAST(SUM(f.cents) AS BIGINT) AS s1
+  FROM nbr n JOIN f ON f.vid = n.dst GROUP BY n.src),
+l2 AS (
+  SELECT n.src AS vid, ROUND(AVG(l1.s1), 4) AS m2
+  FROM nbr n JOIN l1 ON l1.vid = n.dst GROUP BY n.src)
+SELECT l2.vid, l1.s1, l2.m2 FROM l2 JOIN l1 ON l1.vid = l2.vid""",
+)
+
+
 O_NBR_FEATURES = _with_e(
     """, und AS MATERIALIZED (
   SELECT DISTINCT src, dst FROM (
@@ -5506,6 +5606,9 @@ QUERIES = {
     "materialize_packs": q_materialize_packs,
     "dataset_split": q_dataset_split,
     "temporal_latest": q_temporal_latest,
+    "nbr_features_l2": q_nbr_features_l2,
+    "split_entropy": q_split_entropy,
+    "degree_powerlaw": q_degree_powerlaw,
 }
 
 ORACLES = {
@@ -5631,6 +5734,9 @@ ORACLES = {
     "materialize_packs": O_MATERIALIZE_PACKS,
     "dataset_split": O_DATASET_SPLIT,
     "temporal_latest": O_TEMPORAL_LATEST,
+    "nbr_features_l2": O_NBR_FEATURES_L2,
+    "split_entropy": O_SPLIT_ENTROPY,
+    "degree_powerlaw": O_DEGREE_POWERLAW,
 }
 
 
@@ -5714,7 +5820,8 @@ _R7_FRONT = [
     "copurchase_pmi", "event_transitions", "eigenvector",
     "modularity", "pipeline_v3", "streaming_anomaly",
     "percolation", "profile_docs", "materialize_packs",
-    "dataset_split", "temporal_latest",
+    "dataset_split", "temporal_latest", "nbr_features_l2",
+    "split_entropy", "degree_powerlaw",
     "mixture_sample", "cross_corpus_dedup", "stream_near_dup",
     "dedup_paragraphs", "dedup_keep_longest", "importance_resample",
     "text_normalize", "semantic_dedup", "temperature_sample",

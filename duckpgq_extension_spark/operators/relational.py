@@ -425,3 +425,29 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         )
         rows = piece if rows is None else rows.unionByName(piece)
     return rows
+
+
+def group_entropy(
+    df: DataFrame, group_col: str, label_col: str
+) -> DataFrame:
+    """Shannon entropy of a label distribution per group,
+    H = -sum(p * ln p) — the diversity diagnostic corpus pipelines
+    report per split/phase ("did the test split keep the source mix?").
+
+    Returns (group, n, n_labels, entropy).  One (group, label) count
+    aggregate, then a group-sized aggregate — both map-side combined.
+    """
+    counts = df.groupBy(
+        F.col(group_col).alias("grp"), F.col(label_col).alias("lbl")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = Window.partitionBy("grp")
+    p = F.col("c") / F.sum("c").over(tot)
+    return (
+        counts.withColumn("__plp", -p * F.log(p))
+        .groupBy("grp")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count(F.lit(1)).alias("n_labels"),
+            F.round(F.sum("__plp"), 6).alias("entropy"),
+        )
+    )

@@ -800,3 +800,56 @@ def test_temporal_latest_departure_respects_order(spark):
     out = {r["vid"] for r in
            P.temporal_latest_departure(edges, targets, "ts", horizon=10).collect()}
     assert 1 not in out and out == {2, 3}
+
+
+# ------------------------------------------------------- group_entropy
+
+
+def test_group_entropy_golden(spark):
+    import math
+
+    df = spark.createDataFrame(
+        [("a", "x"), ("a", "x"), ("a", "y"), ("b", "z")], "g string, l string"
+    )
+    out = {r["grp"]: (r["n"], r["n_labels"], r["entropy"])
+           for r in relational.group_entropy(df, "g", "l").collect()}
+    h_a = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert out == {"a": (3, 2, round(h_a, 6)), "b": (1, 1, 0.0)}
+
+
+# ------------------------------------------------- degree_powerlaw_alpha
+
+
+def test_degree_powerlaw_alpha_golden(spark):
+    import math
+
+    from duckpgq_extension_spark import algorithms
+
+    # star with center degree 4 and leaves degree 1; kmin=2 keeps only
+    # the center -> alpha = 1 + 1/ln(4/1.5)
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 5)], "src long, dst long"
+    )
+    (r,) = algorithms.degree_powerlaw_alpha(edges, kmin=2).collect()
+    assert (r["kmin"], r["n_tail"]) == (2, 1)
+    assert r["alpha"] == round(1 + 1 / math.log(4 / 1.5), 6)
+
+
+def test_nbr_features_l2_two_hop(spark):
+    from duckpgq_extension_spark import algorithms
+    from pyspark.sql import functions as FF
+
+    # chain 1 -> 2 -> 3 with cents {1: 100, 2: 200, 3: 300}
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    feats = spark.createDataFrame(
+        [(1, 100), (2, 200), (3, 300)], "vid long, cents long"
+    )
+    l1 = algorithms.neighbor_agg(edges, feats, aggs=["sum"], direction="out")
+    got = {r["vid"]: r["nbr_sum"] for r in l1.collect()}
+    assert got == {1: 200, 2: 300}
+    l2 = algorithms.neighbor_agg(
+        edges, l1.select("vid", FF.col("nbr_sum").cast("long")), aggs=["mean"],
+        direction="out",
+    )
+    got2 = {r["vid"]: r["nbr_mean"] for r in l2.collect()}
+    assert got2 == {1: 300.0}  # 1's neighbor is 2; 2's layer-1 sum is 300
