@@ -139,6 +139,8 @@ BENCH_QUERIES = [
     "nbr_features_l2",
     "split_entropy",
     "degree_powerlaw",
+    "avg_path_length",
+    "burstiness",
 ]
 
 

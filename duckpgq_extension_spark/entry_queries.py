@@ -1877,6 +1877,87 @@ FROM withp GROUP BY split
 """
 
 
+def q_avg_path_length(spark, sf_dir):
+    """Average finite shortest-path length from the seed set
+    (small-world diagnostic): one batched multi-source BFS from
+    customers 0-7 (the closeness kernel), folded to a single
+    (n_pairs, avg_dist) row — the companion number to diameter/
+    eccentricity in every graph report."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    seeds = spark.table("customer").where(F.col("c_custkey") < 8).select(
+        F.col("c_custkey").cast("long")
+    )
+    dists = pathops.bfs_distances(
+        edges.select("src", "dst"), sources=seeds.toDF("vid")
+    )
+    pos = dists.where(F.col("dist") > 0)
+    return pos.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("dist"), 6).alias("avg_dist"),
+    )
+
+
+O_AVG_PATH_LENGTH = _with_e(
+    """, bfs(src, dst, d) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 8
+  UNION
+  SELECT b.src, e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.dst WHERE b.d < 30),
+mind AS (SELECT src, dst, MIN(d) AS d FROM bfs GROUP BY src, dst)
+SELECT COUNT(*) AS n_pairs, ROUND(AVG(d), 6) AS avg_dist
+FROM mind WHERE d > 0""",
+    recursive=True,
+)
+
+
+def q_burstiness(spark, sf_dir):
+    """Per-user inter-event burstiness (Goh-Barabasi
+    B = (sigma - mu)/(sigma + mu) over inter-event gaps): B -> -1 for
+    periodic activity, 0 for Poisson, +1 for extreme bursts — the
+    standard temporal-behavior fingerprint.  One lag window for the
+    gaps + one per-user aggregate; users need >= 3 events (two gaps)."""
+    setup(spark, sf_dir)
+    events = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(ev.epoch_us(F.col("ts")), "event_id")
+    ts_us = ev.epoch_us(F.col("ts"))
+    gaps = (
+        events.withColumn("__gap", ts_us - F.lag(ts_us).over(w))
+        .where(F.col("__gap").isNotNull())
+    )
+    stats = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.avg("__gap").alias("__mu"),
+        F.stddev_samp("__gap").alias("__sd"),
+    )
+    return stats.where(
+        (F.col("n_gaps") >= 2) & ((F.col("__sd") + F.col("__mu")) > 0)
+    ).select(
+        "user_id",
+        "n_gaps",
+        F.round(
+            (F.col("__sd") - F.col("__mu")) / (F.col("__sd") + F.col("__mu")), 4
+        ).alias("burstiness"),
+    )
+
+
+O_BURSTINESS = """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap
+  FROM events
+),
+stats AS (
+  SELECT user_id, COUNT(*) AS n_gaps, AVG(gap) AS mu, stddev_samp(gap) AS sd
+  FROM gaps WHERE gap IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_gaps, ROUND((sd - mu) / (sd + mu), 4) AS burstiness
+FROM stats WHERE n_gaps >= 2 AND (sd + mu) > 0
+"""
+
+
 def q_degree_powerlaw(spark, sf_dir):
     """Degree power-law exponent (algorithms.degree_powerlaw_alpha,
     beyond-reference): Clauset-Shalizi-Newman discrete MLE over the
@@ -5609,6 +5690,8 @@ QUERIES = {
     "nbr_features_l2": q_nbr_features_l2,
     "split_entropy": q_split_entropy,
     "degree_powerlaw": q_degree_powerlaw,
+    "avg_path_length": q_avg_path_length,
+    "burstiness": q_burstiness,
 }
 
 ORACLES = {
@@ -5737,6 +5820,8 @@ ORACLES = {
     "nbr_features_l2": O_NBR_FEATURES_L2,
     "split_entropy": O_SPLIT_ENTROPY,
     "degree_powerlaw": O_DEGREE_POWERLAW,
+    "avg_path_length": O_AVG_PATH_LENGTH,
+    "burstiness": O_BURSTINESS,
 }
 
 
@@ -5821,7 +5906,8 @@ _R7_FRONT = [
     "modularity", "pipeline_v3", "streaming_anomaly",
     "percolation", "profile_docs", "materialize_packs",
     "dataset_split", "temporal_latest", "nbr_features_l2",
-    "split_entropy", "degree_powerlaw",
+    "split_entropy", "degree_powerlaw", "avg_path_length",
+    "burstiness",
     "mixture_sample", "cross_corpus_dedup", "stream_near_dup",
     "dedup_paragraphs", "dedup_keep_longest", "importance_resample",
     "text_normalize", "semantic_dedup", "temperature_sample",
