@@ -64,6 +64,17 @@ AUDITED = [
     "rolling_7d",
     "grouping_sets",
     "weighted_sample",
+    "winsorize",
+    "attribution",
+    "anomaly_zscore",
+    "copurchase_pmi",
+    "event_transitions",
+    "streaming_anomaly",
+    "dataset_split",
+    "split_entropy",
+    "degree_powerlaw",
+    "burstiness",
+    "nbr_features_l2",
 ]
 
 # row-at-a-time Python evaluation; Arrow-batched variants
