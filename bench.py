@@ -112,6 +112,7 @@ BENCH_QUERIES = [
     "pipeline_corpus",
     "pipeline_curation",
     "graph_report",
+    "centrality_report",
     "dedup_edit",
     "bm25",
     "resample_fill",

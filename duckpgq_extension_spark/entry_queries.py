@@ -4938,6 +4938,65 @@ FROM t JOIN customer cu ON cu.c_custkey = t.vid WHERE t.rnk <= 5"""
 O_GRAPH_REPORT = _graph_report_oracle()
 
 
+def q_centrality_report(spark, sf_dir):
+    """Composed centrality report (round 8): HITS, eigenvector, Katz and
+    personalized PageRank over the same graph, joined into one
+    (vid, hub, authority, eigenvector, katz, ppr) frame.  The four
+    fixed-iteration kernels are independent until the join, so they run
+    from four driver threads (algorithms.run_concurrent — the
+    graph_report pattern, measured 2.1x there): each kernel's per-round
+    job barriers fill the others' scheduler gaps, so the family costs
+    ~the slowest kernel's wall, not the sum.  Values are identical to
+    the four standalone queries (hits / eigenvector / katz /
+    personalized_pagerank) — same inputs, same iteration budgets."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    cust = spark.table("customer")
+    vertices = cust.select(F.col("c_custkey").cast("long"))
+    sources = cust.where(F.col("c_custkey") % 100 == 0).select(
+        F.col("c_custkey").cast("long")
+    )
+    pr_edges = pathops.edge_frame(edges, "src", "dst")
+    hits_df, ev_df, katz_df, ppr_df = algorithms.run_concurrent(
+        lambda: algorithms.hits(edges, vertices, max_iter=5),
+        lambda: algorithms.eigenvector_centrality(edges, vertices, max_iter=10),
+        lambda: algorithms.katz_centrality(
+            edges, vertices, alpha=0.05, beta=1.0, max_iter=5
+        ),
+        lambda: algorithms.pagerank(
+            pr_edges, vertices, tol=0.0, max_iter=10, sources=sources
+        ),
+    )
+    return (
+        hits_df.select(
+            "vid",
+            F.round("hub", 6).alias("hub"),
+            F.round("authority", 6).alias("authority"),
+        )
+        .join(
+            ev_df.select(
+                "vid", F.round("eigenvector", 6).alias("eigenvector")
+            ),
+            "vid",
+        )
+        .join(katz_df.select("vid", F.round("katz", 6).alias("katz")), "vid")
+        .join(
+            ppr_df.select("vid", F.round("pagerank", 6).alias("ppr")), "vid"
+        )
+    )
+
+
+# oracle: the four standalone unrolled-CTE oracles as subqueries joined
+# on vid — value-identical to the individual gates by construction
+O_CENTRALITY_REPORT = f"""
+SELECT h.vid AS vid, h.hub, h.authority, e.eigenvector, k.katz, p.ppr
+FROM ({O_HITS}) h
+JOIN ({O_EIGENVECTOR}) e ON e.vid = h.vid
+JOIN ({O_KATZ}) k ON k.vid = h.vid
+JOIN ({O_PERSONALIZED_PAGERANK}) p ON p.vid = h.vid
+"""
+
+
 # --------------------------------------------------------------------------
 # corpus curation v2 (round 7): cross-snapshot dedup, paragraph dedup,
 # keep-longest canonical selection, DSIR importance resampling, text
@@ -5663,6 +5722,7 @@ QUERIES = {
     "csr_offsets": q_csr_offsets,
     "pipeline_corpus": q_pipeline_corpus,
     "graph_report": q_graph_report,
+    "centrality_report": q_centrality_report,
     "dedup_edit": q_dedup_edit,
     "bm25": q_bm25,
     "resample_fill": q_resample_fill,
@@ -5793,6 +5853,7 @@ ORACLES = {
     "csr_offsets": O_CSR_OFFSETS,
     "pipeline_corpus": O_PIPELINE_CORPUS,
     "graph_report": O_GRAPH_REPORT,
+    "centrality_report": O_CENTRALITY_REPORT,
     "dedup_edit": O_DEDUP_EDIT,
     "bm25": O_BM25,
     "resample_fill": O_RESAMPLE_FILL,
