@@ -1448,8 +1448,12 @@ def modularity(
 
     with e_c = doubled-edge endpoints internal to c, d_c = total degree
     of c's members, 2m = the doubled edge count — the standard quality
-    score for LPA/Louvain output (beyond-reference).  `labels` is any
-    (vid, label) frame (e.g. label_propagation's result).
+    score for LPA/Louvain output (beyond-reference).  `labels` must
+    assign a label to EVERY edge endpoint (label_propagation's result
+    does — it covers the full vertex set): 2m is computed from ALL
+    doubled edges, while the internal/degree sums come from the label
+    joins, so endpoints missing from a partial assignment would
+    silently deflate every community's contribution rather than error.
 
     Returns (community, internal_half_edges, degree_sum, contribution);
     sum(contribution) is Q.  Mixed-community edges contribute only to
@@ -2009,6 +2013,15 @@ def k_truss(edges: DataFrame, k: int) -> DataFrame:
             if need == 0:
                 return cur
             survivors, n_new = pathops.checkpoint_with_count(survivors)
+            if need == 1:
+                # k=3 converges in exactly ONE peel: an edge is removed
+                # iff it closes no triangle, every triangle's edges all
+                # have support >= 1 so no triangle loses an edge, and
+                # removal creates no new triangles — survivor support is
+                # unchanged and already >= 1.  Skipping the confirming
+                # round halves the triangle-enumeration work (the whole
+                # cost of this kernel).
+                return survivors
             if n_new == n_cur:
                 return survivors
             cur, n_cur = survivors, n_new

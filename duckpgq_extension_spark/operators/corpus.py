@@ -1184,6 +1184,15 @@ def weighted_sample(
     state, rerun-stable); selection is one top-k window per group, which
     compiles to WindowGroupLimit (partial top-k before the final sort) —
     the same single-shuffle shape as top_k_per_group.
+
+    Cross-engine caveat: the selection ranks on u^(1/w) via pow(),
+    which libm does not guarantee bit-identical across engines — two
+    rows with NEAR-TIED priorities can rank differently in Spark vs
+    DuckDB and flip the sample at the k boundary.  The md5 draw itself
+    is exact (integer hash / 2^20), so ties are only possible through
+    pow rounding; if an engine-exact rank ever matters, compare
+    ln(u)/w instead (monotone-equivalent) or follow node2vec's
+    float-exact draw design.
     """
     from pyspark.sql import Window
 

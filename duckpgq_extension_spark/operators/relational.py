@@ -317,7 +317,9 @@ def rolling_time_agg(
     ("user's 7-day average") that a rows-based frame gets wrong whenever
     event density varies.
 
-    Returns the input keys plus (ts_us, avg_wd, n_wd).
+    Returns (key, ts_us, avg_{days}d, sum_{days}d, n_{days}d) — the
+    aggregate column names are parameterized by the window width, e.g.
+    avg_7d / sum_7d / n_7d for the default.
 
     Scale design: one shuffle on the key; the RANGE frame is evaluated
     in a single sort-based window pass with a sliding accumulator (no

@@ -592,10 +592,13 @@ def attribute_conversions(
     window_days: int = 7,
 ) -> DataFrame:
     """Last-touch conversion attribution: for every conversion event, the
-    most recent PRECEDING touch event (click/view/...) by the same user
-    within `window_days` — the standard product-analytics credit
-    assignment (strictly earlier; a touch at the conversion's own
-    timestamp does not count, matching the funnel's strict ordering).
+    most recent touch event (click/view/...) by the same user that
+    precedes the conversion in the per-user (ts_us, event_id) ordering,
+    within `window_days`.  "Preceding" is strict on THAT COMPOSITE
+    order, not on timestamp alone: a touch sharing the conversion's
+    exact timestamp still gets credit when its event_id is smaller
+    (deterministic tie order for simultaneous events); an equal-ts
+    touch with a larger event_id does not.
 
     Returns (user_id, conversion_id, conv_us, touch_id, touch_type,
     touch_us) with NULL touch columns for unattributed conversions.
