@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "pipeline_curation",
     "graph_report",
     "centrality_report",
+    "distance_report",
     "dedup_edit",
     "bm25",
     "resample_fill",

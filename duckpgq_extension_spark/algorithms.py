@@ -1234,6 +1234,48 @@ def closeness_centrality(edges: DataFrame, seeds: DataFrame) -> DataFrame:
     )
 
 
+def distance_report(edges: DataFrame, seeds: DataFrame) -> DataFrame:
+    """Composed per-seed distance profile: closeness, harmonic
+    centrality and eccentricity from ONE batched multi-source BFS
+    (beyond-reference).  The three standalone kernels
+    (closeness_centrality / harmonic_centrality / eccentricity) each
+    pay the same BFS — when a caller wants more than one, sharing the
+    distance frame removes the duplicate traversals entirely (BFS is
+    the whole cost; the folds are single aggregates).  Values are
+    identical to the standalone kernels by construction: same
+    bfs_distances call, same fold expressions, fused into one groupBy.
+
+    Returns (vid, reached, closeness, harmonic, eccentricity).
+    """
+    dists = pathops.bfs_distances(
+        edges.select("src", "dst"), sources=seeds.toDF("vid")
+    )
+    return (
+        dists.groupBy(F.col("src").alias("vid"))
+        .agg(
+            F.count("*").alias("reached"),
+            F.sum("dist").alias("__sum"),
+            F.coalesce(
+                F.sum(F.when(F.col("dist") > 0, 1.0 / F.col("dist"))),
+                F.lit(0.0),
+            ).alias("harmonic"),
+            F.max("dist").cast("long").alias("eccentricity"),
+        )
+        .select(
+            "vid",
+            "reached",
+            F.when(
+                F.col("__sum") > 0,
+                (F.col("reached") - 1).cast("double") / F.col("__sum"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("closeness"),
+            "harmonic",
+            "eccentricity",
+        )
+    )
+
+
 def label_propagation(
     edges: DataFrame, vertices: DataFrame, max_iter: int = 5
 ) -> DataFrame:

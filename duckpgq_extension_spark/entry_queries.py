@@ -3584,6 +3584,46 @@ FROM mind GROUP BY src""",
 )
 
 
+def q_distance_report(spark, sf_dir):
+    """Composed distance profile (algorithms.distance_report): closeness,
+    harmonic centrality and eccentricity of customers 0-7 from ONE
+    batched multi-source BFS — the standalone closeness / harmonic /
+    eccentricity queries each re-pay the identical traversal; sharing
+    the distance frame removes the duplicates (r8, measured 3.0 s vs
+    7.3 s for the three standalone queries back-to-back at sf0.1).  Values identical to the standalone
+    kernels by construction."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    seeds = spark.table("customer").where(F.col("c_custkey") < 8).select(
+        F.col("c_custkey").cast("long")
+    )
+    rep = algorithms.distance_report(edges, seeds)
+    return rep.select(
+        "vid",
+        "reached",
+        F.round("closeness", 6).alias("closeness"),
+        F.round("harmonic", 6).alias("harmonic"),
+        "eccentricity",
+    )
+
+
+O_DISTANCE_REPORT = _with_e(
+    """, bfs(src, dst, d) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 8
+  UNION
+  SELECT b.src, e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.dst WHERE b.d < 60),
+mind AS (SELECT src, dst, MIN(d) AS d FROM bfs GROUP BY src, dst)
+SELECT src AS vid, COUNT(*) AS reached,
+       ROUND(CASE WHEN SUM(d) > 0
+                  THEN CAST(COUNT(*) - 1 AS DOUBLE) / SUM(d)
+                  ELSE 0 END, 6) AS closeness,
+       ROUND(COALESCE(SUM(CASE WHEN d > 0 THEN 1.0 / d END), 0), 6) AS harmonic,
+       CAST(MAX(d) AS BIGINT) AS eccentricity
+FROM mind GROUP BY src""",
+    recursive=True,
+)
+
+
 def q_pii_redact(spark, sf_dir):
     """PII scrub (functions.text.redact_pii / pii_counts / normalize_text,
     beyond-reference): augment each document with a synthetic email, IP
@@ -5710,6 +5750,7 @@ QUERIES = {
     "global_clustering": q_global_clustering,
     "random_walks": q_random_walks,
     "closeness": q_closeness,
+    "distance_report": q_distance_report,
     "pii_redact": q_pii_redact,
     "communities": q_communities,
     "assortativity": q_assortativity,
@@ -5841,6 +5882,7 @@ ORACLES = {
     "global_clustering": O_GLOBAL_CLUSTERING,
     "random_walks": O_RANDOM_WALKS,
     "closeness": O_CLOSENESS,
+    "distance_report": O_DISTANCE_REPORT,
     "pii_redact": O_PII_REDACT,
     "communities": O_COMMUNITIES,
     "assortativity": O_ASSORTATIVITY,
@@ -6041,7 +6083,7 @@ _R6_FRONT = [
 # order changes.
 _R8_FRONT = [
     # changed or added this round — their r08 rows record the change
-    "centrality_report", "containment_dedup", "avg_path_length",
+    "centrality_report", "distance_report", "containment_dedup", "avg_path_length",
     "percolation", "modularity",
     # the 47 keys last driver-verified in round 5 (r06/r07 windows
     # displaced them); heavy graph core first, simple deterministic

@@ -663,3 +663,39 @@ def test_sql_eigenvector_and_modularity_table_functions(pgq):
         "SELECT SUM(contribution) AS q FROM modularity(pg, Person, Knows)"
     ).collect()
     assert q[0]["q"] is not None
+
+
+# ------------------------------------------------- composed reports (r8)
+
+
+def test_distance_report_matches_standalone_kernels(toy, spark):
+    edges, _ = toy
+    seeds = spark.createDataFrame([(1,), (4,), (6,)], "vid long")
+    rep = {r.vid: r for r in A.distance_report(edges, seeds).collect()}
+    clo = {r.vid: r for r in A.closeness_centrality(edges, seeds).collect()}
+    har = {r.vid: r for r in A.harmonic_centrality(edges, seeds).collect()}
+    ecc = {r.vid: r for r in A.eccentricity(edges, seeds).collect()}
+    assert set(rep) == set(clo) == set(har) == set(ecc)
+    for vid, r in rep.items():
+        assert r.reached == clo[vid].reached
+        assert r.closeness == clo[vid].closeness
+        assert r.harmonic == har[vid].harmonic
+        assert r.eccentricity == ecc[vid].eccentricity
+
+
+def test_k_truss_k3_single_peel_fixpoint(spark):
+    # triangle {1,2,3} + pendant chain 3-4-5: k=3 keeps exactly the
+    # triangle, and (the fast-path claim) the one-peel result IS the
+    # fixpoint — re-peeling the survivors changes nothing
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)], "src long, dst long"
+    )
+    got = sorted((r.src, r.dst) for r in A.k_truss(edges, k=3).collect())
+    assert got == [(1, 2), (1, 3), (2, 3)]
+    again = sorted(
+        (r.src, r.dst)
+        for r in A.k_truss(
+            spark.createDataFrame(got, "src long, dst long"), k=3
+        ).collect()
+    )
+    assert again == got
