@@ -401,15 +401,21 @@ def main() -> None:
             timings[name], cold[name] = med, c
             total += med
             print(f"# {name}: median {med}s / cold {c}s ({n} rows)", file=sys.stderr)
-    def timed_adaptive(run) -> tuple[float, int]:
+    def timed_adaptive(run, single_pass_above=None) -> tuple[float, int]:
         """Tier protocol: two passes; a third only if they disagree by
-        >25%; report the median of the passes taken (see SF1 comment)."""
+        >25%; report the median of the passes taken (see SF1 comment).
+        A first pass longer than `single_pass_above` seconds is recorded
+        as-is — repeating a 3-minute kernel buys noise reduction the
+        growth-factor signal doesn't need at that magnitude, and keeps
+        the tier's wall bounded."""
         runs, n = [], 0
         for _ in range(2):
             release_blocks()
             t0 = time.perf_counter()
             n = run()
             runs.append(time.perf_counter() - t0)
+            if single_pass_above and runs[0] > single_pass_above:
+                return round(runs[0], 3), n
         if abs(runs[0] - runs[1]) / min(runs) > 0.25:
             release_blocks()
             t0 = time.perf_counter()
@@ -419,7 +425,8 @@ def main() -> None:
         med = runs[1] if len(runs) == 3 else (runs[0] + runs[1]) / 2
         return round(med, 3), n
 
-    def run_tier(tier_name, tier_dir, tier_queries, refresh_every):
+    def run_tier(tier_name, tier_dir, tier_queries, refresh_every,
+                 budget_s=None, single_pass_above=None):
         """Run a scale tier in fresh sessions (see the rationale comments
         at SF1_QUERIES): restart the session every `refresh_every`
         queries so each number measures the PLAN, not the session's
@@ -429,11 +436,20 @@ def main() -> None:
         nonlocal spark
         out: dict[str, float] = {}
         growth: dict[str, float] = {}
+        tier_t0 = time.perf_counter()
         spark.stop()
         spark = get_spark(app_name=f"duckpgq_spark_bench_{tier_name}")
         EQ.setup(spark, tier_dir, force=True)
         EQ.QUERIES["match_1hop"](spark, tier_dir).count()  # warm the tier
         for j, name in enumerate(tier_queries):
+            if budget_s and time.perf_counter() - tier_t0 > budget_s:
+                # no silent caps: name what the budget dropped
+                print(
+                    f"# {tier_name} tier wall budget ({budget_s}s) reached;"
+                    f" dropped: {tier_queries[j:]}",
+                    file=sys.stderr,
+                )
+                break
             if j and j % refresh_every == 0:
                 spark.stop()
                 spark = get_spark(
@@ -443,7 +459,8 @@ def main() -> None:
                 EQ.QUERIES["match_1hop"](spark, tier_dir).count()
             fn = EQ.QUERIES[name]
             out[name], n = timed_adaptive(
-                lambda: fn(spark, tier_dir).count()
+                lambda: fn(spark, tier_dir).count(),
+                single_pass_above=single_pass_above,
             )
             if timings.get(name):
                 growth[name] = round(out[name] / timings[name], 2)
@@ -462,7 +479,8 @@ def main() -> None:
             from tools.make_scale_tier import make_scale_tier
 
             make_scale_tier(10, sf_dir, SF1_DIR)
-        sf1, sf1_growth = run_tier("sf1", SF1_DIR, SF1_QUERIES, 5)
+        sf1, sf1_growth = run_tier("sf1", SF1_DIR, SF1_QUERIES, 5,
+                                    single_pass_above=90)
     # sf10 scale tier (second decade, growth vs this run's sf1 numbers)
     sf10: dict[str, float] = {}
     sf10_growth: dict[str, float] = {}
@@ -471,7 +489,17 @@ def main() -> None:
             from tools.make_scale_tier import make_scale_tier
 
             make_scale_tier(100, sf_dir, SF10_DIR)
-        sf10, _ = run_tier("sf10", SF10_DIR, SF10_QUERIES, 3)
+        # wall budget: the tier is scale EVIDENCE, not the primary
+        # record (sf0.1 medians are); 10 min of second-decade signal is
+        # the right spend per round, and queries past the budget are
+        # named in stderr, never silently absent.  cheapest_path runs
+        # LAST and single-pass (~3 min at sf10): its one-off sweeps
+        # live in PERF.md and its growth factor comes out of the sf1
+        # tier either way.
+        sf10, _ = run_tier("sf10", SF10_DIR, SF10_QUERIES, 3,
+                           budget_s=int(os.environ.get(
+                               "SPARK_GRAFT_SF10_BUDGET", "600")),
+                           single_pass_above=60)
         sf10_growth = {
             k: round(v / sf1[k], 2) for k, v in sf10.items() if sf1.get(k)
         }
