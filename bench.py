@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "event_transitions",
     "eigenvector",
     "modularity",
+    "communities_refined",
     "pipeline_v3",
     "streaming_anomaly",
     "percolation",

@@ -1538,6 +1538,107 @@ def modularity(
     )
 
 
+def modularity_refine(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous greedy modularity-improving pass over a community
+    assignment — the local-move step of Louvain (Blondel et al. 2008),
+    beyond-reference: every vertex simultaneously evaluates moving to
+    each NEIGHBORING community and takes the move with the largest
+    modularity gain if strictly positive (ties to the smallest target
+    label); otherwise it stays.  The standard cleanup after LPA, whose
+    plurality votes ignore modularity entirely.
+
+    Like label_propagation, the synchronous simultaneous-move
+    formulation is chosen for determinism and SQL-replayability: the
+    pass is a pure function of (edges, labels), so results are stable
+    across runs, partitionings and engines.  (Sequential Louvain's
+    output depends on visit order — unusable as an oracle-gated spec.)
+
+    Determinism holds down to the arithmetic: the gain is ranked on the
+    ALL-INTEGER equivalent score
+
+        score(v: a->b) = 2m*(k_v^b - k_v^{a}) + deg_v*(sig_a - deg_v - sig_b)
+                       = dQ(v: a->b) * 2m^2
+
+    (k_v^c = v's neighbor count in community c, sig_c = total degree of
+    c, both over the doubled simple adjacency) — exact long arithmetic,
+    no double rounding anywhere, so the argmax is bit-reproducible in
+    any engine.  `labels` must cover every edge endpoint, like
+    modularity().  Returns (vid, label).
+
+    Scale design: one degree aggregate, one community-degree aggregate,
+    one (vid, neighbor-community) count off the doubled adjacency, two
+    broadcast-able dimension joins (sig is community-sized) and one
+    min_by argmax — no iteration, no collect; the heavy frame is the
+    doubled adjacency, touched twice.
+    """
+    und = pathops.materialize(_doubled_neighbors(edges))
+    lab = labels.toDF("vid", "label")
+    two_m = F.broadcast(und.agg(F.count("*").alias("__2m")))
+    deg = und.groupBy(F.col("src").alias("vid")).agg(
+        F.count("*").alias("deg")
+    )
+    base = (
+        lab.join(deg, "vid", "left")
+        .select("vid", "label", F.coalesce("deg", F.lit(0)).alias("deg"))
+    )
+    sig = base.groupBy("label").agg(F.sum("deg").alias("sig"))
+    kvc = (
+        und.alias("u")
+        .join(lab.alias("n"), F.col("u.dst") == F.col("n.vid"))
+        .groupBy(F.col("u.src").alias("vid"), F.col("n.label").alias("cand"))
+        .agg(F.count("*").alias("kvc"))
+    )
+    own = (
+        base.alias("b")
+        .join(
+            kvc.alias("k"),
+            (F.col("b.vid") == F.col("k.vid"))
+            & (F.col("b.label") == F.col("k.cand")),
+            "left",
+        )
+        .select(
+            F.col("b.vid").alias("vid"),
+            F.col("b.label").alias("label"),
+            F.col("b.deg").alias("deg"),
+            F.coalesce(F.col("k.kvc"), F.lit(0)).alias("kown"),
+        )
+    )
+    scored = (
+        kvc.alias("k")
+        .join(own.alias("o"), F.col("k.vid") == F.col("o.vid"))
+        .where(F.col("k.cand") != F.col("o.label"))
+        .join(
+            F.broadcast(sig.select(F.col("label").alias("__la"),
+                                   F.col("sig").alias("sig_a"))),
+            F.col("o.label") == F.col("__la"),
+        )
+        .join(
+            F.broadcast(sig.select(F.col("label").alias("__lb"),
+                                   F.col("sig").alias("sig_b"))),
+            F.col("k.cand") == F.col("__lb"),
+        )
+        .crossJoin(two_m)
+        .select(
+            F.col("k.vid").alias("vid"),
+            F.col("k.cand").alias("cand"),
+            (
+                F.col("__2m") * (F.col("k.kvc") - F.col("o.kown"))
+                + F.col("o.deg")
+                * (F.col("sig_a") - F.col("o.deg") - F.col("sig_b"))
+            ).alias("score"),
+        )
+        .where(F.col("score") > 0)
+    )
+    pick = scored.groupBy("vid").agg(
+        F.min_by(
+            "cand", F.struct((-F.col("score")).alias("ns"), F.col("cand"))
+        ).alias("__new")
+    )
+    return base.join(pick, "vid", "left").select(
+        "vid", F.coalesce(F.col("__new"), F.col("label")).alias("label")
+    )
+
+
 def eigenvector_centrality(
     edges: DataFrame,
     vertices: DataFrame,

@@ -3777,6 +3777,61 @@ FROM agg CROSS JOIN tm
 """
 
 
+def q_communities_refined(spark, sf_dir):
+    """Louvain local-move refinement of the LPA communities
+    (algorithms.modularity_refine, beyond-reference): one synchronous
+    greedy pass where each vertex takes the strictly-positive
+    modularity-gain move with the largest gain (ties to the smallest
+    target label).  The gain is ranked on the all-integer score
+    dQ*2m^2, so the argmax is bit-reproducible in DuckDB; the oracle
+    shares the unrolled LPA CTEs with O_COMMUNITIES so the input
+    assignment can never drift."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    vertices = spark.table("customer").select(F.col("c_custkey").cast("long"))
+    labels = algorithms.label_propagation(edges, vertices, max_iter=5)
+    refined = algorithms.modularity_refine(edges, labels)
+    return refined.select(
+        F.col("vid").cast("bigint").alias("vid"),
+        F.col("label").cast("bigint").alias("label"),
+    )
+
+
+O_COMMUNITIES_REFINED = f"""
+WITH e AS ({EDGES_SQL}),
+{_lpa_parts(5)},
+deg AS (SELECT src AS vid, COUNT(*) AS deg FROM und GROUP BY src),
+base AS (
+  SELECT l.vid, l.label, COALESCE(d.deg, 0) AS deg
+  FROM l5 l LEFT JOIN deg d ON d.vid = l.vid),
+tm AS (SELECT COUNT(*) AS m2 FROM und),
+sig AS (SELECT label, CAST(SUM(deg) AS BIGINT) AS sig FROM base GROUP BY label),
+kvc AS (
+  SELECT u.src AS vid, n.label AS cand, COUNT(*) AS kvc
+  FROM und u JOIN l5 n ON n.vid = u.dst GROUP BY 1, 2),
+own AS (
+  SELECT b.vid, b.label, b.deg, COALESCE(k.kvc, 0) AS kown
+  FROM base b LEFT JOIN kvc k ON k.vid = b.vid AND k.cand = b.label),
+scored AS (
+  SELECT k.vid, k.cand,
+         tm.m2 * (k.kvc - o.kown) + o.deg * (sa.sig - o.deg - sb.sig) AS score
+  FROM kvc k
+  JOIN own o ON o.vid = k.vid
+  JOIN sig sa ON sa.label = o.label
+  JOIN sig sb ON sb.label = k.cand
+  CROSS JOIN tm
+  WHERE k.cand <> o.label),
+pick AS (
+  SELECT vid, cand FROM (
+    SELECT vid, cand,
+           ROW_NUMBER() OVER (PARTITION BY vid ORDER BY score DESC, cand ASC) AS rn
+    FROM scored WHERE score > 0) WHERE rn = 1)
+SELECT CAST(b.vid AS BIGINT) AS vid,
+       CAST(COALESCE(p.cand, b.label) AS BIGINT) AS label
+FROM base b LEFT JOIN pick p ON p.vid = b.vid
+"""
+
+
 def q_assortativity(spark, sf_dir):
     """Degree assortativity (algorithms.degree_assortativity,
     beyond-reference): Pearson correlation of endpoint degrees over the
@@ -5793,6 +5848,7 @@ QUERIES = {
     "event_transitions": q_event_transitions,
     "eigenvector": q_eigenvector,
     "modularity": q_modularity,
+    "communities_refined": q_communities_refined,
     "pipeline_v3": q_pipeline_v3,
     "streaming_anomaly": q_streaming_anomaly,
     "percolation": q_percolation,
@@ -5925,6 +5981,7 @@ ORACLES = {
     "event_transitions": O_EVENT_TRANSITIONS,
     "eigenvector": O_EIGENVECTOR,
     "modularity": O_MODULARITY,
+    "communities_refined": O_COMMUNITIES_REFINED,
     "pipeline_v3": O_PIPELINE_V3,
     "streaming_anomaly": O_STREAMING_ANOMALY,
     "percolation": O_PERCOLATION,
@@ -6084,7 +6141,7 @@ _R6_FRONT = [
 _R8_FRONT = [
     # changed or added this round — their r08 rows record the change
     "centrality_report", "distance_report", "containment_dedup", "avg_path_length",
-    "percolation", "modularity",
+    "percolation", "modularity", "communities_refined",
     # the 47 keys last driver-verified in round 5 (r06/r07 windows
     # displaced them); heavy graph core first, simple deterministic
     # ops last so a window cut below 52 drops the cheapest-to-lose

@@ -699,3 +699,34 @@ def test_k_truss_k3_single_peel_fixpoint(spark):
         ).collect()
     )
     assert again == got
+
+
+def test_modularity_refine_moves_mislabeled_bridge(spark):
+    # two triangles {1,2,3} and {4,5,6} joined by the bridge 3-4; vertex
+    # 4 starts mislabeled into the LEFT community.  Hand-derived scores
+    # (2m=14): moving 4 from com-1 to com-5 scores 14*(2-1)+3*(10-3-4)
+    # = 23 > 0 (moves); 5 scores 14*0+2*(4-2-10) < 0 (stays); all
+    # same-community vertices have no foreign candidates (stay).
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 1), (5, 5), (6, 5)],
+        "vid long, label long",
+    )
+    got = {r.vid: r.label for r in A.modularity_refine(edges, labels).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 5, 5: 5, 6: 5}
+    # the pass is a strict modularity improvement here
+    import pyspark.sql.functions as F
+    def q(lab_rows):
+        lab = spark.createDataFrame(list(lab_rows.items()), "vid long, label long")
+        return A.modularity(edges, lab).agg(F.sum("contribution")).first()[0]
+    before = q({1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5})
+    after = q(got)
+    assert after > before
+    # a correct assignment is a fixpoint (every move scores <= 0)
+    again = {r.vid: r.label for r in A.modularity_refine(
+        edges, spark.createDataFrame(list(got.items()), "vid long, label long")
+    ).collect()}
+    assert again == got
