@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "eigenvector",
     "modularity",
     "communities_refined",
+    "community_graph",
+    "conductance",
     "pipeline_v3",
     "streaming_anomaly",
     "percolation",

@@ -1639,6 +1639,99 @@ def modularity_refine(edges: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
+def contract_communities(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Community-graph contraction — the aggregation phase of Louvain
+    (beyond-reference): collapse each community to one super-vertex and
+    return the weighted community-level edge list
+
+        (src, dst, weight)   src <= dst (canonical), weight = number of
+        undirected simple edges between the two communities (for
+        src = dst: the community's INTERNAL undirected edge count).
+
+    Feeding this back through modularity_refine + contract iterates the
+    full Louvain scheme; the contracted graph is also the right input
+    for community-level layout/summarization ("which communities talk
+    to each other, how much").  `labels` must cover every edge
+    endpoint, like modularity().
+
+    One label join per endpoint over the canonical half of the doubled
+    simple adjacency + one (src,dst)-community aggregate — no
+    iteration; the output is community-count sized.
+    """
+    half = _doubled_neighbors(edges).where(F.col("src") < F.col("dst"))
+    lab = labels.toDF("vid", "label")
+    return (
+        half.alias("u")
+        .join(lab.alias("a"), F.col("u.src") == F.col("a.vid"))
+        .join(lab.alias("b"), F.col("u.dst") == F.col("b.vid"))
+        .select(
+            F.least(F.col("a.label"), F.col("b.label")).alias("src"),
+            F.greatest(F.col("a.label"), F.col("b.label")).alias("dst"),
+        )
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+def community_conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per-community conductance over the undirected simple graph
+    (beyond-reference):
+
+        phi(c) = cut(c) / min(vol(c), 2m - vol(c))
+
+    with cut(c) = edges with exactly one endpoint in c, vol(c) = total
+    degree of c's members, 2m = doubled edge count — the standard
+    "how leaky is this community" score that complements modularity
+    (modularity rewards internal density, conductance penalizes
+    boundary mass; a good cut is low-conductance).  Returns
+    (community, cut_edges, volume, conductance); conductance is NULL
+    for a community spanning the whole graph (min(vol, 2m-vol) = 0).
+    `labels` must cover every edge endpoint, like modularity().
+
+    One label join per endpoint of the doubled adjacency + one
+    community-sized aggregate; 2m rides as a broadcast 1-row frame.
+    """
+    und = _doubled_neighbors(edges)
+    lab = labels.toDF("vid", "label")
+    two_m = F.broadcast(und.agg(F.count("*").alias("__2m")))
+    tagged = (
+        und.alias("u")
+        .join(lab.alias("a"), F.col("u.src") == F.col("a.vid"))
+        .join(lab.alias("b"), F.col("u.dst") == F.col("b.vid"))
+        .select(
+            F.col("a.label").alias("community"),
+            (F.col("a.label") != F.col("b.label")).cast("long").alias("__cut"),
+        )
+    )
+    return (
+        tagged.groupBy("community")
+        .agg(
+            # each cut edge appears once per orientation; the community
+            # owns the src-side copy, so the per-community cut count is
+            # exact (not halved)
+            F.sum("__cut").alias("cut_edges"),
+            F.count("*").alias("volume"),
+        )
+        .crossJoin(two_m)
+        .select(
+            "community",
+            "cut_edges",
+            "volume",
+            # try_divide: the whole-graph community has min(vol, 2m-vol)
+            # = 0 — NULL there by contract (ANSI mode would throw)
+            F.round(
+                F.try_divide(
+                    F.col("cut_edges"),
+                    F.least(
+                        F.col("volume"), F.col("__2m") - F.col("volume")
+                    ),
+                ),
+                6,
+            ).alias("conductance"),
+        )
+    )
+
+
 def eigenvector_centrality(
     edges: DataFrame,
     vertices: DataFrame,

@@ -3832,6 +3832,79 @@ FROM base b LEFT JOIN pick p ON p.vid = b.vid
 """
 
 
+def q_community_graph(spark, sf_dir):
+    """Community-graph contraction of the LPA communities
+    (algorithms.contract_communities, beyond-reference — the Louvain
+    aggregation phase): weighted community-level edge list, self-edges
+    carrying each community's internal edge count.  Oracle shares the
+    unrolled LPA CTEs with O_COMMUNITIES."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    vertices = spark.table("customer").select(F.col("c_custkey").cast("long"))
+    labels = algorithms.label_propagation(edges, vertices, max_iter=5)
+    cg = algorithms.contract_communities(edges, labels)
+    return cg.select(
+        F.col("src").cast("bigint").alias("src"),
+        F.col("dst").cast("bigint").alias("dst"),
+        F.col("weight").cast("bigint").alias("weight"),
+    )
+
+
+O_COMMUNITY_GRAPH = f"""
+WITH e AS ({EDGES_SQL}),
+{_lpa_parts(5)},
+half AS (SELECT src, dst FROM und WHERE src < dst)
+SELECT CAST(LEAST(a.label, b.label) AS BIGINT) AS src,
+       CAST(GREATEST(a.label, b.label) AS BIGINT) AS dst,
+       COUNT(*) AS weight
+FROM half u
+JOIN l5 a ON a.vid = u.src
+JOIN l5 b ON b.vid = u.dst
+GROUP BY 1, 2
+"""
+
+
+def q_conductance(spark, sf_dir):
+    """Per-community conductance of the LPA communities
+    (algorithms.community_conductance, beyond-reference):
+    cut / min(vol, 2m - vol) — the boundary-leakage complement of
+    modularity, same shared LPA CTE oracle."""
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges")
+    vertices = spark.table("customer").select(F.col("c_custkey").cast("long"))
+    labels = algorithms.label_propagation(edges, vertices, max_iter=5)
+    cond = algorithms.community_conductance(edges, labels)
+    return cond.select(
+        F.col("community").cast("bigint").alias("community"),
+        F.col("cut_edges").cast("bigint").alias("cut_edges"),
+        F.col("volume").cast("bigint").alias("volume"),
+        "conductance",
+    )
+
+
+O_CONDUCTANCE = f"""
+WITH e AS ({EDGES_SQL}),
+{_lpa_parts(5)},
+tm AS (SELECT COUNT(*) AS m2 FROM und),
+tagged AS (
+  SELECT a.label AS community,
+         CASE WHEN a.label <> b.label THEN 1 ELSE 0 END AS cut
+  FROM und u
+  JOIN l5 a ON a.vid = u.src
+  JOIN l5 b ON b.vid = u.dst),
+agg AS (
+  SELECT community, CAST(SUM(cut) AS BIGINT) AS cut_edges,
+         COUNT(*) AS volume
+  FROM tagged GROUP BY community)
+SELECT community, cut_edges, volume,
+       CASE WHEN LEAST(volume, tm.m2 - volume) > 0
+            THEN ROUND(CAST(cut_edges AS DOUBLE)
+                       / LEAST(volume, tm.m2 - volume), 6)
+            END AS conductance
+FROM agg CROSS JOIN tm
+"""
+
+
 def q_assortativity(spark, sf_dir):
     """Degree assortativity (algorithms.degree_assortativity,
     beyond-reference): Pearson correlation of endpoint degrees over the
@@ -5849,6 +5922,8 @@ QUERIES = {
     "eigenvector": q_eigenvector,
     "modularity": q_modularity,
     "communities_refined": q_communities_refined,
+    "community_graph": q_community_graph,
+    "conductance": q_conductance,
     "pipeline_v3": q_pipeline_v3,
     "streaming_anomaly": q_streaming_anomaly,
     "percolation": q_percolation,
@@ -5982,6 +6057,8 @@ ORACLES = {
     "eigenvector": O_EIGENVECTOR,
     "modularity": O_MODULARITY,
     "communities_refined": O_COMMUNITIES_REFINED,
+    "community_graph": O_COMMUNITY_GRAPH,
+    "conductance": O_CONDUCTANCE,
     "pipeline_v3": O_PIPELINE_V3,
     "streaming_anomaly": O_STREAMING_ANOMALY,
     "percolation": O_PERCOLATION,
@@ -6142,6 +6219,7 @@ _R8_FRONT = [
     # changed or added this round — their r08 rows record the change
     "centrality_report", "distance_report", "containment_dedup", "avg_path_length",
     "percolation", "modularity", "communities_refined",
+    "community_graph", "conductance",
     # the 47 keys last driver-verified in round 5 (r06/r07 windows
     # displaced them); heavy graph core first, simple deterministic
     # ops last so a window cut below 52 drops the cheapest-to-lose

@@ -730,3 +730,33 @@ def test_modularity_refine_moves_mislabeled_bridge(spark):
         edges, spark.createDataFrame(list(got.items()), "vid long, label long")
     ).collect()}
     assert again == got
+
+
+def test_contract_and_conductance_two_triangles(spark):
+    # triangles {1,2,3} / {4,5,6} + bridge 3-4, communities 1 and 5:
+    # contraction -> self-edges weight 3 each + one cross edge; both
+    # communities have volume 7 (2m=14) and one boundary edge each.
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 5), (5, 5), (6, 5)],
+        "vid long, label long",
+    )
+    cg = {(r.src, r.dst): r.weight
+          for r in A.contract_communities(edges, labels).collect()}
+    assert cg == {(1, 1): 3, (5, 5): 3, (1, 5): 1}
+    cond = {r.community: (r.cut_edges, r.volume, r.conductance)
+            for r in A.community_conductance(edges, labels).collect()}
+    assert cond == {1: (1, 7, round(1 / 7, 6)), 5: (1, 7, round(1 / 7, 6))}
+
+
+def test_conductance_whole_graph_community_is_null(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long")
+    labels = spark.createDataFrame(
+        [(1, 9), (2, 9), (3, 9)], "vid long, label long"
+    )
+    rows = A.community_conductance(edges, labels).collect()
+    assert len(rows) == 1 and rows[0].conductance is None
+    assert rows[0].cut_edges == 0 and rows[0].volume == 4
