@@ -75,6 +75,11 @@ AUDITED = [
     "degree_powerlaw",
     "burstiness",
     "nbr_features_l2",
+    # round-8 additions
+    "communities_refined",
+    "community_graph",
+    "conductance",
+    "distance_report",
 ]
 
 # row-at-a-time Python evaluation; Arrow-batched variants
@@ -269,3 +274,21 @@ def test_resample_fill_single_key_shuffle(spark):
     win = plan.find("Window")
     assert win != -1, plan[:2000]
     assert "rangepartitioning" not in plan[:win].lower(), plan[:2000]
+
+
+def test_modularity_refine_broadcasts_community_dims(spark):
+    """modularity_refine's sig (community-degree) joins are
+    community-count sized — they must land as broadcast joins, never a
+    shuffled sort-merge against the per-vertex candidate frame."""
+    df = EQ.QUERIES["communities_refined"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_contract_communities_single_aggregate(spark):
+    """community_graph is two dimension joins + ONE aggregate — a second
+    hash aggregate pair beyond the LPA rounds' own would mean the
+    contraction re-aggregates per round instead of once."""
+    df = EQ.QUERIES["community_graph"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BatchEvalPython" not in plan
