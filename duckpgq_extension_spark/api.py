@@ -305,6 +305,9 @@ class PGQSession:
             "label_propagation": self.label_propagation,
             "eigenvector_centrality": self.eigenvector_centrality,
             "modularity": self.modularity,
+            "modularity_refine": self.modularity_refine,
+            "contract_communities": self.contract_communities,
+            "community_conductance": self.community_conductance,
         }
         call_re = re.compile(
             r"\b(" + "|".join(dispatch) + r")\s*\(\s*"
@@ -667,6 +670,44 @@ class PGQSession:
         )
         labels = algorithms.label_propagation(edges, vertices, **kw)
         return algorithms.modularity(edges, labels)
+
+    def modularity_refine(
+        self, graph: str, vertex_label: str, edge_label: str, **kw
+    ) -> DataFrame:
+        """(vid, label) — one Louvain local-move pass over the
+        label-propagation communities (beyond-reference;
+        algorithms.modularity_refine over algorithms.label_propagation
+        labels; kwargs pass to LPA)."""
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        labels = algorithms.label_propagation(edges, vertices, **kw)
+        return algorithms.modularity_refine(edges, labels)
+
+    def contract_communities(
+        self, graph: str, vertex_label: str, edge_label: str, **kw
+    ) -> DataFrame:
+        """(src, dst, weight) — the weighted community graph of the
+        label-propagation communities (beyond-reference, Louvain
+        aggregation phase; algorithms.contract_communities; kwargs pass
+        to LPA)."""
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        labels = algorithms.label_propagation(edges, vertices, **kw)
+        return algorithms.contract_communities(edges, labels)
+
+    def community_conductance(
+        self, graph: str, vertex_label: str, edge_label: str, **kw
+    ) -> DataFrame:
+        """(community, cut_edges, volume, conductance) — boundary
+        leakage of the label-propagation communities (beyond-reference;
+        algorithms.community_conductance; kwargs pass to LPA)."""
+        _, _, _, pks, vdf, vkey, vertices, edges = self._graph_frames(
+            graph, vertex_label, edge_label, undirected=False
+        )
+        labels = algorithms.label_propagation(edges, vertices, **kw)
+        return algorithms.community_conductance(edges, labels)
 
     def link_prediction(
         self, graph: str, vertex_label: str, edge_label: str, **kw

@@ -760,3 +760,19 @@ def test_conductance_whole_graph_community_is_null(spark):
     rows = A.community_conductance(edges, labels).collect()
     assert len(rows) == 1 and rows[0].conductance is None
     assert rows[0].cut_edges == 0 and rows[0].volume == 4
+
+
+def test_sql_dispatch_louvain_family(pgq):
+    # round-8 table functions: local-move refinement, community graph,
+    # conductance — all dispatch from FROM position like pagerank
+    ref = {r.vid: r.label for r in
+           pgq.sql("SELECT * FROM modularity_refine(pg, Person, Knows)").collect()}
+    api = {r.vid: r.label for r in
+           pgq.modularity_refine("pg", "Person", "Knows").collect()}
+    assert ref == api and len(ref) > 0
+    cg = pgq.sql("SELECT * FROM contract_communities(pg, Person, Knows)").collect()
+    assert all(r.src <= r.dst and r.weight >= 1 for r in cg)
+    cond = pgq.sql(
+        "SELECT * FROM community_conductance(pg, Person, Knows)"
+    ).collect()
+    assert {c for r in cond for c in [r.cut_edges]} is not None and len(cond) > 0
