@@ -1538,14 +1538,33 @@ def modularity(
     )
 
 
-def modularity_refine(edges: DataFrame, labels: DataFrame) -> DataFrame:
-    """One synchronous greedy modularity-improving pass over a community
+def modularity_refine(
+    edges: DataFrame, labels: DataFrame, passes: int = 1
+) -> DataFrame:
+    """Synchronous greedy modularity-improving passes over a community
     assignment — the local-move step of Louvain (Blondel et al. 2008),
     beyond-reference: every vertex simultaneously evaluates moving to
     each NEIGHBORING community and takes the move with the largest
     modularity gain if strictly positive (ties to the smallest target
     label); otherwise it stays.  The standard cleanup after LPA, whose
-    plurality votes ignore modularity entirely.
+    plurality votes ignore modularity entirely.  With `passes` > 1 the
+    pass repeats up to that many times, stopping early at a fixpoint
+    (no vertex moved — detected during the checkpoint job, LPA-style).
+
+    HONEST LIMIT (measured, round 8): synchronous simultaneous moves
+    INTERFERE — each vertex's gain assumes everyone else stays put —
+    so iterated passes are neither monotone in Q nor guaranteed to
+    converge.  On clean structure they do (the two-triangle and
+    triangle-from-singletons tests reach their fixpoints in <= 2
+    passes); on the near-random sf0.01 bench graph, singleton-seeded
+    passes 2-cycle at the PARTITION level (326 communities swapping
+    members forever) and Q drifts slightly DOWN (-0.0004 -> -0.0017
+    over 8 passes).  One pass from a sensible assignment (LPA) is the
+    measured-safe use — Q strictly improved on every graph tried —
+    and is what the communities_refined driver gate ships.  A
+    Q-monotone parallel Louvain needs sequential or conflict-free
+    (graph-colored) move scheduling — out of scope, documented here so
+    nobody re-trips on the sync-oscillation rake.
 
     Like label_propagation, the synchronous simultaneous-move
     formulation is chosen for determinism and SQL-replayability: the
@@ -1571,12 +1590,33 @@ def modularity_refine(edges: DataFrame, labels: DataFrame) -> DataFrame:
     min_by argmax — no iteration, no collect; the heavy frame is the
     doubled adjacency, touched twice.
     """
+    if passes < 1:
+        raise ValueError("passes must be >= 1")
     und = pathops.materialize(_doubled_neighbors(edges))
-    lab = labels.toDF("vid", "label")
+    lab = pathops.materialize(labels.toDF("vid", "label"))
     two_m = F.broadcast(und.agg(F.count("*").alias("__2m")))
     deg = und.groupBy(F.col("src").alias("vid")).agg(
         F.count("*").alias("deg")
     )
+    for _pass in range(passes):
+        nxt = _refine_pass(und, lab, deg, two_m)
+        if passes == 1:
+            return nxt.select("vid", "label")
+        obs = Observation(f"__pgq_refine_{next(pathops._obs_seq)}")
+        nxt = nxt.observe(
+            obs,
+            F.sum((F.col("label") != F.col("__prev")).cast("int")).alias("n"),
+        )
+        lab = pathops.materialize(nxt.select("vid", "label"))
+        if not obs.get["n"]:
+            break
+    return lab
+
+
+def _refine_pass(und, lab, deg, two_m):
+    """One local-move pass (see modularity_refine).  Returns
+    (vid, label, __prev) where __prev is the round-start label (for the
+    caller's changed-count Observation)."""
     base = (
         lab.join(deg, "vid", "left")
         .select("vid", "label", F.coalesce("deg", F.lit(0)).alias("deg"))
@@ -1635,7 +1675,9 @@ def modularity_refine(edges: DataFrame, labels: DataFrame) -> DataFrame:
         ).alias("__new")
     )
     return base.join(pick, "vid", "left").select(
-        "vid", F.coalesce(F.col("__new"), F.col("label")).alias("label")
+        "vid",
+        F.coalesce(F.col("__new"), F.col("label")).alias("label"),
+        F.col("label").alias("__prev"),
     )
 
 

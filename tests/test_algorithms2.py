@@ -776,3 +776,18 @@ def test_sql_dispatch_louvain_family(pgq):
         "SELECT * FROM community_conductance(pg, Person, Knows)"
     ).collect()
     assert {c for r in cond for c in [r.cut_edges]} is not None and len(cond) > 0
+
+
+def test_modularity_refine_multipass_converges_triangle(spark):
+    # singleton seed on a triangle: pass 1 collapses to {1:2, 2:1, 3:1}
+    # (each vertex moves to its smallest positive-gain neighbor), pass 2
+    # reaches the whole-triangle community {all: 1}, further passes are
+    # no-ops — multi-pass with early exit must land on the fixpoint
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    singles = spark.createDataFrame([(i, i) for i in (1, 2, 3)], "vid long, label long")
+    one = {r.vid: r.label for r in A.modularity_refine(edges, singles, passes=1).collect()}
+    assert one == {1: 2, 2: 1, 3: 1}
+    multi = {r.vid: r.label for r in A.modularity_refine(edges, singles, passes=5).collect()}
+    assert multi == {1: 1, 2: 1, 3: 1}
+    with __import__("pytest").raises(ValueError):
+        A.modularity_refine(edges, singles, passes=0)
