@@ -3566,14 +3566,14 @@ def q_closeness(spark, sf_dir):
     return scores.select("vid", "reached", F.round("closeness", 6).alias("closeness"))
 
 
-# the d < 30 cap bounds the recursive CTE on cyclic graphs (dedup is on
+# the d < 60 cap bounds the recursive CTE on cyclic graphs (dedup is on
 # (src, dst, d), so d would otherwise grow forever); the sf0.01 graph's
 # diameter is ~5, far under the cap, so min(d) is exact
 O_CLOSENESS = _with_e(
     """, bfs(src, dst, d) AS (
   SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 8
   UNION
-  SELECT b.src, e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.dst WHERE b.d < 30),
+  SELECT b.src, e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.dst WHERE b.d < 60),
 mind AS (SELECT src, dst, MIN(d) AS d FROM bfs GROUP BY src, dst)
 SELECT src AS vid, COUNT(*) AS reached,
        ROUND(CASE WHEN SUM(d) > 0
@@ -4457,7 +4457,7 @@ O_ECCENTRICITY = _with_e(
   SELECT c_custkey, c_custkey, 0 FROM customer
   WHERE c_custkey >= 100 AND c_custkey < 108
   UNION
-  SELECT b.src, e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.dst WHERE b.d < 30),
+  SELECT b.src, e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.dst WHERE b.d < 60),
 mind AS (SELECT src, dst, MIN(d) AS d FROM bfs GROUP BY src, dst)
 SELECT src AS vid, CAST(MAX(d) AS BIGINT) AS eccentricity,
        COUNT(*) AS reached
@@ -4598,7 +4598,7 @@ O_HARMONIC = _with_e(
     """, bfs(src, dst, d) AS (
   SELECT c_custkey, c_custkey, 0 FROM customer WHERE c_custkey < 8
   UNION
-  SELECT b.src, e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.dst WHERE b.d < 30),
+  SELECT b.src, e.dst, b.d + 1 FROM bfs b JOIN e ON e.src = b.dst WHERE b.d < 60),
 mind AS (SELECT src, dst, MIN(d) AS d FROM bfs GROUP BY src, dst)
 SELECT src AS vid,
        ROUND(COALESCE(SUM(CASE WHEN d > 0 THEN 1.0 / d END), 0), 6) AS harmonic,

@@ -775,7 +775,10 @@ def test_sql_dispatch_louvain_family(pgq):
     cond = pgq.sql(
         "SELECT * FROM community_conductance(pg, Person, Knows)"
     ).collect()
-    assert {c for r in cond for c in [r.cut_edges]} is not None and len(cond) > 0
+    assert len(cond) > 0
+    assert all(
+        r.cut_edges is not None and r.cut_edges >= 0 and r.volume > 0 for r in cond
+    )
 
 
 def test_modularity_refine_multipass_converges_triangle(spark):
