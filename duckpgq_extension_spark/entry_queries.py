@@ -94,6 +94,24 @@ EDGE TABLES (
 )
 """
 
+# heterogeneous-domain variant: supplier—locatedIn—nation is a bipartite
+# edge table whose endpoints live in DIFFERENT vertex tables (the SNB
+# Person-likes->Message shape, reference complex_matching.test).  Vertex
+# identity is (table, key) via table-tagged surrogates
+# (plans/compiler.py:_surrogate_parts) — supplier 3 and nation 3 never merge.
+GRAPH_BIP_DDL = """
+CREATE OR REPLACE PROPERTY GRAPH bipartite
+VERTEX TABLES (
+    supplier PROPERTIES (s_suppkey, s_name, s_nationkey) LABEL Supp,
+    nation PROPERTIES (n_nationkey, n_name) LABEL Nat
+)
+EDGE TABLES (
+    supplier AS sloc SOURCE KEY (s_suppkey) REFERENCES supplier (s_suppkey)
+             DESTINATION KEY (s_nationkey) REFERENCES nation (n_nationkey)
+             LABEL LocIn
+)
+"""
+
 GRAPH2_DDL = """
 CREATE OR REPLACE PROPERTY GRAPH social2
 VERTEX TABLES (
@@ -139,6 +157,7 @@ def setup(spark: SparkSession, sf_dir: str, force: bool = False) -> PGQSession:
     pgq.execute(GRAPH_DDL)
     pgq.execute(GRAPH2_DDL)
     pgq.execute(GRAPHS_DDL)
+    pgq.execute(GRAPH_BIP_DDL)
     _SETUP[key] = (sf_dir, pgq)
     return pgq
 
@@ -336,6 +355,40 @@ O_VAR_LENGTH_1_2 = _with_e(
        FROM bfs GROUP BY src, dst HAVING min(d) BETWEEN 1 AND 2""",
     recursive=True,
 )
+
+
+def q_var_length_hetero(spark, sf_dir):
+    """Variable-length path over a heterogeneous (bipartite) edge table,
+    traversed undirected: suppliers at distance 2 are co-nation suppliers
+    (the path runs through the nation vertex).  Exercises the
+    table-tagged-surrogate union domain (compiler._surrogate_parts) that
+    replaces the reference's conflated union CSR
+    (compressed_sparse_row.cpp:132-143)."""
+    pgq = setup(spark, sf_dir)
+    return pgq.graph_table(
+        """bipartite MATCH (s:Supp WHERE s.s_suppkey <= 40)-[l:LocIn]-{1,2}(x:Supp)
+           COLUMNS (s.s_suppkey AS src_key, x.s_suppkey AS dst_key,
+                    CAST(l.dist AS BIGINT) AS dist)"""
+    )
+
+
+# traversal-faithful oracle: BFS over the integer-tagged union domain
+# (supplier k -> 2k, nation k -> 2k+1) so the recursion walks the same
+# bipartite graph the engine does; terminal filter = even (supplier) ids
+O_VAR_LENGTH_HETERO = """
+WITH RECURSIVE ue AS (
+  SELECT s_suppkey * 2 AS a, s_nationkey * 2 + 1 AS b FROM supplier
+), und AS (
+  SELECT a, b FROM ue UNION ALL SELECT b AS a, a AS b FROM ue
+), bfs(src, dst, d) AS (
+  SELECT s_suppkey * 2, s_suppkey * 2, 0 FROM supplier WHERE s_suppkey <= 40
+  UNION
+  SELECT f.src, u.b, f.d + 1 FROM bfs f JOIN und u ON u.a = f.dst WHERE f.d < 2
+), mind AS (SELECT src, dst, MIN(d) AS d FROM bfs GROUP BY src, dst)
+SELECT CAST(src // 2 AS BIGINT) AS src_key, CAST(dst // 2 AS BIGINT) AS dst_key,
+       CAST(d AS BIGINT) AS dist
+FROM mind WHERE dst % 2 = 0 AND d BETWEEN 1 AND 2
+"""
 
 
 def q_shortest_len(spark, sf_dir):
@@ -6134,6 +6187,14 @@ ORACLES.update({
     "apply_vocab": O_APPLY_VOCAB,
     "vocab_drift": O_VOCAB_DRIFT,
     "ann_recall": O_ANN_RECALL,
+})
+
+# round 9 additions
+QUERIES.update({
+    "var_length_hetero": q_var_length_hetero,
+})
+ORACLES.update({
+    "var_length_hetero": O_VAR_LENGTH_HETERO,
 })
 
 

@@ -91,7 +91,7 @@ def _key_canon_flags(vdf, pk_lists, edf, fk_lists) -> list[bool]:
     ]
 
 
-def _key_hash(cols, canon: list[bool] | None = None) -> "F.Column":
+def _key_hash(cols, canon: list[bool] | None = None, tag: str | None = None) -> "F.Column":
     """Surrogate long vertex id for composite keys: xxhash64 over the
     string-rendered key tuple.  Positions flagged in `canon` (all-numeric
     fk/pk per _key_canon_flags) render through DECIMAL(38,15) so
@@ -100,15 +100,23 @@ def _key_hash(cols, canon: list[bool] | None = None) -> "F.Column":
     plain string casts otherwise.  Per-column hashing (not concat) avoids
     tuple ambiguity.  Values outside DECIMAL(38,15) range canonicalize to
     NULL, which the collision/resolution guards in _check_path_vertices
-    turn into a PGQConstraintError instead of a silent empty traversal."""
+    turn into a PGQConstraintError instead of a silent empty traversal.
+
+    `tag` (heterogeneous vertex domains only) prepends a vertex-table
+    discriminator literal so vertex identity is (table, key): supplier 3
+    and nation 3 hash to DIFFERENT surrogate ids.  The reference's union
+    CSR conflates rowids of distinct tables into one dense-id space
+    (compressed_sparse_row.cpp:132-143,164-172 sizes the domain by the
+    SOURCE table only) — tagging is the principled fix, not a port."""
     if canon is None:
         canon = [False] * len(cols)
-    return F.xxhash64(
-        *[
-            c.cast("decimal(38,15)").cast("string") if k else c.cast("string")
-            for c, k in zip(cols, canon)
-        ]
-    )
+    rendered = [
+        c.cast("decimal(38,15)").cast("string") if k else c.cast("string")
+        for c, k in zip(cols, canon)
+    ]
+    if tag is not None:
+        rendered = [F.lit(tag)] + rendered
+    return F.xxhash64(*rendered)
 
 
 def _expr(text: str):
@@ -414,6 +422,49 @@ class MatchCompiler:
             [list(pgt.source_fk), list(pgt.destination_fk)],
         )
 
+    def _endpoint_side(
+        self, pgt: PropertyGraphTable, vertex_pgt: PropertyGraphTable, prefer_source: bool
+    ) -> str:
+        """Which side of the edge table this vertex table binds to —
+        mirrors _endpoint_pks' resolution order exactly so the pk list and
+        the surrogate tag/canon always come from the same side."""
+        if prefer_source and pgt.source_reference == vertex_pgt.table_name:
+            return "src"
+        if pgt.destination_reference == vertex_pgt.table_name:
+            return "dst"
+        if pgt.source_reference == vertex_pgt.table_name:
+            return "src"
+        raise PGQBinderError(
+            f"Edge table '{pgt.table_name}' does not reference vertex table "
+            f"'{vertex_pgt.table_name}'"
+        )
+
+    def _surrogate_parts(
+        self, pgt: PropertyGraphTable, side: str
+    ) -> tuple[list[bool], str | None]:
+        """(canon flags, tag) for surrogate-hashing one side of this edge
+        table.  Homogeneous graphs keep the joint flags and NO tag —
+        byte-identical hashes to the pre-heterogeneous compiler, so
+        existing surrogate path results are unchanged.  Heterogeneous
+        edges (source_reference != destination_reference) compute flags
+        per (vertex-table, fk-list) pair — the two sides may even have
+        different key arities — and tag with the vertex table name so the
+        two key domains can never collide."""
+        if pgt.source_reference == pgt.destination_reference:
+            return self._key_canon(pgt), None
+        if side == "src":
+            vref, pks, fks = pgt.source_reference, pgt.source_pk, pgt.source_fk
+        else:
+            vref, pks, fks = (
+                pgt.destination_reference,
+                pgt.destination_pk,
+                pgt.destination_fk,
+            )
+        vtab = table_df(self.pg.spark, vref)
+        etab = table_df(self.pg.spark, pgt.table_name)
+        canon = _key_canon_flags(vtab, [list(pks)], etab, [list(fks)])
+        return canon, vref.lower()
+
     def _endpoint_key_col(
         self,
         pgt: PropertyGraphTable,
@@ -425,10 +476,12 @@ class MatchCompiler:
         the xxhash64 surrogate (must mirror _bind_path_edge's decision —
         passed in explicitly so edge and vertex sides can never diverge
         when fk/pk physical types differ)."""
-        pks = self._endpoint_pks(pgt, vertex_pgt, prefer_source)
+        side = self._endpoint_side(pgt, vertex_pgt, prefer_source)
+        pks = list(pgt.source_pk if side == "src" else pgt.destination_pk)
         if not surrogate:
             return F.col(pks[0]).cast("long")
-        return _key_hash([F.col(c) for c in pks], self._key_canon(pgt))
+        canon, tag = self._surrogate_parts(pgt, side)
+        return _key_hash([F.col(c) for c in pks], canon, tag)
 
     def _endpoint_key_sql(
         self,
@@ -440,11 +493,15 @@ class MatchCompiler:
     ) -> str:
         """Same key as _endpoint_key_col but as a SQL expression string
         qualified by a binding alias (used in join conditions)."""
-        pks = self._endpoint_pks(pgt, vertex_pgt, prefer_source)
+        side = self._endpoint_side(pgt, vertex_pgt, prefer_source)
+        pks = list(pgt.source_pk if side == "src" else pgt.destination_pk)
         if not surrogate:
             return f"{_q(binding)}.{_q(pks[0])}"
+        canon, tag = self._surrogate_parts(pgt, side)
         parts = []
-        for c, k in zip(pks, self._key_canon(pgt)):
+        if tag is not None:
+            parts.append("'" + tag.replace("'", "''") + "'")
+        for c, k in zip(pks, canon):
             ref = f"{_q(binding)}.{_q(c)}"
             parts.append(
                 f"cast(cast({ref} as decimal(38,15)) as string)"
@@ -620,13 +677,14 @@ class MatchCompiler:
         if edge.label is None:
             raise PGQBinderError(f"Edge binding '{edge.binding}' needs a label")
         pgt = self.pg.table_for_label(edge.label)
-        if pgt.source_reference != pgt.destination_reference:
-            # BFS on natural keys requires one vertex domain; heterogeneous
-            # multi-hop is ill-defined anyway (dst type != src type)
-            raise PGQNotImplementedError(
-                "Variable-length paths over edges between different vertex "
-                "tables are not supported"
-            )
+        # heterogeneous vertex domains (SNB-style Person-likes->Message):
+        # vertex identity is (table, key), realised as table-tagged
+        # xxhash64 surrogates, so the two key domains traverse as one
+        # union graph without ever colliding.  The reference's union CSR
+        # sizes the dense-id space by the source table alone
+        # (compressed_sparse_row.cpp:132-143), conflating distinct tables'
+        # rowids — tagged surrogates are the principled Spark-side fix.
+        hetero = pgt.source_reference != pgt.destination_reference
         src_fks, dst_fks = list(pgt.source_fk), list(pgt.destination_fk)
         e = edge.binding
 
@@ -634,9 +692,12 @@ class MatchCompiler:
         # surrogate ids whenever the natural key is not a single integral
         # column: composite keys AND string/decimal/etc. single keys both
         # hash (the reference renumbers arbitrary key types to dense rowids
-        # at CSR build; hashing needs no global sort)
+        # at CSR build; hashing needs no global sort).  Heterogeneous
+        # domains always hash — raw integral keys of different tables
+        # would collide (supplier 3 == nation 3).
         composite = (
-            len(src_fks) > 1
+            hetero
+            or len(src_fks) > 1
             or not pathops.integral_keys(edf, src_fks + dst_fks)
             or not pathops.integral_keys(
                 table_df(self.pg.spark, pgt.source_reference), pgt.source_pk
@@ -658,11 +719,16 @@ class MatchCompiler:
             # global sort; _check_path_vertices proves the hash is
             # collision-free on this graph before any traversal runs.
             # Path arrays/element ids then contain surrogate ids, exactly
-            # as the reference's contain rowids.
-            canon = self._key_canon(pgt)
+            # as the reference's contain rowids.  On heterogeneous edges
+            # each side hashes with its OWN vertex table's tag and canon
+            # flags (the sides may differ in arity and key types).
+            s_canon, s_tag = self._surrogate_parts(pgt, "src")
+            d_canon, d_tag = self._surrogate_parts(pgt, "dst")
             edf = edf.withColumn(
-                "__pgq_src_h", _key_hash([F.col(c) for c in src_fks], canon)
-            ).withColumn("__pgq_dst_h", _key_hash([F.col(c) for c in dst_fks], canon))
+                "__pgq_src_h", _key_hash([F.col(c) for c in src_fks], s_canon, s_tag)
+            ).withColumn(
+                "__pgq_dst_h", _key_hash([F.col(c) for c in dst_fks], d_canon, d_tag)
+            )
             src_fk, dst_fk = "__pgq_src_h", "__pgq_dst_h"
         else:
             src_fk, dst_fk = src_fks[0], dst_fks[0]
@@ -917,6 +983,10 @@ class MatchCompiler:
         key = label.lower()
         if key in cache:
             return
+        if pgt.source_reference != pgt.destination_reference:
+            self._check_path_vertices_hetero(pgt, edf, src_fks, dst_fks)
+            cache.add(key)
+            return
         pks = list(pgt.source_pk)
         vtab = table_df(self.pg.spark, pgt.source_reference)
         vkeys = vtab.select(*[F.col(c).alias(f"__vk{i}") for i, c in enumerate(pks)])
@@ -1002,6 +1072,91 @@ class MatchCompiler:
                     "use matching key types or a single integral key"
                 )
         cache.add(key)
+
+    def _check_path_vertices_hetero(
+        self, pgt, edf, src_fks: list[str], dst_fks: list[str]
+    ) -> None:
+        """Heterogeneous-edge variant of the edge-integrity guard: the two
+        endpoint domains are different tables, so each side resolves
+        against its OWN vertex table, each table proves its tagged hash is
+        collision-free, and the two tagged hash sets are proven disjoint
+        (a cross-table collision would silently merge two vertices into
+        one traversal node).  All checks are one-pass aggregates over the
+        vertex tables plus one semi-join pass over the edges — cached per
+        edge label like the homogeneous guard."""
+        from ..errors import PGQConstraintError
+
+        n_edges = edf.count()
+        side_hashes = {}
+        for side, vref, pks, fks in (
+            ("src", pgt.source_reference, list(pgt.source_pk), src_fks),
+            ("dst", pgt.destination_reference, list(pgt.destination_pk), dst_fks),
+        ):
+            vtab = table_df(self.pg.spark, vref)
+            canon, tag = self._surrogate_parts(pgt, side)
+            # natural-key resolution + uniqueness (reference error parity,
+            # csr_creation.cpp:121-125): inner-join count equals edge
+            # count iff every fk resolves to EXACTLY one vertex
+            vkeys = vtab.select(
+                *[F.col(c).alias(f"__vk{i}") for i, c in enumerate(pks)]
+            )
+            cond = None
+            for i, fk in enumerate(fks):
+                eq = F.col(fk) == F.col(f"__vk{i}")
+                cond = eq if cond is None else (cond & eq)
+            if edf.join(vkeys, cond, "inner").count() != n_edges:
+                raise PGQConstraintError(
+                    "Non-existent/non-unique vertices detected. Make sure all "
+                    "vertices referred by edge tables exist and are unique for "
+                    "path-finding queries."
+                )
+            # tagged-hash collision proof within this vertex table
+            nn = vtab
+            for c in pks:
+                nn = nn.where(F.col(c).isNotNull())
+            stats = nn.agg(
+                F.countDistinct(*[F.col(c) for c in pks]).alias("n_tuples"),
+                F.countDistinct(
+                    _key_hash([F.col(c) for c in pks], canon, tag)
+                ).alias("n_hashes"),
+            ).first()
+            if stats["n_tuples"] != stats["n_hashes"]:
+                raise PGQConstraintError(
+                    f"Surrogate-key hash collision on vertex table '{vref}' "
+                    f"key {pks}; path-finding over this graph needs an "
+                    "explicit single-column key"
+                )
+            # edge-side hashes must resolve against vertex-side hashes
+            # (fk/pk rendering divergence fails loudly, not as empty paths)
+            vh = nn.select(
+                _key_hash([F.col(c) for c in pks], canon, tag).alias("__vh")
+            )
+            eh = edf.select(
+                _key_hash([F.col(c) for c in fks], canon, tag).alias("__eh")
+            )
+            if eh.join(vh, F.col("__eh") == F.col("__vh"), "left_semi").count() != n_edges:
+                raise PGQConstraintError(
+                    f"Surrogate key hashes of edge table '{pgt.table_name}' "
+                    f"({side} side) do not all resolve against vertex table "
+                    f"'{vref}'; use matching key types or a single integral key"
+                )
+            side_hashes[side] = vh
+        # the two tagged domains must be disjoint — a cross-table hash
+        # collision would alias a source-domain vertex to a dest-domain one
+        overlap = (
+            side_hashes["src"]
+            .join(
+                side_hashes["dst"].select(F.col("__vh").alias("__vh2")),
+                F.col("__vh") == F.col("__vh2"),
+                "left_semi",
+            )
+            .count()
+        )
+        if overlap:
+            raise PGQConstraintError(
+                f"Tagged surrogate hash collision across vertex tables "
+                f"'{pgt.source_reference}' and '{pgt.destination_reference}'"
+            )
 
     # -- projection ----------------------------------------------------
     def _prop_cols(self, binding: str) -> list:
