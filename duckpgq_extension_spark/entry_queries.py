@@ -2679,6 +2679,38 @@ FROM ranked WHERE rank <= 5
 """
 
 
+def q_ann_ivf_index(spark, sf_dir):
+    """Standing-index IVF route (similarity.write_ivf_index +
+    ivf_topk_from_index): the inverted-list assignment is paid ONCE at
+    index build (cached per sf tier on local scratch — at 100 TB this is
+    the bucketed/partitioned standing table) and the query batch reads
+    only its probed list directories via static partition pruning
+    (PartitionFilters plan-pinned in test_similarity).  Same
+    (nlist, nprobe, k) as ann_ivf, so the top-k is hash-identical; this
+    gate times the amortized query plan where ann_ivf times
+    build+query per run."""
+    import os
+
+    setup(spark, sf_dir)
+    emb = _emb_double(spark, sf_dir)
+    path = os.path.join(
+        "/tmp/duckpgq_ivf_index", os.path.basename(os.path.normpath(sf_dir))
+    )
+    if not os.path.exists(os.path.join(path, "corpus", "_SUCCESS")):
+        similarity.write_ivf_index(emb, path, nlist=8)
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.ivf_topk_from_index(
+        spark, path, queries, k=5, nprobe=2
+    ).select(
+        "query_id", "vec_id", "cosine_sim", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+# identical semantics to the in-memory route — the index is a layout, not
+# a different algorithm — so the oracle is shared
+O_ANN_IVF_INDEX = O_ANN_IVF
+
+
 def q_ann_ivfpq(spark, sf_dir):
     """IVF-PQ ANN (similarity.ivfpq_topk): the corpus compressed to m=8
     one-byte codes per vector (32x smaller than dim-64 float64), coarse
@@ -6192,9 +6224,11 @@ ORACLES.update({
 # round 9 additions
 QUERIES.update({
     "var_length_hetero": q_var_length_hetero,
+    "ann_ivf_index": q_ann_ivf_index,
 })
 ORACLES.update({
     "var_length_hetero": O_VAR_LENGTH_HETERO,
+    "ann_ivf_index": O_ANN_IVF_INDEX,
 })
 
 

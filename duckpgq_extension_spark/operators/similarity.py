@@ -344,6 +344,9 @@ def write_ivf_index(
     ).write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/corpus")
 
 
+_CENTROID_FILE_CACHE: dict = {}
+
+
 def ivf_topk_from_index(
     spark,
     path: str,
@@ -360,11 +363,27 @@ def ivf_topk_from_index(
     on the partition column — static partition pruning, so unprobed list
     directories are never opened.  Returns (query_id, vec_id, cosine_sim,
     rank) like ivf_topk.
+
+    Centroids are contract-small standing state (nlist vectors), cached
+    driver-side per (path, write time) so repeated query batches skip the
+    parquet read + collect round-trip; an index rewrite invalidates the
+    entry via the directory mtime.
     """
-    cents = [
-        (int(r["centroid_id"]), list(r["centroid"]))
-        for r in spark.read.parquet(f"{path}/centroids").collect()
-    ]
+    import os
+
+    cdir = f"{path}/centroids"
+    try:
+        ckey = (cdir, os.path.getmtime(cdir))
+    except OSError:
+        ckey = (cdir, None)
+    cents = _CENTROID_FILE_CACHE.get(ckey)
+    if cents is None:
+        cents = [
+            (int(r["centroid_id"]), list(r["centroid"]))
+            for r in spark.read.parquet(cdir).collect()
+        ]
+        _CENTROID_FILE_CACHE.clear()  # bounded: one standing index at a time
+        _CENTROID_FILE_CACHE[ckey] = cents
     q = _probe_queries(queries, cents, nprobe, query_id_col, vec_col)
     probed = sorted({r["__cid"] for r in q.select("__cid").distinct().collect()})
     corpus = (
