@@ -2020,11 +2020,10 @@ def shortest_path_counts(
     as long; a count beyond 2^63-1 fails the final cast loudly under
     ANSI mode rather than returning a wrong number.
     """
-    edges = pathops.materialize(
-        edges.select("src", "dst").repartition(
-            pathops.default_parallelism(edges.sparkSession), "src"
-        )
-    )
+    # session-cached src-partitioned adjacency (_prep_edges): shared with
+    # betweenness_centrality and every BFS kernel over the same edge plan,
+    # so running the family back-to-back builds it once
+    edges = pathops._prep_edges(edges.select("src", "dst"), None)
     frontier = pathops.materialize(
         seeds.toDF("vid").distinct().select(
             F.col("vid").alias("src"),
@@ -2094,11 +2093,8 @@ def betweenness_centrality(
     (source, vertex) and checkpointed per level; sigma/delta ride the
     frames — nothing is collected.
     """
-    edges = pathops.materialize(
-        edges.select("src", "dst").repartition(
-            pathops.default_parallelism(edges.sparkSession), "src"
-        )
-    )
+    # shared session-cached adjacency (see shortest_path_counts)
+    edges = pathops._prep_edges(edges.select("src", "dst"), None)
     frontier = pathops.materialize(
         seeds.toDF("vid").distinct().select(
             F.col("vid").alias("src"),
