@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "degree_powerlaw",
     "avg_path_length",
     "burstiness",
+    "var_length_hetero",
+    "ann_ivf_index",
 ]
 
 

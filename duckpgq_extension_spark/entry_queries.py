@@ -6340,3 +6340,54 @@ ORACLES = {
     **{k: ORACLES[k] for k in _R8_FRONT if k in ORACLES},
     **{k: v for k, v in ORACLES.items() if k not in set(_R8_FRONT)},
 }
+
+# Round 9 rotation (window = first ~50 keys).  Leads: the two queries
+# added this round (never driver-verified), the three whose oracle
+# recursion guard changed (d<30 -> d<60), the three whose kernels
+# changed this round (keep-longest rewrite; shared-adjacency routing),
+# then the six keys whose newest driver row is still r05 (VERDICT r8
+# item 2), then 36 of the 50 r06-stale keys — graph/match core first.
+# The 14 r06 keys that don't fit (simple deterministic relational/
+# streaming ops, all pytest-covered) are queued immediately after the
+# window cut for round 10.  All 154 keys stay registered; only
+# insertion order changes.
+_R9_FRONT = [
+    # new this round
+    "var_length_hetero", "ann_ivf_index",
+    # oracle guard raised this round (re-record under the new SQL)
+    "closeness", "harmonic", "eccentricity",
+    # kernels touched this round (hashes proven unchanged locally;
+    # driver row records it)
+    "dedup_keep_longest", "path_counts", "betweenness",
+    # newest row still r05
+    "pii_redact", "doc_logprob", "funnel", "cohort_retention",
+    "session_paths", "group_sample",
+    # r06-stale graph/match core
+    "match_1hop", "match_undirected", "match_reverse", "match_bidirected",
+    "match_triangle", "match_inheritance", "match_composite_key",
+    "shortest_composite", "shortest_string", "reachability",
+    "shortest_path_vertices", "topk_paths", "acyclic_paths",
+    "all_shortest_paths", "trail_paths", "cheapest_path_vertices",
+    "match_cheapest", "personalized_pagerank", "weighted_pagerank",
+    "lcc", "k_core", "neighbor_sample", "sampled_neighborhood",
+    "temporal_reach", "csr_edges", "csr_offsets", "graph_report",
+    "summarize", "create_vertex_table",
+    # r06-stale relational core
+    "tpch_q1", "topk_per_group", "asof_join", "interval_join",
+    "window_running_sum", "rollup_orders", "cube_lineitem",
+    # --- expected window cut (~50) ---
+    # remaining r06-stale simple ops, first in line for round 10
+    "semi_anti_join", "streaming_dedup", "streaming_degree",
+    "streaming_join", "events_json", "events_daily", "sessionize",
+    "quality_repetition", "chunk_docs", "det_sample",
+    "stratified_sample", "vocab_stats", "tfidf", "pack_sequences",
+]
+
+QUERIES = {
+    **{k: QUERIES[k] for k in _R9_FRONT},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R9_FRONT)},
+}
+ORACLES = {
+    **{k: ORACLES[k] for k in _R9_FRONT if k in ORACLES},
+    **{k: v for k, v in ORACLES.items() if k not in set(_R9_FRONT)},
+}
