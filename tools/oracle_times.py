@@ -25,9 +25,11 @@ sys.path.insert(0, "/root/repo")
 import __spark_entry__ as entry_mod  # noqa: E402
 from duckpgq_extension_spark.sources.tables import TABLES  # noqa: E402
 
-THREADS = 32
-TIMEOUT = 120.0
-REPS = 3
+import os
+
+THREADS = int(os.environ.get("ORACLE_THREADS", "32"))
+TIMEOUT = float(os.environ.get("ORACLE_TIMEOUT", "120"))
+REPS = int(os.environ.get("ORACLE_REPS", "3"))
 
 
 def time_oracle(sql: str, sf_dir: str) -> float | str:
