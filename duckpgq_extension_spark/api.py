@@ -362,6 +362,7 @@ class PGQSession:
         et = pg.table_for_label(edge_label, kind="edge")
         if vt is et or not et.source_fk:
             raise PGQBinderError(f"'{edge_label}' is not an edge label")
+        self._require_single_domain(vertex_label, vt, edge_label, et)
         pks = list(et.source_pk)
         vdf = pg.element_df(vertex_label)
         edf = pg.element_df(edge_label)
@@ -780,6 +781,29 @@ class PGQSession:
         )
 
     @staticmethod
+    def _require_single_domain(vertex_label, vt, edge_label, et) -> None:
+        """Whole-graph kernels return per-vertex rows keyed by ONE vertex
+        table's natural key — a heterogeneous edge (endpoints in two
+        tables) has no such key space, and keying it by either side would
+        silently conflate the two domains (the reference union CSR's
+        rowid bug, compressed_sparse_row.cpp:132-143).  Hetero traversal
+        IS supported, via MATCH var-length patterns (table-tagged
+        surrogate union domain) — point there instead of mis-answering."""
+        if et.source_reference.lower() != et.destination_reference.lower():
+            raise PGQBinderError(
+                f"Whole-graph algorithms need a single vertex domain; edge "
+                f"label '{edge_label}' connects '{et.source_reference}' to "
+                f"'{et.destination_reference}'.  Traverse heterogeneous "
+                "edges with variable-length MATCH patterns instead"
+            )
+        if vt.table_name.lower() != et.source_reference.lower():
+            raise PGQBinderError(
+                f"Vertex label '{vertex_label}' (table '{vt.table_name}') "
+                f"is not the vertex table of edge label '{edge_label}' "
+                f"(which references '{et.source_reference}')"
+            )
+
+    @staticmethod
     def _edge_vid_exprs(pg, vt, et, vdf, edf):
         """(src_expr, dst_expr, surrogate, canon): the vertex-id
         expressions for an edge frame, via the SAME surrogate decision
@@ -822,6 +846,7 @@ class PGQSession:
         pg = self.catalog.get(graph)
         et = pg.table_for_label(edge_label, kind="edge")
         vt = pg.table_for_label(vertex_label, kind="vertex")
+        self._require_single_domain(vertex_label, vt, edge_label, et)
         edf = pg.element_df(edge_label)
         vdf = pg.element_df(vertex_label)
         src_e, dst_e, _, _ = self._edge_vid_exprs(pg, vt, et, vdf, edf)

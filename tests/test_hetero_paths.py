@@ -112,6 +112,24 @@ def test_unreferenced_terminal_table_errors(pgq):
         ).collect()
 
 
+def test_whole_graph_algorithms_reject_hetero_edges(pgq):
+    # pagerank over StudyAt would have to key Person and School rows in
+    # one id space — the silent-conflation bug the tagged-surrogate MATCH
+    # route exists to avoid.  The API must refuse, naming the alternative.
+    with pytest.raises(PGQBinderError, match="single vertex domain"):
+        pgq.pagerank("pg", "Person", "StudyAt").collect()
+    # SQL table-function dispatch goes through the same _graph_frames
+    with pytest.raises(PGQBinderError, match="single vertex domain"):
+        pgq.sql(
+            "SELECT * FROM weakly_connected_component(pg, Person, StudyAt)"
+        ).collect()
+
+
+def test_algorithms_reject_unrelated_vertex_label(pgq):
+    with pytest.raises(PGQBinderError, match="not the vertex table"):
+        pgq.pagerank("pg", "SCHOOL", "Knows").collect()
+
+
 def test_homogeneous_route_unchanged(pgq):
     # guard: the tag is None on homogeneous graphs, so the pre-existing
     # integral-key BFS answers are untouched (know graph, reference
