@@ -140,3 +140,50 @@ def test_homogeneous_route_unchanged(pgq):
            COLUMNS (b.id AS b_id, CAST(k.dist AS BIGINT) AS dist)""",
     )
     assert rows(df) == [(1, 1), (2, 1), (3, 1)]
+
+
+def test_hetero_sides_with_different_arity_and_types(spark):
+    """The two sides of a heterogeneous edge may differ in key arity AND
+    physical type: accounts keyed by a composite (region INT, num INT),
+    hubs keyed by a single VARCHAR.  Each side hashes with its own tag
+    and canonicalization flags (compiler._surrogate_parts); undirected
+    2-hop = accounts sharing a hub."""
+    from duckpgq_extension_spark import PGQSession
+
+    spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (2, 10, "c"), (2, 30, "d")],
+        "region int, num int, nm string",
+    ).createOrReplaceTempView("acct")
+    spark.createDataFrame(
+        [("h1",), ("h2",)], "hname string"
+    ).createOrReplaceTempView("hub")
+    # (1,10)->h1, (1,20)->h1, (2,10)->h2, (2,30)->h2
+    spark.createDataFrame(
+        [(1, 10, "h1"), (1, 20, "h1"), (2, 10, "h2"), (2, 30, "h2")],
+        "r int, n int, h string",
+    ).createOrReplaceTempView("acct_hub")
+    s = PGQSession(spark)
+    s.execute(
+        """CREATE OR REPLACE PROPERTY GRAPH hg
+        VERTEX TABLES (
+            acct PROPERTIES (region, num, nm) LABEL Acct,
+            hub PROPERTIES (hname) LABEL Hub
+        )
+        EDGE TABLES (
+            acct_hub SOURCE KEY (r, n) REFERENCES acct (region, num)
+                     DESTINATION KEY (h) REFERENCES hub (hname)
+                     LABEL AtHub
+        )"""
+    )
+    df = s.graph_table(
+        """hg MATCH (a:Acct WHERE a.region = 1 AND a.num = 10)-[e:AtHub]-{1,2}(b:Acct)
+           COLUMNS (b.region AS r2, b.num AS n2, CAST(e.dist AS BIGINT) AS dist)"""
+    )
+    # (1,10) shares h1 with (1,20) only; (2,10) shares num but not hub
+    assert rows(df) == [(1, 20, 2)]
+    # hub terminal at dist 1
+    dh = s.graph_table(
+        """hg MATCH (a:Acct WHERE a.region = 2 AND a.num = 30)-[e:AtHub]-{1,2}(h:Hub)
+           COLUMNS (h.hname AS hname, CAST(e.dist AS BIGINT) AS dist)"""
+    )
+    assert rows(dh) == [("h2", 1)]

@@ -251,3 +251,40 @@ def test_is3_friends(snb, spark):
     got = [tuple(r) for r in df.collect()]
     assert len(got) >= 1
     assert got[0][0] == 32 and got[0][1] == "Miguel" and got[0][2] == "Gonzalez"
+
+
+def test_hetero_var_length_likes(snb, spark):
+    """Round 9: Person-likes->Message is a heterogeneous edge table —
+    variable-length traversal runs over the table-tagged surrogate union
+    domain (compiler._surrogate_parts).  Undirected {1,2} from one
+    person: dist 1 lands on Message (filtered out by the Person
+    terminal), dist 2 = co-likers.  Expected set derived independently
+    with plain Spark SQL on the same views."""
+    df = snb.graph_table(
+        """snb MATCH (a:Person WHERE a.id = 16)-[l:likes_Message]-{1,2}(b:Person)
+           COLUMNS (b.id AS b_id, CAST(l.dist AS BIGINT) AS dist)"""
+    )
+    got = sorted((r.b_id, r.dist) for r in df.collect())
+    exp = sorted(
+        (r.b_id, 2)
+        for r in spark.sql(
+            """SELECT DISTINCT l2.PersonId AS b_id
+               FROM Person_likes_Message l1
+               JOIN Person_likes_Message l2 ON l2.id = l1.id
+               WHERE l1.PersonId = 16 AND l2.PersonId <> 16"""
+        ).collect()
+    )
+    assert len(got) == 44 and got == exp
+    # Message terminal: the same traversal's dist-1 frontier
+    dm = snb.graph_table(
+        """snb MATCH (a:Person WHERE a.id = 16)-[l:likes_Message]-{1,2}(m:Message)
+           COLUMNS (m.id AS m_id, CAST(l.dist AS BIGINT) AS dist)"""
+    )
+    liked = {
+        r.id
+        for r in spark.sql(
+            "SELECT DISTINCT id FROM Person_likes_Message WHERE PersonId = 16"
+        ).collect()
+    }
+    got_m = {(r.m_id, r.dist) for r in dm.collect()}
+    assert {m for m, d in got_m if d == 1} == liked
