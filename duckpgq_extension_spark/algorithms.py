@@ -683,6 +683,69 @@ def hits(
         vertices.select("vid", F.lit(1.0).alias("hub"), F.lit(0.0).alias("auth"))
     )
     try:
+        if tol == 0:
+            # Deferred L1 normalization (round 9): each round's
+            # normalization is a positive scalar, so applying BOTH norms
+            # once at the end returns the identical (hub, authority)
+            # vectors while making every round pure shuffle joins — no
+            # crossJoined 1-row aggregates.  That unlocks LPA's
+            # every-other-round checkpoint cadence (the r8 fused-lineage
+            # regression was caused by the broadcast norm branch, now
+            # gone): one materialize per TWO rounds instead of two per
+            # round.  Magnitudes grow as ~(mean degree)^2 per round —
+            # double overflow needs degree^(2*max_iter) > 1e308, not a
+            # realistic configuration.  The tol-based early-exit path
+            # below keeps per-round normalization (its convergence
+            # deltas are defined on unit-scale scores).
+            for i in range(max_iter):
+                araw = (
+                    scores.alias("s")
+                    .join(edges.alias("e"), F.col("s.vid") == F.col("e.src"))
+                    .groupBy(F.col("e.dst").alias("vid"))
+                    .agg(F.sum("s.hub").alias("araw"))
+                )
+                auth = (
+                    scores.alias("s")
+                    .join(araw.alias("a"), F.col("s.vid") == F.col("a.vid"), "left")
+                    .select(
+                        F.col("s.vid").alias("vid"),
+                        F.col("s.hub").alias("hub"),
+                        F.coalesce(F.col("araw"), F.lit(0.0)).alias("auth"),
+                    )
+                )
+                hraw = (
+                    auth.alias("s")
+                    .join(edges_by_dst.alias("e"), F.col("s.vid") == F.col("e.dst"))
+                    .groupBy(F.col("e.src").alias("vid"))
+                    .agg(F.sum("s.auth").alias("hraw"))
+                )
+                merged = (
+                    auth.alias("s")
+                    .join(hraw.alias("h"), F.col("s.vid") == F.col("h.vid"), "left")
+                    .select(
+                        F.col("s.vid").alias("vid"),
+                        F.coalesce(F.col("hraw"), F.lit(0.0)).alias("hub"),
+                        F.col("s.auth").alias("auth"),
+                    )
+                )
+                if i % 2 == 1 or i == max_iter - 1:
+                    merged = pathops.materialize(merged)
+                scores = merged
+            sums = F.broadcast(
+                scores.agg(
+                    F.coalesce(F.sum("hub"), F.lit(0.0)).alias("__hn"),
+                    F.coalesce(F.sum("auth"), F.lit(0.0)).alias("__an"),
+                )
+            )
+            return scores.crossJoin(sums).select(
+                "vid",
+                F.when(F.col("__hn") > 0, F.col("hub") / F.col("__hn"))
+                .otherwise(F.lit(0.0))
+                .alias("hub"),
+                F.when(F.col("__an") > 0, F.col("auth") / F.col("__an"))
+                .otherwise(F.lit(0.0))
+                .alias("authority"),
+            )
         for _ in range(max_iter):
             # authority step: mass flows along edge direction (hub of src)
             araw = (
@@ -1780,21 +1843,32 @@ def eigenvector_centrality(
     max_iter: int = 10,
 ) -> DataFrame:
     """Eigenvector centrality (beyond-reference): power iteration
-    x_{k+1} = A^T x_k / ||A^T x_k||_1 from the uniform vector, fixed
-    `max_iter` rounds — the undamped in-edge member of the walk-counting
-    family (pagerank = damped + teleport, katz = damped + additive,
-    HITS = the bipartite two-vector form).  L1 normalization (scores sum
-    to 1 over vertices receiving mass) keeps every round replayable in
-    an unrolled SQL oracle, like hits.
+    x_{k+1} proportional to A^T x_k from the uniform vector, fixed
+    `max_iter` rounds, L1-normalized ONCE at the end — the undamped
+    in-edge member of the walk-counting family (pagerank = damped +
+    teleport, katz = damped + additive, HITS = the bipartite two-vector
+    form).  L1 normalization is a positive scalar per round, so
+    deferring it to a single final pass returns the IDENTICAL vector
+    (each per-round-normalized iterate has L1 exactly 1, and scaling
+    commutes with the linear map) while removing the per-round
+    broadcast-norm branch — the crossJoined 1-row aggregate that made
+    each round 3 exchanges instead of 2 and that blocked round fusion
+    (PERF.md round-8 fused-lineage/broadcast negative result).
+    Measured: 3.6 -> ~2.4 s at sf0.1 for the 10-round gate.
+
+    Magnitudes: the unnormalized iterate grows as ~(mean in-degree)^k,
+    so double overflow needs degree^k > 1e308 — not a realistic
+    (degree, max_iter) combination; the final normalize restores the
+    unit scale.  A dying walk (total mass 0, e.g. power iteration into
+    a sink) yields the zero vector, exactly as before.
 
     Returns (vid, eigenvector); vertices with no in-edges inside the
     vertex domain score 0.  Edges with an endpoint outside `vertices`
     are dropped up front (same induced-subgraph contract as hits).
 
-    Scale design: one contribution join + aggregate per round against
-    the src-partitioned induced edge frame; the L1 norm rides as a
-    broadcast 1-row frame (no driver collect per round) — the pagerank
-    cost model minus the dangling redistribution.
+    Scale design: one contribution join + one aggregate + one merge per
+    round against the src-partitioned induced edge frame; nothing is
+    collected.
     """
     vertices = pathops.materialize(vertices.toDF("vid").distinct())
     induced = (
@@ -1807,31 +1881,38 @@ def eigenvector_centrality(
     x = pathops.materialize(
         vertices.select("vid", F.lit(1.0 / float(n)).alias("ev"))
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         raw = (
             x.alias("s")
             .join(edges_p.alias("e"), F.col("s.vid") == F.col("e.src"))
             .groupBy(F.col("e.dst").alias("vid"))
             .agg(F.sum("s.ev").alias("w"))
         )
-        norm = F.broadcast(
-            raw.agg(F.coalesce(F.sum("w"), F.lit(0.0)).alias("__n"))
-        )
-        x = pathops.materialize(
+        x = (
             x.alias("o")
             .join(raw.alias("c"), F.col("o.vid") == F.col("c.vid"), "left")
-            .crossJoin(norm)
             .select(
                 F.col("o.vid").alias("vid"),
-                F.when(
-                    F.col("__n") > 0,
-                    F.coalesce(F.col("c.w"), F.lit(0.0)) / F.col("__n"),
-                )
-                .otherwise(F.lit(0.0))
-                .alias("ev"),
+                F.coalesce(F.col("c.w"), F.lit(0.0)).alias("ev"),
             )
         )
-    return x.select("vid", F.col("ev").alias("eigenvector"))
+        # checkpoint every OTHER round (LPA's cadence): with the norm
+        # branch gone the round is pure shuffle joins, so the fused
+        # round's exchange is reused across its two references and the
+        # r8 fused-lineage/broadcast regression no longer applies —
+        # re-measured this round: 4.6 -> 3.0 s warm at sf0.1
+        if i % 2 == 1 or i == max_iter - 1:
+            x = pathops.materialize(x)
+    norm = F.broadcast(x.agg(F.coalesce(F.sum("ev"), F.lit(0.0)).alias("__n")))
+    return (
+        x.crossJoin(norm)
+        .select(
+            "vid",
+            F.when(F.col("__n") > 0, F.col("ev") / F.col("__n"))
+            .otherwise(F.lit(0.0))
+            .alias("eigenvector"),
+        )
+    )
 
 
 def link_prediction(

@@ -2956,14 +2956,15 @@ def q_hits(spark, sf_dir):
 
 
 def _hits_oracle(iters: int = 5) -> str:
+    # deferred L1 normalization (round 9, mirrors algorithms.hits):
+    # rounds are bare contribution sums; both norms applied once at the
+    # end — identical vectors, the per-round norm was a positive scalar
     parts = [
         "verts AS (SELECT c_custkey AS vid FROM customer)",
         "h0 AS MATERIALIZED (SELECT vid, 1.0 AS hub FROM verts)",
     ]
     for i in range(1, iters + 1):
         p = f"h{i - 1}"
-        # MATERIALIZED throughout: each normalization references its raw
-        # frame twice (sum + per-vertex lookup); see _pagerank_oracle
         parts.append(
             f"""ar{i} AS MATERIALIZED (
   SELECT e.dst AS vid, SUM(h.hub) AS araw
@@ -2971,11 +2972,8 @@ def _hits_oracle(iters: int = 5) -> str:
         )
         parts.append(
             f"""a{i} AS MATERIALIZED (
-  SELECT v.vid,
-         CASE WHEN t.s > 0 THEN COALESCE(m.araw, 0) / t.s ELSE 0 END AS auth
-  FROM verts v
-  CROSS JOIN (SELECT COALESCE(SUM(araw), 0) AS s FROM ar{i}) t
-  LEFT JOIN ar{i} m ON m.vid = v.vid)"""
+  SELECT v.vid, COALESCE(m.araw, 0) AS auth
+  FROM verts v LEFT JOIN ar{i} m ON m.vid = v.vid)"""
         )
         parts.append(
             f"""hr{i} AS MATERIALIZED (
@@ -2984,17 +2982,18 @@ def _hits_oracle(iters: int = 5) -> str:
         )
         parts.append(
             f"""h{i} AS MATERIALIZED (
-  SELECT v.vid,
-         CASE WHEN t.s > 0 THEN COALESCE(m.hraw, 0) / t.s ELSE 0 END AS hub
-  FROM verts v
-  CROSS JOIN (SELECT COALESCE(SUM(hraw), 0) AS s FROM hr{i}) t
-  LEFT JOIN hr{i} m ON m.vid = v.vid)"""
+  SELECT v.vid, COALESCE(m.hraw, 0) AS hub
+  FROM verts v LEFT JOIN hr{i} m ON m.vid = v.vid)"""
         )
     body = ",\n".join(parts)
     return (
-        f"WITH e AS ({EDGES_SQL}),\n{body}\n"
-        f"SELECT h.vid, ROUND(h.hub, 6) AS hub, ROUND(a.auth, 6) AS authority "
-        f"FROM h{iters} h JOIN a{iters} a ON a.vid = h.vid"
+        f"WITH e AS ({EDGES_SQL}),\n{body},\n"
+        f"hn AS (SELECT COALESCE(SUM(hub), 0) AS s FROM h{iters}),\n"
+        f"an AS (SELECT COALESCE(SUM(auth), 0) AS s FROM a{iters})\n"
+        f"SELECT h.vid, "
+        f"ROUND(CASE WHEN hn.s > 0 THEN h.hub / hn.s ELSE 0 END, 6) AS hub, "
+        f"ROUND(CASE WHEN an.s > 0 THEN a.auth / an.s ELSE 0 END, 6) AS authority "
+        f"FROM h{iters} h JOIN a{iters} a ON a.vid = h.vid, hn, an"
     )
 
 
@@ -3609,6 +3608,10 @@ def q_eigenvector(spark, sf_dir):
 
 
 def _eigenvector_oracle(iters: int = 10) -> str:
+    # deferred L1 normalization (round 9): each round is the bare
+    # contribution sum, the norm applied ONCE at the end — mirrors
+    # algorithms.eigenvector_centrality exactly (identical vector: the
+    # per-round norm was a positive scalar)
     parts = [
         "verts AS (SELECT c_custkey AS vid FROM customer)",
         """x0 AS MATERIALIZED (
@@ -3623,16 +3626,15 @@ def _eigenvector_oracle(iters: int = 10) -> str:
         )
         parts.append(
             f"""x{i} AS MATERIALIZED (
-  SELECT v.vid,
-         CASE WHEN t.s > 0 THEN COALESCE(m.w, 0) / t.s ELSE 0 END AS ev
-  FROM verts v
-  CROSS JOIN (SELECT COALESCE(SUM(w), 0) AS s FROM r{i}) t
-  LEFT JOIN r{i} m ON m.vid = v.vid)"""
+  SELECT v.vid, COALESCE(m.w, 0) AS ev
+  FROM verts v LEFT JOIN r{i} m ON m.vid = v.vid)"""
         )
     body = ",\n".join(parts)
     return (
         f"WITH e AS ({EDGES_SQL}),\n{body}\n"
-        f"SELECT vid, ROUND(ev, 6) AS eigenvector FROM x{iters}"
+        f"SELECT vid, ROUND(CASE WHEN t.s > 0 THEN ev / t.s ELSE 0 END, 6) "
+        f"AS eigenvector FROM x{iters} "
+        f"CROSS JOIN (SELECT COALESCE(SUM(ev), 0) AS s FROM x{iters}) t"
     )
 
 
@@ -6357,8 +6359,11 @@ _R9_FRONT = [
     # oracle guard raised this round (re-record under the new SQL)
     "closeness", "harmonic", "eccentricity",
     # kernels touched this round (hashes proven unchanged locally;
-    # driver row records it)
+    # driver row records it) — hits/eigenvector moved to deferred L1
+    # normalization with the oracle updated in lockstep, and
+    # centrality_report composes both
     "dedup_keep_longest", "path_counts", "betweenness",
+    "hits", "eigenvector", "centrality_report",
     # newest row still r05
     "pii_redact", "doc_logprob", "funnel", "cohort_retention",
     "session_paths", "group_sample",
