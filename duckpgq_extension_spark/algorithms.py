@@ -1455,14 +1455,14 @@ def katz_centrality(
     vertices = pathops.materialize(vertices.toDF("vid").distinct())
     edges = pathops.persist_partitioned(edges.select("src", "dst"))  # cache-owned
     x = pathops.materialize(vertices.select("vid", F.lit(beta).alias("katz")))
-    for _ in range(max_iter):
+    for i in range(max_iter):
         contrib = (
             x.alias("s")
             .join(edges.alias("e"), F.col("s.vid") == F.col("e.src"))
             .groupBy(F.col("e.dst").alias("vid"))
             .agg(F.sum("s.katz").alias("w"))
         )
-        x = pathops.materialize(
+        x = (
             x.alias("o")
             .join(contrib.alias("c"), F.col("o.vid") == F.col("c.vid"), "left")
             .select(
@@ -1473,6 +1473,11 @@ def katz_centrality(
                 ).alias("katz"),
             )
         )
+        # every-other-round checkpoint (LPA's cadence): the round is pure
+        # shuffle joins — no broadcast branch to trip the r8 fused-lineage
+        # regression; values unchanged, one barrier per two rounds
+        if i % 2 == 1 or i == max_iter - 1:
+            x = pathops.materialize(x)
     return x
 
 
