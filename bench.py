@@ -148,6 +148,7 @@ BENCH_QUERIES = [
     "burstiness",
     "var_length_hetero",
     "ann_ivf_index",
+    "ann_ivfpq_index",
 ]
 
 

@@ -2728,6 +2728,31 @@ def q_ann_ivfpq(spark, sf_dir):
     )
 
 
+def q_ann_ivfpq_index(spark, sf_dir):
+    """Standing-index IVF-PQ route (similarity.write_pq_index +
+    ivfpq_topk_from_index): codebooks/centroids and the exploded
+    (vec_id, s, code) table — 32x smaller than the vectors — are built
+    ONCE per tier (cached on scratch); the timed query reads only its
+    probed list partitions and never touches a vector.  Same
+    (nlist, nprobe, m, ksub, k) as ann_ivfpq, so the ADC top-k is
+    hash-identical (shared oracle)."""
+    import os
+
+    setup(spark, sf_dir)
+    emb = _emb_double(spark, sf_dir)
+    path = os.path.join(
+        "/tmp/duckpgq_pq_index", os.path.basename(os.path.normpath(sf_dir))
+    )
+    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+        similarity.write_pq_index(emb, path, nlist=8, m=8, ksub=16)
+    queries = emb.where(F.col("vec_id") < 10)
+    return similarity.ivfpq_topk_from_index(
+        spark, path, queries, k=5, nprobe=2
+    ).select(
+        "query_id", "vec_id", "adc_score", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 O_ANN_IVFPQ = """
 WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 nrm AS (
@@ -6227,10 +6252,13 @@ ORACLES.update({
 QUERIES.update({
     "var_length_hetero": q_var_length_hetero,
     "ann_ivf_index": q_ann_ivf_index,
+    "ann_ivfpq_index": q_ann_ivfpq_index,
 })
 ORACLES.update({
     "var_length_hetero": O_VAR_LENGTH_HETERO,
     "ann_ivf_index": O_ANN_IVF_INDEX,
+    # identical semantics to the in-memory PQ route — shared oracle
+    "ann_ivfpq_index": O_ANN_IVFPQ,
 })
 
 
@@ -6355,7 +6383,7 @@ ORACLES = {
 # insertion order changes.
 _R9_FRONT = [
     # new this round
-    "var_length_hetero", "ann_ivf_index",
+    "var_length_hetero", "ann_ivf_index", "ann_ivfpq_index",
     # oracle guard raised this round (re-record under the new SQL)
     "closeness", "harmonic", "eccentricity",
     # kernels touched this round (hashes proven unchanged locally;
