@@ -187,3 +187,24 @@ def test_hetero_sides_with_different_arity_and_types(spark):
            COLUMNS (h.hname AS hname, CAST(e.dist AS BIGINT) AS dist)"""
     )
     assert rows(dh) == [("h2", 1)]
+
+
+def test_hetero_point_pair_bidirectional_route(pgq):
+    """Both endpoints pinned by key equality + length-only observation
+    triggers the meet-in-the-middle dispatch (compiler._point_eq_where);
+    over a heterogeneous edge both BFS directions must use the SAME
+    tagged surrogate domain.  Students 0 and 1 share school 0: undirected
+    distance 2."""
+    df = q(
+        pgq,
+        """MATCH p = ANY SHORTEST (a:Person WHERE a.id = 0)-[s:StudyAt]-{1,4}(b:Person WHERE b.id = 1)
+           COLUMNS (path_length(p) AS plen)""",
+    )
+    assert rows(df) == [(2,)]
+    # cross-component pair: student 0 (school 0) to student 4 (school 1)
+    d2 = q(
+        pgq,
+        """MATCH p = ANY SHORTEST (a:Person WHERE a.id = 0)-[s:StudyAt]-{1,4}(b:Person WHERE b.id = 4)
+           COLUMNS (path_length(p) AS plen)""",
+    )
+    assert rows(d2) == []
