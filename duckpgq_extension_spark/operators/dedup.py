@@ -21,11 +21,15 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import md5_long, tokens, word_ngrams_from_tokens
+from . import paths as pathops
 
 # Deterministic permutation constants for MinHash: (a * h + b) mod P over the
 # 31-bit reduction of the shingle hash.  Fixed literals so the DuckDB oracle
 # can embed the same numbers.
 MINHASH_PRIME = 2147483647  # 2^31 - 1
+
+# session-scoped signature cache (see minhash_signatures docstring)
+_SIG_CACHE: dict = {}
 _A0, _A_STEP = 1103515245, 12345
 _B0, _B_STEP = 1013904223, 2654435761
 
@@ -291,7 +295,24 @@ def minhash_signatures(
     (10x-tier A/B: 27 s vs 16 s inside minhash_lsh_pairs; a naive
     16-separate-transforms variant was 6x worse again because each
     column re-inlined the tokenize->shingle->md5 subtree).
+
+    The signature frame is SESSION-CACHED per (input plan, n, num_perm,
+    max_doc_freq) — the _prep_edges pattern: at corpus scale signatures
+    are a standing column computed once and consumed by every downstream
+    dedup stage (pair generation, clustering, keep-longest, cross-corpus),
+    so within a session the tokenize->shingle->min aggregate runs once,
+    not once per operator.  Same snapshot semantics as the adjacency
+    cache (in-place mutation of the same files serves the cached frame;
+    a different plan or params is always a miss).
     """
+    base = df.select(F.col(id_col), F.col(text_col))
+    params = (int(n), int(num_perm), max_doc_freq, id_col, text_col)
+    entries, jplan = pathops._cache_probe(_SIG_CACHE, base)
+    if entries is not None:
+        h = jplan.semanticHash()
+        for ep, eh, epl, cached in entries:
+            if ep == params and eh == h and epl.sameResult(jplan):
+                return cached
     sh = _shingles(df, id_col, text_col, n, max_doc_freq)
     h31 = (F.col("sh") % MINHASH_PRIME).alias("h31")
     aggs = [
@@ -299,7 +320,13 @@ def minhash_signatures(
         for i, (a, b) in enumerate(minhash_params(num_perm))
     ]
     sig = sh.select("id", h31).groupBy("id").agg(*aggs)
-    return sig.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+    out = sig.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+    if entries is not None:
+        out = pathops.materialize(out)
+        entries.append((params, jplan.semanticHash(), jplan, out))
+        while len(entries) > 8:
+            entries.pop(0)
+    return out
 
 
 def _band_frame(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
