@@ -441,6 +441,14 @@ def edit_distance_pairs(
     try:
         banded = _band_frame(sig, num_perm, bands)
         cands = _bucket_pairs(banded, ["band", "bh"])
+        # pin the verify stage's width: candidate pairs are BYTE-light but
+        # CPU-heavy (each row pays an O(len^2) Levenshtein DP), so AQE's
+        # size-based partition coalescing collapses the few-MB pair set
+        # onto one task and serializes the DP (measured 100 s vs 10 s at
+        # sf0.1 — a 32x parallelism loss for a ~97k-row frame).  An
+        # explicit repartition overrides the advisory coalescing with the
+        # cluster's real width; the extra shuffle is trivially small.
+        cands = cands.repartition(pathops.default_parallelism(df.sparkSession))
         txt = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"))
         if max_chars is not None:
             txt = txt.withColumn("__t", F.substring("__t", 1, max_chars))
