@@ -225,3 +225,33 @@ def test_graph_table_under_insert_into(spark, pgq):
         assert got == [("Daniel", "Gabor"), ("Daniel", "Peter"), ("Daniel", "Tavneet")]
     finally:
         spark.sql("DROP TABLE IF EXISTS ins_result_t")
+
+
+def test_if_not_exists_keeps_original_definition(session, spark):
+    """Reference create_if_not_exists.test: IF NOT EXISTS on an existing
+    graph is a FULL no-op — the original definition (vertex-table count)
+    survives even when the new DDL differs."""
+    spark.createDataFrame([Row(id=1)], "id long").createOrReplaceTempView("ine_v2")
+    session.execute("""CREATE PROPERTY GRAPH inepg
+        VERTEX TABLES ( cat_v LABEL V, ine_v2 LABEL V2 )
+        EDGE TABLES ( cat_e SOURCE KEY (a) REFERENCES cat_v (id)
+                      DESTINATION KEY (b) REFERENCES cat_v (id) LABEL E )""")
+    # a DIFFERENT single-vertex-table definition must not replace it
+    session.execute("""CREATE PROPERTY GRAPH IF NOT EXISTS inepg
+        VERTEX TABLES ( cat_v LABEL V )
+        EDGE TABLES ( cat_e SOURCE KEY (a) REFERENCES cat_v (id)
+                      DESTINATION KEY (b) REFERENCES cat_v (id) LABEL E )""")
+    pg = session.graph("inepg")
+    assert len(pg.vertex_tables) == 2
+    session.execute("DROP PROPERTY GRAPH inepg")
+
+
+def test_query_after_drop_errors(session):
+    """Reference drop_property_graph.test: GRAPH_TABLE over a dropped
+    graph reports the does-not-exist binder error."""
+    session.execute(DDL.replace("catpg", "catpg4"))
+    session.execute("DROP PROPERTY GRAPH catpg4")
+    with pytest.raises(PGQBinderError, match="does not exist"):
+        session.sql(
+            "SELECT * FROM GRAPH_TABLE (catpg4 MATCH (a:V) COLUMNS (a.id)) t"
+        ).collect()
