@@ -185,6 +185,9 @@ def ngram_jaccard_pairs(
             )
             .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
             .distinct()
+            # width-pin before the array_intersect verify (byte-based AQE
+            # coalescing vs CPU-heavy rows; see edit_distance_pairs)
+            .repartition(pathops.default_parallelism(df.sparkSession))
         )
         out = (
             cands.join(

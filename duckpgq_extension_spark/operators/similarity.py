@@ -454,6 +454,11 @@ def embedding_near_duplicates(
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
     )
     cands = _bucket_pairs(c.select("id", "bucket"), ["bucket"])
+    # width-pin before the per-row cosine verify (see semantic_dedup /
+    # edit_distance_pairs: byte-based AQE coalescing vs CPU-heavy rows)
+    from .paths import default_parallelism
+
+    cands = cands.repartition(default_parallelism(embeddings.sparkSession))
     return (
         cands.join(
             c.select(F.col("id").alias("id_a"), F.col("vec").alias("__va")), "id_a"
@@ -548,6 +553,14 @@ def semantic_dedup(
         _nearest_centroid(F.col(vec_col), cents).alias("cluster"),
     ).persist()
     cands = _bucket_pairs(c.select("id", "cluster"), ["cluster"])
+    # pin the verify stage's width: candidate pairs are byte-light but
+    # CPU-heavy (a 64-dim interpreted-HOF cosine per row), so AQE's
+    # size-based coalescing can collapse them onto one task — the
+    # dedup_edit lesson (see edit_distance_pairs); the tiny shuffle is
+    # cheap insurance
+    from .paths import default_parallelism
+
+    cands = cands.repartition(default_parallelism(embeddings.sparkSession))
     pairs = (
         cands.join(
             c.select(F.col("id").alias("id_a"), F.col("vec").alias("__va")), "id_a"
