@@ -462,3 +462,66 @@ def test_rrf_fusion_matches_python(spark, triples):
     want = {(q, i): round(2 * (1.0 / (60.0 + rk)), 6) for q, i, rk in rows}
     got = {(r["query"], r["item"]): r["rrf_score"] for r in out.collect()}
     assert got == want
+
+
+# ---- heterogeneous variable-length paths vs a Python BFS reference ----
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(0, 4)),
+        min_size=1, max_size=25,
+    ),
+    st.integers(0, 6),
+)
+def test_hetero_var_length_matches_python_bfs(spark, edges_ab, seed):
+    """Random bipartite A->B edge sets (A and B key ranges deliberately
+    OVERLAP): undirected {1,3} distances from one A-seed must equal a
+    plain-Python BFS over the (table, key)-tagged union graph — the
+    semantics the table-tagged surrogates implement."""
+    from duckpgq_extension_spark import PGQSession
+
+    a_ids = sorted({a for a, _ in edges_ab} | {seed})
+    b_ids = sorted({b for _, b in edges_ab})
+    spark.createDataFrame([(i,) for i in a_ids], "aid long").createOrReplaceTempView("hp_a")
+    spark.createDataFrame(
+        [(i,) for i in b_ids] or [(999,)], "bid long"
+    ).createOrReplaceTempView("hp_b")
+    spark.createDataFrame(
+        list({(a, b) for a, b in edges_ab}), "sa long, db long"
+    ).createOrReplaceTempView("hp_e")
+    s = PGQSession(spark)
+    s.execute(
+        """CREATE OR REPLACE PROPERTY GRAPH hp
+        VERTEX TABLES ( hp_a PROPERTIES (aid) LABEL A, hp_b PROPERTIES (bid) LABEL B )
+        EDGE TABLES ( hp_e SOURCE KEY (sa) REFERENCES hp_a (aid)
+                      DESTINATION KEY (db) REFERENCES hp_b (bid) LABEL AB )"""
+    )
+    df = s.graph_table(
+        f"""hp MATCH (x:A WHERE x.aid = {seed})-[e:AB]-{{1,3}}(y:A)
+            COLUMNS (y.aid AS y_id, CAST(e.dist AS BIGINT) AS dist)"""
+    )
+    got = sorted((r.y_id, r.dist) for r in df.collect())
+    # Python BFS over the tagged union graph
+    adj: dict = {}
+    for a, b in set(edges_ab):
+        adj.setdefault(("a", a), set()).add(("b", b))
+        adj.setdefault(("b", b), set()).add(("a", a))
+    dist = {("a", seed): 0}
+    frontier = [("a", seed)]
+    d = 0
+    while frontier and d < 3:
+        d += 1
+        nxt = []
+        for v in frontier:
+            for w in adj.get(v, ()):  # noqa: B905
+                if w not in dist:
+                    dist[w] = d
+                    nxt.append(w)
+        frontier = nxt
+    exp = sorted(
+        (k, dv) for (tag, k), dv in dist.items()
+        if tag == "a" and 1 <= dv <= 3
+    )
+    assert got == exp
