@@ -208,6 +208,35 @@ def pagerank(
 # _JUMP_AFTER + O(log diameter) on chains/meshes.
 _JUMP_AFTER = 8
 
+# Deferred-L1-normalization kernels (hits tol=0, eigenvector_centrality)
+# let unnormalized magnitudes grow ~degree^k across rounds; past this many
+# rounds they insert an L1 rescale at each checkpoint so user-supplied
+# large max_iter on high-degree graphs can't overflow double to inf/NaN.
+# Rescaling by a positive scalar commutes with the linear map, so the
+# final (normalized) vector is unchanged; the rescale rides the rounds
+# that materialize anyway, so the fused-lineage/broadcast caveat
+# (PERF.md round-8) does not apply.
+_DEFERRED_NORM_SAFE_ROUNDS = 40
+
+
+def _l1_rescale(df: DataFrame, *cols: str) -> DataFrame:
+    """Divide each of `cols` by its L1 sum (no-op on zero mass)."""
+    sums = F.broadcast(
+        df.agg(
+            *[F.coalesce(F.sum(c), F.lit(0.0)).alias(f"__n_{c}") for c in cols]
+        )
+    )
+    keep = [c for c in df.columns if c not in cols]
+    return df.crossJoin(sums).select(
+        *keep,
+        *[
+            F.when(F.col(f"__n_{c}") > 0, F.col(c) / F.col(f"__n_{c}"))
+            .otherwise(F.col(c))
+            .alias(c)
+            for c in cols
+        ],
+    )
+
 
 def weakly_connected_component(
     edges: DataFrame, vertices: DataFrame
@@ -692,9 +721,11 @@ def hits(
             # every-other-round checkpoint cadence (the r8 fused-lineage
             # regression was caused by the broadcast norm branch, now
             # gone): one materialize per TWO rounds instead of two per
-            # round.  Magnitudes grow as ~(mean degree)^2 per round —
-            # double overflow needs degree^(2*max_iter) > 1e308, not a
-            # realistic configuration.  The tol-based early-exit path
+            # round.  Magnitudes grow as ~(mean degree)^2 per round; for
+            # max_iter > _DEFERRED_NORM_SAFE_ROUNDS an L1 rescale rides
+            # each checkpoint so arbitrary user max_iter cannot overflow
+            # double (rescaling commutes — result unchanged).  The
+            # tol-based early-exit path
             # below keeps per-round normalization (its convergence
             # deltas are defined on unit-scale scores).
             for i in range(max_iter):
@@ -729,6 +760,8 @@ def hits(
                     )
                 )
                 if i % 2 == 1 or i == max_iter - 1:
+                    if max_iter > _DEFERRED_NORM_SAFE_ROUNDS:
+                        merged = _l1_rescale(merged, "hub", "auth")
                     merged = pathops.materialize(merged)
                 scores = merged
             sums = F.broadcast(
@@ -1861,10 +1894,11 @@ def eigenvector_centrality(
     (PERF.md round-8 fused-lineage/broadcast negative result).
     Measured: 3.6 -> ~2.4 s at sf0.1 for the 10-round gate.
 
-    Magnitudes: the unnormalized iterate grows as ~(mean in-degree)^k,
-    so double overflow needs degree^k > 1e308 — not a realistic
-    (degree, max_iter) combination; the final normalize restores the
-    unit scale.  A dying walk (total mass 0, e.g. power iteration into
+    Magnitudes: the unnormalized iterate grows as ~(mean in-degree)^k;
+    for max_iter > _DEFERRED_NORM_SAFE_ROUNDS an L1 rescale rides each
+    checkpoint round so arbitrary max_iter cannot overflow double (the
+    rescale is a positive scalar — result unchanged); the final
+    normalize restores the unit scale.  A dying walk (total mass 0, e.g. power iteration into
     a sink) yields the zero vector, exactly as before.
 
     Returns (vid, eigenvector); vertices with no in-edges inside the
@@ -1907,6 +1941,8 @@ def eigenvector_centrality(
         # r8 fused-lineage/broadcast regression no longer applies —
         # re-measured this round: 4.6 -> 3.0 s warm at sf0.1
         if i % 2 == 1 or i == max_iter - 1:
+            if max_iter > _DEFERRED_NORM_SAFE_ROUNDS:
+                x = _l1_rescale(x, "ev")
             x = pathops.materialize(x)
     norm = F.broadcast(x.agg(F.coalesce(F.sum("ev"), F.lit(0.0)).alias("__n")))
     return (

@@ -729,9 +729,11 @@ def deduplicate_lsh(
     # minimum id).  Carry the raw text THROUGH the members join and
     # tokenize after it — projecting size(tokens()) before the join would
     # re-tokenize the whole corpus for a computation that only cluster
-    # members need.  The per-cluster argmax is one max_by aggregate over
-    # a (__len, -doc_id) struct instead of a row_number window + rank
-    # filter: same keeper, one shuffle on the (small) member set.
+    # members need.  The per-cluster argmax is one min_by aggregate over
+    # a (-__len, doc_id) struct instead of a row_number window + rank
+    # filter: same keeper, one shuffle on the (small) member set.  Only
+    # __len (always numeric) is negated; doc_id is merely compared, so
+    # string/any-orderable id columns keep the ties-to-minimum contract.
     members = clusters.join(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("__txt")),
         "doc_id",
@@ -746,7 +748,7 @@ def deduplicate_lsh(
     # action, not once per consumer (measured 6.4 -> ~2.5 s at sf0.1)
     members = members.localCheckpoint(eager=True)
     keepers = members.groupBy("canonical_id").agg(
-        F.expr("max_by(doc_id, struct(__len, -doc_id))").alias("doc_id")
+        F.expr("min_by(doc_id, struct(-__len, doc_id))").alias("doc_id")
     )
     drop = (
         members.select("doc_id")

@@ -375,15 +375,20 @@ def ivf_topk_from_index(
     try:
         ckey = (cdir, os.path.getmtime(cdir))
     except OSError:
-        ckey = (cdir, None)
-    cents = _CENTROID_FILE_CACHE.get(ckey)
+        # Non-local paths (hdfs://, s3://) have no driver-side mtime, so
+        # there is no invalidation signal — skip the cache entirely and
+        # read centroids fresh rather than pinning a never-invalidated
+        # entry that would serve stale centroids after an index rewrite.
+        ckey = None
+    cents = _CENTROID_FILE_CACHE.get(ckey) if ckey is not None else None
     if cents is None:
         cents = [
             (int(r["centroid_id"]), list(r["centroid"]))
             for r in spark.read.parquet(cdir).collect()
         ]
-        _CENTROID_FILE_CACHE.clear()  # bounded: one standing index at a time
-        _CENTROID_FILE_CACHE[ckey] = cents
+        if ckey is not None:
+            _CENTROID_FILE_CACHE.clear()  # bounded: one standing index at a time
+            _CENTROID_FILE_CACHE[ckey] = cents
     q = _probe_queries(queries, cents, nprobe, query_id_col, vec_col)
     probed = sorted({r["__cid"] for r in q.select("__cid").distinct().collect()})
     corpus = (

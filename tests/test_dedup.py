@@ -518,3 +518,27 @@ def test_exact_substring_dedup_within_doc_repetition(spark):
     # the second occurrence of the repeated 4-token span is removed
     assert got["n_removed"] == 4
     assert got["clean_text"] == rep + " middle words here"
+
+
+def test_deduplicate_lsh_keep_longest_string_ids(spark):
+    """Round-10 ADVICE regression: keep='longest' must work for STRING
+    id columns (the old max_by(-doc_id) negation assumed numeric ids)
+    and preserve the ties-to-minimum-id contract for any orderable id."""
+    from duckpgq_extension_spark.operators.dedup import (
+        dedup_clusters, deduplicate_lsh)
+
+    docs = spark.createDataFrame(
+        [("doc-a", "a b c d e f g h"),
+         ("doc-b", "a b c d e f g h longer version extra tokens"),
+         ("doc-c", "totally different content words"),
+         # tie cluster: equal token counts -> minimum id wins
+         ("doc-y", "same length here now"),
+         ("doc-z", "same length here too")],
+        "doc_id string, text string")
+    pairs = spark.createDataFrame(
+        [("doc-a", "doc-b"), ("doc-y", "doc-z")],
+        "id_a string, id_b string")
+    clusters = dedup_clusters(docs, "doc_id", "text", pairs=pairs)
+    kept = sorted(r.doc_id for r in deduplicate_lsh(
+        docs, "doc_id", "text", clusters=clusters, keep="longest").collect())
+    assert kept == ["doc-b", "doc-c", "doc-y"]

@@ -896,3 +896,31 @@ def test_burstiness_periodic_vs_bursty(spark):
     # bursty (positive; with n gaps B is bounded by (sqrt(n-1)-1)/(sqrt(n-1)+1),
     # ~0.268 at three gaps — small-sample ceiling, not a formula bug)
     assert got[2] == want2 and got[2] > 0.2
+
+
+def test_deferred_norm_large_max_iter_stays_finite(spark):
+    """Round-10 ADVICE regression: deferred-L1 kernels rescale at the
+    checkpoint cadence past _DEFERRED_NORM_SAFE_ROUNDS, so a large
+    user-supplied max_iter on a dense graph cannot overflow to inf and
+    the final normalize cannot emit NaN/0.  Also pins that the rescale
+    commutes: 64 rounds on a symmetric pair is the same fixpoint as 10."""
+    import math
+    from duckpgq_extension_spark import algorithms
+
+    # K4 complete digraph: degree 3 per vertex, magnitudes grow 3^k —
+    # 64 unguarded rounds is ~3e30 (finite), but hits squares per round
+    # (degree^(2k) ~ 1e61); keep max_iter high enough to cross the
+    # guard threshold and verify finiteness + correct uniform fixpoint.
+    verts = spark.createDataFrame([(i,) for i in range(4)], "vid long")
+    edges = spark.createDataFrame(
+        [(i, j) for i in range(4) for j in range(4) if i != j],
+        "src long, dst long")
+    ev = {r["vid"]: r["eigenvector"]
+          for r in algorithms.eigenvector_centrality(
+              edges, verts, max_iter=64).collect()}
+    assert all(math.isfinite(v) for v in ev.values())
+    assert all(abs(v - 0.25) < 1e-9 for v in ev.values())
+    hs = algorithms.hits(edges, verts, max_iter=64).collect()
+    assert all(math.isfinite(r["hub"]) and math.isfinite(r["authority"])
+               for r in hs)
+    assert all(abs(r["hub"] - 0.25) < 1e-9 for r in hs)

@@ -357,3 +357,31 @@ def test_ann_recall_metric(emb):
     e_set = {(x["query_id"], x["vec_id"]) for x in exact.collect()}
     q0 = len({p for p in a_set & e_set if p[0] == 0})
     assert rec[0]["n_hits"] == q0
+
+
+def test_ivf_index_cache_skipped_without_mtime(spark, tmp_path, monkeypatch):
+    """Round-10 ADVICE regression: when the index path has no driver-side
+    mtime (hdfs://, s3:// — simulated by getmtime raising OSError), the
+    centroid cache must be SKIPPED, not keyed to a never-invalidated
+    entry — an index rewrite must be visible to the next query batch."""
+    import os as _os
+    from duckpgq_extension_spark.operators import similarity as sim
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    )
+    queries = emb.where(F.col("vec_id") < 3)
+    idx = str(tmp_path / "ivf_idx_remote")
+    sim.write_ivf_index(emb, idx, nlist=8)
+    monkeypatch.setattr(
+        _os.path, "getmtime",
+        lambda p: (_ for _ in ()).throw(OSError("no local mtime")))
+    sim._CENTROID_FILE_CACHE.clear()
+    first = sim.ivf_topk_from_index(spark, idx, queries, k=3, nprobe=2).collect()
+    assert sim._CENTROID_FILE_CACHE == {}  # nothing pinned under a dead key
+    # rewrite the index with different centroids; a fresh call must see it
+    sim.write_ivf_index(emb, idx, nlist=4)
+    second = sim.ivf_topk_from_index(spark, idx, queries, k=3, nprobe=2)
+    assert second.count() > 0  # served from the REWRITTEN index, no stale error
+    assert len(first) > 0
