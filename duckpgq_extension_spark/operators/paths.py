@@ -1146,7 +1146,8 @@ def temporal_reachability(
     ts_col: str = "ts",
     start_ts: int | None = None,
     num_partitions: int | None = None,
-    hops_per_round: int = 2,
+    hops_per_round: int = 4,
+    ts_prune: bool = False,
 ) -> DataFrame:
     """Time-respecting reachability (beyond-reference): earliest arrival
     time at every vertex reachable from each seed along edges whose
@@ -1171,6 +1172,25 @@ def temporal_reachability(
         single job (candidates from hop 1 feed hop 2 lazily, each hop
         min-aggregated to keep the join fan-in bounded), so the round
         count is ceil(longest time-respecting path / hops_per_round).
+        Default 4 (round 10): measured sf1 17.2 -> 11.2 s vs 2 hops
+        (half the full-outer pair-state merges), neutral at sf0.1;
+        6 hops regressed to 16.6 s (per-round plan depth outgrows the
+        merge savings) — the sweet spot is 4.
+
+    `ts_prune` (round 10, default off): per round, pre-filter the
+    adjacency to `ts >= min arrival over the improved frontier` — an
+    EXACT monotone-label bound (every frontier pair relaxes only edges
+    with ts >= its own arrival >= that minimum), whose scalar rides the
+    round's existing Observation for free.  Measured NEGATIVE at
+    in-memory bench scales — the changing per-round literal recompiles
+    the round's codegen, costing more than the cached-batch skipping
+    saves (sf0.1: 7.1 -> 11.0 s, sf1: 11.2 -> 11.7 s) — hence opt-in.
+    Turn it on when the adjacency is a ts-range-partitioned standing
+    table at real scale: there the same predicate is genuine partition
+    pruning (whole files never opened), a different cost regime from a
+    row-filter over an in-memory cache.  The cached adjacency is sorted
+    within partitions by ts either way, so the in-memory batch stats
+    are tight whenever the filter IS on.
     Rounds remain frontier-driven: only pairs improved last round are
     re-relaxed.  Same scale shape as cheapest_path: adjacency
     checkpointed hash-partitioned by src, frontier-only shuffle.
@@ -1190,6 +1210,14 @@ def temporal_reachability(
     adj = (
         edges.select("src", "dst", F.col(ts_col).cast("long").alias("__ts"))
         .repartition(parts, "src")
+        # Sorting each cached partition by __ts gives the in-memory
+        # columnar cache tight per-batch (min,max) __ts stats, so the
+        # per-round monotone-bound filter below (`__ts >= bound`) skips
+        # whole cached batches instead of row-filtering them — the
+        # in-memory analog of time-bucketed partition pruning.  An
+        # intra-partition sort: HashPartitioning(src) is preserved, the
+        # hop join still skips the adjacency-side exchange.
+        .sortWithinPartitions("__ts")
         .persist()
     )
     t0 = F.lit(int(start_ts)) if start_ts is not None else F.lit(0)
@@ -1200,20 +1228,35 @@ def temporal_reachability(
         F.lit(True).alias("__improved"),
     )
     try:
-        return _temporal_fixpoint(adj, dist, hops_per_round)
+        return _temporal_fixpoint(adj, dist, hops_per_round, ts_prune)
     finally:
         adj.unpersist()
 
 
-def _temporal_fixpoint(adj, dist, hops_per_round):
+def _temporal_fixpoint(adj, dist, hops_per_round, ts_prune=False):
+    # Monotone-label bound: every frontier pair (s, u, a) relaxes only
+    # edges with ts >= a >= (min arrival over the frontier), so the
+    # adjacency can be pre-filtered each round with that scalar — EXACT
+    # pruning (no candidate is lost), and the scalar rides the round's
+    # existing Observation for free.  Within a round's chained hops
+    # arrivals only grow, so one bound covers all hops.  Applied only
+    # under `ts_prune` (see temporal_reachability's docstring for the
+    # measured in-memory negative result and the partition-pruning
+    # regime it exists for).
+    bound = None
     while True:
         frontier = dist.where(F.col("__improved")).select("src", "dst", "arrival")
+        adj_r = (
+            adj.where(F.col("__ts") >= F.lit(bound))
+            if ts_prune and bound is not None
+            else adj
+        )
         hops = []
         cur = frontier
         for _ in range(max(1, hops_per_round)):
             cur = (
                 cur.alias("f")
-                .join(adj.alias("e"), F.col("f.dst") == F.col("e.src"))
+                .join(adj_r.alias("e"), F.col("f.dst") == F.col("e.src"))
                 .where(F.col("e.__ts") >= F.col("f.arrival"))
                 .select(
                     F.col("f.src").alias("src"),
@@ -1252,11 +1295,14 @@ def _temporal_fixpoint(adj, dist, hops_per_round):
         )
         obs = Observation(f"__pgq_tr_{next(_obs_seq)}")
         merged = merged.observe(
-            obs, F.sum(F.col("__improved").cast("int")).alias("n")
+            obs,
+            F.sum(F.col("__improved").cast("int")).alias("n"),
+            F.min(F.when(F.col("__improved"), F.col("arrival"))).alias("minarr"),
         )
         dist = materialize(merged)
         if not obs.get["n"]:
             return dist.select("src", "dst", "arrival")
+        bound = obs.get["minarr"]
 
 
 def temporal_latest_departure(

@@ -325,3 +325,23 @@ def test_multi_hop_rounds_match_single_hop(spark):
            for r in cheapest_path_distances(wedges, sources=seeds,
                                             hops_per_round=2).collect()}
     assert got == bcost, "hops_per_round=2 changed Bellman-Ford costs"
+
+
+def test_temporal_reachability_ts_prune_exact(spark):
+    """Round-10: the opt-in monotone-label bound (`ts_prune=True`) is
+    EXACT — identical (src, dst, arrival) fixpoint as the unpruned
+    kernel, including equal-ts chains right at the bound and multi-seed
+    frontiers, across hops_per_round settings."""
+    from duckpgq_extension_spark.operators.paths import temporal_reachability
+
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 5), (3, 4, 4),   # equal-ts chain + dead drop
+         (1, 3, 2), (3, 4, 9), (4, 5, 1),   # shortcut with later fix-up
+         (2, 5, 7), (5, 1, 8), (9, 1, 3)],
+        "src long, dst long, ts long")
+    seeds = spark.createDataFrame([(1,), (9,)], "vid long")
+    base = sorted(map(tuple, temporal_reachability(edges, seeds).collect()))
+    for hpr in (1, 2, 4):
+        pruned = sorted(map(tuple, temporal_reachability(
+            edges, seeds, hops_per_round=hpr, ts_prune=True).collect()))
+        assert pruned == base, hpr
