@@ -869,47 +869,70 @@ def dedup_paragraphs(
     clean_text the surviving paragraphs re-joined by `sep` in original
     order (empty string when everything was dropped).
 
-    Scale design: one row per paragraph instance (posexplode — linear),
-    aggregated by the paragraph's md5-prefix hash with min(struct(doc,
-    pos)) as the owner (map-side combine), joined back on the hash, and
-    re-assembled with a positional sort_array inside the per-doc
-    aggregate (no window, no global sort).  A boilerplate paragraph
-    occurring 10^9 times is ONE aggregation key — the skewed join back
-    fans its single owner row out to instances, which AQE's skew split
-    handles; nothing is ever quadratic in its frequency."""
-    inst = df.select(
+    Scale design (round-10 rewrite; the r9 shape shuffled full paragraph
+    TEXT twice — by hash for the owner join and by doc for reassembly —
+    and grew ~8x at 10x data): paragraph text now never crosses an
+    exchange.  (1) Instances are hashed map-side and the text column is
+    dropped immediately — only (doc_id, pos, hash) rows, tens of bytes,
+    feed the owner aggregate (min(struct(doc, pos)) + count per hash,
+    map-side combined).  (2) Only hashes that can drop anything (freq >
+    1, or any hash past `drop_above`) join back against the instance
+    keys — for a mostly-unique corpus that side is duplicate-density-
+    sized, so AQE runs it as a broadcast join; at 100 TB the same frame
+    is the bucketed semi-join side.  (3) Dropped positions are collected
+    per doc (a small array) and joined to the ORIGINAL one-row-per-doc
+    frame, where an index-aware F.filter rebuilds clean_text in-row —
+    no posexploded text, no window, no global sort.  A boilerplate
+    paragraph occurring 10^9 times is ONE aggregation key; its drop
+    join fans out ids only, which AQE's skew split handles.  Per-doc
+    work in step (3) is O(paragraphs x dropped) array scanning —
+    bounded by document size, not corpus size."""
+    base = df.where(
+        F.col(paras_col).isNotNull() & (F.size(F.col(paras_col)) > 0)
+    )
+    inst = base.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.col(paras_col)).alias("pos", "para"),
-    ).withColumn("__ph", md5_long(F.col("para")))
+    ).select("doc_id", "pos", md5_long(F.col("para")).alias("__ph"))
     owner = inst.groupBy("__ph").agg(
         F.min(F.struct("doc_id", "pos")).alias("first"),
         F.count("*").alias("__freq"),
     )
+    # Hashes that can drop at least one instance: repeats always can;
+    # with a CCNet threshold, anything past drop_above drops everywhere
+    # (drop_above=0 makes even singletons boilerplate).
+    can_drop = F.col("__freq") > 1
     keep = (F.col("first.doc_id") == F.col("doc_id")) & (
         F.col("first.pos") == F.col("pos")
     )
     if drop_above is not None:
-        # CCNet boilerplate threshold: a paragraph occurring more than
-        # drop_above times corpus-wide is noise, not content — drop EVERY
-        # instance, first occurrence included
+        can_drop = can_drop | (F.col("__freq") > drop_above)
         keep = keep & (F.col("__freq") <= drop_above)
-    kept_flag = inst.join(owner, "__ph").select(
-        "doc_id",
-        "pos",
-        "para",
-        keep.alias("__keep"),
+    dropped = (
+        inst.join(owner.where(can_drop), "__ph")
+        .where(~keep)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("__drop_pos"))
+        .select(F.col("doc_id").alias("__dp_doc"), "__drop_pos")
     )
-    # collect_list skips the NULLs that F.when leaves for dropped
-    # instances; the struct sort restores original order without a window
-    kept_sorted = F.sort_array(
-        F.collect_list(F.when(F.col("__keep"), F.struct("pos", "para")))
+    out = base.join(
+        dropped, F.col(id_col) == F.col("__dp_doc"), "left"
     )
-    return kept_flag.groupBy("doc_id").agg(
-        F.array_join(
-            F.transform(kept_sorted, lambda s: s["para"]), sep
-        ).alias("clean_text"),
-        F.sum(F.col("__keep").cast("long")).alias("n_kept"),
-        (F.count("*") - F.sum(F.col("__keep").cast("long"))).alias("n_dropped"),
+    n_par = F.size(F.col(paras_col)).cast("long")
+    n_drop = F.coalesce(F.size("__drop_pos"), F.lit(0)).cast("long")
+    kept_arr = F.when(
+        F.col("__drop_pos").isNull(), F.col(paras_col)
+    ).otherwise(
+        F.filter(
+            F.col(paras_col),
+            lambda p, i: ~F.array_contains(F.col("__drop_pos"), i),
+        )
+    )
+    return out.select(
+        F.col(id_col).alias("doc_id"),
+        F.array_join(kept_arr, sep).alias("clean_text"),
+        (n_par - n_drop).alias("n_kept"),
+        n_drop.alias("n_dropped"),
     )
 
 

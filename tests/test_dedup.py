@@ -542,3 +542,19 @@ def test_deduplicate_lsh_keep_longest_string_ids(spark):
     kept = sorted(r.doc_id for r in deduplicate_lsh(
         docs, "doc_id", "text", clusters=clusters, keep="longest").collect())
     assert kept == ["doc-b", "doc-c", "doc-y"]
+
+
+def test_dedup_paragraphs_empty_and_null_arrays_absent(spark):
+    """Contract pin for the round-10 rewrite: docs whose paragraph array
+    is empty or NULL produce NO output row (the exploded shape never saw
+    them); string doc ids exercise the join-back rename."""
+    from duckpgq_extension_spark.operators.dedup import dedup_paragraphs
+
+    docs = spark.createDataFrame(
+        [("a", ["x y", "common"]), ("b", ["common"]), ("c", []), ("d", None)],
+        "doc_id string, paras array<string>")
+    out = {r.doc_id: (r.clean_text, r.n_kept, r.n_dropped)
+           for r in dedup_paragraphs(docs, "doc_id", "paras").collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"] == ("x y\ncommon", 2, 0)
+    assert out["b"] == ("", 0, 1)
