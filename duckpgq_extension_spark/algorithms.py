@@ -728,56 +728,68 @@ def hits(
             # tol-based early-exit path
             # below keeps per-round normalization (its convergence
             # deltas are defined on unit-scale scores).
+            #
+            # Round 10: the two per-round dense merges are gone too —
+            # with normalization deferred, a vertex absent from a
+            # half-step aggregate has score exactly 0 and contributes
+            # nothing onward, so each aggregate IS the next sparse
+            # vector (hub carries the recursion; the round's auth is
+            # re-derived from the previous hub).  Two joins + two
+            # aggregates per round, zeros re-densified once at the end
+            # against the vertex frame.
+            hub = scores.select("vid", "hub")
+            auth = None
             for i in range(max_iter):
-                araw = (
-                    scores.alias("s")
+                auth = (
+                    hub.alias("s")
                     .join(edges.alias("e"), F.col("s.vid") == F.col("e.src"))
                     .groupBy(F.col("e.dst").alias("vid"))
-                    .agg(F.sum("s.hub").alias("araw"))
+                    .agg(F.sum("s.hub").alias("auth"))
                 )
-                auth = (
-                    scores.alias("s")
-                    .join(araw.alias("a"), F.col("s.vid") == F.col("a.vid"), "left")
-                    .select(
-                        F.col("s.vid").alias("vid"),
-                        F.col("s.hub").alias("hub"),
-                        F.coalesce(F.col("araw"), F.lit(0.0)).alias("auth"),
-                    )
-                )
-                hraw = (
+                hub = (
                     auth.alias("s")
                     .join(edges_by_dst.alias("e"), F.col("s.vid") == F.col("e.dst"))
                     .groupBy(F.col("e.src").alias("vid"))
-                    .agg(F.sum("s.auth").alias("hraw"))
-                )
-                merged = (
-                    auth.alias("s")
-                    .join(hraw.alias("h"), F.col("s.vid") == F.col("h.vid"), "left")
-                    .select(
-                        F.col("s.vid").alias("vid"),
-                        F.coalesce(F.col("hraw"), F.lit(0.0)).alias("hub"),
-                        F.col("s.auth").alias("auth"),
-                    )
+                    .agg(F.sum("s.auth").alias("hub"))
                 )
                 if i % 2 == 1 or i == max_iter - 1:
                     if max_iter > _DEFERRED_NORM_SAFE_ROUNDS:
-                        merged = _l1_rescale(merged, "hub", "auth")
-                    merged = pathops.materialize(merged)
-                scores = merged
+                        hub = _l1_rescale(hub, "hub")
+                        if i == max_iter - 1:
+                            # only the FINAL auth is consumed; older
+                            # round auths are dead intermediates
+                            auth = pathops.materialize(_l1_rescale(auth, "auth"))
+                    hub = pathops.materialize(hub)
+            if auth is None:  # max_iter == 0: uniform hubs, zero auths
+                auth = hub.select("vid", F.lit(0.0).alias("auth")).where(F.lit(False))
             sums = F.broadcast(
-                scores.agg(
-                    F.coalesce(F.sum("hub"), F.lit(0.0)).alias("__hn"),
-                    F.coalesce(F.sum("auth"), F.lit(0.0)).alias("__an"),
+                hub.agg(F.coalesce(F.sum("hub"), F.lit(0.0)).alias("__hn"))
+                .crossJoin(
+                    auth.agg(
+                        F.coalesce(F.sum("auth"), F.lit(0.0)).alias("__an")
+                    )
                 )
             )
-            return scores.crossJoin(sums).select(
-                "vid",
-                F.when(F.col("__hn") > 0, F.col("hub") / F.col("__hn"))
-                .otherwise(F.lit(0.0))
-                .alias("hub"),
-                F.when(F.col("__an") > 0, F.col("auth") / F.col("__an"))
-                .otherwise(F.lit(0.0))
-                .alias("authority"),
+            return (
+                vertices.alias("v")
+                .join(hub.alias("h"), F.col("v.vid") == F.col("h.vid"), "left")
+                .join(auth.alias("a"), F.col("v.vid") == F.col("a.vid"), "left")
+                .crossJoin(sums)
+                .select(
+                    F.col("v.vid").alias("vid"),
+                    F.when(
+                        F.col("__hn") > 0,
+                        F.coalesce(F.col("h.hub"), F.lit(0.0)) / F.col("__hn"),
+                    )
+                    .otherwise(F.lit(0.0))
+                    .alias("hub"),
+                    F.when(
+                        F.col("__an") > 0,
+                        F.coalesce(F.col("a.auth"), F.lit(0.0)) / F.col("__an"),
+                    )
+                    .otherwise(F.lit(0.0))
+                    .alias("authority"),
+                )
             )
         for _ in range(max_iter):
             # authority step: mass flows along edge direction (hub of src)
@@ -1905,9 +1917,15 @@ def eigenvector_centrality(
     vertex domain score 0.  Edges with an endpoint outside `vertices`
     are dropped up front (same induced-subgraph contract as hits).
 
-    Scale design: one contribution join + one aggregate + one merge per
-    round against the src-partitioned induced edge frame; nothing is
-    collected.
+    Scale design: one contribution join + one aggregate per round
+    against the src-partitioned induced edge frame; nothing is
+    collected.  Round 10: the per-round dense merge (left-joining the
+    aggregate back onto the full vertex frame to re-materialize zeros)
+    is gone — a vertex absent from the aggregate has score exactly 0
+    and a zero score contributes nothing to the next round, so the
+    aggregate itself IS the next (sparse) iterate.  Zeros are
+    re-densified ONCE at the end via a left join with the vertex frame.
+    That removes one full |V|-state join + exchange per round.
     """
     vertices = pathops.materialize(vertices.toDF("vid").distinct())
     induced = (
@@ -1921,19 +1939,11 @@ def eigenvector_centrality(
         vertices.select("vid", F.lit(1.0 / float(n)).alias("ev"))
     )
     for i in range(max_iter):
-        raw = (
+        x = (
             x.alias("s")
             .join(edges_p.alias("e"), F.col("s.vid") == F.col("e.src"))
             .groupBy(F.col("e.dst").alias("vid"))
-            .agg(F.sum("s.ev").alias("w"))
-        )
-        x = (
-            x.alias("o")
-            .join(raw.alias("c"), F.col("o.vid") == F.col("c.vid"), "left")
-            .select(
-                F.col("o.vid").alias("vid"),
-                F.coalesce(F.col("c.w"), F.lit(0.0)).alias("ev"),
-            )
+            .agg(F.sum("s.ev").alias("ev"))
         )
         # checkpoint every OTHER round (LPA's cadence): with the norm
         # branch gone the round is pure shuffle joins, so the fused
@@ -1946,10 +1956,15 @@ def eigenvector_centrality(
             x = pathops.materialize(x)
     norm = F.broadcast(x.agg(F.coalesce(F.sum("ev"), F.lit(0.0)).alias("__n")))
     return (
-        x.crossJoin(norm)
+        vertices.alias("v")
+        .join(x.alias("s"), F.col("v.vid") == F.col("s.vid"), "left")
+        .crossJoin(norm)
         .select(
-            "vid",
-            F.when(F.col("__n") > 0, F.col("ev") / F.col("__n"))
+            F.col("v.vid").alias("vid"),
+            F.when(
+                F.col("__n") > 0,
+                F.coalesce(F.col("s.ev"), F.lit(0.0)) / F.col("__n"),
+            )
             .otherwise(F.lit(0.0))
             .alias("eigenvector"),
         )
