@@ -2272,22 +2272,25 @@ def betweenness_centrality(
             visited = pathops.materialize(visited)
         levels.append(nxt)
         frontier = nxt
-    # backward accumulation, deepest level first
+    # backward accumulation, deepest level first.  Round 10: each level's
+    # delta frame CARRIES that level's sigma (src, vid, sigma, delta) —
+    # the delta frame at step L is exactly the level-L+1 pair set, so
+    # joining it alone both filters to true successors and provides
+    # sigma_w and delta_w; the separate successor-sigma join on the same
+    # composite key is gone (two joins per level instead of three).  The
+    # per-level left-join that re-materializes delta=0 for no-successor
+    # pairs doubles as the sigma augmentation.
     delta = pathops.materialize(
-        levels[-1].select("src", F.col("dst").alias("vid"), F.lit(0.0).alias("delta"))
+        levels[-1].select(
+            "src", F.col("dst").alias("vid"), "sigma", F.lit(0.0).alias("delta")
+        )
     )
     deltas = [delta]
     for L in range(len(levels) - 2, -1, -1):
         cur = levels[L]
-        succ = levels[L + 1]
         acc = (
             cur.alias("v")
             .join(edges.alias("e"), F.col("v.dst") == F.col("e.src"))
-            .join(
-                succ.alias("w"),
-                (F.col("w.src") == F.col("v.src"))
-                & (F.col("w.dst") == F.col("e.dst")),
-            )
             .join(
                 delta.alias("d"),
                 (F.col("d.src") == F.col("v.src"))
@@ -2296,7 +2299,7 @@ def betweenness_centrality(
             .groupBy(F.col("v.src").alias("src"), F.col("v.dst").alias("vid"))
             .agg(
                 F.sum(
-                    F.col("v.sigma") / F.col("w.sigma") * (1.0 + F.col("d.delta"))
+                    F.col("v.sigma") / F.col("d.sigma") * (1.0 + F.col("d.delta"))
                 ).alias("acc")
             )
         )
@@ -2310,6 +2313,7 @@ def betweenness_centrality(
             .select(
                 F.col("v.src").alias("src"),
                 F.col("v.dst").alias("vid"),
+                F.col("v.sigma").alias("sigma"),
                 F.coalesce(F.col("a.acc"), F.lit(0.0)).alias("delta"),
             )
         )
