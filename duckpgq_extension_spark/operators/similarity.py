@@ -93,7 +93,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-pattern bucket id: bit p = 1 iff dot(vec, plane_p) > 0."""
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
-        d = dot(vec, F.array(*[F.lit(v).cast("double") for v in plane]))
+        d = dot(vec, F.lit([float(v) for v in plane]))
         bucket = bucket + F.when(d > 0, F.lit(1 << p).cast("long")).otherwise(0)
     return bucket
 
@@ -203,7 +203,7 @@ def _nearest_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Colu
     choices = F.array(
         *[
             F.struct(
-                cosine(vec, F.array(*[F.lit(x).cast("double") for x in cvec])).alias("sim"),
+                cosine(vec, F.lit([float(x) for x in cvec])).alias("sim"),
                 F.lit(-cid).alias("ncid"),
             )
             for cid, cvec in cents
@@ -274,11 +274,15 @@ def _probe_queries(
     lists (negated-id structs give the deterministic lowest-id tie-break).
     Shared by the in-memory and on-disk IVF paths so probe semantics can
     never diverge."""
+    # One F.lit per CENTROID (a list literal), not one per coordinate:
+    # per-coordinate lits were ~nlist x dim py4j round-trips of pure
+    # driver-side plan construction — 1.3 s of the 2.2 s warm
+    # ann_ivf_index gate at (nlist=8, dim=64) before round 10.
     cent_rows = F.array(
         *[
             F.struct(
                 cosine(
-                    F.col("__qvec"), F.array(*[F.lit(x).cast("double") for x in cvec])
+                    F.col("__qvec"), F.lit([float(x) for x in cvec])
                 ).alias("sim"),
                 F.lit(-cid).alias("ncid"),
             )
@@ -483,12 +487,7 @@ def _centroid_lookup(cluster: Column, cents: list[tuple[int, list[float]]]) -> C
     array of centroid vectors (centroid ids are dense 0..nlist-1 by
     construction in ivf_centroids)."""
     ordered = [cvec for _, cvec in sorted(cents)]
-    table = F.array(
-        *[
-            F.array(*[F.lit(x).cast("double") for x in cvec])
-            for cvec in ordered
-        ]
-    )
+    table = F.array(*[F.lit([float(x) for x in cvec]) for cvec in ordered])
     return F.element_at(table, cluster.cast("int") + 1)
 
 
@@ -962,7 +961,7 @@ def random_projection(
         dim = int(first[0])
     planes = hyperplanes(out_dim, dim)
     v = F.col(vec_col).cast("array<double>")
-    proj = F.array(*[dot(v, F.array(*[F.lit(float(x)) for x in p])) for p in planes])
+    proj = F.array(*[dot(v, F.lit([float(x) for x in p])) for p in planes])
     return embeddings.select(F.col(id_col).alias("id"), proj.alias("proj"))
 
 
