@@ -6424,3 +6424,54 @@ ORACLES = {
     **{k: ORACLES[k] for k in _R9_FRONT if k in ORACLES},
     **{k: v for k, v in ORACLES.items() if k not in set(_R9_FRONT)},
 }
+
+# Round 10 rotation (window = first ~50 keys).  Leads: every key whose
+# kernel or plan-construction path changed this round (temporal fixpoint
+# hops=4 default, dedup_paragraphs no-text-shuffle rewrite, sparse
+# hits/eigenvector, betweenness sigma-fold, keep-longest min_by, the
+# ANN-family array-literal rework) so the driver re-records them under
+# the new code; then ALL 18 keys whose newest CORRECTNESS row is r06
+# (VERDICT r9 item 3 — after this window no key is older than r07);
+# then 13 of the 44 r07-stale keys (heaviest first).  The remaining
+# r07 keys queue immediately after the cut for round 11.  All keys stay
+# registered; only insertion order changes.
+_R10_FRONT = [
+    # kernels/plan construction changed this round
+    "temporal_reach", "temporal_latest", "dedup_paragraphs",
+    "dedup_keep_longest", "eigenvector", "hits", "centrality_report",
+    "betweenness", "path_counts",
+    "ann_ivf", "ann_ivf_index", "ann_ivfpq", "ann_ivfpq_index",
+    "ann_lsh", "ann_recall", "semantic_dedup", "embedding_near_dup",
+    "random_projection", "embedding_clusters",
+    # the full r06-stale set
+    "chunk_docs", "cube_lineitem", "det_sample", "events_daily",
+    "events_json", "interval_join", "pack_sequences",
+    "quality_repetition", "rollup_orders", "semi_anti_join",
+    "sessionize", "stratified_sample", "streaming_dedup",
+    "streaming_degree", "streaming_join", "tfidf", "vocab_stats",
+    "window_running_sum",
+    # oldest (r07) keys, heaviest first
+    "hybrid_retrieval", "dedup_edit", "substring_dedup",
+    "cross_corpus_dedup", "materialize_packs", "pipeline_v3",
+    "pipeline_curation", "bm25", "node2vec", "anomaly_zscore",
+    "stream_near_dup", "streaming_anomaly", "winsorize",
+    # --- expected window cut (~50) ---
+    # remaining r07-stale keys, first in line for round 11
+    "group_quantiles", "grouping_sets", "apply_vocab", "attribution",
+    "bigram_logprob", "ref_bigram_logprob", "burstiness",
+    "copurchase_pmi", "curriculum", "dataset_split", "degree_powerlaw",
+    "event_transitions", "importance_resample", "mixture_sample",
+    "nbr_features_l2", "pivot_events", "profile_docs", "quantize_int8",
+    "resample_fill", "rolling_7d", "split_entropy",
+    "temperature_sample", "text_normalize", "vocab_drift",
+    "weighted_sample",
+]
+
+QUERIES = {
+    **{k: QUERIES[k] for k in _R10_FRONT},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R10_FRONT)},
+}
+ORACLES = {
+    **{k: ORACLES[k] for k in _R10_FRONT if k in ORACLES},
+    **{k: v for k, v in ORACLES.items() if k not in set(_R10_FRONT)},
+}
