@@ -178,6 +178,12 @@ CONCURRENT_GROUPS: list[tuple[str, ...]] = [
     ("path_counts", "betweenness"),
     ("temporal_reach", "temporal_latest"),
     ("communities", "modularity"),
+    # r10: the weighted Bellman-Ford trio — the three slowest singles of
+    # BENCH_r09 (6.4/6.2/5.5 s), all barrier-floor bound (one driver
+    # round-trip per relaxation round, cores idle between rounds) and of
+    # matched depth (same graph, same relaxation fixpoint), i.e. exactly
+    # the profile the group protocol was built for.
+    ("cheapest_path", "cheapest_path_vertices", "match_cheapest"),
 ]
 
 # Queries whose sf0.1 median lands above this are re-measured in FRESH

@@ -1146,7 +1146,7 @@ def temporal_reachability(
     ts_col: str = "ts",
     start_ts: int | None = None,
     num_partitions: int | None = None,
-    hops_per_round: int = 4,
+    hops_per_round: int = 1,
     ts_prune: bool = False,
 ) -> DataFrame:
     """Time-respecting reachability (beyond-reference): earliest arrival
@@ -1172,10 +1172,18 @@ def temporal_reachability(
         single job (candidates from hop 1 feed hop 2 lazily, each hop
         min-aggregated to keep the join fan-in bounded), so the round
         count is ceil(longest time-respecting path / hops_per_round).
-        Default 4 (round 10): measured sf1 17.2 -> 11.2 s vs 2 hops
-        (half the full-outer pair-state merges), neutral at sf0.1;
-        6 hops regressed to 16.6 s (per-round plan depth outgrows the
-        merge savings) — the sweet spot is 4.
+        Default 1 (re-measured round 10 on the r10 reference host,
+        median-of-3 fresh sessions): fused multi-hop is a NET LOSS here —
+        sf0.1 group wall 7.2 s (hops=1) vs 10.0 s (4) vs 12.9 s (2), sf1
+        temporal_reach solo 17.6 s (1) vs 30.3 s (4) — and hops>1 runs
+        are far noisier (single group runs up to 40 s: the deep fused
+        plan re-relaxes every hop-k candidate, not just improved pairs,
+        so candidate volume grows with reach instead of with the
+        improving frontier).  The knob stays for graphs whose frontier
+        SHRINKS with depth (long sparse temporal chains), where fusing
+        genuinely halves the merge count; an earlier host measured
+        hops=4 at 11.2 s vs 17.2 s (hops=2) at sf1 — the trade is
+        host- and graph-dependent, so the default is the stable end.
 
     `ts_prune` (round 10, default off): per round, pre-filter the
     adjacency to `ts >= min arrival over the improved frontier` — an
