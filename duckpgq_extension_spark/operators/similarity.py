@@ -73,6 +73,53 @@ def brute_force_topk(
     )
 
 
+# -- SQL-string expression rendering ------------------------------------------
+#
+# Plan-CONSTRUCTION cost fix (r10): building the centroid/plane expression
+# trees through the PySpark Column API pays one py4j round-trip per call —
+# measured 0.79 s to BUILD _nearest_centroid's 8 HOF cosines and 0.54 s for
+# lsh_bucket's 8 plane dots, vs 0.15 s to EXECUTE them over the whole sf0.1
+# corpus.  Rendering the identical expression as ONE SQL string and parsing
+# it with a single F.expr costs ~2 ms (the parse runs JVM-side).  The SQL
+# forms below produce the same Catalyst operators with the same operand
+# order (aggregate/zip_with HOFs, the same fold seed), and float literals
+# use repr() — the shortest round-trip decimal, so the parsed double is
+# bit-identical — making every score hash-identical to the Column-API form
+# (pinned by test_sql_rendered_exprs_bit_identical and the oracle gate).
+
+
+def _fmt_d(x: float) -> str:
+    """Exact-round-trip Spark SQL double literal."""
+    x = float(x)
+    if x != x or x in (float("inf"), float("-inf")):
+        raise ValueError(f"non-finite literal {x!r} in rendered SQL")
+    return repr(x) + "D"
+
+
+def _arr_sql(vals) -> str:
+    return "array(" + ",".join(_fmt_d(v) for v in vals) + ")"
+
+
+def _ident_sql(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _dot_sql(a: str, b: str) -> str:
+    # same tree as dot(): zip_with product, left fold from a double 0
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        f"CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(aggregate({a}, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x))"
+
+
+def _cosine_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}))"
+
+
 # -- LSH (random hyperplane signs) ------------------------------------------
 
 
@@ -89,8 +136,23 @@ def hyperplanes(num_planes: int, dim: int) -> list[list[float]]:
     return out
 
 
-def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
-    """Sign-pattern bucket id: bit p = 1 iff dot(vec, plane_p) > 0."""
+def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit p = 1 iff dot(vec, plane_p) > 0.
+
+    Pass the COLUMN NAME (str) where possible: the whole bucket expression
+    is then rendered as one SQL string and parsed with a single F.expr
+    (~2 ms) instead of ~0.5 s of per-plane py4j Column calls; both forms
+    build the same operators and are value-identical."""
+    if isinstance(vec, str) and planes:
+        v = _ident_sql(vec)
+        terms = " + ".join(
+            f"(CASE WHEN {_dot_sql(v, _arr_sql(plane))} > 0 "
+            f"THEN CAST({1 << p} AS BIGINT) ELSE 0 END)"
+            for p, plane in enumerate(planes)
+        )
+        return F.expr(f"CAST(0 AS BIGINT) + {terms}")
+    if isinstance(vec, str):
+        vec = F.col(vec)
     bucket = F.lit(0).cast("long")
     for p, plane in enumerate(planes):
         d = dot(vec, F.lit([float(v) for v in plane]))
@@ -126,13 +188,13 @@ def lsh_topk(
     c = embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("__cvec"),
-        lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+        lsh_bucket(vec_col, planes).alias("__bucket"),
     )
     q = F.broadcast(
         queries.select(
             F.col(query_id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
-            lsh_bucket(F.col(vec_col), planes).alias("__bucket"),
+            lsh_bucket(vec_col, planes).alias("__bucket"),
         )
     )
     sim = (
@@ -179,7 +241,7 @@ def ivf_centroids(
     for _ in range(iterations):
         assigned = embeddings.select(
             F.col(vec_col).cast("array<double>").alias("__v"),
-            _nearest_centroid(F.col(vec_col), cents).alias("__cid"),
+            _nearest_centroid(vec_col, cents).alias("__cid"),
         )
         # element-wise mean per cluster: posexplode + groupBy — one shuffle
         means = (
@@ -197,9 +259,26 @@ def ivf_centroids(
     return cents
 
 
-def _nearest_centroid(vec: Column, cents: list[tuple[int, list[float]]]) -> Column:
+def _nearest_centroid(
+    vec: Column | str, cents: list[tuple[int, list[float]]]
+) -> Column:
     """Argmax-by-cosine centroid id as a pure column expression; ties break
-    toward the lowest centroid id (array_max on (sim, -cid) structs)."""
+    toward the lowest centroid id (array_max on (sim, -cid) structs).
+
+    Pass the COLUMN NAME (str) where possible: the nlist cosines are then
+    rendered as one SQL string parsed by a single F.expr (~2 ms) instead
+    of ~0.8 s of per-centroid py4j Column construction (same operators,
+    same fold order, value-identical — see the rendering helpers)."""
+    if isinstance(vec, str) and cents:
+        v = _ident_sql(vec)
+        structs = ",".join(
+            f"named_struct('sim', {_cosine_sql(v, _arr_sql(cvec))}, "
+            f"'ncid', {-cid})"
+            for cid, cvec in cents
+        )
+        return F.expr(f"-(array_max(array({structs})).ncid)")
+    if isinstance(vec, str):
+        vec = F.col(vec)
     choices = F.array(
         *[
             F.struct(
@@ -224,7 +303,7 @@ def assign_clusters(
     centroids are literals (broadcast by construction)."""
     return embeddings.select(
         F.col(id_col).alias("id"),
-        _nearest_centroid(F.col(vec_col), cents).alias("cluster"),
+        _nearest_centroid(vec_col, cents).alias("cluster"),
     )
 
 
@@ -254,7 +333,7 @@ def ivf_topk(
     query_id_col = query_id_col or id_col
     cents = ivf_centroids(embeddings, nlist, id_col, vec_col, iterations)
     corpus = embeddings.select(
-        _nearest_centroid(F.col(vec_col), cents).alias("__cid"),
+        _nearest_centroid(vec_col, cents).alias("__cid"),
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("__cvec"),
     )
@@ -274,20 +353,21 @@ def _probe_queries(
     lists (negated-id structs give the deterministic lowest-id tie-break).
     Shared by the in-memory and on-disk IVF paths so probe semantics can
     never diverge."""
-    # One F.lit per CENTROID (a list literal), not one per coordinate:
-    # per-coordinate lits were ~nlist x dim py4j round-trips of pure
-    # driver-side plan construction — 1.3 s of the 2.2 s warm
-    # ann_ivf_index gate at (nlist=8, dim=64) before round 10.
-    cent_rows = F.array(
-        *[
-            F.struct(
-                cosine(
-                    F.col("__qvec"), F.lit([float(x) for x in cvec])
-                ).alias("sim"),
-                F.lit(-cid).alias("ncid"),
-            )
+    # ONE SQL string for the whole centroid-ranking array (r10): the
+    # earlier per-centroid Column construction (even with one F.lit per
+    # centroid, d27c47d) still paid ~0.1 s of py4j round-trips per HOF
+    # cosine — ~0.8 s of pure driver-side plan construction per probe
+    # call at nlist=8.  A single F.expr parse is ~2 ms and produces the
+    # identical operators (see the rendering helpers).
+    qv = _ident_sql("__qvec")
+    cent_rows = F.expr(
+        "array("
+        + ",".join(
+            f"named_struct('sim', {_cosine_sql(qv, _arr_sql(cvec))}, "
+            f"'ncid', {-cid})"
             for cid, cvec in cents
-        ]
+        )
+        + ")"
     )
     return F.broadcast(
         queries.select(
@@ -344,7 +424,7 @@ def write_ivf_index(
     embeddings.select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("embedding"),
-        _nearest_centroid(F.col(vec_col), cents).alias("list_id"),
+        _nearest_centroid(vec_col, cents).alias("list_id"),
     ).write.mode("overwrite").partitionBy("list_id").parquet(f"{path}/corpus")
 
 
@@ -460,7 +540,7 @@ def embedding_near_duplicates(
     c = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        lsh_bucket(vec_col, planes).alias("bucket"),
     )
     cands = _bucket_pairs(c.select("id", "bucket"), ["bucket"])
     # width-pin before the per-row cosine verify (see semantic_dedup /
@@ -487,7 +567,7 @@ def _centroid_lookup(cluster: Column, cents: list[tuple[int, list[float]]]) -> C
     array of centroid vectors (centroid ids are dense 0..nlist-1 by
     construction in ivf_centroids)."""
     ordered = [cvec for _, cvec in sorted(cents)]
-    table = F.array(*[F.lit([float(x) for x in cvec]) for cvec in ordered])
+    table = F.expr("array(" + ",".join(_arr_sql(cvec) for cvec in ordered) + ")")
     return F.element_at(table, cluster.cast("int") + 1)
 
 
@@ -554,7 +634,7 @@ def semantic_dedup(
     c = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
-        _nearest_centroid(F.col(vec_col), cents).alias("cluster"),
+        _nearest_centroid(vec_col, cents).alias("cluster"),
     ).persist()
     cands = _bucket_pairs(c.select("id", "cluster"), ["cluster"])
     # pin the verify stage's width: candidate pairs are byte-light but
@@ -867,7 +947,7 @@ def ivfpq_topk(
     # once per corpus row, not once per slot slice
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        _nearest_centroid(F.col(vec_col), cents).alias("__cid"),
+        _nearest_centroid(vec_col, cents).alias("__cid"),
         _normalize(F.col(vec_col)).alias("__nv"),
     )
     # corpus -> (vec_id, __cid, s, code): the compressed index, exploded
@@ -960,8 +1040,12 @@ def random_projection(
             raise ValueError("embeddings DataFrame is empty; pass dim explicitly")
         dim = int(first[0])
     planes = hyperplanes(out_dim, dim)
-    v = F.col(vec_col).cast("array<double>")
-    proj = F.array(*[dot(v, F.lit([float(x) for x in p])) for p in planes])
+    # one SQL parse for all out_dim plane dots (vs ~0.1 s of py4j Column
+    # construction per plane — see the rendering-helpers note)
+    v = f"CAST({_ident_sql(vec_col)} AS ARRAY<DOUBLE>)"
+    proj = F.expr(
+        "array(" + ",".join(_dot_sql(v, _arr_sql(p)) for p in planes) + ")"
+    )
     return embeddings.select(F.col(id_col).alias("id"), proj.alias("proj"))
 
 
@@ -1039,7 +1123,7 @@ def write_pq_index(
     d = len(books[0][0][1])
     base = embeddings.select(
         F.col(id_col).alias("vec_id"),
-        _nearest_centroid(F.col(vec_col), cents).alias("list_id"),
+        _nearest_centroid(vec_col, cents).alias("list_id"),
         _normalize(F.col(vec_col)).alias("__nv"),
     )
     codes = _encode_codes(

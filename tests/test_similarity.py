@@ -385,3 +385,62 @@ def test_ivf_index_cache_skipped_without_mtime(spark, tmp_path, monkeypatch):
     second = sim.ivf_topk_from_index(spark, idx, queries, k=3, nprobe=2)
     assert second.count() > 0  # served from the REWRITTEN index, no stale error
     assert len(first) > 0
+
+
+def test_sql_rendered_exprs_bit_identical(emb, spark):
+    """The r10 SQL-string-rendered expression builders (_nearest_centroid,
+    lsh_bucket, _probe_queries' centroid ranking, random_projection's
+    plane dots) must be BIT-identical to the Column-API forms they
+    replaced — same operators, same fold order, literals round-tripped
+    through repr()."""
+    from pyspark.sql import functions as F
+
+    cents = sim.ivf_centroids(emb, 8)
+    planes = sim.hyperplanes(8, 64)
+
+    # legacy Column-API forms (what the builders constructed before r10)
+    legacy_nc = -F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    sim.cosine(
+                        F.col("embedding"), F.lit([float(x) for x in cvec])
+                    ).alias("sim"),
+                    F.lit(-cid).alias("ncid"),
+                )
+                for cid, cvec in cents
+            ]
+        )
+    )["ncid"]
+    legacy_bucket = sim.lsh_bucket(F.col("embedding"), planes)  # Column path
+
+    checks = emb.select(
+        legacy_nc.eqNullSafe(
+            sim._nearest_centroid("embedding", cents)
+        ).alias("nc_eq"),
+        legacy_bucket.eqNullSafe(
+            sim.lsh_bucket("embedding", planes)
+        ).alias("bk_eq"),
+    )
+    bad = checks.where(~F.col("nc_eq") | ~F.col("bk_eq")).count()
+    assert bad == 0
+
+    # random_projection vs the legacy per-plane Column form
+    legacy_proj = emb.select(
+        F.col("vec_id").alias("id"),
+        F.array(
+            *[
+                sim.dot(
+                    F.col("embedding").cast("array<double>"),
+                    F.lit([float(x) for x in p]),
+                )
+                for p in sim.hyperplanes(4, 64)
+            ]
+        ).alias("proj"),
+    )
+    new_proj = sim.random_projection(emb, 4, dim=64)
+    joined = legacy_proj.alias("l").join(new_proj.alias("r"), "id")
+    bad2 = joined.where(
+        ~F.col("l.proj").eqNullSafe(F.col("r.proj"))
+    ).count()
+    assert bad2 == 0
