@@ -133,6 +133,38 @@ def md5_long(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+# -- SQL-string renderings ---------------------------------------------------
+#
+# Plan-CONSTRUCTION cost (r10, see operators/similarity.py): the Column-API
+# builders above pay one py4j round-trip per call, which dominates operators
+# that compose them dozens of times (simhash: 1.4 s to BUILD the plan).  The
+# renderers below emit the identical expression as a SQL fragment so a whole
+# operator parses in ONE F.expr; operand order and literal types match the
+# Column forms exactly (value-identity pinned by tests + the oracle gate).
+
+
+def tokens_sql(col_sql: str) -> str:
+    """SQL form of tokens()."""
+    return f"split(trim(lower({col_sql})), '\\\\s+')"
+
+
+def md5_long_sql(arg_sql: str) -> str:
+    """SQL form of md5_long()."""
+    return f"CAST(conv(substring(md5({arg_sql}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def word_ngrams_sql(toks_sql: str, n: int) -> str:
+    """SQL form of word_ngrams_from_tokens(): same zip_with fold."""
+    acc = toks_sql
+    for k in range(1, n):
+        shifted = f"slice({toks_sql}, {k + 1}, greatest(size({toks_sql}) - {k}, 0))"
+        acc = f"zip_with({acc}, {shifted}, (a, b) -> concat_ws(' ', a, b))"
+    return (
+        f"CASE WHEN size({toks_sql}) < {n} THEN CAST(array() AS array<string>) "
+        f"ELSE slice({acc}, 1, size({toks_sql}) - {n - 1}) END"
+    )
+
+
 def word_ngrams_from_tokens(toks: Column, n: int) -> Column:
     """Word n-gram shingles from a token-array column.
 

@@ -20,7 +20,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import md5_long, tokens, word_ngrams_from_tokens
+from ..functions.text import (
+    md5_long,
+    md5_long_sql,
+    tokens,
+    tokens_sql,
+    word_ngrams_from_tokens,
+    word_ngrams_sql,
+)
 from . import paths as pathops
 
 # Deterministic permutation constants for MinHash: (a * h + b) mod P over the
@@ -70,7 +77,19 @@ def minhash_hashes31(text: Column, n: int) -> Column:
     )
 
 
-def minhash_sig_inrow(text: Column, n: int, num_perm: int) -> Column:
+def _ident_sql(name: str) -> str:
+    return "`" + name.replace("`", "``") + "`"
+
+
+def _hashes31_sql(text_sql: str, n: int) -> str:
+    """SQL form of minhash_hashes31() — same operators, one parse."""
+    return (
+        f"transform(array_distinct({word_ngrams_sql(tokens_sql(text_sql), n)}), "
+        f"g -> {md5_long_sql('g')} % {MINHASH_PRIME})"
+    )
+
+
+def minhash_sig_inrow(text: Column | str, n: int, num_perm: int) -> Column:
     """The full MinHash signature as ONE row-local fold: a single
     `aggregate` over the shingle-hash array maintains all num_perm
     running minima via zip_with against a literal (a, b) parameter
@@ -85,7 +104,22 @@ def minhash_sig_inrow(text: Column, n: int, num_perm: int) -> Column:
     the shingle pipeline appears exactly once in the expression tree.
 
     Rows with no shingles keep the MINHASH_PRIME sentinel (unattainable:
-    (a*h+b) % P < P), which callers use to drop them."""
+    (a*h+b) % P < P), which callers use to drop them.
+
+    Pass the COLUMN NAME (str) where possible: the whole fold then renders
+    as one SQL string parsed by a single F.expr (~2 ms) instead of ~0.7 s
+    of py4j Column calls; both forms are value-identical (pinned by
+    test_sql_rendered_minhash_bit_identical)."""
+    if isinstance(text, str):
+        params_sql = ",".join(
+            f"named_struct('a', {a}, 'b', {b})" for a, b in minhash_params(num_perm)
+        )
+        init_sql = ",".join([f"CAST({MINHASH_PRIME} AS BIGINT)"] * num_perm)
+        return F.expr(
+            f"aggregate({_hashes31_sql(_ident_sql(text), n)}, array({init_sql}), "
+            f"(acc, h) -> zip_with(acc, array({params_sql}), "
+            f"(m, p) -> least(m, (p.a * h + p.b) % {MINHASH_PRIME})))"
+        )
     params = F.array(
         *[
             F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
@@ -318,12 +352,16 @@ def minhash_signatures(
                 return cached
     sh = _shingles(df, id_col, text_col, n, max_doc_freq)
     h31 = (F.col("sh") % MINHASH_PRIME).alias("h31")
-    aggs = [
-        F.min((F.lit(a) * F.col("h31") + F.lit(b)) % MINHASH_PRIME).alias(f"m{i}")
-        for i, (a, b) in enumerate(minhash_params(num_perm))
-    ]
-    sig = sh.select("id", h31).groupBy("id").agg(*aggs)
-    out = sig.select("id", F.array(*[f"m{i}" for i in range(num_perm)]).alias("sig"))
+    # one SQL parse for all num_perm running minima (py4j plan-build cost;
+    # the array-of-aggregates form also folds away the m{i} projection)
+    sig_terms = ",".join(
+        f"min(({a} * h31 + {b}) % {MINHASH_PRIME})" for a, b in minhash_params(num_perm)
+    )
+    out = (
+        sh.select("id", h31)
+        .groupBy("id")
+        .agg(F.expr(f"array({sig_terms})").alias("sig"))
+    )
     if entries is not None:
         out = pathops.materialize(out)
         entries.append((params, jplan.semanticHash(), jplan, out))
@@ -337,27 +375,17 @@ def _band_frame(sig: DataFrame, num_perm: int, bands: int) -> DataFrame:
     hash — the bucketing frame behind both all-pairs candidate
     generation and star connectivity."""
     rows = num_perm // bands
+    structs = ",".join(
+        f"named_struct('band', {b}, 'bh', "
+        + md5_long_sql(
+            f"concat_ws('-', transform(slice(sig, {b * rows + 1}, {rows}), "
+            f"x -> CAST(x AS STRING)))"
+        )
+        + ")"
+        for b in range(bands)
+    )
     return sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        md5_long(
-                            F.concat_ws(
-                                "-",
-                                F.transform(
-                                    F.slice(F.col("sig"), b * rows + 1, rows),
-                                    lambda x: x.cast("string"),
-                                ),
-                            )
-                        ).alias("bh"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+        "id", F.expr(f"explode(array({structs}))").alias("bb")
     ).select("id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
 
@@ -499,24 +527,23 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", md5_long(F.col("tok")))
+    # both expression loops rendered as SQL strings: the Column-API build
+    # paid ~1.4 s of py4j round-trips per call (vs ~2 ms to parse)
     packed_aggs = []
     for j in range(bits // 4):
-        expr = F.lit(0).cast("long")
-        for pos in range(4):
-            b = j * 4 + pos
-            expr = expr + F.shiftleft(
-                F.shiftright(F.col("h"), b).bitwiseAND(1).cast("long"), 16 * pos
-            )
-        packed_aggs.append(F.sum(expr).alias(f"p{j}"))
+        terms = " + ".join(
+            f"shiftleft(CAST(shiftright(h, {j * 4 + pos}) & 1 AS BIGINT), {16 * pos})"
+            for pos in range(4)
+        )
+        packed_aggs.append(F.expr(f"sum(CAST(0 AS BIGINT) + {terms})").alias(f"p{j}"))
     sums = tok.groupBy("id").agg(F.count("*").alias("__n"), *packed_aggs)
-    val = F.lit(0).cast("long")
-    for j in range(bits // 4):
-        for pos in range(4):
-            b = j * 4 + pos
-            ones = F.shiftright(F.col(f"p{j}"), 16 * pos).bitwiseAND(0xFFFF)
-            val = val + F.when(
-                2 * ones > F.col("__n"), F.lit(1 << b).cast("long")
-            ).otherwise(0)
+    val_terms = " + ".join(
+        f"CASE WHEN 2 * (shiftright(p{j}, {16 * pos}) & 65535) > __n "
+        f"THEN CAST({1 << (j * 4 + pos)} AS BIGINT) ELSE 0 END"
+        for j in range(bits // 4)
+        for pos in range(4)
+    )
+    val = F.expr(f"CAST(0 AS BIGINT) + {val_terms}")
     return sums.select("id", val.alias("simhash"))
 
 

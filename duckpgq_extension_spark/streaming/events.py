@@ -560,7 +560,7 @@ def near_dup_stream(
     if num_perm % bands:
         raise ValueError("bands must divide num_perm")
     rows = num_perm // bands
-    out = docs.withColumn("__sig", minhash_sig_inrow(F.col(text_col), n, num_perm))
+    out = docs.withColumn("__sig", minhash_sig_inrow(text_col, n, num_perm))
     # docs with no shingles keep the P sentinel -> nothing to collide
     # with; they pass through (matching cross_corpus_dedup, whose
     # signature frame simply lacks them)

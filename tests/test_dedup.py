@@ -558,3 +558,41 @@ def test_dedup_paragraphs_empty_and_null_arrays_absent(spark):
     assert set(out) == {"a", "b"}
     assert out["a"] == ("x y\ncommon", 2, 0)
     assert out["b"] == ("", 0, 1)
+
+
+def test_sql_rendered_minhash_bit_identical(spark):
+    """r10: minhash_sig_inrow's SQL-string fast path (column NAME arg) must
+    produce signatures bit-identical to the Column-API form on real data."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    a = docs.select("doc_id", dedup.minhash_sig_inrow("text", 2, 16).alias("s"))
+    b = docs.select("doc_id", dedup.minhash_sig_inrow(F.col("text"), 2, 16).alias("s"))
+    ra = sorted((r["doc_id"], tuple(r["s"])) for r in a.collect())
+    rb = sorted((r["doc_id"], tuple(r["s"])) for r in b.collect())
+    assert ra == rb and len(ra) > 0
+
+
+def test_sql_rendered_simhash_reference_values(spark):
+    """r10: simhash's SQL-rendered packed aggregates must match a direct
+    per-bit majority reference computed independently per document."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(50)
+    got = {r["id"]: r["simhash"] for r in dedup.simhash(docs, "doc_id", "text").collect()}
+    # independent reference: explode tokens, md5_long, per-bit majority in Python
+    rows = docs.select(
+        F.col("doc_id"),
+        F.expr(
+            "transform(split(trim(lower(text)), '\\\\s+'), "
+            "t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT))"
+        ).alias("hs"),
+    ).collect()
+    for r in rows:
+        hs = r["hs"]
+        want = 0
+        for b in range(32):
+            ones = sum((h >> b) & 1 for h in hs)
+            if 2 * ones > len(hs):
+                want |= 1 << b
+        assert got[r["doc_id"]] == want, f"doc {r['doc_id']}"
