@@ -674,16 +674,20 @@ def main() -> None:
     # single non-truncated source every per-query median is traceable to
     # (VERDICT r9 "What's wrong" 2).
     print(json.dumps(full), file=sys.stderr)
-    try:
-        with open(
-            os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_local.json"),
-            "w",
-        ) as fh:
-            json.dump(full, fh, indent=1)
-            fh.write("\n")
-    except OSError as e:  # read-only checkout: the stderr copy stands
-        print(f"# BENCH_local.json not written: {e}", file=sys.stderr)
+    if os.environ.get("SPARK_GRAFT_BENCH_ONLY"):
+        # debug-subset run: never clobber the full-bench record on disk
+        print("# BENCH_local.json not written (subset run)", file=sys.stderr)
+    else:
+        try:
+            with open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_local.json"),
+                "w",
+            ) as fh:
+                json.dump(full, fh, indent=1)
+                fh.write("\n")
+        except OSError as e:  # read-only checkout: the stderr copy stands
+            print(f"# BENCH_local.json not written: {e}", file=sys.stderr)
     # The driver records only a 2000-char TAIL of stdout (BENCH_r4.parsed
     # was null because the 63-query + cold dict blew past it and the JSON
     # got front-truncated).  Emit a compact line as the LAST stdout line:
