@@ -16,6 +16,8 @@ ANSI/DuckDB SQL for oracle verification.  The shared hash primitive is a
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -143,9 +145,23 @@ def md5_long(col: Column) -> Column:
 # Column forms exactly (value-identity pinned by tests + the oracle gate).
 
 
+def is_simple_ident(name: str) -> bool:
+    """True iff `name` is a plain top-level identifier.  The SQL-rendered
+    fast paths backtick-quote the WHOLE name, so a dotted/nested reference
+    ('payload.vec') would resolve differently from F.col(name); callers
+    gate on this and fall back to the Column path for non-simple names
+    (ADVICE r10)."""
+    return bool(_re.match(r"^[A-Za-z_][A-Za-z0-9_]*$", name))
+
+
 def tokens_sql(col_sql: str) -> str:
-    """SQL form of tokens()."""
-    return f"split(trim(lower({col_sql})), '\\\\s+')"
+    """SQL form of tokens().  The whitespace regex is rendered as
+    concat(char(92), 's+') — constant-folded to the same '\\s+' literal by
+    Catalyst — so the fragment parses identically whether or not the
+    session sets spark.sql.parser.escapedStringLiterals (under which a
+    plain '\\\\s+' literal would keep its backslash doubled and silently
+    split on a literal backslash-s instead; ADVICE r10)."""
+    return f"split(trim(lower({col_sql})), concat(char(92), 's+'))"
 
 
 def md5_long_sql(arg_sql: str) -> str:

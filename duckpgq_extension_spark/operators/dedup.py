@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import (
+    is_simple_ident,
     md5_long,
     md5_long_sql,
     tokens,
@@ -110,6 +111,10 @@ def minhash_sig_inrow(text: Column | str, n: int, num_perm: int) -> Column:
     as one SQL string parsed by a single F.expr (~2 ms) instead of ~0.7 s
     of py4j Column calls; both forms are value-identical (pinned by
     test_sql_rendered_minhash_bit_identical)."""
+    if isinstance(text, str) and not is_simple_ident(text):
+        # dotted/nested names resolve differently under backtick quoting
+        # than under F.col — route them through the Column path (ADVICE r10)
+        text = F.col(text)
     if isinstance(text, str):
         params_sql = ",".join(
             f"named_struct('a', {a}, 'b', {b})" for a, b in minhash_params(num_perm)
@@ -523,7 +528,12 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 32) -> DataFr
     Field width caps documents at 65535 tokens (far above any sane chunk
     size; chunk longer docs upstream).
     """
-    assert bits % 4 == 0
+    # bits < 4 would render empty val_terms/packed_aggs joins -> an F.expr
+    # parse error ('CAST(0 AS BIGINT) + '); validate up front (ADVICE r10)
+    if bits < 4 or bits % 4:
+        raise ValueError(
+            f"simhash requires bits >= 4 and a multiple of 4 (got {bits})"
+        )
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", md5_long(F.col("tok")))

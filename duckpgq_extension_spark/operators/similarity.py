@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import is_simple_ident
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -143,6 +145,8 @@ def lsh_bucket(vec: Column | str, planes: list[list[float]]) -> Column:
     is then rendered as one SQL string and parsed with a single F.expr
     (~2 ms) instead of ~0.5 s of per-plane py4j Column calls; both forms
     build the same operators and are value-identical."""
+    if isinstance(vec, str) and not is_simple_ident(vec):
+        vec = F.col(vec)  # dotted/nested names: Column path (ADVICE r10)
     if isinstance(vec, str) and planes:
         v = _ident_sql(vec)
         terms = " + ".join(
@@ -269,6 +273,8 @@ def _nearest_centroid(
     rendered as one SQL string parsed by a single F.expr (~2 ms) instead
     of ~0.8 s of per-centroid py4j Column construction (same operators,
     same fold order, value-identical — see the rendering helpers)."""
+    if isinstance(vec, str) and not is_simple_ident(vec):
+        vec = F.col(vec)  # dotted/nested names: Column path (ADVICE r10)
     if isinstance(vec, str) and cents:
         v = _ident_sql(vec)
         structs = ",".join(
@@ -1040,6 +1046,11 @@ def random_projection(
             raise ValueError("embeddings DataFrame is empty; pass dim explicitly")
         dim = int(first[0])
     planes = hyperplanes(out_dim, dim)
+    if not is_simple_ident(vec_col):
+        # dotted/nested names: pre-project through F.col so the backtick-
+        # quoted SQL below sees a plain top-level column (ADVICE r10)
+        embeddings = embeddings.withColumn("__rp_vec", F.col(vec_col))
+        vec_col = "__rp_vec"
     # one SQL parse for all out_dim plane dots (vs ~0.1 s of py4j Column
     # construction per plane — see the rendering-helpers note)
     v = f"CAST({_ident_sql(vec_col)} AS ARRAY<DOUBLE>)"

@@ -596,3 +596,58 @@ def test_sql_rendered_simhash_reference_values(spark):
             if 2 * ones > len(hs):
                 want |= 1 << b
         assert got[r["doc_id"]] == want, f"doc {r['doc_id']}"
+
+
+def test_minhash_sig_inrow_dotted_name_matches_column_path(spark):
+    """ADVICE r10: a dotted/nested column NAME must route through the
+    Column path (F.col semantics), not the backtick-quoted SQL render."""
+    from pyspark.sql import functions as F
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .limit(20)
+        .select("doc_id", F.struct(F.col("text").alias("body")).alias("payload"))
+    )
+    a = docs.select(
+        "doc_id", dedup.minhash_sig_inrow("payload.body", 2, 8).alias("s")
+    )
+    b = docs.select(
+        "doc_id", dedup.minhash_sig_inrow(F.col("payload.body"), 2, 8).alias("s")
+    )
+    ra = sorted((r["doc_id"], tuple(r["s"])) for r in a.collect())
+    rb = sorted((r["doc_id"], tuple(r["s"])) for r in b.collect())
+    assert ra == rb and len(ra) == 20
+
+
+def test_simhash_rejects_bits_below_4(spark):
+    """ADVICE r10: bits < 4 used to render an empty aggregate join and die
+    in the SQL parser; it must raise a clear ValueError up front."""
+    import pytest
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(5)
+    for bad in (0, 2, 3, 5):
+        with pytest.raises(ValueError, match="bits >= 4"):
+            dedup.simhash(docs, "doc_id", "text", bits=bad)
+
+
+def test_tokens_sql_invariant_to_escaped_string_literals(spark):
+    """ADVICE r10: tokens_sql's regex renders via concat(char(92), 's+'),
+    so it must split identically with escapedStringLiterals on or off."""
+    from pyspark.sql import functions as F
+
+    from duckpgq_extension_spark.functions.text import tokens, tokens_sql
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    want = [tuple(r["t"]) for r in docs.select(tokens(F.col("text")).alias("t")).collect()]
+    conf = "spark.sql.parser.escapedStringLiterals"
+    old = spark.conf.get(conf, "false")
+    try:
+        for mode in ("false", "true"):
+            spark.conf.set(conf, mode)
+            got = [
+                tuple(r["t"])
+                for r in docs.select(F.expr(tokens_sql("text")).alias("t")).collect()
+            ]
+            assert got == want, f"escapedStringLiterals={mode}"
+    finally:
+        spark.conf.set(conf, old)

@@ -444,3 +444,32 @@ def test_sql_rendered_exprs_bit_identical(emb, spark):
         ~F.col("l.proj").eqNullSafe(F.col("r.proj"))
     ).count()
     assert bad2 == 0
+
+
+def test_lsh_and_centroid_dotted_name_matches_column_path(spark):
+    """ADVICE r10: dotted/nested vector column NAMES must fall back to the
+    F.col path instead of the whole-name backtick SQL render."""
+    from pyspark.sql import functions as F
+
+    from duckpgq_extension_spark.operators import similarity as S
+
+    emb = (
+        spark.read.parquet(f"{SF}/embeddings.parquet")
+        .limit(20)
+        .select(
+            "vec_id", F.struct(F.col("embedding").alias("vec")).alias("payload")
+        )
+    )
+    planes = S.hyperplanes(4, 64)
+    cents = [(0, [1.0] * 64), (1, [-1.0] * 64)]
+    a = emb.select(
+        "vec_id",
+        S.lsh_bucket("payload.vec", planes).alias("b"),
+        S._nearest_centroid("payload.vec", cents).alias("c"),
+    )
+    b = emb.select(
+        "vec_id",
+        S.lsh_bucket(F.col("payload.vec"), planes).alias("b"),
+        S._nearest_centroid(F.col("payload.vec"), cents).alias("c"),
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import math
+import re
 import sys
 
 
@@ -22,7 +23,14 @@ def main() -> None:
     orc = json.load(open(sys.argv[2]))
     spark_times = bench["queries"]
     duck = orc["times"]
-    cap = float(orc["protocol"].rsplit("_", 1)[1].rstrip("s").lstrip("timeout_") or 0)
+    # extract the timeout cap with a real prefix match; fail loudly on an
+    # unexpected protocol string instead of dividing by 0 (ADVICE r10)
+    m = re.search(r"timeout_(\d+(?:\.\d+)?)s", orc["protocol"])
+    if not m:
+        raise SystemExit(
+            f"cannot parse timeout cap from protocol {orc['protocol']!r}"
+        )
+    cap = float(m.group(1))
 
     rows = []
     ratios = []
@@ -34,7 +42,9 @@ def main() -> None:
         if isinstance(d, str):  # ">60s" interrupted
             dv = cap  # lower bound on the oracle's cost -> ratio is an upper bound
             ratio = s / dv
-            rtxt = f"**<{ratio:.2f}x**" if ratio < 1 else f"{ratio:.1f}x"
+            # the cap is a LOWER bound on the oracle's cost, so the ratio is
+            # an UPPER bound either side of 1 — always render the '<' marker
+            rtxt = f"**<{ratio:.2f}x**" if ratio < 1 else f"<{ratio:.1f}x"
             rows.append((name, s, d + " (interrupted)", rtxt))
         else:
             ratio = s / d if d > 0 else float("inf")
