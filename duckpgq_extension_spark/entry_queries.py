@@ -4175,6 +4175,37 @@ SELECT src, dst, MIN(arrival) AS arrival FROM walk GROUP BY src, dst""",
 )
 
 
+def q_temporal_reach_index(spark, sf_dir):
+    """Standing-index temporal reachability (paths.write_temporal_index +
+    temporal_reachability_from_index — VERDICT r10 item 1): the adjacency
+    is written ONCE per sf tier as a ts-range-bucketed parquet (at 100 TB
+    this is the standing temporal table), and each relaxation round's
+    monotone arrival bound prunes whole bucket directories at file level
+    (PartitionFilters) instead of row-filtering an in-memory cache.
+    Same seeds/edges as temporal_reach, exact pruning — the earliest
+    arrivals are hash-identical, so the oracle is shared."""
+    import os
+
+    setup(spark, sf_dir)
+    edges = spark.table("c_edges").select(
+        "src", "dst", (F.col("eid") % 365).alias("ts")
+    )
+    seeds = spark.table("customer").where(F.col("c_custkey") < 5).select(
+        F.col("c_custkey").cast("long")
+    )
+    path = os.path.join(
+        "/tmp/duckpgq_temporal_index", os.path.basename(os.path.normpath(sf_dir))
+    )
+    if not os.path.exists(os.path.join(path, "edges", "_SUCCESS")):
+        pathops.write_temporal_index(edges, path, ts_col="ts", n_buckets=16)
+    return pathops.temporal_reachability_from_index(spark, path, seeds)
+
+
+# identical semantics to the in-memory route — the index is a layout, not
+# a different algorithm — so the oracle is shared
+O_TEMPORAL_REACH_INDEX = O_TEMPORAL_REACH
+
+
 def q_temporal_latest(spark, sf_dir):
     """Latest-departure temporal reachability
     (operators/paths.temporal_latest_departure, beyond-reference): the
@@ -5998,6 +6029,7 @@ QUERIES = {
     "katz": q_katz,
     "link_pred": q_link_pred,
     "temporal_reach": q_temporal_reach,
+    "temporal_reach_index": q_temporal_reach_index,
     "nbr_features": q_nbr_features,
     "ego_net": q_ego_net,
     "funnel": q_funnel,
@@ -6133,6 +6165,7 @@ ORACLES = {
     "katz": O_KATZ,
     "link_pred": O_LINK_PRED,
     "temporal_reach": O_TEMPORAL_REACH,
+    "temporal_reach_index": O_TEMPORAL_REACH_INDEX,
     "nbr_features": O_NBR_FEATURES,
     "ego_net": O_EGO_NET,
     "funnel": O_FUNNEL,

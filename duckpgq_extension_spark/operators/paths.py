@@ -1241,7 +1241,138 @@ def temporal_reachability(
         adj.unpersist()
 
 
-def _temporal_fixpoint(adj, dist, hops_per_round, ts_prune=False):
+def write_temporal_index(
+    edges: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    n_buckets: int = 16,
+) -> None:
+    """Materialize a ts-range-bucketed STANDING adjacency on disk: the
+    edge set rewritten PARTITIONED BY an equal-width timestamp bucket
+    (one directory per bucket) plus a one-row bounds parquet — the
+    temporal analog of similarity.write_ivf_index (layout paid once,
+    every traversal afterwards amortizes it).
+
+    Why this layout: temporal_reachability's per-round monotone bound
+    (every frontier pair relaxes only edges with ts >= its own arrival
+    >= the round's minimum improved arrival) is EXACT, but as an
+    in-memory row filter it measured NEGATIVE in r10 (the changing
+    per-round literal recompiles the round's codegen for less than the
+    cached-batch skipping saves).  Against this standing table the same
+    predicate becomes FILE-LEVEL partition pruning — bucket directories
+    wholly below the bound are never opened (PartitionFilters in the
+    scan, pinned by test_paths), plus a pushed min/max row-group filter
+    inside the boundary bucket — a different cost regime: at 100 TB a
+    late round reads nprobe-like slices of the edge set instead of all
+    of it.  Within each bucket directory rows are sorted by __ts so the
+    residual `__ts >= bound` predicate skips whole row groups too.
+    """
+    from pyspark.sql import Row
+
+    e = edges.select("src", "dst", F.col(ts_col).cast("long").alias("__ts"))
+    lo, hi = e.agg(F.min("__ts"), F.max("__ts")).first()
+    if lo is None:  # empty edge set: one empty bucket, degenerate meta
+        lo, hi = 0, 0
+    width = max(1, (int(hi) - int(lo)) // int(n_buckets) + 1)
+    spark = edges.sparkSession
+    spark.createDataFrame(
+        [Row(lo=int(lo), width=int(width), n_buckets=int(n_buckets))],
+        "lo long, width long, n_buckets int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    (
+        e.withColumn(
+            "__tsb", F.expr(f"CAST((__ts - {int(lo)}) DIV {width} AS INT)")
+        )
+        .sortWithinPartitions("__tsb", "__ts")
+        .write.mode("overwrite")
+        .partitionBy("__tsb")
+        .parquet(f"{path}/edges")
+    )
+
+
+_TEMPORAL_META_CACHE: dict = {}
+
+
+def _temporal_index_scan(spark, path: str, lo: int, width: int, bound,
+                         base: DataFrame | None = None):
+    """One relaxation round's adjacency scan over a write_temporal_index
+    directory: `__tsb >= bucket(bound)` is static partition pruning
+    (PartitionFilters — bucket directories below the bound are never
+    opened; plan-pinned in test_paths), `__ts >= bound` the pushed
+    residual filter inside the boundary bucket.  Pass `base` (the
+    relation read once) to share one file index across rounds instead of
+    re-listing the directory every round."""
+    scan = base if base is not None else spark.read.parquet(f"{path}/edges")
+    if bound is not None:
+        b = (int(bound) - lo) // width
+        if b > 0:
+            scan = scan.where(F.col("__tsb") >= b)
+        scan = scan.where(F.col("__ts") >= int(bound))
+    return scan.select("src", "dst", "__ts")
+
+
+def temporal_reachability_from_index(
+    spark,
+    path: str,
+    seeds: DataFrame,
+    start_ts: int | None = None,
+) -> DataFrame:
+    """temporal_reachability against a `write_temporal_index` directory:
+    value-identical to the in-memory kernel (same fixpoint, same merge
+    and fold order, so the oracle is shared), but each round re-plans
+    its adjacency scan as
+
+        __tsb >= bucket(bound)  AND  __ts >= bound
+
+    where `bound` is the round's minimum improved arrival (riding the
+    existing Observation for free).  The first predicate is static
+    partition pruning — bucket directories below the bound are never
+    opened — the second a pushed parquet filter that min/max-skips row
+    groups inside the boundary bucket.  EXACT: every frontier pair
+    (s, u, a) only relaxes edges with ts >= a >= bound, so no candidate
+    is lost (see _temporal_fixpoint).
+
+    Bucket metadata is contract-small standing state (one row), cached
+    driver-side per (path, mtime) like the IVF centroid cache; non-local
+    paths (no mtime) skip the cache rather than risk staleness.
+    """
+    import os
+
+    mdir = f"{path}/meta"
+    try:
+        mkey = (mdir, os.path.getmtime(mdir))
+    except OSError:
+        mkey = None
+    meta = _TEMPORAL_META_CACHE.get(mkey) if mkey is not None else None
+    if meta is None:
+        r = spark.read.parquet(mdir).first()
+        meta = (int(r["lo"]), int(r["width"]))
+        if mkey is not None:
+            _TEMPORAL_META_CACHE.clear()  # bounded: one standing index at a time
+            _TEMPORAL_META_CACHE[mkey] = meta
+    lo, width = meta
+
+    # read the relation ONCE: every round's filter re-plans against the
+    # same cached file index (partition pruning still happens per round at
+    # planning time) instead of paying a fresh directory listing + schema
+    # read per round (guide §6 file-listing cost is driver-side)
+    base = spark.read.parquet(f"{path}/edges")
+
+    def adj_for_bound(bound):
+        return _temporal_index_scan(spark, path, lo, width, bound, base=base)
+
+    t0 = F.lit(int(start_ts)) if start_ts is not None else F.lit(0)
+    dist = seeds.toDF("vid").distinct().select(
+        F.col("vid").alias("src"),
+        F.col("vid").alias("dst"),
+        t0.cast("long").alias("arrival"),
+        F.lit(True).alias("__improved"),
+    )
+    return _temporal_fixpoint(None, dist, 1, adj_for_bound=adj_for_bound)
+
+
+def _temporal_fixpoint(adj, dist, hops_per_round, ts_prune=False,
+                       adj_for_bound=None):
     # Monotone-label bound: every frontier pair (s, u, a) relaxes only
     # edges with ts >= a >= (min arrival over the frontier), so the
     # adjacency can be pre-filtered each round with that scalar — EXACT
@@ -1254,11 +1385,14 @@ def _temporal_fixpoint(adj, dist, hops_per_round, ts_prune=False):
     bound = None
     while True:
         frontier = dist.where(F.col("__improved")).select("src", "dst", "arrival")
-        adj_r = (
-            adj.where(F.col("__ts") >= F.lit(bound))
-            if ts_prune and bound is not None
-            else adj
-        )
+        if adj_for_bound is not None:
+            # standing-index route: the bound becomes partition pruning on
+            # the ts-bucketed scan (see temporal_reachability_from_index)
+            adj_r = adj_for_bound(bound)
+        elif ts_prune and bound is not None:
+            adj_r = adj.where(F.col("__ts") >= F.lit(bound))
+        else:
+            adj_r = adj
         hops = []
         cur = frontier
         for _ in range(max(1, hops_per_round)):
