@@ -794,3 +794,53 @@ def test_modularity_refine_multipass_converges_triangle(spark):
     assert multi == {1: 1, 2: 1, 3: 1}
     with __import__("pytest").raises(ValueError):
         A.modularity_refine(edges, singles, passes=0)
+
+
+def test_betweenness_sampled_estimator(spark):
+    """r11 (VERDICT r10 item 6): above the sample threshold the default
+    route is the source-sampled estimator — a deterministic hash-stride
+    subsample rescaled by n/k; it must equal the exact kernel run over
+    exactly that subsample times the scale, and sample_sources=None must
+    force the exact route."""
+    from pyspark.sql import functions as F
+
+    n = 40
+    edge_list = sorted(
+        {((i * 13 + 5) % n, (i * 19 + j * 3 + 2) % n) for i in range(80) for j in range(2)}
+    )
+    edge_list = [(s, d) for s, d in edge_list if s != d]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    seeds = spark.createDataFrame([(v,) for v in range(n)], "vid long")
+    k_target = 8
+    stride = -(-n // k_target)
+    sub = [
+        r[0]
+        for r in spark.createDataFrame([(v,) for v in range(n)], "src long")
+        .where(F.expr(f"pmod(xxhash64(src), {stride}) = 0"))
+        .collect()
+    ]
+    assert 0 < len(sub) < n
+    sampled = {
+        r.vid: r.betweenness
+        for r in A.betweenness_centrality(
+            edges, seeds, sample_sources=k_target
+        ).collect()
+    }
+    exact_over_sub = {
+        r.vid: r.betweenness
+        for r in A.betweenness_centrality(
+            edges, spark.createDataFrame([(v,) for v in sub], "vid long"),
+            sample_sources=None,
+        ).collect()
+    }
+    scale = n / len(sub)
+    for v, bc in exact_over_sub.items():
+        assert sampled.get(v, 0.0) == pytest.approx(bc * scale, rel=1e-9), v
+    # exact flag on the full seed set ignores the threshold entirely
+    exact_full = {
+        r.vid: r.betweenness
+        for r in A.betweenness_centrality(
+            edges, seeds, sample_sources=None
+        ).collect()
+    }
+    assert len(exact_full) >= len(sampled)
