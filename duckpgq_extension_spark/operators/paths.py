@@ -1003,7 +1003,10 @@ def cheapest_path_distances(
                 break
             # relax only from rows improved last round (the frontier is a
             # zero-cost FILTER over the checkpointed dist, not a separate
-            # materialization)
+            # materialization).  Relaxation emits RAW candidate rows — the
+            # min-aggregation happens once, in the union merge below (or
+            # between hops when hops_per_round > 1, to bound row growth
+            # before the next adjacency join).
             def _relax(frame):
                 relaxed = frame.alias("f").join(
                     edges.alias("e"), F.col("f.dst") == F.col("e.src")
@@ -1014,109 +1017,109 @@ def cheapest_path_distances(
                         if "edge_id" in edges.columns
                         else F.array(F.col("e.dst"))
                     )
-                    return (
-                        relaxed.select(
-                            F.col("f.src").alias("src"),
-                            F.col("e.dst").alias("dst"),
-                            F.struct(
-                                (
-                                    F.col("f.cost")
-                                    + F.col("e.weight").cast("double")
-                                ).alias("cost"),
-                                F.concat(F.col("f.path"), step).alias("path"),
-                            ).alias("cp"),
-                        )
-                        .groupBy("src", "dst")
-                        # struct min = (cost, path) lexicographic — the order
-                        # with optimal substructure (see docstring)
-                        .agg(F.min("cp").alias("cp"))
-                        .select(
-                            "src", "dst", F.col("cp.cost").alias("cost"),
-                            F.col("cp.path").alias("path"),
-                        )
-                    )
-                return (
-                    relaxed.select(
+                    return relaxed.select(
                         F.col("f.src").alias("src"),
                         F.col("e.dst").alias("dst"),
                         (F.col("f.cost") + F.col("e.weight").cast("double")).alias("cost"),
+                        F.concat(F.col("f.path"), step).alias("path"),
                     )
-                    .groupBy("src", "dst")
-                    .agg(F.min("cost").alias("cost"))
+                return relaxed.select(
+                    F.col("f.src").alias("src"),
+                    F.col("e.dst").alias("dst"),
+                    (F.col("f.cost") + F.col("e.weight").cast("double")).alias("cost"),
                 )
 
-            cur = dist.where(F.col("__improved")).select(
-                "src", "dst", "cost", *(["path"] if track_paths else [])
-            )
-            hops = []
-            for _ in range(max(1, hops_per_round)):
-                cur = _relax(cur)
-                hops.append(cur)
-            cand = hops[0]
-            for h in hops[1:]:
-                cand = cand.unionByName(h)
-            if len(hops) > 1:
+            def _agg_min(frame):
+                # struct min = (cost, path) lexicographic — the order with
+                # optimal substructure (see docstring)
                 if track_paths:
-                    cand = (
-                        cand.groupBy("src", "dst")
+                    return (
+                        frame.groupBy("src", "dst")
                         .agg(F.min(F.struct("cost", "path")).alias("cp"))
                         .select(
                             "src", "dst", F.col("cp.cost").alias("cost"),
                             F.col("cp.path").alias("path"),
                         )
                     )
-                else:
-                    cand = cand.groupBy("src", "dst").agg(
-                        F.min("cost").alias("cost")
-                    )
-            # single full-outer merge keeps the best cost per (src, dst) and
-            # flags improvements; the improvement count is observed during
-            # the checkpoint job -> exactly ONE Spark job per round (vs.
-            # candidate-materialize + dist-rebuild before)
+                return frame.groupBy("src", "dst").agg(F.min("cost").alias("cost"))
+
+            cur = dist.where(F.col("__improved")).select(
+                "src", "dst", "cost", *(["path"] if track_paths else [])
+            )
+            n_hops = max(1, hops_per_round)
+            hops = []
+            for i in range(n_hops):
+                raw = _relax(cur)
+                hops.append(raw)
+                if i + 1 < n_hops:
+                    cur = _agg_min(raw)
+            cand = hops[0]
+            for h in hops[1:]:
+                cand = cand.unionByName(h)
+            # UNION merge: old rows and raw candidates flow into ONE
+            # groupBy(src, dst) min — one Exchange per round where the old
+            # full-outer formulation paid two (candidate pre-aggregation +
+            # dist re-shuffle) plus the sort-merge join's two sorts.
+            # Map-side partial aggregation performs the same candidate
+            # reduction the dropped pre-aggregation did.  The improvement
+            # count still rides the checkpoint job -> ONE Spark job/round.
             if track_paths:
-                # NOT a struct comparison: Spark's struct `<` follows SORT
-                # ordering (NULL fields compare smallest) rather than SQL
-                # NULL propagation, so an unmatched full-outer side (all
-                # NULLs) would spuriously win — guard the candidate side
-                # explicitly and compare fields pairwise
-                better = F.col("c.cost").isNotNull() & (
-                    F.col("o.cost").isNull()
-                    | (F.col("c.cost") < F.col("o.cost"))
-                    | (
-                        (F.col("c.cost") == F.col("o.cost"))
-                        & (F.col("c.path") < F.col("o.path"))
+                # Tie-break: struct min over (cost, path, __cand) — a
+                # strictly cheaper candidate wins; at equal cost a
+                # lexicographically smaller path wins; at equal (cost, path)
+                # the old row's 0 flag wins, so __cand=1 on the winner is
+                # exactly the old `better` predicate.  Candidate cost/path
+                # are never NULL here (frontier rows are non-NULL and
+                # weights are validated strictly positive above), so struct
+                # sort ordering's NULLS-FIRST quirk cannot pick a bogus
+                # winner the way an unmatched full-outer side could.
+                # NULL-cost candidates (possible only via NULL weights when
+                # max_iters skips the positive-weight validation) must LOSE
+                # as they did under the old explicit predicate — drop them
+                # before the min so NULLS-FIRST cannot crown one.
+                merged = (
+                    dist.select("src", "dst", "cost", "path")
+                    .withColumn("__cand", F.lit(0))
+                    .unionByName(
+                        cand.where(F.col("cost").isNotNull())
+                        .withColumn("__cand", F.lit(1))
+                    )
+                    .groupBy("src", "dst")
+                    .agg(F.min(F.struct("cost", "path", "__cand")).alias("m"))
+                    .select(
+                        "src", "dst",
+                        F.col("m.cost").alias("cost"),
+                        F.col("m.path").alias("path"),
+                        (F.col("m.__cand") == 1).alias("__improved"),
                     )
                 )
             else:
-                better = F.col("o.cost").isNull() | (F.col("c.cost") < F.col("o.cost"))
-            merged = (
-                dist.select(
-                    "src", "dst", "cost",
-                    *(["path"] if track_paths else []),
-                ).alias("o")
-                .join(
-                    cand.alias("c"),
-                    (F.col("o.src") == F.col("c.src")) & (F.col("o.dst") == F.col("c.dst")),
-                    "full_outer",
+                # Primitive-only aggregates keep this a codegen
+                # HashAggregate: min over everything gives the new cost;
+                # min over the old row's echo (__oc, NULL on candidates)
+                # gives the previous cost, and improvement is
+                # "no previous" or "strictly cheaper" — identical to the
+                # old `better` predicate including its NULL semantics.
+                merged = (
+                    dist.select(
+                        "src", "dst", "cost", F.col("cost").alias("__oc")
+                    )
+                    .unionByName(
+                        cand.withColumn("__oc", F.lit(None).cast("double"))
+                    )
+                    .groupBy("src", "dst")
+                    .agg(
+                        F.min("cost").alias("cost"),
+                        F.min("__oc").alias("__oc"),
+                    )
+                    .select(
+                        "src", "dst", "cost",
+                        (
+                            F.col("__oc").isNull()
+                            | (F.col("cost") < F.col("__oc"))
+                        ).alias("__improved"),
+                    )
                 )
-                .select(
-                    F.coalesce(F.col("o.src"), F.col("c.src")).alias("src"),
-                    F.coalesce(F.col("o.dst"), F.col("c.dst")).alias("dst"),
-                    F.when(better, F.col("c.cost"))
-                    .otherwise(F.col("o.cost"))
-                    .alias("cost"),
-                    *(
-                        [
-                            F.when(better, F.col("c.path"))
-                            .otherwise(F.col("o.path"))
-                            .alias("path")
-                        ]
-                        if track_paths
-                        else []
-                    ),
-                    better.alias("__improved"),
-                )
-            )
             obs = Observation(f"__pgq_bf_{next(_obs_seq)}")
             merged = merged.observe(
                 obs, F.sum(F.col("__improved").cast("int")).alias("n")
