@@ -139,63 +139,79 @@ def pagerank(
                 .alias("reset"),
             )
         )
+    # dangling probe rides the initial checkpoint's Observation (zero
+    # extra jobs): a graph with NO dangling vertices (every vertex has
+    # positive out-weight) contributes exactly __dang = 0.0 every round,
+    # so the per-round broadcast-aggregate branch is dead weight — one
+    # broadcast exchange + crossJoin per round (an extra AQE stage-job)
+    # plus its plan-construction cost.  Skipping it when the probe says
+    # "none" is value-identical: in_mass + 0.0 * reset == in_mass for
+    # the non-negative masses this kernel produces.
+    obs0 = Observation(f"__pgq_pr_{next(pathops._obs_seq)}")
     ranks = pathops.materialize(
         with_reset.alias("v")
         .join(out_deg.alias("d"), F.col("v.vid") == F.col("d.src"), "left")
         .select("vid", F.col("reset").alias("rank"), "out_deg", "reset")
+        .observe(obs0, F.expr(
+            "sum(CASE WHEN out_deg IS NULL THEN 1 ELSE 0 END) AS n_dang"
+        ))
     )
+    has_dangling = (obs0.get["n_dang"] or 0) > 0
+    # loop-body expressions rendered ONCE as SQL strings: the Column-API
+    # form cost ~190 ms of py4j round-trips per round (measured sf0.1,
+    # warm — ~35% of the kernel wall at bench scale), and under
+    # run_concurrent that construction is GIL-serialized across kernels
+    d_str = f"CAST('{damping!r}' AS DOUBLE)"
+    r_str = f"CAST('{(1.0 - damping)!r}' AS DOUBLE)"
+    if has_dangling:
+        rank_expr = (
+            f"({r_str} * reset + {d_str} * (coalesce(in_mass, "
+            f"CAST(0.0 AS DOUBLE)) + __dang * reset)) AS rank"
+        )
+    else:
+        rank_expr = (
+            f"({r_str} * reset + {d_str} * coalesce(in_mass, "
+            f"CAST(0.0 AS DOUBLE))) AS rank"
+        )
     for _ in range(max_iter):
-        # mass from dangling vertices (no out-edges) is spread uniformly;
-        # kept as a broadcast 1-row frame so each iteration is ONE job
-        # (collecting the scalar would add a driver roundtrip per round)
-        dangling = F.broadcast(
-            ranks.where(F.col("out_deg").isNull()).agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")
-            )
-        )
-        shares = ranks.where(F.col("out_deg").isNotNull()).select(
-            F.col("vid"), (F.col("rank") / F.col("out_deg")).alias("share")
-        )
         contribs = (
-            shares.alias("s")
-            .join(edges.alias("e"), F.col("s.vid") == F.col("e.src"))
-            .groupBy(F.col("e.dst").alias("vid"))
-            .agg(F.sum(F.col("share") * F.col("e.__w")).alias("in_mass"))
+            ranks.where("out_deg IS NOT NULL")
+            .selectExpr("vid AS src", "rank / out_deg AS share")
+            .join(edges, "src")
+            .selectExpr("dst AS vid", "share * __w AS c")
+            .groupBy("vid")
+            .agg(F.expr("sum(c) AS in_mass"))
         )
         # join the OLD ranks (one row per vid, phantoms included) rather
         # than the vertex list, so the convergence delta is computable
         # on this same frame — an Observation collects it during the
         # checkpoint job, making each iteration exactly ONE job
-        new_full = (
-            ranks.alias("o")
-            .join(contribs.alias("c"), F.col("o.vid") == F.col("c.vid"), "left")
-            .crossJoin(dangling)
-            .select(
-                F.col("o.vid").alias("vid"),
-                (
-                    (1.0 - damping) * F.col("o.reset")
-                    + damping
-                    * (
-                        F.coalesce(F.col("c.in_mass"), F.lit(0.0))
-                        + F.col("__dang") * F.col("o.reset")
-                    )
-                ).alias("rank"),
-                F.col("o.out_deg").alias("out_deg"),
-                F.col("o.reset").alias("reset"),
-                F.col("o.rank").alias("__old"),
-            )
-        )
+        new_full = ranks.join(contribs, "vid", "left")
+        if has_dangling:
+            # mass from dangling vertices (no out-edges) is spread
+            # uniformly; kept as a broadcast 1-row frame so no scalar is
+            # collected to the driver per round
+            new_full = new_full.crossJoin(F.broadcast(
+                ranks.where("out_deg IS NULL").agg(F.expr(
+                    "coalesce(sum(rank), CAST(0.0 AS DOUBLE)) AS __dang"
+                ))
+            ))
         if tol > 0:
+            new_full = new_full.selectExpr(
+                "vid", rank_expr, "out_deg", "reset", "rank AS __old"
+            )
             obs = Observation(f"__pgq_pr_{next(pathops._obs_seq)}")
             new_full = new_full.observe(
-                obs, F.max(F.abs(F.col("rank") - F.col("__old"))).alias("delta")
+                obs, F.expr("max(abs(rank - __old)) AS delta")
             )
             ranks = pathops.materialize(new_full.select("vid", "rank", "out_deg", "reset"))
             delta = obs.get["delta"]
             if delta is not None and delta < tol:
                 break
         else:
-            ranks = pathops.materialize(new_full.select("vid", "rank", "out_deg", "reset"))
+            ranks = pathops.materialize(
+                new_full.selectExpr("vid", rank_expr, "out_deg", "reset")
+            )
     if phantom_vertices:
         ranks = ranks.join(real_vertices.toDF("vid"), "vid", "left_semi")
     return ranks.select("vid", F.col("rank").alias("pagerank"))
@@ -281,25 +297,28 @@ def weakly_connected_component(
         .select("vid", F.col("vid").alias("comp"))
     )
     cur = und
+    # loop bodies rendered as SQL strings (selectExpr / string-key
+    # join): the Column-API form costs py4j round-trips per round,
+    # GIL-serialized under run_concurrent (r10 cost class); the plan
+    # shape is unchanged
     for _ in range(_JUMP_AFTER):
         prop = (
-            labels.alias("l")
-            .join(cur.alias("u"), F.col("l.vid") == F.col("u.src"))
-            .select(F.col("u.dst").alias("vid"), F.col("l.comp").alias("comp"))
+            labels.selectExpr("vid AS src", "comp")
+            .join(cur, "src")
+            .selectExpr("dst AS vid", "comp")
             .unionByName(labels.select("vid", "comp"))
             .groupBy("vid")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.expr("min(comp) AS comp"))
         )
         labels = pathops.materialize(prop)
         contracted = (
-            cur.alias("u")
-            .join(labels.alias("a"), F.col("u.src") == F.col("a.vid"))
-            .join(labels.alias("b"), F.col("u.dst") == F.col("b.vid"))
-            .select(F.col("a.comp").alias("src"), F.col("b.comp").alias("dst"))
-            .where(F.col("src") != F.col("dst"))
+            cur.join(labels.selectExpr("vid AS src", "comp AS __sc"), "src")
+            .join(labels.selectExpr("vid AS dst", "comp AS __dc"), "dst")
+            .selectExpr("__sc AS src", "__dc AS dst")
+            .where("src != dst")
         )
         contracted = contracted.unionByName(
-            contracted.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            contracted.selectExpr("dst AS src", "src AS dst")
         ).distinct().repartition(parts, "src")
         cur, n_edges = pathops.checkpoint_with_count(contracted)
         if not n_edges:
@@ -739,18 +758,22 @@ def hits(
             # against the vertex frame.
             hub = scores.select("vid", "hub")
             auth = None
+            # loop body rendered as SQL strings (selectExpr /
+            # string-key join): the Column-API form costs py4j
+            # round-trips per round, GIL-serialized across
+            # run_concurrent kernels (r10 cost class)
             for i in range(max_iter):
                 auth = (
-                    hub.alias("s")
-                    .join(edges.alias("e"), F.col("s.vid") == F.col("e.src"))
-                    .groupBy(F.col("e.dst").alias("vid"))
-                    .agg(F.sum("s.hub").alias("auth"))
+                    hub.selectExpr("vid AS src", "hub")
+                    .join(edges, "src")
+                    .groupBy(F.col("dst").alias("vid"))
+                    .agg(F.expr("sum(hub) AS auth"))
                 )
                 hub = (
-                    auth.alias("s")
-                    .join(edges_by_dst.alias("e"), F.col("s.vid") == F.col("e.dst"))
-                    .groupBy(F.col("e.src").alias("vid"))
-                    .agg(F.sum("s.auth").alias("hub"))
+                    auth.selectExpr("vid AS dst", "auth")
+                    .join(edges_by_dst, "dst")
+                    .groupBy(F.col("src").alias("vid"))
+                    .agg(F.expr("sum(auth) AS hub"))
                 )
                 if i % 2 == 1 or i == max_iter - 1:
                     if max_iter > _DEFERRED_NORM_SAFE_ROUNDS:
@@ -1500,24 +1523,21 @@ def katz_centrality(
     vertices = pathops.materialize(vertices.toDF("vid").distinct())
     edges = pathops.persist_partitioned(edges.select("src", "dst"))  # cache-owned
     x = pathops.materialize(vertices.select("vid", F.lit(beta).alias("katz")))
+    # loop body rendered as SQL strings (selectExpr / string-key join):
+    # the Column-API form costs py4j round-trips per round,
+    # GIL-serialized across run_concurrent kernels (r10 cost class)
+    katz_expr = (
+        f"(CAST('{beta!r}' AS DOUBLE) + CAST('{alpha!r}' AS DOUBLE) "
+        f"* coalesce(w, CAST(0.0 AS DOUBLE))) AS katz"
+    )
     for i in range(max_iter):
         contrib = (
-            x.alias("s")
-            .join(edges.alias("e"), F.col("s.vid") == F.col("e.src"))
-            .groupBy(F.col("e.dst").alias("vid"))
-            .agg(F.sum("s.katz").alias("w"))
+            x.selectExpr("vid AS src", "katz")
+            .join(edges, "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.expr("sum(katz) AS w"))
         )
-        x = (
-            x.alias("o")
-            .join(contrib.alias("c"), F.col("o.vid") == F.col("c.vid"), "left")
-            .select(
-                F.col("o.vid").alias("vid"),
-                (
-                    F.lit(beta)
-                    + F.lit(alpha) * F.coalesce(F.col("c.w"), F.lit(0.0))
-                ).alias("katz"),
-            )
-        )
+        x = x.join(contrib, "vid", "left").selectExpr("vid", katz_expr)
         # every-other-round checkpoint (LPA's cadence): the round is pure
         # shuffle joins — no broadcast branch to trip the r8 fused-lineage
         # regression; values unchanged, one barrier per two rounds
@@ -1939,11 +1959,14 @@ def eigenvector_centrality(
         vertices.select("vid", F.lit(1.0 / float(n)).alias("ev"))
     )
     for i in range(max_iter):
+        # loop body rendered as SQL strings (selectExpr / string-key
+        # join): the Column-API form costs py4j round-trips per round,
+        # GIL-serialized across run_concurrent kernels (r10 cost class)
         x = (
-            x.alias("s")
-            .join(edges_p.alias("e"), F.col("s.vid") == F.col("e.src"))
-            .groupBy(F.col("e.dst").alias("vid"))
-            .agg(F.sum("s.ev").alias("ev"))
+            x.selectExpr("vid AS src", "ev")
+            .join(edges_p, "src")
+            .groupBy(F.col("dst").alias("vid"))
+            .agg(F.expr("sum(ev) AS ev"))
         )
         # checkpoint every OTHER round (LPA's cadence): with the norm
         # branch gone the round is pure shuffle joins, so the fused
