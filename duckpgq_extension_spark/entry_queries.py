@@ -6508,3 +6508,50 @@ ORACLES = {
     **{k: ORACLES[k] for k in _R10_FRONT if k in ORACLES},
     **{k: v for k, v in ORACLES.items() if k not in set(_R10_FRONT)},
 }
+
+# Round 11 rotation (window = first ~50 keys).  Leads: the one query
+# added this round (temporal_reach_index, the gated standing-index
+# route — never driver-verified), then every key whose kernel or
+# plan-construction path changed this round (temporal standing index,
+# Bellman-Ford union-merge, betweenness estimator default, the
+# SQL-rendered centrality/WCC loop bodies + pagerank dangling probe)
+# so the driver re-records them under the new code; then the full
+# 25-key r07-stale set queued at _R10_FRONT's cut (VERDICT r10 item
+# 10); then 5 of the oldest (r08) keys.  All keys stay registered;
+# only insertion order changes.
+_R11_FRONT = [
+    # new this round
+    "temporal_reach_index",
+    # kernels/plan construction changed this round
+    "temporal_reach", "temporal_latest",
+    "cheapest_path", "cheapest_path_vertices", "match_cheapest",
+    "betweenness", "path_counts",
+    "pagerank", "personalized_pagerank", "weighted_pagerank",
+    "hits", "eigenvector", "katz", "centrality_report",
+    "graph_report", "wcc", "dedup_clusters", "semantic_dedup",
+    "communities",
+    # the full r07-stale set queued last round
+    "group_quantiles", "grouping_sets", "apply_vocab", "attribution",
+    "bigram_logprob", "ref_bigram_logprob", "burstiness",
+    "copurchase_pmi", "curriculum", "dataset_split", "degree_powerlaw",
+    "event_transitions", "importance_resample", "mixture_sample",
+    "nbr_features_l2", "pivot_events", "profile_docs", "quantize_int8",
+    "resample_fill", "rolling_7d", "split_entropy",
+    "temperature_sample", "text_normalize", "vocab_drift",
+    "weighted_sample",
+    # oldest remaining (r08) keys
+    "distance_report", "avg_path_length", "percolation",
+    "modularity", "conductance",
+    # --- expected window cut (~50) ---
+    # remaining r08 keys, first in line for round 12
+    "containment_dedup", "communities_refined", "community_graph",
+]
+
+QUERIES = {
+    **{k: QUERIES[k] for k in _R11_FRONT},
+    **{k: v for k, v in QUERIES.items() if k not in set(_R11_FRONT)},
+}
+ORACLES = {
+    **{k: ORACLES[k] for k in _R11_FRONT if k in ORACLES},
+    **{k: v for k, v in ORACLES.items() if k not in set(_R11_FRONT)},
+}
