@@ -1439,12 +1439,15 @@ def label_propagation(
     labels = pathops.materialize(
         vertices.select("vid", F.col("vid").alias("label"))
     )
+    # loop body rendered as SQL strings (selectExpr / string-key join):
+    # the Column-API form costs py4j round-trips per round (r10 cost
+    # class); the plan shape is unchanged
     for _round in range(max_iter):
         cnt = (
-            labels.alias("l")
-            .join(und.alias("u"), F.col("l.vid") == F.col("u.src"))
-            .groupBy(F.col("u.dst").alias("vid"), F.col("l.label").alias("label"))
-            .agg(F.count("*").alias("c"))
+            labels.selectExpr("vid AS src", "label")
+            .join(und, "src")
+            .groupBy(F.col("dst").alias("vid"), F.col("label"))
+            .agg(F.expr("count(*) AS c"))
         )
         # the mode is a min_by over (-count, label) — same tie-break as a
         # (count DESC, label ASC) rank, but as an AGGREGATE it partial-
@@ -1453,12 +1456,10 @@ def label_propagation(
         # min_by(struct) lowers to SortAggregate (key-only sort), pinned
         # by a plan-guard test
         pick = cnt.groupBy("vid").agg(
-            F.min_by(
-                "label", F.struct((-F.col("c")).alias("nc"), F.col("label"))
-            ).alias("__new")
+            F.expr("min_by(label, struct(-c AS nc, label AS label)) AS __new")
         )
-        nxt = labels.join(pick, "vid", "left").select(
-            "vid", F.coalesce(F.col("__new"), F.col("label")).alias("label")
+        nxt = labels.join(pick, "vid", "left").selectExpr(
+            "vid", "coalesce(__new, label) AS label"
         )
         # checkpoint on odd rounds and at the end; even rounds stay lazy
         if _round % 2 == 1 or _round == max_iter - 1:
