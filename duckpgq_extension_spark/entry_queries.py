@@ -6529,7 +6529,7 @@ _R11_FRONT = [
     "pagerank", "personalized_pagerank", "weighted_pagerank",
     "hits", "eigenvector", "katz", "centrality_report",
     "graph_report", "wcc", "dedup_clusters", "semantic_dedup",
-    "communities",
+    "communities", "communities_refined", "community_graph",
     # the full r07-stale set queued last round
     "group_quantiles", "grouping_sets", "apply_vocab", "attribution",
     "bigram_logprob", "ref_bigram_logprob", "burstiness",
@@ -6539,12 +6539,12 @@ _R11_FRONT = [
     "resample_fill", "rolling_7d", "split_entropy",
     "temperature_sample", "text_normalize", "vocab_drift",
     "weighted_sample",
-    # oldest remaining (r08) keys
-    "distance_report", "avg_path_length", "percolation",
-    "modularity", "conductance",
+    # oldest remaining (r08) keys (modularity/conductance are also
+    # LPA-derived, so their r11 rows record the changed kernel)
+    "distance_report", "modularity", "conductance",
     # --- expected window cut (~50) ---
     # remaining r08 keys, first in line for round 12
-    "containment_dedup", "communities_refined", "community_graph",
+    "avg_path_length", "percolation", "containment_dedup",
 ]
 
 QUERIES = {
